@@ -1,0 +1,65 @@
+"""Shared column expression helpers.
+
+Money discipline (SURVEY.md section 7 D4/D11): every monetary aggregate is
+computed in DECIMAL so results are exact and order-independent (double sums
+across shuffle partitions are not associative-stable), then rounded to 2 (sums)
+or 4 (avgs/percentages) decimal places and cast to double for a stable,
+engine-portable output type.  The DuckDB oracle SQL applies the identical
+CAST(x AS DECIMAL(18,2)) -> SUM -> ROUND -> ::DOUBLE pipeline, so value hashes
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+DEC = DecimalType(18, 2)
+DEC4 = DecimalType(18, 4)
+
+
+def dec(c: Column | str) -> Column:
+    """Cast to exact DECIMAL(18,2) before arithmetic/aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def avg4_exact(sum_col: Column, cnt_col: Column) -> Column:
+    """Deterministic 4-dp average as DECIMAL(18,4), safe to re-aggregate.
+
+    exact-decimal sum -> double division -> round(4) -> back to decimal, so a
+    downstream SUM over these averages is again exact/order-independent
+    (needed for the reference's weighted-average reconstruction, Q2).
+    """
+    return F.round(sum_col.cast("double") / cnt_col.cast("double"), 4).cast(DEC4)
+
+
+def money(c: Column) -> Column:
+    """Final-output form of an exact monetary value: round(2) as double."""
+    return F.round(c, 2).cast("double")
+
+
+def ratio(num: Column, den: Column, scale: int = 4) -> Column:
+    """avg/percent form: exact numerator -> double division -> round(scale)."""
+    return F.round(num.cast("double") / den.cast("double"), scale)
+
+
+# Oracle-side (DuckDB SQL) fragments mirroring the helpers above.
+SQL_DEC = "CAST({x} AS DECIMAL(18,2))"
+
+
+def sql_dec(x: str) -> str:
+    return SQL_DEC.format(x=x)
+
+
+def sql_money(x: str) -> str:
+    return f"CAST(ROUND({x}, 2) AS DOUBLE)"
+
+
+def sql_ratio(num: str, den: str, scale: int = 4) -> str:
+    return f"ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), {scale})"
+
+
+def sql_avg4_exact(sum_x: str, cnt_x: str) -> str:
+    return f"CAST(ROUND(CAST({sum_x} AS DOUBLE) / CAST({cnt_x} AS DOUBLE), 4) AS DECIMAL(18,4))"

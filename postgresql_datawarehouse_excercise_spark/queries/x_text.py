@@ -1,0 +1,78 @@
+"""Extension: text analysis over the `documents` table (training-data
+pipeline operators -- BASELINE.json north star; not part of reference parity).
+
+All hot-path expressions are JVM-side built-ins (regexp_count / md5 /
+length) -- no Python UDFs -- so they whole-stage-codegen and scale linearly
+with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import ratio
+from . import query
+
+
+@query(
+    "x_text_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+FROM documents
+""",
+)
+def x_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + punctuation counting per document."""
+    t = catalog.load(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).cast("long").alias("n_punct"),
+    )
+
+
+@query(
+    "x_text_quality",
+    oracle=r"""
+SELECT doc_id,
+       ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(CAST(len(regexp_extract_all(text, '\d')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE), 4) AS chars_per_token
+FROM documents
+""",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score signals: punctuation/digit density, mean token length."""
+    t = catalog.load(spark, sf_dir)
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    n_tokens = F.greatest(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(1))
+    return t.documents.select(
+        "doc_id",
+        ratio(F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")), n_chars).alias("punct_ratio"),
+        ratio(F.regexp_count(F.col("text"), F.lit(r"\d")), n_chars).alias("digit_ratio"),
+        ratio(F.length("text"), n_tokens).alias("chars_per_token"),
+    )
+
+
+@query(
+    "x_text_fingerprint",
+    oracle=r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+""",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized md5 document fingerprint (exact near-dup
+    key; basis of x_dedup_normalized)."""
+    t = catalog.load(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return t.documents.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,87 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+For a query name: run the Spark DataFrame and the DuckDB oracle SQL on the
+same parquet tables, then compare row count, column names (sorted), and an
+order-insensitive multiset of rows with values normalized (floats rounded,
+dates/timestamps stringified).  Any mismatch here predicts a mismatch in the
+driver's CORRECTNESS_r{N}.json, so tests fail loudly with a diff sample.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from collections import Counter
+from decimal import Decimal
+
+import duckdb
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def rows_multiset(cols: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    sm, dm = rows_multiset(s_cols, s_rows), rows_multiset(d_cols, d_rows)
+    if sm != dm:
+        only_s = list((sm - dm).items())[:5]
+        only_d = list((dm - sm).items())[:5]
+        raise AssertionError(
+            f"value mismatch (cols sorted={sorted(s_cols)}):\n"
+            f"  spark-only sample: {only_s}\n  duckdb-only sample: {only_d}"
+        )
