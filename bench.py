@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Mirrors BASELINE.md's methodology: the same
+report is timed against the raw tables, the persisted sales mart, and the
+persisted View2/View3 -- the relative ordering raw > mart > view must
+reproduce (assignment-5.md:628).
+
+Execution is timed with the noop sink (full plan runs, no driver collect).
+Each query is timed twice and the faster run reported (JVM/codegen warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark import catalog
+from postgresql_datawarehouse_excercise_spark.functions import money
+from postgresql_datawarehouse_excercise_spark.mv.definitions import default_registry
+from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+
+def run(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def timed(df_fn, iters: int = 2) -> float:
+    return round(min(run(df_fn()) for _ in range(iters)), 4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = (
+        SparkSession.builder.appName("pdwx-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    q = {name: qd.fn for name, qd in registry.items()}
+
+    results: dict[str, float] = {}
+
+    # --- ETL + MV build (timed as a whole: the reference's EP2) ----------
+    wh = tempfile.mkdtemp(prefix="pdwx-bench-wh-")
+    reg = default_registry(wh)
+    t0 = time.perf_counter()
+    reg.build_all(spark, sf_dir)
+    results["mv_build_all"] = round(time.perf_counter() - t0, 4)
+
+    sales = lambda: reg.read(spark, "sales")  # noqa: E731
+    view2 = lambda: reg.read(spark, "view2")  # noqa: E731
+    view3 = lambda: reg.read(spark, "view3")  # noqa: E731
+
+    def topk_from(df: DataFrame, key: str = "customerid") -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(F.sum("amnt").alias("s"))
+            .orderBy(F.col("s").desc(), F.col(key).asc())
+            .limit(5)
+        )
+
+    def geo(t):
+        from postgresql_datawarehouse_excercise_spark.queries.q4_views import _geo
+
+        return _geo(t)
+
+    t = catalog.load(spark, sf_dir)
+
+    # --- Q4a best buyers: raw vs mart vs view2 (BASELINE relative order) --
+    results["q4a_best_buyers_raw"] = timed(lambda: q["q4a_best_buyers_raw"](spark, sf_dir))
+    results["q4a_best_buyers_mart"] = timed(lambda: topk_from(sales()))
+    results["q4a_best_buyers_view2"] = timed(lambda: topk_from(view2()))
+
+    # --- Q4b top country: raw vs mart vs view3+bridge ---------------------
+    results["q4b_top_country_raw"] = timed(lambda: q["q4b_top_country_raw"](spark, sf_dir))
+
+    def top_country_mart() -> DataFrame:
+        per_cust = sales().groupBy("customerid").agg(F.sum("amnt").alias("s"))
+        g = geo(t).select("customerid", "country")
+        return (
+            per_cust.join(F.broadcast(g), "customerid")
+            .groupBy("country")
+            .agg(F.sum("s").alias("s"))
+            .orderBy(F.col("s").desc(), F.col("country").asc())
+            .limit(1)
+        )
+
+    def top_country_view3() -> DataFrame:
+        bridge = geo(t).select("district", "country").distinct()
+        return (
+            view3()
+            .join(F.broadcast(bridge), "district")
+            .groupBy("country")
+            .agg(F.sum("amnt").alias("s"))
+            .orderBy(F.col("s").desc(), F.col("country").asc())
+            .limit(1)
+        )
+
+    results["q4b_top_country_mart"] = timed(top_country_mart)
+    results["q4b_top_country_view3"] = timed(top_country_view3)
+
+    # --- Q5: windows; report-from-MV vs single nested query ---------------
+    results["q5a_window_report"] = timed(lambda: q["q5a_window_report"](spark, sf_dir))
+
+    def q5b_from_mv() -> DataFrame:
+        from pyspark.sql import Window
+
+        mv = reg.read(spark, "sum_per_day_per_city")
+        w = Window.partitionBy("city").orderBy("timeid")
+        return mv.select(
+            "city", "timeid", "day",
+            money(F.col("sumspending")).alias("sumspending"),
+            money(F.sum("sumspending").over(w)).alias("cumulative"),
+        )
+
+    results["q5b_cumsum_from_mv"] = timed(q5b_from_mv)
+    results["q5b_nested_windows"] = timed(lambda: q["q5b_nested_windows"](spark, sf_dir))
+
+    # --- ETL / aggregates / extensions ------------------------------------
+    for name in (
+        "q1_sales_fact",
+        "q2_weighted_avg",
+        "q3a_best_buyers",
+        "x_dedup_exact",
+        "x_dedup_normalized",
+        "x_text_token_stats",
+        "x_text_quality",
+        "x_events_tumbling_hourly",
+        "x_events_user_daily",
+        "x_sim_topk_bruteforce",
+    ):
+        results[name] = timed(lambda name=name: q[name](spark, sf_dir))
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

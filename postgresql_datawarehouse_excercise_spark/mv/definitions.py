@@ -1,0 +1,222 @@
+"""The reference's materialized-view stack as registry definitions.
+
+One MVDef per CREATE MATERIALIZED VIEW in /root/reference/assignment-5.sql
+(15 objects, SURVEY.md section 2 A3), retargeted to the driver schema.
+Additive MVs carry their measure under the unified name ``amnt`` so the
+aggregate navigator can re-aggregate any of them; report-style MVs (top-k
+results, scalars, period-filtered reports) declare no measures and are
+therefore never navigation targets -- matching the reference, where only
+sales/View1/View2/View3 are used as rewrite sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import avg4_exact, ratio
+from ..queries.q3_reports import (
+    _amount_per_order,
+    _amounts_of_best_buyer,
+    _best_buyer_id,
+    _best_buyers,
+)
+from ..queries.q4_views import _geo, _view1, _view2, _view3
+from ..queries.q5_windows import _period_sales
+from .navigator import AggregateNavigator
+from .registry import MVDef, MVRegistry
+
+
+def _sales(t: catalog.Tables) -> DataFrame:
+    return t.sales()
+
+
+def _time(t: catalog.Tables) -> DataFrame:
+    return t.time_dim()
+
+
+def _sum_customer_per_day(t: catalog.Tables) -> DataFrame:
+    return t.sales().groupBy("customerid", "timeid").agg(F.sum("amnt").alias("amnt"))
+
+
+def _daily_avg(t: catalog.Tables) -> DataFrame:
+    per_cd = _sum_customer_per_day(t)
+    return per_cd.groupBy("timeid").agg(
+        F.count(F.lit(1)).alias("number_of_customer_a_day"),
+        avg4_exact(F.sum("amnt"), F.count(F.lit(1))).alias("avg_spending"),
+    )
+
+
+def _avg_amnt_view(t: catalog.Tables) -> DataFrame:
+    return (
+        t.sales()
+        .groupBy("customerid")
+        .agg(avg4_exact(F.sum("amnt"), F.count(F.lit(1))).alias("avg_amnt"))
+    )
+
+
+def _best_buyers_mv(t: catalog.Tables) -> DataFrame:
+    return _best_buyers(t.spark, t.sf_dir)
+
+
+def _ord_avg_amnt(t: catalog.Tables) -> DataFrame:
+    return _amount_per_order(t).agg(
+        avg4_exact(F.sum("order_amount"), F.count(F.lit(1))).alias("ord_avg_amnt")
+    )
+
+
+def _no_of_ord(t: catalog.Tables) -> DataFrame:
+    return t.orders.join(
+        _best_buyer_id(t), t.orders.o_custkey == F.col("customerid"), "left_semi"
+    ).agg(F.count(F.lit(1)).alias("no_of_ord"))
+
+
+def _apobc(t: catalog.Tables) -> DataFrame:
+    return _amounts_of_best_buyer(t)
+
+
+def _perc_of_ord(t: catalog.Tables) -> DataFrame:
+    return (
+        _apobc(t)
+        .crossJoin(F.broadcast(_ord_avg_amnt(t)))
+        .crossJoin(F.broadcast(_no_of_ord(t)))
+        .filter(F.col("order_amount") > F.col("ord_avg_amnt"))
+        .groupBy("no_of_ord")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(ratio(F.col("cnt") * F.lit(100), F.col("no_of_ord")).alias("perc_of_ord"))
+    )
+
+
+def _view1_mv(t: catalog.Tables) -> DataFrame:
+    return _view1(t)
+
+
+def _view2_mv(t: catalog.Tables) -> DataFrame:
+    return _view2(t).withColumnRenamed("sum_d", "amnt")
+
+
+def _view3_mv(t: catalog.Tables) -> DataFrame:
+    return _view3(t).withColumnRenamed("sum_d", "amnt")
+
+
+def _customer_spending(t: catalog.Tables) -> DataFrame:
+    return (
+        _period_sales(t)
+        .groupBy("customerid", "name", "city")
+        .agg(F.sum("amnt").alias("amountofspending"))
+    )
+
+
+def _sum_per_day_per_city(t: catalog.Tables) -> DataFrame:
+    return (
+        _period_sales(t)
+        .groupBy("city", "timeid", "day")
+        .agg(F.sum("amnt").alias("sumspending"))
+    )
+
+
+def default_registry(warehouse: str) -> MVRegistry:
+    reg = MVRegistry(warehouse)
+    A = frozenset
+    reg.register(MVDef("time", _time, A({"timeid"}), {}, doc="assignment-5.sql:42-61",
+                       cache_key="time_dim"))
+    reg.register(
+        MVDef(
+            "sales",
+            _sales,
+            A({"customerid", "timeid", "partkey"}),
+            {"amnt": "sum"},
+            deps=("time",),
+            doc="assignment-5.sql:70-80",
+            cache_key="sales",
+        )
+    )
+    reg.register(
+        MVDef("avg_amnt_view", _avg_amnt_view, A({"customerid"}), {}, deps=("sales",),
+              doc="assignment-5.sql:128-133 (avg: not re-aggregable, non-navigable)")
+    )
+    reg.register(
+        MVDef("sum_customer_per_day", _sum_customer_per_day, A({"customerid", "timeid"}),
+              {"amnt": "sum"}, deps=("sales",), doc="assignment-5.sql:149-155")
+    )
+    reg.register(
+        MVDef("avg_spending_by_customer_on_each_day", _daily_avg, A({"timeid"}), {},
+              deps=("sum_customer_per_day",), doc="assignment-5.sql:165-170")
+    )
+    reg.register(
+        MVDef("best_buyers", _best_buyers_mv, A(), {}, deps=("sales",),
+              doc="assignment-5.sql:191-200 (report)")
+    )
+    reg.register(
+        MVDef("amount_per_order", _amount_per_order, A({"orderid"}),
+              {"order_amount": "sum"}, doc="assignment-5.sql:213-218")
+    )
+    reg.register(MVDef("ord_avg_amnt", _ord_avg_amnt, A(), {}, deps=("amount_per_order",),
+                       doc="assignment-5.sql:221-223"))
+    reg.register(MVDef("no_of_ord", _no_of_ord, A(), {}, deps=("sales",),
+                       doc="assignment-5.sql:232-235"))
+    reg.register(
+        MVDef("amount_per_order_by_customer", _apobc, A({"orderid"}), {},
+              deps=("amount_per_order", "sales"), doc="assignment-5.sql:244-250")
+    )
+    reg.register(MVDef("perc_of_ord", _perc_of_ord, A(), {},
+                       deps=("amount_per_order_by_customer",), doc="assignment-5.sql:259-263"))
+    reg.register(
+        MVDef("view1", _view1_mv,
+              A({"customerid", "name", "district", "timeid", "dayofweek", "partkey"}),
+              {"amnt": "sum"}, deps=("sales", "time"), doc="assignment-5.sql:300-310")
+    )
+    reg.register(
+        MVDef("view2", _view2_mv, A({"customerid", "name", "year"}), {"amnt": "sum"},
+              deps=("sales", "time"), doc="assignment-5.sql:313-321")
+    )
+    reg.register(
+        MVDef("view3", _view3_mv, A({"district", "timeid", "dayofweek", "partkey"}),
+              {"amnt": "sum"}, deps=("view1",), doc="assignment-5.sql:401-409")
+    )
+    reg.register(
+        MVDef("customer_spending", _customer_spending, A(), {},
+              deps=("sales", "time"), doc="assignment-5.sql:534-543 (period report)")
+    )
+    reg.register(
+        MVDef("sum_per_day_per_city", _sum_per_day_per_city, A(), {},
+              deps=("sales", "time"), doc="assignment-5.sql:567-576 (period report)")
+    )
+    return reg
+
+
+def default_navigator(reg: MVRegistry) -> AggregateNavigator:
+    nav = AggregateNavigator(reg)
+
+    def geo_bridge(attr: str):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            t = catalog.load(spark, sf_dir)
+            return _geo(t).select("customerid", attr).distinct()
+
+        return fn
+
+    def cust_name_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = catalog.load(spark, sf_dir)
+        return t.customer.select(
+            F.col("c_custkey").alias("customerid"), F.col("c_name").alias("name")
+        )
+
+    def district_country_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = catalog.load(spark, sf_dir)
+        return _geo(t).select("district", "country").distinct()
+
+    def time_bridge(attr: str):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            t = catalog.load(spark, sf_dir)
+            return t.time_dim().select("timeid", attr)
+
+        return fn
+
+    nav.register_bridge("customerid", "name", cust_name_bridge)
+    nav.register_bridge("customerid", "district", geo_bridge("district"))
+    nav.register_bridge("customerid", "country", geo_bridge("country"))
+    nav.register_bridge("district", "country", district_country_bridge)
+    for attr in ("year", "month", "dayofweek", "orderdate"):
+        nav.register_bridge("timeid", attr, time_bridge(attr))
+    return nav

@@ -1,0 +1,128 @@
+"""Materialized-view registry.
+
+Spark has no MV object (SURVEY.md 7.3 D6): an MV here is a named builder
+function whose result is persisted as a parquet table under a warehouse
+directory, plus metadata the aggregate navigator uses for rewrites:
+
+  * ``grain``    -- the grouping attribute set of the view (unified attribute
+                    namespace, see navigator.FDS);
+  * ``measures`` -- additive measure columns and their agg kind;
+  * ``deps``     -- upstream MV names (build order = topological);
+  * ``stats``    -- row count captured at build time (cost model input).
+
+Re-expresses /root/reference/assignment-5.sql's CREATE MATERIALIZED VIEW
+stack (sql:70-80, 128-175, 191-263, 300-321, 401-409, 534-576):
+``build_all`` is the ETL pipeline; ``refresh(name)`` mirrors REFRESH
+MATERIALIZED VIEW; dropping happens in reverse dependency order (the CASCADE
+analog, sql:17-27).
+
+Scale: writes are plain ``df.write.parquet`` so an MV inherits the
+parallelism of its defining query; fact-grain MVs are written partitioned by
+a time column when declared (`partition_by`), which at 100 TB gives readers
+partition pruning on the period filters the reference's Q5 issues.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+
+
+@dataclass
+class MVDef:
+    name: str
+    builder: Callable[[catalog.Tables], DataFrame]
+    grain: frozenset[str]
+    measures: dict[str, str]  # column -> 'sum' | 'count' | 'avg4'
+    deps: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
+    doc: str = ""
+    # catalog cache slot this MV backs: once built, downstream builders read
+    # the persisted parquet instead of recomputing the defining lineage.
+    cache_key: str | None = None
+
+
+@dataclass
+class MVRegistry:
+    warehouse: str
+    defs: dict[str, MVDef] = field(default_factory=dict)
+    stats: dict[str, int] = field(default_factory=dict)
+
+    def register(self, mv: MVDef) -> MVDef:
+        self.defs[mv.name] = mv
+        return mv
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def is_built(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def topo_order(self) -> list[str]:
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in seen:
+                return
+            seen.add(n)
+            for d in self.defs[n].deps:
+                visit(d)
+            order.append(n)
+
+        for n in self.defs:
+            visit(n)
+        return order
+
+    def build(self, spark: SparkSession, sf_dir: str, name: str) -> None:
+        mv = self.defs[name]
+        if mv.cache_key:
+            # an MV must not be (re)built from its own persisted output:
+            # evict so the builder recomputes from base lineage
+            catalog.load(spark, sf_dir)._cache.pop(mv.cache_key, None)
+        df = mv.builder(catalog.load(spark, sf_dir))
+        writer = df.write.mode("overwrite")
+        if mv.partition_by:
+            writer = writer.partitionBy(*mv.partition_by)
+        writer.parquet(self.path(name))
+        self.stats[name] = spark.read.parquet(self.path(name)).count()
+        if mv.cache_key:
+            catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
+
+    def build_all(self, spark: SparkSession, sf_dir: str) -> None:
+        for name in self.topo_order():
+            self.build(spark, sf_dir, name)
+
+    def refresh(self, spark: SparkSession, sf_dir: str, name: str) -> None:
+        """REFRESH MATERIALIZED VIEW analog: rebuild this MV and everything
+        downstream of it, in dependency order."""
+        affected = {name}
+        for n in self.topo_order():
+            if any(d in affected for d in self.defs[n].deps):
+                affected.add(n)
+        for n in self.topo_order():
+            if n in affected:
+                self.build(spark, sf_dir, n)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.path(name))
+
+    def drop_all(self) -> None:
+        """DROP ... CASCADE analog: remove in reverse dependency order."""
+        for name in reversed(self.topo_order()):
+            shutil.rmtree(self.path(name), ignore_errors=True)
+        self.stats.clear()
+        # evict any catalog cache slots now pointing at deleted files
+        keys = {mv.cache_key for mv in self.defs.values() if mv.cache_key}
+        for tables in catalog._TABLES_CACHE.values():
+            for k in keys:
+                tables._cache.pop(k, None)
+
+    def rowcount(self, name: str) -> int:
+        return self.stats.get(name, 1 << 62)
