@@ -1,0 +1,405 @@
+"""Near-duplicate detection operators: MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design goal beyond the usual "approximate dedup at scale": every stage is
+**cross-engine bit-exact**, so each operator has a full DuckDB value-hash
+oracle instead of a weak rows-only check.  The trick is to build all hashing
+from md5 (identical everywhere) and keep the permutation arithmetic inside
+signed-64-bit range:
+
+    h32(s)  = int(md5(s)[:8], 16)                      # 32-bit base hash
+    h_j(s)  = (A_j * h32(s) + B_j) mod P               # P = 2^31 - 1
+    A_j < 2^30, B_j < 2^30  =>  A_j*h32 + B_j < 2^62   # no BIGINT overflow
+
+Scale notes (100 TB): signatures are computed **per-row with zero shuffle**
+(array transforms inside whole-stage codegen); the only shuffles are the
+LSH band self-join (keyed on (band, bucket) — data volume is #docs x #bands
+rows of ~50 bytes, i.e. orders of magnitude below the corpus) and the n-gram
+inverted-index join, which applies a document-frequency cutoff first so hot
+shingles cannot create quadratic bucket blowup.
+
+Reference scope: the reference exercise (assignment-5.sql) has no dedup; this
+family is part of the BASELINE.json training-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared parameters (Spark fns and SQL twins must agree on these literals).
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3          # word-shingle width
+NUM_PERM = 32          # MinHash permutations
+BANDS = 8              # LSH bands
+ROWS_PER_BAND = 4      # NUM_PERM / BANDS; s-curve threshold ~ (1/8)^(1/4) ~ 0.59
+P = 2_147_483_647      # 2^31 - 1 (prime)
+MAX_DF = 100           # n-gram inverted-index document-frequency cutoff
+SIMHASH_BITS = 60      # bits of the simhash signature (fits signed 64)
+SIMHASH_CHUNKS = 4     # banding chunks of 15 bits for candidate generation
+SIMHASH_MAX_HAMMING = 3
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _perm_params(n: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Fixed (A_j, B_j) for the universal-hash family, via a small LCG so the
+    constants are reproducible from this source alone (no RNG state)."""
+    out, x = [], 0x5DEECE66D
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x >> 16) % ((1 << 30) - 2) + 1          # 1 .. 2^30-2
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (x >> 16) % (1 << 30)                    # 0 .. 2^30-1
+        out.append((a, b))
+    return out
+
+
+PERMS = _perm_params()
+
+
+# ---------------------------------------------------------------------------
+# Spark-side building blocks (all JVM expressions; no shuffle until stated).
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Lower-cased alphanumeric word tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-grams; a doc shorter than k words contributes its
+    whole normalized text as a single shingle (so no doc is dropped)."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= k, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def h32(s: Column) -> Column:
+    """32-bit base hash from the md5 hex prefix — identical in any engine."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def h60(s: Column) -> Column:
+    """60-bit hash (15 md5 hex chars) for simhash bit sampling."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature_df(documents: DataFrame) -> DataFrame:
+    """doc_id + the NUM_PERM minhash values s0..s{n-1} + a compact printable
+    `signature` string.  Purely row-local: zero shuffle at any scale."""
+    hashed = documents.select(
+        "doc_id",
+        F.transform(shingles(F.col("text")), h32).alias("hs"),
+    )
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"s{j}")
+        for j, (a, b) in enumerate(PERMS)
+    ]
+    sigs = hashed.select(F.col("doc_id").cast("long").alias("doc_id"), *sig_cols)
+    return sigs.withColumn(
+        "signature", F.concat_ws(":", *[f"s{j}" for j in range(NUM_PERM)])
+    )
+
+
+def lsh_band_keys(sigs: DataFrame) -> DataFrame:
+    """Explode each doc into BANDS (band, bucket) rows; bucket = md5 of the
+    band's slice of the signature."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ":", *[f"s{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with **exact** Jaccard on
+    the distinct shingle sets.  Output: (doc_a, doc_b, jaccard), all
+    integer-derived => bit-exact across engines."""
+    sigs = minhash_signature_df(documents)
+    keys = lsh_band_keys(sigs)
+    cand = (
+        keys.alias("x")
+        .join(keys.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets_ = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingles(F.col("text")).alias("sh"),
+    )
+    return (
+        cand.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / (
+                    F.size("sha") + F.size("shb") - F.size(F.array_intersect("sha", "shb"))
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_df(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc, computed with a single per-row fold (array
+    accumulator of bit counters) — zero shuffle.
+
+    bit_i(sig) = 1  iff  sum over distinct tokens of bit_i(h60(token))
+                 strictly exceeds n_tokens/2.
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(F.array_distinct(tokens(F.col("text"))), h60).alias("hs"),
+    )
+    # SQL-expr form: the Python wrappers for shiftright/shiftleft demand int
+    # literals, but in SQL both operands are expressions, which the lambda
+    # variables require.
+    powers = ", ".join(f"{1 << i}L" for i in range(SIMHASH_BITS))
+    bit_counts = (
+        f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), i -> shiftright(h, i) & 1L), "
+        f"(c, b) -> c + b))"
+    )
+    simhash = (
+        f"aggregate(zip_with({bit_counts}, array({powers}), "
+        f"(c, p) -> IF(2 * c > size(hs), p, 0L)), 0L, (a, x) -> a + x)"
+    )
+    return toks.select("doc_id", F.expr(simhash).alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 chunks of 15 bits; any equal
+    chunk makes a candidate; verified by hamming distance <= threshold
+    (bit_count(xor) — JVM built-ins)."""
+    sh = simhash_df(documents)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), 15 * c).bitwiseAND(F.lit(0x7FFF)).alias("key"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    keys = sh.select("doc_id", F.explode(chunks).alias("ck")).select(
+        "doc_id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    cand = (
+        keys.alias("x")
+        .join(keys.alias("y"), on=["chunk", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.1) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted index (explode shingle
+    -> self-join on shingle), with a document-frequency cutoff so that at
+    100 TB a stop-shingle cannot produce a quadratic bucket."""
+    sets_ = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingles(F.col("text")).alias("sh"),
+    )
+    inv = sets_.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    rare = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("g")
+    )
+    inv = inv.join(rare, "g")
+    pair_inter = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pair_inter.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (same literals, same arithmetic — value-hash exact).
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+_SQL_SHINGLES = f"""
+list_distinct(CASE WHEN len(t) >= {SHINGLE_K}
+  THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  ELSE [array_to_string(t, ' ')] END)
+"""
+
+_SQL_H32 = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def minhash_signature_sql() -> str:
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS s{j}"
+        for j, (a, b) in enumerate(PERMS)
+    )
+    concat = ", ".join(f"s{j}" for j in range(NUM_PERM))
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+hs AS (SELECT doc_id, list_transform(sh, s -> {_SQL_H32.format(s='s')}) AS hs FROM sh),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hs)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {concat},
+       concat_ws(':', {concat}) AS signature
+FROM sigs
+"""
+
+
+def _sql_band_keys() -> str:
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(':', {cols})) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(f"s{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return bands
+
+
+def minhash_lsh_pairs_sql() -> str:
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS s{j}"
+        for j, (a, b) in enumerate(PERMS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_SQL_H32.format(s='s')}) AS hs FROM sh),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hs),
+keys AS ({_sql_band_keys()}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keys x JOIN keys y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+             4) AS jaccard
+FROM cand c
+JOIN hs a ON a.doc_id = c.doc_a
+JOIN hs b ON b.doc_id = c.doc_b
+"""
+
+
+def simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * SUM((h >> {i}) & 1) > COUNT(*) THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_distinct({_SQL_TOKENS})) AS tok
+  FROM documents
+),
+hs AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks)
+SELECT doc_id, {bit_terms} AS simhash
+FROM hs GROUP BY doc_id
+"""
+
+
+def simhash_pairs_sql() -> str:
+    chunk_keys = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {15 * c}) & 32767 AS key FROM sh"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH base AS ({simhash_sql()}),
+sh AS (SELECT doc_id, simhash FROM base),
+keys AS ({chunk_keys}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM keys x JOIN keys y ON x.chunk = y.chunk AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def ngram_jaccard_pairs_sql(min_jaccard: float = 0.1) -> str:
+    return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+rare AS (SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= {MAX_DF}),
+inv2 AS (SELECT inv.* FROM inv JOIN rare USING (g)),
+pair_inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb, COUNT(*) AS inter
+  FROM inv2 x JOIN inv2 y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
+FROM pair_inter
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= {min_jaccard}
+"""

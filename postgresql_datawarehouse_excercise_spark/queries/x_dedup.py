@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..operators import dedup
 from . import query
 
 
@@ -58,3 +59,42 @@ def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@query("x_dedup_minhash_signatures", oracle=dedup.minhash_signature_sql())
+def x_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (32 perms) per document -- row-local, zero-shuffle
+    (operators/dedup.py); md5-based hashing makes the DuckDB oracle bit-exact."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.minhash_signature_df(t.documents)
+
+
+@query("x_dedup_minhash_lsh_pairs", oracle=dedup.minhash_lsh_pairs_sql())
+def x_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (8 bands x 4 rows) verified with
+    exact Jaccard on the shingle sets."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t.documents)
+
+
+@query("x_dedup_simhash", oracle=dedup.simhash_sql())
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document via a single per-row array fold."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.simhash_df(t.documents)
+
+
+@query("x_dedup_simhash_pairs", oracle=dedup.simhash_pairs_sql())
+def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 15-bit chunk banding + hamming<=3 verify
+    (bit_count(xor) -- JVM built-ins)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.simhash_pairs(t.documents)
+
+
+@query("x_dedup_ngram_jaccard", oracle=dedup.ngram_jaccard_pairs_sql())
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard via inverted index with a
+    document-frequency cutoff (the quadratic-blowup guard at scale)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(t.documents)
