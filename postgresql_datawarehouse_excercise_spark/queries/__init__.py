@@ -52,6 +52,7 @@ def load_all() -> dict[str, QueryDef]:
         q5_windows,
         x_dedup,
         x_events,
+        x_multimodal,
         x_similarity,
         x_text,
     )

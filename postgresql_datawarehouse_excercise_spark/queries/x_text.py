@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..functions import ratio
+from ..operators import textlang
 from . import query
 
 
@@ -76,3 +77,11 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir)
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return t.documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@query("x_text_lang_id", oracle=textlang.lang_id_sql())
+def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile scoring (JVM regexp_count per profile,
+    argmax with fixed tie-break) -- operators/textlang.py."""
+    t = catalog.load(spark, sf_dir)
+    return textlang.lang_id_df(t.documents)
