@@ -60,3 +60,64 @@ def x_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.sum(dec("value")), F.count(F.lit(1))).alias("avg_value"),
         )
     )
+
+
+@query(
+    "x_events_sliding_3h_1h",
+    oracle="""
+SELECT date_trunc('hour', ts) - CAST(k AS INT) * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events
+FROM events, range(0, 3) r(k)
+GROUP BY 1
+""",
+)
+def x_events_sliding_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-hour windows advancing hourly (batch twin of
+    streaming/events.py sliding_3h_1h; each event lands in 3 windows)."""
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "x_events_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def x_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows (batch session_window; the
+    DuckDB oracle is the classic gaps-and-islands formulation, which pins
+    Spark's session semantics: end = last event + gap, new session when the
+    inter-event gap is >= the threshold)."""
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

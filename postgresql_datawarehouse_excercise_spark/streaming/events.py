@@ -1,0 +1,164 @@
+"""Streaming event analytics: readStream -> windowed aggs -> writeStream.
+
+Batch/stream parity is the design invariant: every streaming operator here
+shares its aggregation expressions with a batch twin in queries/x_events.py,
+and tests assert the streamed result (availableNow trigger, finite input)
+equals the batch result on the same files.
+
+Watermarks: `with_late_data_policy` bounds state by event time; in
+production the watermark delay is the late-data SLA.  With the availableNow
+trigger on finite input we emit via foreachBatch in update/complete mode so
+final windows are not withheld by the watermark (the append-mode
+final-window holdback is a well-known finite-input gotcha).
+
+Scale notes (100 TB/day stream): all aggregations are keyed on
+(window, event_type) or (user_id) — state is bounded by watermark eviction;
+`applyInPandasWithState` state is per-user and O(1) per key; file sources
+shard by file listing, so input parallelism = number of files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of events.parquet as the vectorized reader sees it with
+# nanosAsLong=true (ts is TIMESTAMP(NANOS) at rest -> long nanos).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (finite in tests; in
+    production the directory keeps growing and maxFilesPerTrigger paces
+    ingestion)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event type; watermark bounds agg state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_3h_1h(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 3-hour windows advancing hourly (each event lands in 3)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("max_ts", TimestampType(), False),
+    ]
+)
+USER_TOTALS_STATE = StructType(
+    [
+        StructField("n_events", LongType(), False),
+        StructField("max_ts_micros", LongType(), False),
+    ]
+)
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + latest event time, state carried across micro-batches."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, max_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = pdf["ts"].max()
+                max_us = max(max_us, int(batch_max.value // 1000))
+        state.update((n, max_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_ts": [pd.Timestamp(max_us * 1000)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_finite(stream_df: DataFrame, output_mode: str = "update") -> list:
+    """Drain a finite stream via foreachBatch + availableNow; returns the
+    union of all emitted rows (tests assert against the batch twin)."""
+    rows: list = []
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        rows.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
