@@ -1,0 +1,91 @@
+"""Physical-plan inspection and assertion harness.
+
+The reference's methodology is EXPLAIN ANALYZE driven (SURVEY.md §2-A8, §6);
+Spark SQL has no per-node actual-time EXPLAIN, so this module provides the
+analog used by the bench harness and by plan-shape tests: formatted-plan
+capture plus structural assertions (broadcast vs shuffle join, exchange
+count, parquet filter pushdown, column pruning, codegen coverage).
+
+These assertions are how "would this plan survive a 100x scale-up?" is kept
+true by construction: tests pin that dimension joins stay broadcast, scans
+prune to the referenced columns, and per-row operators stay shuffle-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The `explain("formatted")` text as a string (AQE initial plan)."""
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan string; runs the query."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_occurrences(plan: str, token: str) -> int:
+    return len(re.findall(re.escape(token), plan))
+
+
+def num_shuffles(df: DataFrame) -> int:
+    return count_occurrences(formatted_plan(df), "Exchange")
+
+
+def num_broadcast_joins(df: DataFrame) -> int:
+    return count_occurrences(formatted_plan(df), "BroadcastHashJoin")
+
+
+def num_sortmerge_joins(df: DataFrame) -> int:
+    return count_occurrences(formatted_plan(df), "SortMergeJoin")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters lists from parquet scans in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings from parquet scans (column-pruning view)."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", formatted_plan(df))
+
+
+def codegen_spans(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen spans (formatted plans mark
+    nodes with `[codegen id : N]`; wider spans = fewer interpreter gaps)."""
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
+
+
+def assert_broadcasts_dims(df: DataFrame, at_least: int = 1) -> None:
+    n = num_broadcast_joins(df)
+    assert n >= at_least, f"expected >= {at_least} broadcast joins, plan has {n}"
+
+
+def assert_max_shuffles(df: DataFrame, at_most: int) -> None:
+    n = num_shuffles(df)
+    assert n <= at_most, f"expected <= {at_most} exchanges, plan has {n}"
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    pushed = pushed_filters(df)
+    assert any(fragment in p for p in pushed), (
+        f"no parquet scan pushes filter containing {fragment!r}; pushed={pushed}"
+    )
+
+
+def assert_reads_only(df: DataFrame, table_marker: str, allowed_cols: set[str]) -> None:
+    """Column pruning: every scanned schema that contains table_marker must
+    read a subset of allowed_cols."""
+    schemas = [s for s in read_schemas(df) if table_marker in s]
+    assert schemas, f"no scan schema mentions {table_marker!r}"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= allowed_cols, f"scan reads {cols - allowed_cols} beyond {allowed_cols}"
