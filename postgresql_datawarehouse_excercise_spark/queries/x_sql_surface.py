@@ -1,0 +1,343 @@
+"""Extended SQL surface beyond the reference (SURVEY.md §7.4 extensions).
+
+The reference exercises inner/semi/cross joins, plain GROUP BY, default-frame
+windows, and top-k (SURVEY.md §2).  This module widens the engine to the SQL
+surface a reference user would expect next: multi-dimensional aggregation
+(ROLLUP/CUBE/GROUPING SETS), ranking and offset window functions, explicit
+frames, set operations, outer/anti joins, HAVING, EXISTS-semi, pivot, scalar
+subqueries, and approximate distinct — each a built-in Spark operator with a
+DuckDB oracle twin (approx_count_distinct is estimator-specific, so it gets
+a rows-only check plus an accuracy pytest).
+
+Determinism rules: every window ORDER BY ends in a unique key; every monetary
+aggregate goes through the exact-decimal helpers (functions/__init__.py).
+Scale: all of these compile to standard hash-aggregate / window exchanges;
+rollup/cube expand rows map-side (the `expand` operator) BEFORE the shuffle,
+so partial aggregation still applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import dec, money, ratio
+from . import query
+
+
+@query(
+    "x_sql_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def x_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): hierarchy subtotals + grand
+    total; map-side Expand feeds one shuffle."""
+    t = catalog.load(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+    )
+
+
+@query(
+    "x_sql_cube",
+    oracle="""
+SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, CAST(year(o_orderdate) AS INT))
+""",
+)
+def x_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, year): all 4 grouping combinations."""
+    t = catalog.load(spark, sf_dir)
+    return t.orders.cube(
+        "o_orderpriority", F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "x_sql_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+def x_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: segment totals, nation totals, grand total."""
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.customer.select("c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .groupingSets(
+            [["c_mktsegment"], ["c_nationkey"], []], "c_mktsegment", "c_nationkey"
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "x_sql_ranking",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal,
+       RANK()       OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROW_NUMBER() OVER w AS rn,
+       NTILE(4)     OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+QUALIFY rn <= 5
+""",
+)
+def x_sql_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (rank/dense_rank/row_number/ntile) with a unique-key
+    tie-break; top-5 per nation via the row_number filter (the distributed
+    per-group top-k idiom: one hash-partition window, no global sort)."""
+    t = catalog.load(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        t.customer.select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "x_sql_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       CAST(date_diff('day',
+                      CAST(o_orderdate AS DATE),
+                      lead(CAST(o_orderdate AS DATE)) OVER w) AS INT) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def x_sql_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset windows: per-customer inter-order gaps via lag/lead."""
+    t = catalog.load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("o_orderdate"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).alias("days_to_next"),
+    )
+
+
+@query(
+    "x_sql_rows_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum3
+FROM orders
+""",
+)
+def x_sql_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 3-order moving spend per customer (the reference
+    only uses default frames -- SURVEY.md §2-E)."""
+    t = catalog.load(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(dec("o_totalprice")).over(w)).alias("moving_sum3"),
+    )
+
+
+@query(
+    "x_sql_setops",
+    oracle="""
+SELECT c_custkey, 'both' AS src FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+UNION ALL
+SELECT c_custkey, 'only_building' AS src FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+""",
+)
+def x_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT / UNION ALL composed."""
+    t = catalog.load(spark, sf_dir)
+    building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = t.customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return building.intersect(rich).withColumn("src", F.lit("both")).unionAll(
+        building.exceptAll(rich).distinct().withColumn("src", F.lit("only_building"))
+    )
+
+
+@query(
+    "x_sql_left_join_zero_counts",
+    oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+       CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+)
+def x_sql_left_join_zero_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count=0, spend=0)."""
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            money(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "x_sql_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def x_sql_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers that never ordered (NOT EXISTS twin)."""
+    t = catalog.load(spark, sf_dir)
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "x_sql_exists_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def x_sql_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a finished order."""
+    t = catalog.load(spark, sf_dir)
+    finished = t.orders.filter(F.col("o_orderstatus") == "F")
+    return t.customer.join(
+        finished, t.customer.c_custkey == finished.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "x_sql_having",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY 1
+HAVING COUNT(*) > 20
+""",
+)
+def x_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation predicate (filter above the agg node)."""
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.customer.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .filter(F.col("n_customers") > 20)
+    )
+
+
+@query(
+    "x_sql_pivot",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+       COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS building,
+       COUNT(*) FILTER (c_mktsegment = 'FURNITURE')  AS furniture,
+       COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS household,
+       COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS machinery
+FROM customer GROUP BY 1
+""",
+)
+def x_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: segment counts per nation with a fixed value list (fixed list
+    => no extra pass to discover values; single shuffle)."""
+    t = catalog.load(spark, sf_dir)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    df = (
+        t.customer.select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+        )
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {s: s.lower() for s in segs}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df.na.fill(0, list(renames.values()))
+
+
+@query(
+    "x_sql_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+""",
+)
+def x_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery compare: customers above global average balance
+    (broadcast 1-row cross join -- the reference's D3 scalar pattern)."""
+    t = catalog.load(spark, sf_dir)
+    avg_bal = t.customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query("x_sql_approx_distinct", oracle=None)  # estimator-specific: rows-only
+def x_sql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order priority; the sketch
+    is engine-specific so the driver does a rows-only check -- the accuracy
+    bound (<2% vs exact) is asserted in tests/test_sql_surface.py."""
+    t = catalog.load(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )

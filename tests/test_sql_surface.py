@@ -1,0 +1,54 @@
+"""Extended-SQL-surface semantics that the DuckDB value-hash gate can't pin:
+approximate-distinct accuracy, and set-op/rollup invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark import catalog
+from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+REG = load_all()
+
+
+def test_approx_distinct_within_2pct(spark, sf_dir):
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in REG["x_sql_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    t = catalog.load(spark, sf_dir)
+    exact = {
+        r.o_orderpriority: r.n
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel_err < 0.02, (k, approx[k], exact[k])
+
+
+def test_rollup_grand_total_matches_plain_agg(spark, sf_dir):
+    rows = REG["x_sql_rollup"].fn(spark, sf_dir).collect()
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    t = catalog.load(spark, sf_dir)
+    assert grand[0].n_items == t.lineitem.count()
+
+
+def test_setops_partition_building_segment(spark, sf_dir):
+    """INTERSECT + EXCEPT partition the BUILDING segment exactly."""
+    rows = REG["x_sql_setops"].fn(spark, sf_dir).collect()
+    t = catalog.load(spark, sf_dir)
+    n_building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert len(rows) == n_building
+    assert len({r.c_custkey for r in rows}) == n_building
+
+
+def test_left_join_keeps_orderless_customers(spark, sf_dir):
+    rows = REG["x_sql_left_join_zero_counts"].fn(spark, sf_dir).collect()
+    t = catalog.load(spark, sf_dir)
+    assert len(rows) == t.customer.count()
+    anti = REG["x_sql_anti_join"].fn(spark, sf_dir).count()
+    assert sum(1 for r in rows if r.n_orders == 0) == anti
