@@ -144,11 +144,24 @@ def main() -> None:
         "q3a_best_buyers",
         "x_dedup_exact",
         "x_dedup_normalized",
+        "x_dedup_minhash_signatures",
+        "x_dedup_minhash_lsh_pairs",
+        "x_dedup_simhash",
+        "x_dedup_ngram_jaccard",
         "x_text_token_stats",
         "x_text_quality",
+        "x_text_lang_id",
         "x_events_tumbling_hourly",
         "x_events_user_daily",
+        "x_events_session_windows",
         "x_sim_topk_bruteforce",
+        "x_sim_ann_lsh",
+        "x_sim_cosine_neardup",
+        "x_media_metadata",
+        "x_media_features",
+        "x_sql_rollup",
+        "x_sql_ranking",
+        "x_sql_left_join_zero_counts",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir))
 

@@ -68,17 +68,33 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
-def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-grams; a doc shorter than k words contributes its
-    whole normalized text as a single shingle (so no doc is dropped)."""
-    t = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= k, grams).otherwise(F.array(F.concat_ws(" ", t)))
-    )
+# Word-3-gram shingles over a token COLUMN named `t`.  Two performance rules
+# learned by measurement (sf0.1, 5000 docs):
+#   1. tokens must be materialized by a projection first — an inlined
+#      regexp_extract_all under a Generate/transform re-evaluates per use
+#      (8.5 s vs 0.66 s);
+#   2. grams are built with slice+zip_with (row-level array ops), never
+#      transform(sequence, i -> element_at(t, i+j)) whose per-element
+#      indexing lambda dominated the profile.
+_SHINGLES_OVER_T = """
+array_distinct(CASE WHEN size(t) >= 3 THEN
+  zip_with(
+    zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2),
+             (x, y) -> concat(x, ' ', y)),
+    slice(t, 3, size(t) - 2),
+    (xy, z) -> concat(xy, ' ', z))
+ELSE array(concat_ws(' ', t)) END)
+"""
+
+
+def shingled(documents: DataFrame) -> DataFrame:
+    """(doc_id BIGINT, sh ARRAY<STRING>): distinct word 3-gram shingles; a
+    doc shorter than 3 words contributes its whole normalized text as one
+    shingle (so no doc is dropped)."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens(F.col("text")).alias("t"),
+    ).select("doc_id", F.expr(_SHINGLES_OVER_T).alias("sh"))
 
 
 def h32(s: Column) -> Column:
@@ -93,19 +109,23 @@ def h60(s: Column) -> Column:
 
 def minhash_signature_df(documents: DataFrame) -> DataFrame:
     """doc_id + the NUM_PERM minhash values s0..s{n-1} + a compact printable
-    `signature` string.  Purely row-local: zero shuffle at any scale."""
-    hashed = documents.select(
-        "doc_id",
-        F.transform(shingles(F.col("text")), h32).alias("hs"),
-    )
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P)
+    `signature` string.
 
+    Implementation: explode shingle hashes, then ONE hash-aggregate with 32
+    `min((a_j*h+b_j) % P)` columns.  The per-row formulation (32
+    array_min(transform(hs,...)) projections) looks shuffle-free but is a
+    trap: CollapseProject inlines the shingle-hash alias into every one of
+    the 32 expressions, recomputing md5 32x per shingle (9.1 s at sf0.1 vs
+    ~1 s for this form).  Here md5 runs exactly once per shingle, the 32
+    mins combine map-side, and the shuffle carries only docs x 32 longs."""
+    hashed = shingled(documents).select(
+        "doc_id", F.explode(F.transform(F.col("sh"), h32)).alias("h")
+    )
     sig_cols = [
-        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"s{j}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"s{j}")
         for j, (a, b) in enumerate(PERMS)
     ]
-    sigs = hashed.select(F.col("doc_id").cast("long").alias("doc_id"), *sig_cols)
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
     return sigs.withColumn(
         "signature", F.concat_ws(":", *[f"s{j}" for j in range(NUM_PERM)])
     )
@@ -147,10 +167,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sets_ = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        shingles(F.col("text")).alias("sh"),
-    )
+    sets_ = shingled(documents)
     return (
         cand.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
         .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -238,28 +255,29 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.1) -> DataF
     """Exact all-pairs n-gram Jaccard via an inverted index (explode shingle
     -> self-join on shingle), with a document-frequency cutoff so that at
     100 TB a stop-shingle cannot produce a quadratic bucket."""
-    sets_ = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        shingles(F.col("text")).alias("sh"),
-    )
+    sets_ = shingled(documents)
     inv = sets_.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
-    rare = (
+    # one shuffle groups postings per shingle; the DF cutoff caps the bucket,
+    # and pairs are expanded IN the bucket (sorted list -> index-pair combos)
+    # instead of a shingle self-join -- no second scan, no join shuffle of the
+    # full posting list against itself.
+    buckets = (
         inv.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_DF)
-        .select("g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("docs"))
+        .filter(F.size("docs").between(2, MAX_DF))
     )
-    inv = inv.join(rare, "g")
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(docs) - 2), i -> "
+                "transform(sequence(i + 1, size(docs) - 1), j -> "
+                "struct(docs[i].doc_id AS doc_a, docs[i].n AS na, "
+                "docs[j].doc_id AS doc_b, docs[j].n AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.na", "p.doc_b", "p.nb")
     pair_inter = (
-        inv.alias("x")
-        .join(inv.alias("y"), "g")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n").alias("na"),
-            F.col("y.n").alias("nb"),
-        )
+        pairs.groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (

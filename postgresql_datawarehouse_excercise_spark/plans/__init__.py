@@ -36,16 +36,22 @@ def count_occurrences(plan: str, token: str) -> int:
     return len(re.findall(re.escape(token), plan))
 
 
+def _count_nodes(df: DataFrame, operator: str) -> int:
+    """Count physical nodes by their detail-section header `(N) Operator`
+    (each node appears twice in a formatted plan: tree + details)."""
+    return len(re.findall(rf"^\(\d+\) {operator}", formatted_plan(df), re.MULTILINE))
+
+
 def num_shuffles(df: DataFrame) -> int:
-    return count_occurrences(formatted_plan(df), "Exchange")
+    return _count_nodes(df, "Exchange")
 
 
 def num_broadcast_joins(df: DataFrame) -> int:
-    return count_occurrences(formatted_plan(df), "BroadcastHashJoin")
+    return _count_nodes(df, "BroadcastHashJoin")
 
 
 def num_sortmerge_joins(df: DataFrame) -> int:
-    return count_occurrences(formatted_plan(df), "SortMergeJoin")
+    return _count_nodes(df, "SortMergeJoin")
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

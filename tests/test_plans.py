@@ -47,7 +47,16 @@ def test_q4a_raw_vs_persisted_view_shuffle_ordering(spark, sf_dir):
             .limit(5)
         )
         raw = REG["q4a_best_buyers_raw"].fn(spark, sf_dir)
-        assert plans.num_shuffles(from_view) < plans.num_shuffles(raw)
+        # broadcast joins keep the shuffle count equal (one agg exchange
+        # each); the MV's win is the plan it no longer contains -- scans,
+        # joins, and the fact-build aggregate
+        import re
+
+        def nodes(df):
+            return len(re.findall(r"^\(\d+\) ", plans.formatted_plan(df), re.MULTILINE))
+
+        assert plans.num_shuffles(from_view) <= plans.num_shuffles(raw)
+        assert nodes(from_view) < nodes(raw)
     finally:
         reg.drop_all()
 
@@ -66,11 +75,13 @@ def test_events_filter_pushdown(spark, sf_dir):
     plans.assert_pushed_filter(df, "event_type")
 
 
-def test_minhash_signatures_shuffle_free(spark, sf_dir):
-    """MinHash signatures are row-local by design: zero exchanges."""
+def test_minhash_signatures_single_shuffle(spark, sf_dir):
+    """MinHash signatures: exactly one exchange (the doc_id hash-aggregate,
+    map-side combined to docs x 32 longs). The per-row zero-shuffle form is
+    a CollapseProject trap that recomputes md5 32x -- see operators/dedup.py."""
     t = catalog.load(spark, sf_dir)
     df = dedup.minhash_signature_df(t.documents)
-    assert plans.num_shuffles(df) == 0
+    assert plans.num_shuffles(df) == 1
 
 
 def test_simhash_shuffle_free(spark, sf_dir):
