@@ -95,9 +95,40 @@ class MVRegistry:
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
 
-    def build_all(self, spark: SparkSession, sf_dir: str) -> None:
-        for name in self.topo_order():
-            self.build(spark, sf_dir, name)
+    def topo_levels(self) -> list[list[str]]:
+        """Dependency levels: every MV in a level depends only on earlier
+        levels, so a level's builds are independent."""
+        level_of: dict[str, int] = {}
+        for n in self.topo_order():
+            deps = self.defs[n].deps
+            level_of[n] = 1 + max((level_of[d] for d in deps), default=-1)
+        levels: list[list[str]] = [[] for _ in range(max(level_of.values()) + 1)]
+        for n, lv in level_of.items():
+            levels[lv].append(n)
+        return levels
+
+    def build_all(self, spark: SparkSession, sf_dir: str, parallel: bool = True) -> None:
+        """Build every MV. Within a dependency level the builds are
+        independent Spark jobs, so they run concurrently from a thread pool
+        (the scheduler interleaves them across cores; sequential small
+        writes would otherwise pay one fixed job latency each -- measured
+        ~13 s of the 24 s sf0.1 build)."""
+        if not parallel:
+            for name in self.topo_order():
+                self.build(spark, sf_dir, name)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        for level in self.topo_levels():
+            if len(level) == 1:
+                self.build(spark, sf_dir, level[0])
+                continue
+            with ThreadPoolExecutor(max_workers=min(8, len(level))) as pool:
+                futures = [
+                    pool.submit(self.build, spark, sf_dir, name) for name in level
+                ]
+                for f in futures:
+                    f.result()
 
     def refresh(self, spark: SparkSession, sf_dir: str, name: str) -> None:
         """REFRESH MATERIALIZED VIEW analog: rebuild this MV and everything
