@@ -69,6 +69,7 @@ def main() -> None:
     results["mv_build_all"] = round(time.perf_counter() - t0, 4)
 
     sales = lambda: reg.read(spark, "sales")  # noqa: E731
+    view1 = lambda: reg.read(spark, "view1")  # noqa: E731
     view2 = lambda: reg.read(spark, "view2")  # noqa: E731
     view3 = lambda: reg.read(spark, "view3")  # noqa: E731
 
@@ -90,6 +91,7 @@ def main() -> None:
     # --- Q4a best buyers: raw vs mart vs view2 (BASELINE relative order) --
     results["q4a_best_buyers_raw"] = timed(lambda: q["q4a_best_buyers_raw"](spark, sf_dir))
     results["q4a_best_buyers_mart"] = timed(lambda: topk_from(sales()))
+    results["q4a_best_buyers_view1"] = timed(lambda: topk_from(view1()))
     results["q4a_best_buyers_view2"] = timed(lambda: topk_from(view2()))
 
     # --- Q4b top country: raw vs mart vs view3+bridge ---------------------
@@ -117,7 +119,21 @@ def main() -> None:
             .limit(1)
         )
 
+    def top_country_view2() -> DataFrame:
+        g = geo(t).select("customerid", "country")
+        return (
+            view2()
+            .groupBy("customerid")
+            .agg(F.sum("amnt").alias("s"))
+            .join(F.broadcast(g), "customerid")
+            .groupBy("country")
+            .agg(F.sum("s").alias("s"))
+            .orderBy(F.col("s").desc(), F.col("country").asc())
+            .limit(1)
+        )
+
     results["q4b_top_country_mart"] = timed(top_country_mart)
+    results["q4b_top_country_view2"] = timed(top_country_view2)
     results["q4b_top_country_view3"] = timed(top_country_view3)
 
     # --- Q5: windows; report-from-MV vs single nested query ---------------
