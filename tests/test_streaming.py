@@ -102,3 +102,37 @@ def test_watermark_bounds_state(spark, sf_dir):
     # each batch; the watermark only evicts state, it doesn't withhold).
     rows = se.run_finite(stream)
     assert len(rows) > 0
+
+
+def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+    """Split the events into 4 files and pace ingestion with
+    maxFilesPerTrigger=1: four micro-batches, so per-user totals must
+    accumulate in GroupState across batches, not within one."""
+    from pyspark.sql import functions as F
+
+    t = catalog.load(spark, sf_dir)
+    src = str(tmp_path / "events_split")
+    # write ts back to long nanos so the stream schema matches the original
+    t.events.withColumn(
+        "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    raw = (
+        spark.readStream.schema(se.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rows = se.run_finite(se.user_totals_stateful(events))
+    # more emissions than distinct users proves multiple micro-batches ran
+    n_users = t.events.select("user_id").distinct().count()
+    assert len(rows) > n_users
+
+    got = _drain_latest(rows, ["user_id"])
+    want = sorted(
+        tuple(r)
+        for r in t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("max_ts"))
+        .collect()
+    )
+    assert got == want
