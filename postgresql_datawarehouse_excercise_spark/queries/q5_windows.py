@@ -196,3 +196,42 @@ def q5b_nested_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.col("sum_d")).alias("sumspending"),
         money(F.sum("sum_d").over(run)).alias("cumulative"),
     )
+
+
+@query(
+    "q5a_period_avg_by_city",
+    oracle=f"""WITH {_PERIOD_CTE},
+customer_spending AS (
+  SELECT customerid, name, city, SUM(amnt) AS amountofspending
+  FROM period_sales GROUP BY 1, 2, 3
+)
+SELECT customerid, name, city,
+       CAST(ROUND(amountofspending, 2) AS DOUBLE) AS amountofspending,
+       ROUND(CAST(SUM(amountofspending) OVER citywin AS DOUBLE)
+             / CAST(COUNT(*) OVER citywin AS DOUBLE), 4) AS avgspendingbycity
+FROM customer_spending
+WINDOW citywin AS (PARTITION BY city)
+""",
+)
+def q5a_period_avg_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second Q5a report (assignment-5.sql:545-557): average
+    of per-customer PERIOD spending per city (window over the
+    customer_spending MV grain, not over transactions -- the 'different
+    report' the writeup contrasts, md:977-1004)."""
+    t = catalog.load(spark, sf_dir)
+    spending = (
+        _period_sales(t)
+        .groupBy("customerid", "name", "city")
+        .agg(F.sum("amnt").alias("amountofspending"))
+    )
+    city_win = Window.partitionBy("city")
+    return spending.select(
+        "customerid",
+        "name",
+        "city",
+        money(F.col("amountofspending")).alias("amountofspending"),
+        ratio(
+            F.sum("amountofspending").over(city_win),
+            F.count(F.lit(1)).over(city_win),
+        ).alias("avgspendingbycity"),
+    )

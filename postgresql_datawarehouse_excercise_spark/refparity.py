@@ -362,3 +362,16 @@ def q5b_cumulative_nested(wh: RefWarehouse) -> DataFrame:
         F.col("sumspending").alias("sum_amnt"),
         F.sum("sumspending").over(win_city).alias("cumulative_sum"),
     )
+
+
+def q5a_period_avg_by_city(wh: RefWarehouse) -> DataFrame:
+    """The second Q5a report (sql:545-557): per-city average of each
+    customer's PERIOD spending, windowed over the customer_spending grain."""
+    city_win = Window.partitionBy("city")
+    return customer_spending(wh).select(
+        "customerid",
+        "f_name",
+        "city",
+        "amountofspending",
+        F.avg("amountofspending").over(city_win).alias("avgspendingbycity"),
+    )

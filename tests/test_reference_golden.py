@@ -167,3 +167,18 @@ def test_q5b_last_cumulative_equals_city_total(wh):
     )
     joined = last.join(totals, "city").collect()
     assert joined and all(r.final_cum == r.total for r in joined)
+
+
+def test_q5a_period_avg_variant_golden(wh):
+    # 25 rows (md:977-1004); within a city every row carries the same avg,
+    # equal to mean of the period spends in that city
+    rows = rp.q5a_period_avg_by_city(wh).collect()
+    assert len(rows) == 25
+    by_city = {}
+    for r in rows:
+        by_city.setdefault(r.city, []).append(r)
+    for city, rs in by_city.items():
+        avgs = {float(r.avgspendingbycity) for r in rs}
+        assert len(avgs) == 1
+        want = sum(float(r.amountofspending) for r in rs) / len(rs)
+        assert abs(avgs.pop() - want) < 1e-6, city
