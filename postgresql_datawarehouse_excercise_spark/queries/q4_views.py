@@ -182,6 +182,25 @@ def q4a_best_buyers_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _best_buyers(spark, sf_dir)
 
 
+@query("q4a_best_buyers_view1", oracle=_BEST_BUYERS_SQL)
+def q4a_best_buyers_view1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best buyers from View1 (full fact grain + names already joined) --
+    the join-elimination step of the MV ladder (assignment-5.sql:366-378)."""
+    t = catalog.load(spark, sf_dir)
+    v1 = _view1(t)
+    return (
+        v1.groupBy("customerid", "name")
+        .agg(F.sum("amnt").alias("spending_d"))
+        .orderBy(F.col("spending_d").desc(), F.col("customerid").asc())
+        .limit(5)
+        .select(
+            F.col("customerid").alias("customer_id"),
+            "name",
+            money(F.col("spending_d")).alias("spending"),
+        )
+    )
+
+
 @query("q4a_best_buyers_view2", oracle=_BEST_BUYERS_SQL)
 def q4a_best_buyers_view2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best buyers by re-aggregating View2's per-year sums -- the grouping-

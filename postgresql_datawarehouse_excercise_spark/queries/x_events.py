@@ -121,3 +121,28 @@ def x_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "x_events_props_json",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+""",
+)
+def x_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction
+    (get_json_object, JVM-side) feeding integer aggregates -- the schema-on-
+    read surface the reference lacks but a log pipeline needs."""
+    t = catalog.load(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
