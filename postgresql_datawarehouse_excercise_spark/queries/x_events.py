@@ -146,3 +146,27 @@ def x_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@query(
+    "x_events_segment_hourly",
+    oracle="""
+SELECT date_trunc('hour', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def x_events_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per customer segment: batch twin of the
+    stream-static dimension-enrichment join (streaming/events.py)."""
+    t = catalog.load(spark, sf_dir)
+    dim = t.customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        t.events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

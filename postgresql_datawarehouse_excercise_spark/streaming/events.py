@@ -162,3 +162,27 @@ def run_finite(stream_df: DataFrame, output_mode: str = "update") -> list:
     )
     q.awaitTermination()
     return rows
+
+
+def enrich_with_customers(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with customer attributes
+    (the static side is re-read per micro-batch, broadcast by Catalyst --
+    the canonical streaming dimension-enrichment pattern)."""
+    from pyspark.sql import functions as F
+
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return events.join(F.broadcast(dim), "user_id")
+
+
+def segment_counts(enriched: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Windowed counts per customer segment over the enriched stream."""
+    from pyspark.sql import functions as F
+
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events")
+    )

@@ -136,3 +136,30 @@ def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static dimension enrichment must match the batch join."""
+    from pyspark.sql import functions as F
+
+    t = catalog.load(spark, sf_dir)
+    enriched = se.enrich_with_customers(
+        se.read_events_stream(spark, sf_dir), t.customer
+    )
+    got = _drain_latest(
+        se.run_finite(se.segment_counts(enriched)), ["window_start", "segment"]
+    )
+
+    dim = t.customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    want = sorted(
+        tuple(r)
+        for r in (
+            t.events.join(dim, "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "segment", "n_events")
+        ).collect()
+    )
+    assert got == want
