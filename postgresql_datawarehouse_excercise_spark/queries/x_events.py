@@ -170,3 +170,38 @@ def x_events_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "segment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "x_events_daily_from_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+       SUM(n_events) AS n_events,
+       CAST(ROUND(SUM(sum_value), 2) AS DOUBLE) AS total_value
+FROM hourly GROUP BY 1, 2
+""",
+)
+def x_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: the daily aggregate is computed FROM the
+    hourly aggregate, not from raw events (the hypertable-rollup pattern;
+    additivity is the aggregate-computability condition of SURVEY 2-J, and
+    at 100 TB the second level reads |hours| rows, not |events|)."""
+    t = catalog.load(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("h")).cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        money(F.sum("sum_value")).alias("total_value"),
+    )

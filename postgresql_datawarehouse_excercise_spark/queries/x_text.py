@@ -85,3 +85,64 @@ def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with fixed tie-break) -- operators/textlang.py."""
     t = catalog.load(spark, sf_dir)
     return textlang.lang_id_df(t.documents)
+
+
+@query(
+    "x_text_tfidf_top5",
+    oracle=r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df_docs FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df_docs AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_docs, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def x_text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document.  tf and df are exact integers; the
+    single floating step (tf * ln(N/df), rounded 6dp) agrees across engines,
+    and the per-doc top-k is a row_number window with a term tie-break (the
+    distributed per-group top-k idiom -- no global sort)."""
+    from pyspark.sql import Window
+
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_docs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -101,3 +101,13 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     """Hot-path expressions must be inside codegen spans."""
     df = REG["x_text_quality"].fn(spark, sf_dir)
     assert plans.codegen_spans(df) >= 1
+
+
+def test_sales_fact_prunes_lineitem_columns(spark, sf_dir):
+    """The fact build must read only the 3 lineitem columns it uses (of 11)
+    -- at 100 TB the scan width is the dominant cost."""
+    t = catalog.load(spark, sf_dir)
+    df = t.sales()
+    plans.assert_reads_only(
+        df, "l_orderkey", {"l_orderkey", "l_partkey", "l_quantity"}
+    )

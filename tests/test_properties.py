@@ -1,0 +1,152 @@
+"""Property-based invariants (hypothesis) for the semantics the oracle gate
+can't sweep: decimal-sum partition independence, session-window formation
+against a pure-Python model, salted aggregation equivalence, and the
+weighted-average reconstruction identity on arbitrary groupings."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    IntegerType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from postgresql_datawarehouse_excercise_spark.functions import dec
+from postgresql_datawarehouse_excercise_spark.operators.skew import salted_sum
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+amounts = st.lists(
+    st.decimals(min_value="-9999.99", max_value="9999.99", places=2),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(values=amounts, parts=st.integers(min_value=1, max_value=7))
+def test_decimal_sum_is_partition_independent(spark, values, parts):
+    """The money discipline's core claim: DECIMAL sums give the same result
+    under any partitioning (double sums would not be bit-stable)."""
+    schema = StructType([StructField("v", DecimalType(10, 2))])
+    df = spark.createDataFrame([(v,) for v in values], schema).repartition(parts)
+    got = df.agg(F.sum(dec("v")).alias("s")).first().s
+    assert got == sum(values)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user
+        st.integers(min_value=0, max_value=7200),     # seconds offset
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SLOW
+@given(evs=events_strategy)
+def test_session_window_matches_python_model(spark, evs):
+    """Spark's session_window (gap 300s) against a direct sessionizer:
+    same session count and same per-session event counts."""
+    base = datetime(2020, 1, 1)
+    rows = [(u, base + timedelta(seconds=s)) for u, s in evs]
+    schema = StructType(
+        [StructField("u", IntegerType()), StructField("ts", TimestampType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r.u, r.n)
+        for r in df.groupBy(F.session_window("ts", "300 seconds"), "u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    model: list[tuple[int, int]] = []
+    by_user: dict[int, list[datetime]] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        count = 0
+        prev = None
+        for ts in tss:
+            if prev is not None and (ts - prev).total_seconds() >= 300:
+                model.append((u, count))
+                count = 0
+            count += 1
+            prev = ts
+        model.append((u, count))
+    assert got == sorted(model)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.decimals(min_value="0.01", max_value="999.99", places=2),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.integers(min_value=1, max_value=8),
+)
+def test_salted_sum_equals_plain_sum(spark, rows, buckets):
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", DecimalType(10, 2))]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.k: r.s for r in salted_sum(df, ["k"], dec("v"), "s", buckets).collect()
+    }
+    want: dict[int, Decimal] = {}
+    for k, v in rows:
+        want[k] = want.get(k, Decimal(0)) + v
+    assert got == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.decimals(min_value="0.01", max_value="99.99", places=2),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_average_reconstruction(spark, rows):
+    """sum(group_avg * group_count) / sum(group_count) == global average:
+    the reference's Q2 lesson, on arbitrary data.
+
+    Unlike Postgres's arbitrary-precision numeric, Spark's avg(decimal(10,2))
+    quantizes to 6 decimal places (decimal(14,6)), so reconstruction and
+    direct average can each be off by half an ulp, plus the final division's
+    own rounding: the bound is ~1.5e-6, NOT exact equality (SURVEY.md §7.3
+    D4 -- hypothesis found the 1.0e-6 counterexample to a 1e-9 bound)."""
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", DecimalType(10, 2))]
+    )
+    df = spark.createDataFrame(rows, schema)
+    per_group = df.groupBy("k").agg(
+        F.avg("v").alias("a"), F.count(F.lit(1)).alias("n")
+    )
+    got = per_group.agg(
+        (F.sum(F.col("a") * F.col("n")) / F.sum("n")).alias("w")
+    ).first().w
+    want = df.agg(F.avg("v").alias("a")).first().a
+    assert abs(float(got) - float(want)) < 2e-6
