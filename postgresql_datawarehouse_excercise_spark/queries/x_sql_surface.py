@@ -341,3 +341,27 @@ def x_sql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
     )
+
+
+@query(
+    "x_sql_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+FROM orders GROUP BY 1
+""",
+)
+def x_sql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per order priority --
+    Spark `percentile` and DuckDB `quantile_cont` share the same linear-
+    interpolation definition, so values match to rounding.  (The approximate
+    sketch path is x_sql_approx_distinct; exact percentile sorts within
+    groups and is the right tool at dimension-bounded cardinalities.)"""
+    t = catalog.load(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
+    )

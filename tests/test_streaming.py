@@ -163,3 +163,58 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_watermark_drops_late_data_across_runs(spark, tmp_path):
+    """Late-data policy, end to end: run 1 establishes a watermark (persisted
+    in the checkpoint); run 2 feeds events OLDER than watermark - delay.
+    The aggregation must drop them -- the state-eviction contract that makes
+    unbounded streams bounded."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out: list = []
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(src)
+        )
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(lambda b, _e: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base = datetime(2021, 6, 1, 12, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(base, "on_time"), (base + timedelta(hours=1), "on_time")],
+        "ts timestamp, k string",
+    )
+    batch1.write.mode("append").parquet(src)
+    run_once()
+    # watermark after run 1 = 13:00 - 10 min = 12:50
+
+    late = spark.createDataFrame(
+        [(base - timedelta(hours=2), "too_late"),
+         (base + timedelta(hours=1, minutes=1), "on_time")],
+        "ts timestamp, k string",
+    )
+    late.write.mode("append").parquet(src)
+    run_once()
+
+    keys = {r.k for r in out}
+    assert "too_late" not in keys        # dropped by the watermark
+    assert "on_time" in keys             # fresh data still lands
