@@ -1,0 +1,98 @@
+"""As-of and range joins — time-series operators Spark lacks as built-ins.
+
+Both are expressed as compositions of existing DataFrame operators (the
+SURVEY §7 custom-operator policy: composition first, Pandas UDF only if
+semantics demand it — here they don't):
+
+* **As-of join** (latest right row at-or-before each left time): tag both
+  sides, UNION on (key, time), and run ONE window pass carrying the last
+  non-null right payload forward.  Cost = a single shuffle on the join key +
+  a sort within partitions — strictly better at scale than the naive
+  inequality join (quadratic per key) and equivalent to what dedicated
+  engines do with ordered merges.  DuckDB's native ASOF JOIN is the oracle.
+
+* **Range join** (right rows within a time interval after the left time):
+  bucket both sides by interval-sized time buckets and equi-join on
+  (key, bucket) for the left bucket and its successor, then filter the
+  exact predicate.  Each row joins <= 2 buckets, so the shuffle is linear
+  in the data instead of the cross-product the raw inequality join implies.
+
+Determinism: ties are resolved by preferring the greatest right timestamp
+and then the greatest right key; right rows at exactly the left timestamp
+DO match (at-or-before semantics, DuckDB `>=`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """For every left row: the right row with the greatest right_time <=
+    left_time within the same `on` key (left rows keep NULL payload when no
+    right row precedes them)."""
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    unioned = lt.unionByName(rt)
+    # right rows sort BEFORE left rows at equal time => at-or-before matches
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .select(
+            *[f.name for f in left.schema.fields],
+            *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in payload],
+        )
+    )
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with same key and
+    left_time <= right_time < left_time + window_seconds, via time-bucket
+    equi-join: each left row probes its own bucket and the next one."""
+    bucket = lambda c: (F.unix_timestamp(c) / window_seconds).cast("long")  # noqa: E731
+    lt = left.withColumn("_bk", bucket(F.col(left_time)))
+    lt = lt.withColumn("_probe", F.explode(F.array(F.col("_bk"), F.col("_bk") + 1)))
+    rt = right.withColumn("_probe", bucket(F.col(right_time)))
+    joined = lt.join(rt, on=[on, "_probe"])
+    keep = (F.col(right_time) >= F.col(left_time)) & (
+        F.unix_timestamp(right_time)
+        < F.unix_timestamp(left_time) + F.lit(window_seconds)
+    )
+    return joined.filter(keep).drop("_bk", "_probe")

@@ -50,6 +50,7 @@ def load_all() -> dict[str, QueryDef]:
         q3_reports,
         q4_views,
         q5_windows,
+        x_asof,
         x_dedup,
         x_events,
         x_multimodal,

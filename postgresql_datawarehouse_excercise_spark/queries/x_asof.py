@@ -1,0 +1,90 @@
+"""Extension: as-of and range joins over events x orders
+(operators/asof.py).  DuckDB's native ASOF JOIN and a plain inequality join
+are the oracles, so both composed operators are value-hash checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import asof
+from . import query
+
+RANGE_SECONDS = 3600  # follow-up events within 1 hour of a click
+
+
+def _events(t: catalog.Tables) -> DataFrame:
+    return t.events.select("event_id", "user_id", "ts")
+
+
+def _orders_daily(t: catalog.Tables) -> DataFrame:
+    """Right side made unique per (customer, day): greatest orderkey wins —
+    the determinism contract asof_join requires of its right input."""
+    return (
+        t.orders.filter(F.col("o_custkey") < 150)  # events cover users 0..149
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("odate"),
+        )
+        .agg(F.max("o_orderkey").alias("orderkey"))
+    )
+
+
+@query(
+    "x_asof_latest_order",
+    oracle="""
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate AS odate, MAX(o_orderkey) AS orderkey
+  FROM orders WHERE o_custkey < 150 GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       od.orderkey AS asof_orderkey,
+       od.odate AS asof_odate
+FROM events e ASOF LEFT JOIN od
+  ON e.user_id = od.user_id AND e.ts >= od.odate
+""",
+)
+def x_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the customer's latest order at-or-before
+    the event time — one shuffle + one window pass (operators/asof.py), no
+    inequality join."""
+    t = catalog.load(spark, sf_dir)
+    return asof.asof_join(
+        _events(t),
+        _orders_daily(t),
+        on="user_id",
+        left_time="ts",
+        right_time="odate",
+        payload=["orderkey", "odate"],
+    )
+
+
+@query(
+    "x_range_join_click_followups",
+    oracle=f"""
+SELECT c.event_id AS click_id, e.event_id AS followup_id, c.ts AS click_ts, e.ts
+FROM events c JOIN events e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts
+ AND epoch(e.ts) < epoch(c.ts) + {RANGE_SECONDS}
+WHERE c.event_type = 'click' AND e.event_id != c.event_id
+""",
+)
+def x_range_join_click_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for every click, the same user's events within the next
+    hour, via time-bucket equi-join (each row probes <= 2 buckets — linear
+    shuffle, not the cross-product the raw inequality join implies)."""
+    t = catalog.load(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    evs = t.events.select(F.col("event_id").alias("followup_id"), "user_id", "ts")
+    return (
+        asof.range_join_buckets(
+            clicks, evs, on="user_id", left_time="click_ts", right_time="ts",
+            window_seconds=RANGE_SECONDS,
+        )
+        .filter(F.col("followup_id") != F.col("click_id"))
+        .select("click_id", "followup_id", "click_ts", "ts")
+    )
