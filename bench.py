@@ -172,7 +172,14 @@ def main() -> None:
         "x_events_session_windows",
         "x_sim_topk_bruteforce",
         "x_sim_ann_lsh",
+        "x_sim_ann_ivf",
         "x_sim_cosine_neardup",
+        "x_asof_latest_order",
+        "x_range_join_click_followups",
+        "x_text_tfidf_top5",
+        "x_sql_percentiles",
+        "x_events_props_json",
+        "x_events_daily_from_hourly",
         "x_media_metadata",
         "x_media_features",
         "x_sql_rollup",

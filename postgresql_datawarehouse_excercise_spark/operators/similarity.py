@@ -207,6 +207,69 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> Da
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_assign(base: DataFrame) -> DataFrame:
+    """Coarse quantizer: cell(v) = argmax cosine against the first IVF_CELLS
+    vectors as centroids (deterministic pivot choice — a kmeans fit would be
+    engine-specific and unverifiable; the *index structure* is what's being
+    exercised).  Ties break to the lowest centroid id."""
+    cents = base.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "e",
+        "n",
+        "cid",
+        (dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))).alias("ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("e").alias("e"),
+        F.first("n").alias("n"),
+        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cell"),
+    )
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid,
+    probe only the query's IVF_NPROBE nearest cells, rank exactly inside.
+    At 100 TB `cell` is the partition key — the scan prunes to
+    nprobe/ncells of the corpus; the inner ranking is the brute-force
+    kernel over a bounded candidate set."""
+    base = _norms(embeddings)
+    assigned = _ivf_assign(base)
+    cents = base.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    q = base.filter(F.col("vec_id") == query_vec_id)
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("cid"),
+            (dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("cid").asc())
+        .limit(IVF_NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    qvec = q.select(F.col("e").alias("qe"), F.col("n").alias("qn"))
+    return (
+        assigned.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -257,5 +320,33 @@ SELECT b.vec_id, b.bucket, ROUND(list_cosine_similarity(b.e, q.e), 6) AS cos_sim
 FROM bk b, (SELECT e, bucket FROM bk WHERE vec_id = {query_vec_id}) q
 WHERE b.bucket = q.bucket AND b.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, b.vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_ivf_topk_sql(query_vec_id: int, k: int = TOP_K) -> str:
+    return f"""
+WITH {_SQL_BASE},
+cents AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_cosine_similarity(b.e, c.ce) DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT c.cid AS cell
+  FROM (SELECT e FROM base WHERE vec_id = {query_vec_id}) q CROSS JOIN cents c
+  ORDER BY list_cosine_similarity(q.e, c.ce) DESC, c.cid ASC
+  LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id, a.cell, ROUND(list_cosine_similarity(a.e, q.e), 6) AS cos_sim
+FROM assigned a
+JOIN qcells USING (cell)
+CROSS JOIN (SELECT e FROM base WHERE vec_id = {query_vec_id}) q
+WHERE a.vec_id != {query_vec_id}
+ORDER BY cos_sim DESC, a.vec_id ASC
 LIMIT {k}
 """

@@ -43,3 +43,13 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |N|/2^planes vectors)."""
     t = catalog.load(spark, sf_dir)
     return similarity.ann_lsh_topk(t.embeddings, QUERY_VEC_ID)
+
+
+@query("x_sim_ann_ivf", oracle=similarity.ann_ivf_topk_sql(QUERY_VEC_ID))
+def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to 16 deterministic centroids, probe
+    the query's 2 nearest cells, rank exactly inside (the cell column is
+    the partition key at scale -- scan prunes to nprobe/ncells of the
+    corpus)."""
+    t = catalog.load(spark, sf_dir)
+    return similarity.ann_ivf_topk(t.embeddings, QUERY_VEC_ID)
