@@ -25,7 +25,9 @@ def _orders_daily(t: catalog.Tables) -> DataFrame:
         t.orders.filter(F.col("o_custkey") < 150)  # events cover users 0..149
         .groupBy(
             F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("odate"),
+            # parquet timestamp[ms] surfaces as NTZ; align with the events
+            # timestamp type (and the oracle's TIMESTAMP) under UTC session tz
+            F.col("o_orderdate").cast("timestamp").alias("odate"),
         )
         .agg(F.max("o_orderkey").alias("orderkey"))
     )

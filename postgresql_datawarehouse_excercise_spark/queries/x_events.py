@@ -182,7 +182,7 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 )
 SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(ROUND(SUM(sum_value), 2) AS DOUBLE) AS total_value
 FROM hourly GROUP BY 1, 2
 """,

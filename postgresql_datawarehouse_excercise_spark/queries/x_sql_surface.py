@@ -114,10 +114,10 @@ def x_sql_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").cast("long").alias("c_nationkey"),
             "c_custkey",
             "c_acctbal",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.row_number().over(w).alias("rn"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
         )
         .filter(F.col("rn") <= 5)
     )
