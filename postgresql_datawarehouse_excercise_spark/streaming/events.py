@@ -186,3 +186,35 @@ def segment_counts(enriched: DataFrame, watermark: str = "2 hours") -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "segment", "n_events")
     )
+
+
+def click_followups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: clicks joined
+    to the same user's events within the following hour.  Both sides carry
+    watermarks so the join state is bounded (Spark buffers each side only
+    until watermark + range slack) -- the streaming twin of the batch
+    range join (queries/x_asof.py)."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    evs = (
+        read_events_stream(spark, sf_dir)
+        .select(F.col("event_id").alias("followup_id"), "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    return clicks.join(
+        evs,
+        F.expr(
+            "click_user = user_id AND ts >= click_ts "
+            "AND ts < click_ts + INTERVAL 1 HOUR AND followup_id != click_id"
+        ),
+    ).select("click_id", "followup_id", "click_ts", "ts")

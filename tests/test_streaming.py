@@ -218,3 +218,20 @@ def test_watermark_drops_late_data_across_runs(spark, tmp_path):
     keys = {r.k for r in out}
     assert "too_late" not in keys        # dropped by the watermark
     assert "on_time" in keys             # fresh data still lands
+
+
+def test_stream_stream_range_join_equals_batch(spark, sf_dir):
+    """Stream-stream time-range join must reproduce the batch range join."""
+    got = sorted(
+        (r.click_id, r.followup_id)
+        for r in se.run_finite(
+            se.click_followups_stream(spark, sf_dir), output_mode="append"
+        )
+    )
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    want = sorted(
+        (r.click_id, r.followup_id)
+        for r in load_all()["x_range_join_click_followups"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
