@@ -421,3 +421,76 @@ SELECT doc_a, doc_b,
 FROM pair_inter
 WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= {min_jaccard}
 """
+
+
+DEDUP_CLUSTER_MIN_JACCARD = 0.5
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs by min-label propagation:
+    every doc in a component gets cluster_id = the component's smallest
+    doc_id; `keep` marks the cluster representative.
+
+    Each iteration is one join + groupBy (labels shuffle on doc_id);
+    iterations needed = graph diameter in label-hops (near-dup components
+    are tiny and dense, so a handful).  Convergence is checked with a
+    1-row count per iteration -- the classic large-scale connected-
+    components loop (no driver-side graph)."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+def dedup_clusters_sql(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD) -> str:
+    """Recursive-CTE twin: transitive closure, label = min reachable id."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql()}),
+strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {min_jaccard}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM strong
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS keep
+FROM reach GROUP BY src
+"""

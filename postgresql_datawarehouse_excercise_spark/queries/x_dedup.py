@@ -98,3 +98,16 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cutoff (the quadratic-blowup guard at scale)."""
     t = catalog.load(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(t.documents)
+
+
+@query("x_dedup_clusters", oracle=dedup.dedup_clusters_sql())
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision: connected components over strong near-dup pairs
+    (jaccard >= 0.5) via min-label propagation; cluster_id = smallest
+    member, `keep` marks the representative.  The DuckDB oracle is the
+    recursive-CTE transitive closure."""
+    t = catalog.load(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(t.documents).filter(
+        F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
+    )
+    return dedup.dedup_clusters(pairs)

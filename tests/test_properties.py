@@ -150,3 +150,70 @@ def test_weighted_average_reconstruction(spark, rows):
     ).first().w
     want = df.agg(F.avg("v").alias("a")).first().a
     assert abs(float(got) - float(want)) < 2e-6
+
+
+join_events = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3), st.integers(min_value=0, max_value=1000)),
+    min_size=1, max_size=30,
+)
+
+
+@SLOW
+@given(left=join_events, right=join_events)
+def test_asof_join_matches_python_model(spark, left, right):
+    """The union+window as-of composition against a brute-force model:
+    for each left row, the greatest right time <= left time on the key."""
+    from datetime import datetime, timedelta
+
+    from postgresql_datawarehouse_excercise_spark.operators.asof import asof_join
+
+    base = datetime(2020, 1, 1)
+    t = lambda s: base + timedelta(seconds=s)  # noqa: E731
+    # unique right (key, time): keep max payload per the determinism contract
+    rmap: dict[tuple[int, int], int] = {}
+    for i, (k, s) in enumerate(right):
+        rmap[(k, s)] = max(rmap.get((k, s), -1), i)
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(left)], "lid long, k long, lt timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(s), p) for (k, s), p in rmap.items()], "k long, rt timestamp, payload long"
+    )
+    got = {
+        r.lid: r.asof_payload
+        for r in asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt",
+                           payload=["payload"]).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, p) for (rk, rs), p in rmap.items() if rk == k and rs <= s]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, s)
+
+
+@SLOW
+@given(left=join_events, right=join_events, win=st.integers(min_value=1, max_value=300))
+def test_range_join_matches_python_model(spark, left, right, win):
+    from datetime import datetime, timedelta
+
+    from postgresql_datawarehouse_excercise_spark.operators.asof import range_join_buckets
+
+    base = datetime(2020, 1, 1)
+    t = lambda s: base + timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(left)], "lid long, k long, lt timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t(s)) for j, (k, s) in enumerate(right)], "rid long, k long, rt timestamp"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join_buckets(ldf, rdf, on="k", left_time="lt",
+                                    right_time="rt", window_seconds=win).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, ls) in enumerate(left)
+        for j, (rk, rs) in enumerate(right)
+        if lk == rk and ls <= rs < ls + win
+    )
+    assert got == want
