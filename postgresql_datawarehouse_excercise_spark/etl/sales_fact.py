@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import dec
+from ..functions import cents_sum
 
 
 def build_sales(
@@ -46,7 +46,7 @@ def build_sales(
         F.col("o_custkey").alias("customerid"),
         F.col("timeid"),
         F.col("l_partkey").alias("partkey"),
-    ).agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("amnt"))
+    ).agg(cents_sum("l_quantity", "p_retailprice").alias("amnt"))
 
 
 # DuckDB oracle twin over the same parquet views; `time` is the ORACLE_TIME_DIM

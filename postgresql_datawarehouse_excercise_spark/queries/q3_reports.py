@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..etl.sales_fact import ORACLE_SALES_CTE
-from ..functions import avg4_exact, money, ratio
+from ..functions import cents_sum, avg4_exact, money, ratio
 from . import query
 
 _W = f"WITH {ORACLE_SALES_CTE}"
@@ -66,14 +66,13 @@ amount_per_order AS (
 
 
 def _amount_per_order(t: catalog.Tables) -> DataFrame:
-    from ..functions import dec
 
     line = t.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
     prices = t.part.select("p_partkey", "p_retailprice")
     return (
         line.join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
         .groupBy(F.col("l_orderkey").alias("orderid"))
-        .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("order_amount"))
+        .agg(cents_sum("l_quantity", "p_retailprice").alias("order_amount"))
     )
 
 

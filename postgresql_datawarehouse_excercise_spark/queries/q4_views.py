@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..etl.sales_fact import ORACLE_SALES_CTE
-from ..functions import money
+from ..functions import cents_sum, money
 from .q3_reports import _BEST_BUYERS_SQL, _best_buyers
 from . import query
 
@@ -150,7 +150,6 @@ def q4a_best_buyers_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best buyers computed from the raw operational tables -- the 5-way join
     baseline (assignment-5.sql:330-346); bench contrast to the MV variants."""
     t = catalog.load(spark, sf_dir)
-    from ..functions import dec
 
     line = t.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
     ords = t.orders.select("o_orderkey", "o_custkey")
@@ -162,7 +161,7 @@ def q4a_best_buyers_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         line.join(ords, line.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
         .groupBy(F.col("o_custkey").alias("customerid"))
-        .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("spending_d"))
+        .agg(cents_sum("l_quantity", "p_retailprice").alias("spending_d"))
     )
     return (
         spend.join(F.broadcast(cust), "customerid")
@@ -267,7 +266,6 @@ def q4b_top_country_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country with the highest total spending, from raw operational tables
     (assignment-5.sql:415-429)."""
     t = catalog.load(spark, sf_dir)
-    from ..functions import dec
 
     line = t.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
     ords = t.orders.select("o_orderkey", "o_custkey")
@@ -276,7 +274,7 @@ def q4b_top_country_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         line.join(ords, line.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
         .groupBy(F.col("o_custkey").alias("customerid"))
-        .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("amnt_d"))
+        .agg(cents_sum("l_quantity", "p_retailprice").alias("amnt_d"))
     )
     return _top_country_from(per_cust, _geo(t))
 
