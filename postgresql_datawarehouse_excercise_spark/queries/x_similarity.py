@@ -53,3 +53,34 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus)."""
     t = catalog.load(spark, sf_dir)
     return similarity.ann_ivf_topk(t.embeddings, QUERY_VEC_ID)
+
+
+@query(
+    "x_sim_vector_stats",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS comp_sum,
+       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS comp_max,
+       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'min'), 6) AS comp_min,
+       ROUND(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def x_sim_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: per-vector
+    component sum/max/min and L2 norm, entirely JVM-side (aggregate /
+    array_max / array_min folds) -- the array-function surface the
+    reference's SQL never touches (SURVEY.md §2-H)."""
+    from pyspark.sql import functions as F
+
+    t = catalog.load(spark, sf_dir)
+    e = similarity.as_double(F.col("embedding"))
+    return t.embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.size("embedding").alias("dim"),
+        F.round(similarity.dot(e, F.transform(e, lambda x: F.lit(1.0))), 6).alias("comp_sum"),
+        F.round(F.array_max(e), 6).alias("comp_max"),
+        F.round(F.array_min(e), 6).alias("comp_min"),
+        F.round(F.sqrt(similarity.dot(e, e)), 6).alias("l2_norm"),
+    )

@@ -17,8 +17,10 @@ Measured at K=10 on local[32] (vs the sf0.1 bench numbers):
   simhash                 50,000 docs    8.7 s   (linear)
   cosine_neardup_blocked 503,700 pairs   6.8 s   (50k vecs = 2.5G candidate
                                                   pairs through BLAS blocks)
-  sales_fact_build     6M line rows     21.8 s   (includes the in-memory
-                                                  10x multiplication)
+  sales_fact_build     6M line rows     11.0 s   (includes the in-memory
+                                                  10x multiplication; was
+                                                  21.8 s before the
+                                                  long-cents product)
 """
 
 from __future__ import annotations
