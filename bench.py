@@ -56,6 +56,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # one throwaway job so JVM/codegen warmup doesn't land on the first
+    # timed entry (BASELINE measures queries, not engine boot)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     registry = load_all()
     q = {name: qd.fn for name, qd in registry.items()}
 

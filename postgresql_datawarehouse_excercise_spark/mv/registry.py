@@ -87,11 +87,18 @@ class MVRegistry:
             # evict so the builder recomputes from base lineage
             catalog.load(spark, sf_dir)._cache.pop(mv.cache_key, None)
         df = mv.builder(catalog.load(spark, sf_dir))
+        # row-count stats ride along with the write via the Observation API
+        # (one job per MV instead of write + count read-back)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if mv.partition_by:
             writer = writer.partitionBy(*mv.partition_by)
         writer.parquet(self.path(name))
-        self.stats[name] = spark.read.parquet(self.path(name)).count()
+        self.stats[name] = obs.get["rows"]
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
 
