@@ -146,3 +146,50 @@ def x_text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "x_text_train_test_split",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""",
+)
+def x_text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by content-independent id hash
+    (md5 mod 100): reproducible across engines, machines, and re-runs --
+    the pipeline-split primitive rand()-based sampling cannot give (task
+    retries would resample)."""
+    t = catalog.load(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+@query(
+    "x_text_bpe_pretokens",
+    oracle=r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pretokens,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_whitespace_tokens
+FROM documents
+""",
+)
+def x_text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count (letter runs | single digits |
+    punctuation marks -- the GPT-style pre-token shape) next to the
+    whitespace count, for tokens-per-document budgeting."""
+    t = catalog.load(spark, sf_dir)
+    return t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("n_pretokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_whitespace_tokens"),
+    )
