@@ -111,3 +111,13 @@ def test_sales_fact_prunes_lineitem_columns(spark, sf_dir):
     plans.assert_reads_only(
         df, "l_orderkey", {"l_orderkey", "l_partkey", "l_quantity"}
     )
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    """The as-of composition must stay union + one window: no join node at
+    all in the plan (the naive inequality join would show a
+    BroadcastNestedLoopJoin/cartesian)."""
+    df = REG["x_asof_latest_order"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

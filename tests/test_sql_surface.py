@@ -52,3 +52,21 @@ def test_left_join_keeps_orderless_customers(spark, sf_dir):
     assert len(rows) == t.customer.count()
     anti = REG["x_sql_anti_join"].fn(spark, sf_dir).count()
     assert sum(1 for r in rows if r.n_orders == 0) == anti
+
+
+def test_ann_variants_are_subsets_of_bruteforce_ranking(spark, sf_dir):
+    """LSH and IVF return true cosine values: each approximate result must
+    appear in the exact ranking with the identical score (approximation
+    affects recall, never correctness of returned scores)."""
+    from postgresql_datawarehouse_excercise_spark.operators import similarity
+
+    t = __import__(
+        "postgresql_datawarehouse_excercise_spark.catalog", fromlist=["load"]
+    ).load(spark, sf_dir)
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in similarity.cosine_topk(t.embeddings, 0, k=1 << 30).collect()
+    }
+    for variant in (similarity.ann_lsh_topk, similarity.ann_ivf_topk):
+        for r in variant(t.embeddings, 0).collect():
+            assert exact[r.vec_id] == r.cos_sim, (variant.__name__, r)
