@@ -88,3 +88,15 @@ def load(spark: SparkSession, sf_dir: str) -> Tables:
     if key not in _TABLES_CACHE:
         _TABLES_CACHE[key] = Tables(spark, sf_dir.rstrip("/"))
     return _TABLES_CACHE[key]
+
+
+def register_views(spark: SparkSession, sf_dir: str, include_derived: bool = True) -> None:
+    """Expose the catalog to `spark.sql(...)`: every base table as a temp
+    view, plus the derived warehouse objects (`time`, `sales`) so the
+    reference's own SQL formulations (NATURAL JOIN etc.) run verbatim."""
+    t = load(spark, sf_dir)
+    for name in TABLE_NAMES:
+        t.table(name).createOrReplaceTempView(name)
+    if include_derived:
+        t.time_dim().createOrReplaceTempView("time")
+        t.sales().createOrReplaceTempView("sales")

@@ -365,3 +365,32 @@ def x_sql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
     )
+
+
+@query(
+    "x_sql_argmax",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       arg_max(c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS top_custkey,
+       MAX(c_acctbal) AS top_acctbal
+FROM customer GROUP BY 1
+""",
+)
+def x_sql_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-selection aggregate: the top customer per nation via max_by
+    (one hash-aggregate -- no window, no join).  The composite ordering
+    (acctbal, custkey tie-break) is encoded as one BIGINT because DuckDB's
+    arg_max takes a scalar ordering; 2-dp balances and custkey < 1e7 make
+    the encoding exact and monotone in both engines."""
+    t = catalog.load(spark, sf_dir)
+    ordering = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("c_custkey")
+    )
+    return t.customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).agg(
+        F.max_by("c_custkey", ordering).alias("top_custkey"),
+        F.max("c_acctbal").alias("top_acctbal"),
+    )

@@ -70,3 +70,48 @@ def test_ann_variants_are_subsets_of_bruteforce_ranking(spark, sf_dir):
     for variant in (similarity.ann_lsh_topk, similarity.ann_ivf_topk):
         for r in variant(t.embeddings, 0).collect():
             assert exact[r.vec_id] == r.cos_sim, (variant.__name__, r)
+
+
+def test_spark_sql_entry_point_natural_join(spark, sf_dir):
+    """The reference user writes SQL: registered views must support the
+    reference's NATURAL JOIN formulation verbatim (SURVEY §2-C1) and agree
+    with the DataFrame path."""
+    catalog.register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT customerid, SUM(amnt) AS spending
+        FROM sales NATURAL JOIN time
+        WHERE year = 1997
+        GROUP BY customerid
+        ORDER BY spending DESC, customerid ASC
+        LIMIT 5
+        """
+    ).collect()
+    t = catalog.load(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    want = (
+        t.sales()
+        .join(t.time_dim().filter(F.col("year") == 1997).select("timeid"), "timeid")
+        .groupBy("customerid")
+        .agg(F.sum("amnt").alias("spending"))
+        .orderBy(F.col("spending").desc(), F.col("customerid").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [(r.customerid, r.spending) for r in got] == [
+        (r.customerid, r.spending) for r in want
+    ]
+
+
+def test_runtime_confs_applied_to_foreign_session(spark):
+    """The driver hands us ITS session: apply_runtime_confs must have set
+    the semantics-critical confs (UTC casts, nanos handling, AQE)."""
+    from postgresql_datawarehouse_excercise_spark.session import RUNTIME_CONFS
+
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        assert spark.conf.get(k) == RUNTIME_CONFS[k]
