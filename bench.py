@@ -188,6 +188,12 @@ def main() -> None:
         "x_sql_rollup",
         "x_sql_ranking",
         "x_sql_left_join_zero_counts",
+        "x_tpch_q1_pricing_summary",
+        "x_tpch_q3_shipping_priority",
+        "x_tpch_q5_local_supplier",
+        "x_tpch_q6_revenue_forecast",
+        "x_tpch_q10_returned_items",
+        "x_tpch_q18_large_orders",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir))
 

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QueryDef]:
         x_similarity,
         x_sql_surface,
         x_text,
+        x_tpch,
     )
 
     return REGISTRY

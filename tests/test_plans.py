@@ -121,3 +121,45 @@ def test_asof_join_is_single_window_pass(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "Window" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_family_no_sortmerge_joins(spark, sf_dir):
+    """Every TPC-H-style query must resolve its dimension sides as broadcast
+    hash joins -- a SortMergeJoin against customer/part/supplier/nation would
+    shuffle the fact table once per dimension at 100 TB."""
+    for name in sorted(n for n in REG if n.startswith("x_tpch_")):
+        df = REG[name].fn(spark, sf_dir)
+        assert plans.num_sortmerge_joins(df) == 0, name
+
+
+def test_tpch_q1_single_shuffle_with_pushed_filter(spark, sf_dir):
+    """Q1: one exchange (the 6-group aggregate; partials map-side) and the
+    shipdate predicate at the parquet reader."""
+    df = REG["x_tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 1
+    plans.assert_pushed_filter(df, "l_shipdate")
+
+
+def test_tpch_q6_scan_only_all_bands_pushed(spark, sf_dir):
+    """Q6: all three band predicates (shipdate, discount, quantity) must
+    reach the parquet reader -- row-group pruning does the work at scale."""
+    df = REG["x_tpch_q6_revenue_forecast"].fn(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        plans.assert_pushed_filter(df, col)
+
+
+def test_tpch_q19_disjunction_decomposed_to_scans(spark, sf_dir):
+    """Q19: Catalyst must derive per-table prefilters from the OR-of-ANDs
+    (quantity bands onto lineitem, brand/size bands onto part) instead of
+    evaluating the whole disjunction post-join."""
+    df = REG["x_tpch_q19_disjunctive_bands"].fn(spark, sf_dir)
+    pushed = " | ".join(plans.pushed_filters(df))
+    assert "l_quantity" in pushed and "p_brand" in pushed and "p_size" in pushed
+
+
+def test_tpch_topk_uses_take_ordered(spark, sf_dir):
+    """Q3/Q10 top-k: TakeOrderedAndProject, never a global sort."""
+    for name in ("x_tpch_q3_shipping_priority", "x_tpch_q10_returned_items"):
+        df = REG[name].fn(spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, name
