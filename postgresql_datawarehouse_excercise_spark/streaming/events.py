@@ -218,3 +218,13 @@ def click_followups_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND ts < click_ts + INTERVAL 1 HOUR AND followup_id != click_id"
         ),
     ).select("click_id", "followup_id", "click_ts", "ts")
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: first arrival per key survives, and --
+    unlike plain dropDuplicates, whose state grows forever -- the per-key
+    state is evicted once the watermark passes it, so memory is bounded by
+    the dedup horizon, not by stream lifetime.  The streaming twin of the
+    batch x_dedup_exact operator; the training-ingest primitive for
+    at-least-once upstream delivery."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

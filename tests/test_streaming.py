@@ -235,3 +235,22 @@ def test_stream_stream_range_join_equals_batch(spark, sf_dir):
         for r in load_all()["x_range_join_click_followups"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(spark, sf_dir):
+    """Streaming dedup must keep exactly one row per key over the finite
+    input -- the same key set as the batch distinct."""
+    stream = se.dedup_stream(
+        se.read_events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    rows = se.run_finite(stream, output_mode="append")
+
+    t = catalog.load(spark, sf_dir)
+    want = {
+        (r.user_id, r.event_type)
+        for r in t.events.select("user_id", "event_type").distinct().collect()
+    }
+    got = [(r.user_id, r.event_type) for r in rows]
+    assert len(got) == len(want)          # genuine suppression, no repeats
+    assert set(got) == want               # and exactly the distinct key set
+    assert t.events.count() > len(want)   # the input really had duplicates

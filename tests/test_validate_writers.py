@@ -60,3 +60,31 @@ def test_sorted_write_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="pdwx-sort-") + "/lineitem_sorted"
     writers.write_sorted(t.lineitem.select("l_orderkey", "l_quantity"), path, ["l_orderkey"])
     assert spark.read.parquet(path).count() == t.lineitem.count()
+
+
+def test_bucketed_write_joins_without_shuffle(spark, sf_dir):
+    """The 100 TB co-location story: two tables bucketed on the join key must
+    sort-merge-join with ZERO Exchange nodes (the bucket layout replaces the
+    shuffle; the reference's index-backed repeated joins, SURVEY.md §2-A7)."""
+    t = catalog.load(spark, sf_dir)
+    writers.write_bucketed(
+        t.lineitem.select("l_orderkey", "l_quantity"),
+        "li_bkt", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+    )
+    writers.write_bucketed(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        "ord_bkt", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bkt").join(
+            spark.table("ord_bkt"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert plans.num_shuffles(joined) == 0
+        assert plans.num_sortmerge_joins(joined) == 1
+        assert joined.count() == t.lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
