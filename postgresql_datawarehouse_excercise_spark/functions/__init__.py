@@ -77,3 +77,30 @@ def cents_sum(qty: Column | str, price: Column | str) -> Column:
     p = F.col(price) if isinstance(price, str) else price
     prod = F.round(q * 100).cast("long") * F.round(p * 100).cast("long")
     return (F.sum(prod.cast("decimal(38,0)")) / F.lit(10000)).cast("decimal(38,4)")
+
+
+def c100(c: Column | str) -> Column:
+    """2-dp column as exact LONG cents (round undoes double storage error)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * 100).cast("long")
+
+
+def sum_c100(c: Column | str) -> Column:
+    """Exact SUM of a 2-dp column via long cents: the per-row value is a
+    LONG (codegen integer add in the partial aggregate), only the final
+    division returns to decimal.  Same result as SUM(dec(c))."""
+    return (F.sum(c100(c)) / F.lit(100)).cast("decimal(38,2)")
+
+
+def sum_rev_cents(price: Column | str, disc: Column | str) -> Column:
+    """Exact SUM(price * (1 - disc)) over 2-dp inputs in long cents:
+    price_c * (100 - disc_c) is exact 1e-4ths; products stay below 2^63 for
+    any realistic row.  Same value as SUM(dec(price) * (1 - dec(disc)))."""
+    prod = c100(price) * (F.lit(100) - c100(disc))
+    return (F.sum(prod.cast("decimal(38,0)")) / F.lit(10_000)).cast("decimal(38,4)")
+
+
+def sum_charge_cents(price: Column | str, disc: Column | str, tax: Column | str) -> Column:
+    """Exact SUM(price * (1 - disc) * (1 + tax)) in long 1e-6ths."""
+    prod = c100(price) * (F.lit(100) - c100(disc)) * (F.lit(100) + c100(tax))
+    return (F.sum(prod.cast("decimal(38,0)")) / F.lit(1_000_000)).cast("decimal(38,6)")
