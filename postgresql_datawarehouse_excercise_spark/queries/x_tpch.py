@@ -64,9 +64,16 @@ def x_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-group shuffle.  The shipdate filter and 7-column projection push to the
     parquet scan; everything else is map-side combine."""
     t = catalog.load(spark, sf_dir)
-    return (
+    return pricing_summary(
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """The Q1 aggregate over any lineitem-shaped input (also driven by
+    scripts/scale_smoke.py on K-fold multiplied data)."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
             # long-cents aggregation (functions.sum_*_cents): per-row math in
             # integer cents inside codegen, decimal only at the final divide;

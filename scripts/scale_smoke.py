@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from postgresql_datawarehouse_excercise_spark import catalog
 from postgresql_datawarehouse_excercise_spark.etl.sales_fact import build_sales
 from postgresql_datawarehouse_excercise_spark.operators import dedup, similarity
+from postgresql_datawarehouse_excercise_spark.queries.x_tpch import pricing_summary
 from postgresql_datawarehouse_excercise_spark.session import get_spark
 
 
@@ -82,6 +83,7 @@ def main() -> None:
         "sales_fact_build",
         build_sales(line, ords, t.part, t.time_dim()),
     )
+    timed("tpch_q1_pricing", pricing_summary(line))
 
     spark.stop()
 
