@@ -192,8 +192,17 @@ def main() -> None:
         "x_tpch_q3_shipping_priority",
         "x_tpch_q5_local_supplier",
         "x_tpch_q6_revenue_forecast",
+        "x_tpch_q7_volume_shipping",
+        "x_tpch_q8_market_share",
+        "x_tpch_q9_product_profit",
         "x_tpch_q10_returned_items",
+        "x_tpch_q12_late_lines",
+        "x_tpch_q13_customer_distribution",
+        "x_tpch_q15_top_supplier",
+        "x_tpch_q17_small_quantity",
         "x_tpch_q18_large_orders",
+        "x_tpch_q21_late_sole_supplier",
+        "x_tpch_q22_inactive_customers",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir))
 

@@ -6,9 +6,14 @@ nation, customer, supplier, part, orders, lineitem), so this module proves
 the engine on the canonical OLAP workload shapes at the full schema width:
 scan-heavy aggregation (Q1/Q6), selective multi-way joins with top-k
 (Q3/Q10), correlated EXISTS (Q4), a 6-way snowflake join with a cross-table
-equality constraint (Q5), conditional-aggregate ratios (Q14), a
-having-filtered self-aggregate join (Q18), and disjunctive pushdown
-predicates (Q19).  Adapted to the driver's column subset (no partsupp /
+equality constraint (Q5), bilateral nation-pair trade (Q7), a
+conditional-aggregate market-share ratio (Q8), LIKE-filtered profit rollup
+(Q9), late-line priority counts (Q12), an outer-join count histogram (Q13),
+conditional-aggregate ratios (Q14), argmax-by-scalar-subquery (Q15), a
+below-average-threshold self-join (Q17), a having-filtered self-aggregate
+join (Q18), disjunctive pushdown predicates (Q19), sole-late-supplier
+EXISTS/NOT-EXISTS-as-aggregation (Q21), and an anti-join dormant-customer
+report (Q22).  Adapted to the driver's column subset (no partsupp /
 shipmode / commitdate); constants chosen to hit the 1995-2001 data range.
 
 Scale design: every dimension side is broadcast (customer/part/supplier fit
@@ -380,4 +385,479 @@ def x_tpch_q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(band1 | band2).agg(
         money(sum_rev_cents("l_extendedprice", "l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# exact long-cents revenue expression (1e-4ths), reused by Q7/Q8/Q9
+def _rev_c(price: str = "l_extendedprice", disc: str = "l_discount"):
+    return c100(price) * (F.lit(100) - c100(disc))
+
+
+_SQL_REV_C = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+@query(
+    "x_tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {sql_money('SUM(rev)')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         {_SQL_REV} AS rev
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def x_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade between two nations by ship
+    year.  Both nation filters reduce supplier and customer to ~2/25 before
+    they touch the fact table; lineitem sees two broadcast joins and one
+    4-group shuffle.  At 100 TB the orders-side pre-join shrinks to ~2/25 of
+    orders via the customer broadcast; AQE downgrades it to a shuffle join
+    if it still exceeds the broadcast threshold."""
+    t = catalog.load(spark, sf_dir)
+    nat = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        "n_nationkey", "n_name"
+    )
+    supp = t.supplier.join(
+        F.broadcast(nat), t.supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = t.customer.join(
+        F.broadcast(nat), t.customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = t.orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money(sum_rev_cents("l_extendedprice", "l_discount")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "x_tpch_q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       {sql_ratio("SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)",
+                  "SUM(rev_c)")} AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         {_SQL_REV_C} AS rev_c,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part      ON l_partkey = p_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_sales
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3's share of ECONOMY-part
+    revenue sold into EUROPE customers, per order year.  The share is a
+    conditional-aggregate ratio computed in exact long cents (both sums are
+    1e-4ths; the scale cancels in the division).  Part and the
+    region-filtered customer side both broadcast; one 2-group shuffle."""
+    t = catalog.load(spark, sf_dir)
+    eur_nat = t.nation.join(
+        F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+        t.nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = t.customer.join(
+        F.broadcast(eur_nat), t.customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    orders = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    supp = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount")
+    rev_c = _rev_c().cast("decimal(38,0)")
+    nat3 = F.when(F.col("supp_nation") == "NATION_3", rev_c).otherwise(F.lit(0))
+    return (
+        li.join(
+            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(ratio(F.sum(nat3), F.sum(rev_c)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "x_tpch_q9_product_profit",
+    oracle=f"""
+SELECT nation, o_year, {sql_money('SUM(amount)')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         {_SQL_REV} - {sql_dec('p_retailprice')} * {sql_dec('l_quantity')} AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def x_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: cost = p_retailprice * qty in
+    place of ps_supplycost — the driver schema has no partsupp).  LIKE-filtered
+    part broadcast prunes lineitem first; profit per row is computed in exact
+    long 1e-4ths (revenue cents minus cost cents) so the per-(nation, year)
+    sums are order-independent across partitions."""
+    t = catalog.load(spark, sf_dir)
+    part = t.part.filter(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    supp = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    li = t.lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount_c = (_rev_c() - c100("p_retailprice") * c100("l_quantity")).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            t.orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(money((F.sum(amount_c) / F.lit(10_000)).cast("decimal(38,4)")).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@query(
+    "x_tpch_q12_late_lines",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def x_tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: linestatus stands in for shipmode, ship-lag > 60
+    days for the commit/receipt lag — neither column exists in the driver
+    schema): count urgent vs non-urgent order lines among late shipments.
+    The ship-year filter pushes to the scan; the lag predicate evaluates
+    post-join; one 2-group shuffle."""
+    t = catalog.load(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "x_tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+       ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def x_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted: the priority
+    filter stands in for the comment LIKE exclusion).  Orders are aggregated
+    to per-customer counts BEFORE the outer join — the join then moves one
+    row per customer instead of one per order, which is the formulation that
+    survives 100 TB (the naive outer-join-then-group shuffles every order
+    row).  Customers with no qualifying orders surface via the left join's
+    null -> 0."""
+    t = catalog.load(spark, sf_dir)
+    per_cust = (
+        t.orders.filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    return (
+        t.customer.select("c_custkey")
+        .join(per_cust, t.customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_ord"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "x_tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {sql_money(f"SUM({_SQL_REV})")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier quarterly revenue, then the
+    supplier(s) whose revenue equals the global max.  The scalar max is a
+    1-row broadcast cross join back onto the aggregate (no second scan of
+    lineitem, no window-over-everything); equality on the 2-dp-rounded
+    revenue is exact."""
+    t = catalog.load(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(money(sum_rev_cents("l_extendedprice", "l_discount")).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x_tpch_q17_small_quantity",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_money(f"SUM({sql_dec('l_extendedprice')})")} AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_ratio(f"SUM({sql_dec('l_extendedprice')})", '7')} AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN part_avg ON l_partkey = pk
+WHERE p_brand = 'Brand#2' AND p_size < 10
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * n_li < sum_qty_c
+""",
+)
+def x_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lineitems of a brand/size
+    slice whose quantity is below 20% of that part's average.  The per-part
+    average is a self-aggregate of lineitem joined back by partkey; the
+    below-20%% test runs in exact integer cents (qty_c * 5 * n < sum_c), so
+    Spark and the oracle agree bit-for-bit with no double-threshold edge
+    cases.  At scale both sides of the self-join shuffle on l_partkey —
+    co-partitioned, no broadcast of the fact."""
+    t = catalog.load(spark, sf_dir)
+    part = t.part.filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)).select(
+        "p_partkey"
+    )
+    li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    part_avg = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(c100("l_quantity")).alias("sum_qty_c"),
+            F.count(F.lit(1)).alias("n_li"),
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(c100("l_quantity") * F.lit(5) * F.col("n_li") < F.col("sum_qty_c"))
+        .agg(
+            money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+            ratio(F.sum(dec("l_extendedprice")), F.lit(7)).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q21_late_sole_supplier",
+    oracle="""
+WITH order_supp AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), order_stats AS (
+  SELECT ok, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM order_supp GROUP BY ok
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM order_supp
+JOIN order_stats USING (ok)
+JOIN supplier ON sk = s_suppkey
+WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def x_tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: ship-lag > 60
+    days marks "late").  The classic EXISTS/NOT-EXISTS pair is re-expressed
+    as one aggregation: per (order, supplier) lateness, then per-order
+    supplier / late-supplier counts as window aggregates over the SAME
+    orderkey partitioning (no self-join, no second shuffle), then
+    "multi-supplier order whose only late supplier is this one" — versus the
+    correlated formulation's two extra joins against lineitem.  This is the
+    shape that survives a 100 TB fact."""
+    t = catalog.load(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    order_supp = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("ok")
+    return (
+        order_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("sk") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "x_tpch_q22_inactive_customers",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c, c_acctbal
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+), stats AS (
+  SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n FROM pool WHERE bal_c > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM pool, stats
+WHERE bal_c * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def x_tpch_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: nation-key subset stands
+    in for phone-prefix country codes, and "dormant" means no order since
+    2000-01-01 — the unfiltered variant is empty at every driver SF).  The
+    above-average test is the exact rational comparison bal*n > sum (no
+    double threshold); dormancy is a left-anti join against the date-filtered
+    customer keys of orders — at 100 TB that filtered key set is the cheap
+    side and the anti join stays key-partitioned."""
+    t = catalog.load(spark, sf_dir)
+    pool = t.customer.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9)).select(
+        "c_custkey", "c_nationkey", "c_acctbal", c100("c_acctbal").alias("bal_c")
+    )
+    stats = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pool.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .join(
+            t.orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            pool.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
     )
