@@ -163,3 +163,34 @@ def test_tpch_topk_uses_take_ordered(spark, sf_dir):
         df = REG[name].fn(spark, sf_dir)
         plan = plans.formatted_plan(df)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_tpch_q21_no_self_join_single_fact_shuffle(spark, sf_dir):
+    """Q21: the per-order supplier/late counts must come from window
+    aggregates over the (order, supplier) aggregate's own partitioning --
+    no self-join of the aggregate (the join formulation doubles the
+    orderkey shuffle and sort-merges at scale)."""
+    df = REG["x_tpch_q21_late_sole_supplier"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" in plan
+    assert plans.num_sortmerge_joins(df) == 0
+    # exchanges: groupBy(ok, sk) + window repartition(ok); the final 10-row
+    # top-k is TakeOrderedAndProject, not a sort exchange
+    assert plans.num_shuffles(df) <= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q13_preaggregates_before_outer_join(spark, sf_dir):
+    """Q13: orders must collapse to per-customer counts BEFORE the outer
+    join -- the aggregate has to appear under the join in the plan, so the
+    join moves one row per customer, not one per order."""
+    import re
+
+    plan = plans.formatted_plan(REG["x_tpch_q13_customer_distribution"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    agg_lines = [i for i, ln in enumerate(tree.splitlines()) if "HashAggregate" in ln]
+    join_lines = [i for i, ln in enumerate(tree.splitlines()) if re.search(r"Join", ln)]
+    assert join_lines and agg_lines
+    # at least one aggregate sits below (after, in formatted tree order) the
+    # outer join node: the per-customer count feeding the join's right side
+    assert max(agg_lines) > min(join_lines)
