@@ -189,6 +189,7 @@ def main() -> None:
         "x_sql_ranking",
         "x_sql_left_join_zero_counts",
         "x_tpch_q1_pricing_summary",
+        "x_tpch_q2_min_cost_supplier",
         "x_tpch_q3_shipping_priority",
         "x_tpch_q5_local_supplier",
         "x_tpch_q6_revenue_forecast",
@@ -196,11 +197,14 @@ def main() -> None:
         "x_tpch_q8_market_share",
         "x_tpch_q9_product_profit",
         "x_tpch_q10_returned_items",
+        "x_tpch_q11_important_parts",
         "x_tpch_q12_late_lines",
         "x_tpch_q13_customer_distribution",
         "x_tpch_q15_top_supplier",
+        "x_tpch_q16_supplier_part_counts",
         "x_tpch_q17_small_quantity",
         "x_tpch_q18_large_orders",
+        "x_tpch_q20_dominant_suppliers",
         "x_tpch_q21_late_sole_supplier",
         "x_tpch_q22_inactive_customers",
     ):

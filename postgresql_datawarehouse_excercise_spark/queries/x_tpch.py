@@ -810,6 +810,233 @@ def x_tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "x_tpch_q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT p_partkey, p_type, s_name, s_acctbal, n_name, cost
+  FROM ps JOIN part ON l_partkey = p_partkey
+          JOIN eu   ON l_suppkey = s_suppkey
+  WHERE p_size < 10 AND p_type = 'ECONOMY'
+), ranked AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost FROM offers
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ROUND(cost, 2) AS DOUBLE) AS supply_cost
+FROM ranked WHERE cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: the driver schema has no
+    partsupp, so the supplier-part catalog is derived from lineitem --
+    supply cost = MIN(l_extendedprice) observed per (part, supplier), an
+    arithmetic-free exact min).  Both the part slice and the region-filtered
+    supplier side broadcast BEFORE the (part, supplier) aggregate, so the
+    only large shuffle moves just the qualifying ~p_size/600 fraction of
+    lineitem; the per-part min is a second aggregate over the already-tiny
+    offer set, broadcast back for the argmin equality join (no window
+    re-shuffle of the fact)."""
+    t = catalog.load(spark, sf_dir)
+    part = t.part.filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_type")
+    eu = (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+                    t.nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            t.supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(F.min("cost").alias("min_cost"))
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.l_partkey == F.col("bp")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            money(F.col("cost")).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "x_tpch_q11_important_parts",
+    oracle=f"""
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+), val AS (
+  SELECT l_partkey,
+         SUM({_SQL_REV_C}) AS value_c,
+         {sql_money(f"SUM({_SQL_REV})")} AS part_value
+  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+), tot AS (SELECT SUM(value_c) AS total_c, COUNT(*) AS n_parts FROM val)
+SELECT l_partkey AS p_partkey, part_value
+FROM val, tot
+WHERE value_c * n_parts > 2 * total_c
+ORDER BY part_value DESC, p_partkey
+""",
+)
+def x_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: part value = discounted revenue
+    shipped by NATION_1 suppliers, in place of supplycost * availqty).
+    Parts whose value exceeds twice the mean part value -- a scale-invariant
+    threshold (TPC-H's fixed fraction-of-total empties out as the part count
+    grows).  The test runs as the exact integer-cents cross-multiplication
+    value_c * n_parts > 2 * total_c (no double threshold), with the grand
+    total a 1-row broadcast back onto the per-part aggregate -- one fact
+    shuffle, one scalar."""
+    t = catalog.load(spark, sf_dir)
+    nat_supp = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_1").select("n_nationkey")),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_c().cast("decimal(38,0)")).alias("value_c"))
+    )
+    tot = val.agg(F.sum("value_c").alias("total_c"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") * F.col("n_parts") > F.col("total_c") * 2)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            money((F.col("value_c") / F.lit(10_000)).cast("decimal(38,4)")).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+@query(
+    "x_tpch_q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def x_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier-part relationship counts (adapted: the supplier
+    pool per part comes from lineitem, and the "customer complaints"
+    exclusion is suppliers with negative account balance).  The NOT IN
+    subquery is a broadcast left-anti join applied before anything else; the
+    brand/type/size slice broadcasts onto the fact; COUNT(DISTINCT) runs as
+    Spark's two-phase distinct aggregate, partial per partition, so the
+    shuffle carries (group, suppkey) pairs -- bounded by catalog size, not
+    fact size."""
+    t = catalog.load(spark, sf_dir)
+    part = t.part.filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+@query(
+    "x_tpch_q20_dominant_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sp_qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY sk, pk
+), dom AS (
+  SELECT DISTINCT sk FROM (
+    SELECT sk, sp_qty_c, SUM(sp_qty_c) OVER (PARTITION BY pk) AS part_qty_c FROM sp
+  ) WHERE sp_qty_c * 2 > part_qty_c
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT sk FROM dom)
+ORDER BY s_suppkey
+""",
+)
+def x_tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: no availqty, so "excess
+    stock" becomes dominance -- a supplier who shipped more than half of a
+    red-part's 1997 volume).  The LIKE-filtered part slice broadcasts onto
+    one ship-year of lineitem; per-(supplier, part) quantities aggregate in
+    exact cents; the half-share test is a window over the aggregate's own
+    output (small), and the surviving supplier keys semi-join the supplier
+    dimension."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    part = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    sp = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(c100("l_quantity")).alias("sp_qty_c"))
+    )
+    dom = (
+        sp.withColumn("part_qty_c", F.sum("sp_qty_c").over(Window.partitionBy("pk")))
+        .filter(F.col("sp_qty_c") * 2 > F.col("part_qty_c"))
+        .select("sk")
+        .distinct()
+    )
+    supp = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return supp.join(dom, supp.s_suppkey == dom.sk, "left_semi").orderBy("s_suppkey")
+
+
+@query(
     "x_tpch_q22_inactive_customers",
     oracle="""
 WITH pool AS (
