@@ -180,6 +180,51 @@ def test_tpch_q21_no_self_join_single_fact_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q2_prefilters_fact_and_prunes_lineitem(spark, sf_dir):
+    """Q2: the part/supplier prefilters must broadcast onto lineitem BEFORE
+    the (part, supplier) aggregate (the scan feeding the agg reads only the
+    3 needed lineitem columns), and the argmin-per-part resolves as a
+    broadcast back -- no window re-shuffle of the fact, no sort-merge."""
+    df = REG["x_tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    plans.assert_reads_only(
+        df, "l_extendedprice", {"l_partkey", "l_suppkey", "l_extendedprice"}
+    )
+    assert plans.num_sortmerge_joins(df) == 0
+    assert plans.num_broadcast_joins(df) >= 4
+
+
+def test_tpch_q11_single_fact_shuffle_scalar_broadcast(spark, sf_dir):
+    """Q11: one exchange for the per-part aggregate; the grand total joins
+    back as a 1-row broadcast (nested-loop on a scalar is fine), never a
+    shuffled join."""
+    df = REG["x_tpch_q11_important_parts"].fn(spark, sf_dir)
+    assert plans.num_sortmerge_joins(df) == 0
+    # the formatted plan lists the per-part agg exchange twice (once under
+    # the scalar total, once under the probe side -- ReuseExchange dedupes
+    # it at runtime), plus the scalar's single-partition gather and the
+    # output sort: 4 Exchange nodes, only 2 distinct fact-bearing shuffles
+    assert plans.num_shuffles(df) <= 4
+
+
+def test_tpch_q16_anti_join_broadcast(spark, sf_dir):
+    """Q16: the NOT-IN exclusion must run as a broadcast anti join on the
+    fact scan -- an order-dependent shuffled anti join would move all of
+    lineitem once more at 100 TB."""
+    plan = plans.formatted_plan(REG["x_tpch_q16_supplier_part_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q20_pushed_shipyear_and_window_over_own_agg(spark, sf_dir):
+    """Q20: the ship-year slice must reach the parquet reader, and the
+    half-share test must be a window over the (supplier, part) aggregate's
+    output -- not a second aggregate self-joined back."""
+    df = REG["x_tpch_q20_dominant_suppliers"].fn(spark, sf_dir)
+    plans.assert_pushed_filter(df, "l_shipdate")
+    assert "Window" in plans.formatted_plan(df)
+    assert plans.num_sortmerge_joins(df) == 0
+
+
 def test_tpch_q13_preaggregates_before_outer_join(spark, sf_dir):
     """Q13: orders must collapse to per-customer counts BEFORE the outer
     join -- the aggregate has to appear under the join in the plan, so the
