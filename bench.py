@@ -173,13 +173,19 @@ def main() -> None:
         "x_events_tumbling_hourly",
         "x_events_user_daily",
         "x_events_session_windows",
+        "x_events_funnel",
+        "x_events_retention_cohorts",
         "x_sim_topk_bruteforce",
+        "x_sim_knn_join",
         "x_sim_ann_lsh",
         "x_sim_ann_ivf",
         "x_sim_cosine_neardup",
         "x_asof_latest_order",
         "x_range_join_click_followups",
         "x_text_tfidf_top5",
+        "x_text_vocab_top50",
+        "x_text_bigram_top50",
+        "x_pipeline_quality_gate",
         "x_sql_percentiles",
         "x_events_props_json",
         "x_events_daily_from_hourly",

@@ -270,6 +270,46 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> Da
     )
 
 
+KNN_QUERIES = 8
+KNN_K = 3
+
+
+def knn_join(embeddings: DataFrame, n_queries: int = KNN_QUERIES, k: int = KNN_K) -> DataFrame:
+    """Batch k-NN join: top-k exact cosine neighbours for EVERY vector in a
+    query set (here the first n_queries ids) in one pass over the corpus.
+
+    The query set broadcasts; the corpus scans once and each row scores
+    against all queries (embarrassingly parallel, no corpus self-join).  The
+    per-query top-k is a row_number window partitioned by query id -- the
+    shuffle carries |corpus| x n_queries skinny (id, id, score) rows, never
+    the vectors.  At 100 TB with a big query set, the same shape runs per
+    query-batch (chunk the broadcast), keeping memory bounded."""
+    from pyspark.sql import Window
+
+    base = _norms(embeddings)
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+        .orderBy("query_id", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -321,6 +361,24 @@ FROM bk b, (SELECT e, bucket FROM bk WHERE vec_id = {query_vec_id}) q
 WHERE b.bucket = q.bucket AND b.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, b.vec_id ASC
 LIMIT {k}
+"""
+
+
+def knn_join_sql(n_queries: int = KNN_QUERIES, k: int = KNN_K) -> str:
+    return f"""
+WITH {_SQL_BASE},
+q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < {n_queries})
+SELECT query_id, vec_id, cos_sim, rn FROM (
+  SELECT q.query_id, b.vec_id,
+         ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND(list_cosine_similarity(b.e, q.qe), 6) DESC, b.vec_id ASC
+         ) AS BIGINT) AS rn
+  FROM base b CROSS JOIN q
+  WHERE b.vec_id != q.query_id
+) WHERE rn <= {k}
+ORDER BY query_id, rn
 """
 
 

@@ -173,6 +173,98 @@ def x_events_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_events_funnel",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.t_view
+  GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM fv) AS n_viewed,
+       (SELECT COUNT(*) FROM fc) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM fp) AS n_purchased_after_click
+""",
+)
+def x_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> later click -> later purchase):
+    each stage is a per-user MIN-timestamp aggregate joined to the previous
+    stage with a strict time inequality.  All three joins are on user_id --
+    key-partitioned and co-located after the first shuffle, so the funnel
+    costs one shuffle per stage over per-user rows (not per-event), and the
+    final counts are three 1-row aggregates."""
+    t = catalog.load(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "x_events_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+)
+SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def x_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day as an offset from their cohort.  Both
+    inputs are per-user/per-day aggregates of the same scan (distinct
+    activity days and MIN-day cohorts share the user_id partitioning), so
+    the join never touches raw event rows."""
+    t = catalog.load(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_seen = t.events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = t.events.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
     "x_events_daily_from_hourly",
     oracle="""
 WITH hourly AS (

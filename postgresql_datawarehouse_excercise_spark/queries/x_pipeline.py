@@ -127,3 +127,55 @@ def x_pipeline_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(dec("o_totalprice"))).alias("total_price"),
     )
+
+
+@query(
+    "x_pipeline_quality_gate",
+    oracle=r"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents WHERE lang = 'en'
+), kept AS (
+  SELECT * FROM scored WHERE n_tokens >= 20 AND n_punct * 20 <= n_chars
+), canonical AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM kept JOIN canonical USING (doc_id)
+GROUP BY source ORDER BY source
+""",
+)
+def x_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning gate: language filter -> quality
+    thresholds (min length, max punctuation density as the exact integer
+    test n_punct * 20 <= n_chars -- no double ratios) -> exact near-dup
+    collapse on the normalized fingerprint (keep lowest doc_id) -> per-source
+    survival report.  One scan computes every signal; the only shuffles are
+    the fingerprint group and the tiny per-source aggregate -- the shape of
+    a full training-data cleaning pass at 100 TB."""
+    t = catalog.load(spark, sf_dir)
+    scored = t.documents.filter(F.col("lang") == "en").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_punct") * 20 <= F.col("n_chars"))
+    )
+    canonical = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        kept.join(canonical.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -55,6 +55,16 @@ def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(t.embeddings, QUERY_VEC_ID)
 
 
+@query("x_sim_knn_join", oracle=similarity.knn_join_sql())
+def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: exact top-3 cosine neighbours for each of the first
+    8 query vectors in ONE corpus pass (broadcast query set, per-query
+    row_number top-k over skinny score rows) -- the retrieval shape for
+    embedding-dedup and RAG candidate generation."""
+    t = catalog.load(spark, sf_dir)
+    return similarity.knn_join(t.embeddings)
+
+
 @query(
     "x_sim_vector_stats",
     oracle="""

@@ -149,6 +149,78 @@ def x_text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_text_vocab_top50",
+    oracle="""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+FROM toks GROUP BY term
+ORDER BY tf DESC, term LIMIT 50
+""",
+)
+def x_text_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by total frequency with document
+    frequency (the vocab-building pass of a tokenizer-training pipeline).
+    Explode -> one hash aggregate; term cardinality (vocab), not corpus
+    size, bounds the shuffle, and the top-50 is TakeOrderedAndProject."""
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("doc_id")).alias("df_docs"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "x_text_bigram_top50",
+    oracle="""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens FROM documents
+), bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tokens), 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 50
+""",
+)
+def x_text_bigram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token pairs (LM n-gram statistics).  The bigram list
+    is built row-level as zip_with(slice, slice) -- NOT transform over an
+    index sequence, which CollapseProject would rewrite into a per-element
+    re-tokenization (engine lesson #1) -- then exploded into one counting
+    aggregate."""
+    t = catalog.load(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    docs = t.documents.select(toks.alias("tokens"))
+    n1 = F.greatest(F.size("tokens") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("tokens", 1, n1),
+        F.slice(F.col("tokens"), 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+@query(
     "x_text_train_test_split",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
