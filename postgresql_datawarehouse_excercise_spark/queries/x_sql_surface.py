@@ -368,6 +368,35 @@ def x_sql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_sql_posexplode",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(unnest(range(len(embedding))) AS INT) AS pos,
+       ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+FROM embeddings WHERE vec_id < 4
+""",
+)
+def x_sql_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-to-rows with ordinality (posexplode, the table-generating
+    function surface): each embedding component becomes a (vec_id, pos, val)
+    row.  Generate is a pure map-side operator -- rows fan out inside the
+    scan's partition, no shuffle at any scale."""
+    t = catalog.load(spark, sf_dir)
+    return (
+        t.embeddings.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.posexplode(F.col("embedding")),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("col").cast("double"), 6).alias("val"),
+        )
+    )
+
+
+@query(
     "x_sql_argmax",
     oracle="""
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

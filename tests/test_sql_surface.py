@@ -115,3 +115,66 @@ def test_runtime_confs_applied_to_foreign_session(spark):
         "spark.sql.legacy.parquet.nanosAsLong",
     ):
         assert spark.conf.get(k) == RUNTIME_CONFS[k]
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    """Each funnel stage is a strict subset of the previous one."""
+    row = REG["x_events_funnel"].fn(spark, sf_dir).first()
+    assert row.n_viewed >= row.n_clicked_after_view >= row.n_purchased_after_click >= 0
+
+
+def test_retention_day0_equals_cohort_sizes(spark, sf_dir):
+    """Every user is active on their own first-seen day, so the offset-0
+    diagonal of the retention triangle IS the cohort-size column."""
+    ret = REG["x_events_retention_cohorts"].fn(spark, sf_dir)
+    day0 = {r.cohort_day: r.n_users for r in ret.filter(F.col("day_offset") == 0).collect()}
+    t = catalog.load(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    cohorts = (
+        t.events.groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert day0 == {r.cohort_day: r.n for r in cohorts}
+
+
+def test_vocab_df_bounded_by_tf_and_corpus(spark, sf_dir):
+    """Document frequency can never exceed term frequency or the doc count."""
+    t = catalog.load(spark, sf_dir)
+    n_docs = t.documents.count()
+    for r in REG["x_text_vocab_top50"].fn(spark, sf_dir).collect():
+        assert 1 <= r.df_docs <= r.tf
+        assert r.df_docs <= n_docs
+
+
+def test_knn_join_ranking_is_consistent(spark, sf_dir):
+    """Per query: ranks are 1..k, similarity is non-increasing in rank and
+    within [-1, 1], and the rank-1 neighbour matches the single-query
+    brute-force operator's answer for vec_id 0."""
+    rows = REG["x_sim_knn_join"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert sims == sorted(sims, reverse=True)
+    top1_q0 = next(r for r in by_q[0] if r.rn == 1)
+    brute = REG["x_sim_topk_bruteforce"].fn(spark, sf_dir).first()
+    assert (top1_q0.vec_id, top1_q0.cos_sim) == (brute.vec_id, brute.cos_sim)
+
+
+def test_quality_gate_bounded_by_english_corpus(spark, sf_dir):
+    """The cleaning gate only removes rows: survivors are bounded by the
+    English slice, and every reported source actually exists."""
+    t = catalog.load(spark, sf_dir)
+    en = t.documents.filter(F.col("lang") == "en")
+    n_en = en.count()
+    rows = REG["x_pipeline_quality_gate"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) <= n_en
+    sources = {r.source for r in t.documents.select("source").distinct().collect()}
+    assert {r.source for r in rows} <= sources
