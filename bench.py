@@ -187,6 +187,7 @@ def main() -> None:
         "x_text_bigram_top50",
         "x_pipeline_quality_gate",
         "x_sql_percentiles",
+        "x_sql_stats_moments",
         "x_events_props_json",
         "x_events_daily_from_hourly",
         "x_media_metadata",

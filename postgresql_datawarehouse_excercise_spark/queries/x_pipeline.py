@@ -179,3 +179,25 @@ def x_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x_pipeline_salted_hot_keys",
+    oracle="""
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def x_pipeline_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: events has ~5 hot group keys, the exact
+    shape where one reducer per key becomes the straggler at 100 TB.
+    salted_sum (operators/skew.py) pre-aggregates on (key, deterministic
+    xxhash64 salt) so each hot key fans out over 16 reducers, then combines
+    partials -- bit-identical to the plain GROUP BY because the measure is
+    exact decimal (the oracle IS the unsalted form)."""
+    from ..operators.skew import salted_sum
+
+    t = catalog.load(spark, sf_dir)
+    out = salted_sum(t.events, ["event_type"], dec("value"), "total")
+    return out.select("event_type", money(F.col("total")).alias("total_value"))

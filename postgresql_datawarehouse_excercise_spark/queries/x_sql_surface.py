@@ -423,3 +423,61 @@ def x_sql_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_custkey", ordering).alias("top_custkey"),
         F.max("c_acctbal").alias("top_acctbal"),
     )
+
+
+@query(
+    "x_sql_stats_moments",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sp,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS spp,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_qty,
+       ROUND(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n - 1 AS DOUBLE)) / 100, 6) AS stddev_qty,
+       ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+             6) AS corr_qty_price
+FROM s ORDER BY l_returnflag
+""",
+)
+def x_sql_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean, sample stddev, Pearson correlation) from
+    EXACT integer-cents power sums: the shuffled aggregate carries only
+    order-independent integer sums (double moment accumulators are not
+    associative-stable across partitionings), and the floating formula runs
+    once per group on identical inputs in both engines.  Correlation is
+    computed on cents directly -- it is scale-invariant."""
+    t = catalog.load(spark, sf_dir)
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    s = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum((qc * qc).cast(d38)).alias("sqq"),
+        F.sum(pc).alias("sp"),
+        F.sum((pc * pc).cast(d38)).alias("spp"),
+        F.sum((qc * pc).cast(d38)).alias("sqp"),
+    )
+    n, sq, sqq = F.col("n").cast("double"), F.col("sq").cast("double"), F.col("sqq").cast("double")
+    sp, spp, sqp = F.col("sp").cast("double"), F.col("spp").cast("double"), F.col("sqp").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sq / n / 100, 6).alias("mean_qty"),
+        F.round(F.sqrt((sqq - sq * sq / n) / (n - F.lit(1.0))) / 100, 6).alias("stddev_qty"),
+        F.round(
+            (n * sqp - sq * sp)
+            / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
