@@ -166,12 +166,18 @@ def x_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))).alias("fp"),
     )
+    from pyspark.sql import Window
+
     kept = scored.filter(
         (F.col("n_tokens") >= 20) & (F.col("n_punct") * 20 <= F.col("n_chars"))
     )
-    canonical = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # keep-lowest-doc_id dedup as a window min over the fingerprint
+    # partitioning: ONE scan of documents and one shuffle (the join-back
+    # formulation scans and shuffles twice for the same result)
+    min_doc = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        kept.join(canonical.select("doc_id"), "doc_id")
+        kept.withColumn("min_doc", min_doc)
+        .filter(F.col("doc_id") == F.col("min_doc"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
