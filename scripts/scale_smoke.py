@@ -21,6 +21,14 @@ Measured at K=10 on local[32] (vs the sf0.1 bench numbers):
                                                   10x multiplication; was
                                                   21.8 s before the
                                                   long-cents product)
+  knn_join_8q             50,000 corpus  4.4 s   (8 queries x 50k exact
+                                                  cosine in one pass)
+  stats_moments_sums   6M line rows      6.0 s   (six exact integer power
+                                                  sums, one shuffle)
+  salted_hot_key_sum   2M events         1.1 s   (5 hot keys fanned over
+                                                  16 salt buckets)
+  (the last three measured on a contended host -- same-day baseline ops ran
+  ~2-3x their recorded times, so treat them as upper bounds)
 """
 
 from __future__ import annotations
@@ -75,6 +83,7 @@ def main() -> None:
     emb = multiply(t.embeddings, "vec_id", k)
     print(f"embeddings x{k}:", flush=True)
     timed("cosine_neardup_blocked", similarity.cosine_neardup_blocked(emb))
+    timed("knn_join_8q", similarity.knn_join(emb))
 
     line = multiply(t.lineitem, "l_orderkey", k)
     ords = multiply(t.orders, "o_orderkey", k)
@@ -84,6 +93,29 @@ def main() -> None:
         build_sales(line, ords, t.part, t.time_dim()),
     )
     timed("tpch_q1_pricing", pricing_summary(line))
+
+    # exact-integer power sums over the multiplied fact (x_sql_stats_moments
+    # kernel): the shuffle carries 6 integer sums per group, flat in K
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    timed(
+        "stats_moments_sums",
+        line.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qc).alias("sq"),
+            F.sum((qc * qc).cast("decimal(38,0)")).alias("sqq"),
+            F.sum(pc).alias("sp"),
+            F.sum((pc * pc).cast("decimal(38,0)")).alias("spp"),
+            F.sum((qc * pc).cast("decimal(38,0)")).alias("sqp"),
+        ),
+    )
+
+    from postgresql_datawarehouse_excercise_spark.functions import dec
+    from postgresql_datawarehouse_excercise_spark.operators.skew import salted_sum
+
+    evs = multiply(t.events, "event_id", k)
+    print(f"events x{k}:", flush=True)
+    timed("salted_hot_key_sum", salted_sum(evs, ["event_type"], dec("value"), "total"))
 
     spark.stop()
 
