@@ -115,27 +115,37 @@ class MVRegistry:
         return levels
 
     def build_all(self, spark: SparkSession, sf_dir: str, parallel: bool = True) -> None:
-        """Build every MV. Within a dependency level the builds are
-        independent Spark jobs, so they run concurrently from a thread pool
-        (the scheduler interleaves them across cores; sequential small
-        writes would otherwise pay one fixed job latency each -- measured
-        ~13 s of the 24 s sf0.1 build)."""
+        """Build every MV. Independent builds run concurrently from a thread
+        pool (the Spark scheduler interleaves their jobs across cores;
+        sequential small writes would otherwise pay one fixed job latency
+        each -- measured ~13 s of the 24 s sf0.1 build).
+
+        Scheduling is dependency-driven, not level-synchronized: an MV is
+        submitted the moment its deps finish, so a slow sibling in an
+        earlier "level" does not gate unrelated MVs (the level-barrier
+        version lost ~2 s of the 14 s critical path at sf0.1)."""
         if not parallel:
             for name in self.topo_order():
                 self.build(spark, sf_dir, name)
             return
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-        for level in self.topo_levels():
-            if len(level) == 1:
-                self.build(spark, sf_dir, level[0])
-                continue
-            with ThreadPoolExecutor(max_workers=min(8, len(level))) as pool:
-                futures = [
-                    pool.submit(self.build, spark, sf_dir, name) for name in level
+        done: set[str] = set()
+        pending = set(self.defs)
+        running: dict = {}
+        with ThreadPoolExecutor(max_workers=min(12, len(self.defs) or 1)) as pool:
+            while pending or running:
+                ready = [
+                    n for n in pending
+                    if all(d in done for d in self.defs[n].deps)
                 ]
-                for f in futures:
+                for n in ready:
+                    pending.discard(n)
+                    running[pool.submit(self.build, spark, sf_dir, n)] = n
+                finished, _ = wait(set(running), return_when=FIRST_COMPLETED)
+                for f in finished:
                     f.result()
+                    done.add(running.pop(f))
 
     def refresh(self, spark: SparkSession, sf_dir: str, name: str) -> None:
         """REFRESH MATERIALIZED VIEW analog: rebuild this MV and everything
