@@ -19,7 +19,7 @@ merge key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -187,6 +187,57 @@ def x_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BLOCK = 2048  # tokens per packed training sequence
+
+
+@query(
+    "x_pipeline_pack_sequences",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS end_offset
+  FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       end_offset - n_tokens AS start_offset,
+       CAST(floor((end_offset - n_tokens) / {PACK_BLOCK}.0) AS BIGINT) AS first_block,
+       CAST(floor((end_offset - 1) / {PACK_BLOCK}.0) AS BIGINT) AS last_block
+FROM cum
+""",
+)
+def x_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): lay every document's
+    tokens onto one contiguous stream per source, then map each doc to the
+    fixed {PACK_BLOCK}-token blocks it lands in (first_block..last_block --
+    the doc->training-sample index a dataloader needs).  One window cumsum
+    per source computes all offsets; block ids are pure per-row arithmetic.
+    Scale: packing is per-source (parallel across sources); at 100 TB add a
+    shard key (xxhash64(doc_id) % K) to the partition so each window holds
+    ~1/K of a source and block ids stay unique as (source, shard, block)."""
+    t = catalog.load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = tok.withColumn("end_offset", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("end_offset") - F.col("n_tokens")).alias("start_offset"),
+        F.floor((F.col("end_offset") - F.col("n_tokens")) / float(PACK_BLOCK))
+        .cast("long")
+        .alias("first_block"),
+        F.floor((F.col("end_offset") - 1) / float(PACK_BLOCK)).cast("long").alias("last_block"),
+    )
+
+
 @query(
     "x_pipeline_salted_hot_keys",
     oracle="""
@@ -207,3 +258,184 @@ def x_pipeline_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load(spark, sf_dir)
     out = salted_sum(t.events, ["event_type"], dec("value"), "total")
     return out.select("event_type", money(F.col("total")).alias("total_value"))
+
+
+# --- eval-set decontamination -----------------------------------------------
+
+TRAIN_PCT = 90          # same id-hash split as x_text_train_test_split
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def _decontaminate_oracle() -> str:
+    from ..operators.dedup import _SQL_SHINGLES, _SQL_TOKENS
+
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {_BUCKET_SQL} AS bucket,
+         {_SQL_TOKENS} AS t
+  FROM documents
+),
+sh AS (SELECT doc_id, bucket, {_SQL_SHINGLES} AS sh FROM toks),
+grams AS (
+  SELECT doc_id, bucket,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+  FROM sh, unnest(sh) AS u(g)
+),
+eval_grams AS (SELECT DISTINCT h FROM grams WHERE bucket >= {TRAIN_PCT}),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM grams JOIN eval_grams USING (h)
+  WHERE bucket < {TRAIN_PCT}
+  GROUP BY doc_id
+)
+SELECT s.doc_id, len(s.sh) AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+WHERE s.bucket < {TRAIN_PCT}
+"""
+
+
+@query("x_pipeline_decontaminate", oracle=_decontaminate_oracle())
+def x_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag every TRAIN document that shares a
+    word n-gram shingle with any EVAL document (the overlap check run before
+    every pretraining job so benchmark answers don't leak into the corpus).
+
+    Spark plan: one documents scan -> shingles (operators/dedup machinery,
+    word 3-grams here; production uses 13-grams -- same plan) -> the eval
+    side collapses to a DISTINCT set of 60-bit gram hashes which is tiny
+    relative to the corpus (eval suites are fixed-size), so it BROADCASTS to
+    every train partition and contamination is a map-side hash probe with no
+    shuffle of the train side.  At 100 TB swap the broadcast for a bloom
+    filter pushed into the scan if the eval gram set outgrows memory."""
+    from ..operators.dedup import h60, shingled
+
+    t = catalog.load(spark, sf_dir)
+    sets_ = shingled(t.documents).withColumn(
+        "bucket", _bucket(F.col("doc_id"))
+    )
+    grams = sets_.select(
+        "doc_id",
+        "bucket",
+        F.size("sh").alias("n_shingles"),
+        F.explode("sh").alias("g"),
+    ).withColumn("h", h60(F.col("g"))).drop("g")
+    eval_grams = grams.filter(F.col("bucket") >= TRAIN_PCT).select("h").distinct()
+    train = grams.filter(F.col("bucket") < TRAIN_PCT)
+    hits = (
+        train.join(F.broadcast(eval_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    base = sets_.filter(F.col("bucket") < TRAIN_PCT).select("doc_id", F.size("sh").alias("n_shingles"))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --- domain mixture weights -------------------------------------------------
+
+MAX_EPOCHS = 4.0        # cap on per-source repetition when upsampling
+
+
+@query(
+    "x_pipeline_mixture_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       ROUND(LEAST(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens,
+                   {MAX_EPOCHS}), 6) AS sample_weight
+FROM per_source, tot
+""",
+)
+def x_pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: given per-source token counts, the
+    sampling weight that moves the corpus to a UNIFORM token mixture at the
+    same total budget, with upsampling capped at {MAX_EPOCHS} epochs (the
+    repetition limit data-constrained scaling work recommends).  Plan: one
+    scan -> per-source aggregate (|sources| rows) -> crossJoin against the
+    1-row grand total, which Spark broadcasts; everything after the first
+    aggregate is driver-trivial.  The weights feed the stratified sampler
+    (x_pipeline_stratified_sample) as its per-stratum rates."""
+    t = catalog.load(spark, sf_dir)
+    per_source = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias("token_share"),
+        F.round(
+            F.least(
+                F.col("total_tokens").cast("double") / F.col("n_sources") / F.col("n_tokens"),
+                F.lit(MAX_EPOCHS),
+            ),
+            6,
+        ).alias("sample_weight"),
+    )
+
+
+# --- deterministic global shuffle into shards -------------------------------
+
+NUM_SHARDS = 64
+SHUFFLE_SALT = "epoch-0"
+
+
+@query(
+    "x_pipeline_shuffle_shards",
+    oracle=f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SALT}'), 1, 8))
+              AS BIGINT) AS k
+  FROM documents
+)
+SELECT doc_id, CAST(k % {NUM_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k % {NUM_SHARDS} ORDER BY k, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM keyed
+""",
+)
+def x_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every doc gets a
+    pseudo-random 32-bit key from md5(doc_id:salt), lands in shard
+    key%{NUM_SHARDS}, and takes its position from a row_number ordered by the
+    key WITHIN the shard.  Reading shards in order replays one epoch in a
+    reproducible random order (new salt = new epoch permutation).  Unlike a
+    single global ORDER BY rand(), the window is partitioned by shard --
+    {NUM_SHARDS} independent sorts of n/{NUM_SHARDS} rows each, no global
+    sort, no driver bottleneck, stable under retries."""
+    t = catalog.load(spark, sf_dir)
+    k = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SALT}"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    keyed = t.documents.select(F.col("doc_id").cast("long").alias("doc_id"), k.alias("k"))
+    w = Window.partitionBy(F.col("k") % NUM_SHARDS).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("k") % NUM_SHARDS).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

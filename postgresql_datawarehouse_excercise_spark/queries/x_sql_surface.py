@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import dec, money, ratio
+from ..functions import c100, dec, money, ratio
 from . import query
 
 
@@ -422,6 +422,110 @@ def x_sql_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max_by("c_custkey", ordering).alias("top_custkey"),
         F.max("c_acctbal").alias("top_acctbal"),
+    )
+
+
+@query(
+    "x_sql_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+""",
+)
+def x_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long, the inverse of x_sql_pivot): each lineitem
+    measure becomes a (key, measure, value) row.  Like posexplode this is a
+    pure map-side Expand -- rows fan out inside the scan partition with no
+    shuffle, so it scales with input splits.  Values pass through unrounded:
+    both engines read the identical parquet doubles."""
+    t = catalog.load(spark, sf_dir)
+    return t.lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "x_sql_value_windows",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w  AS first_order,
+       last_value(o_orderkey)  OVER wf AS last_order,
+       nth_value(o_orderkey, 2) OVER wf AS second_order,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist()    OVER w, 6) AS cume
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def x_sql_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic value windows (first_value / last_value / nth_value) plus
+    relative-position ranks (percent_rank / cume_dist), per customer ordered
+    by (date, key).  last/nth use the full-partition ROWS frame -- the
+    default RANGE frame would stop at CURRENT ROW.  percent_rank is
+    (rank-1)/(n-1) in both engines, so 6-dp rounding matches exactly."""
+    t = catalog.load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "x_sql_range_frame",
+    oracle="""
+WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       CAST(ROUND(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0, 2) AS DOUBLE)
+         AS trailing_30d_spend
+FROM d
+""",
+)
+def x_sql_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a numeric offset: per-customer trailing-30-day spend
+    (value-based frame -- peers with the same order day share one frame, so
+    the result is deterministic under ties, unlike a ROWS frame would be).
+    The sum shuffles exact long cents; the divide runs once per output row.
+    The reference only ever uses the default RANGE frame (SURVEY.md §2-E6)."""
+    t = catalog.load(spark, sf_dir)
+    d = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("int")
+        .alias("day"),
+        c100("o_totalprice").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.round(F.sum("cents").over(w) / 100.0, 2).cast("double").alias("trailing_30d_spend"),
     )
 
 
