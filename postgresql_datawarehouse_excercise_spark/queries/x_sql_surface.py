@@ -585,3 +585,137 @@ def x_sql_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "x_sql_null_semantics",
+    oracle="""
+WITH d AS (
+  SELECT NULLIF(l_returnflag, 'N') AS fk, NULLIF(l_linestatus, 'O') AS sk
+  FROM lineitem
+)
+SELECT COALESCE(fk, '<open>') AS flag,
+       COUNT(*) AS n_rows,
+       COUNT(sk) AS n_closed_status,
+       CAST(SUM(CASE WHEN fk IS NOT DISTINCT FROM sk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_safe_eq
+FROM d GROUP BY fk
+""",
+)
+def x_sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: NULLIF manufactures nulls from clean columns,
+    COUNT(col) skips them while COUNT(*) keeps them, grouping collects all
+    nulls into ONE group, COALESCE renders them, and <=> (null-safe equality
+    / IS NOT DISTINCT FROM) treats NULL=NULL as true where plain = yields
+    NULL.  Exercised because parquet at 100 TB always carries nulls and
+    every one of these constructs changes aggregate results silently."""
+    t = catalog.load(spark, sf_dir)
+    d = t.lineitem.select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("fk"),
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("sk"),
+    )
+    return d.groupBy("fk").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("sk").alias("n_closed_status"),
+        F.sum(F.when(F.col("fk").eqNullSafe(F.col("sk")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_safe_eq"),
+    ).select(
+        F.coalesce(F.col("fk"), F.lit("<open>")).alias("flag"),
+        "n_rows",
+        "n_closed_status",
+        "n_null_safe_eq",
+    )
+
+
+@query(
+    "x_sql_collect_agg",
+    oracle="""
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS order_keys,
+       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+)
+def x_sql_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list / collect_set): each customer's full
+    sorted order-key list and distinct priority set -- the groupBy->array
+    primitive that feeds per-key feature vectors and session logs.  Output
+    arrays are SORTED because collect order is partition-dependent in any
+    distributed engine; sort_array makes the result deterministic (and the
+    oracle comparable).  Scale: one shuffle; per-key lists must fit an
+    executor row -- cap with slice() upstream if a key can be unbounded."""
+    t = catalog.load(spark, sf_dir)
+    return t.orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "x_sql_strings",
+    oracle="""
+SELECT p_partkey,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       upper(substr(p_name, 1, 8)) AS prefix8,
+       replace(p_name, ' ', '_') AS snake_name,
+       lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS padded_key,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CAST(instr(p_name, 'an') AS BIGINT) AS an_pos,
+       CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS brand_dist
+FROM part
+""",
+)
+def x_sql_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over part: length / substring+upper /
+    replace / lpad zero-padding (stable sort keys from numeric ids) /
+    concat_ws / 1-based instr position (0 = absent, both engines) /
+    levenshtein edit distance (the fuzzy-match primitive).  All are
+    per-row JVM expressions inside one codegen stage -- no shuffle, no UDF."""
+    t = catalog.load(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper(F.substring("p_name", 1, 8)).alias("prefix8"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias("padded_key"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "an").cast("long").alias("an_pos"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).cast("long").alias("brand_dist"),
+    )
+
+
+@query(
+    "x_sql_datetime",
+    oracle="""
+WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+SELECT o_orderkey,
+       date_trunc('month', od) AS month_start,
+       last_day(od) AS month_end,
+       CAST(od + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(quarter(od) AS BIGINT) AS qtr,
+       CAST(isodow(od) AS BIGINT) AS iso_weekday,
+       CAST(year(od) * 100 + month(od) AS BIGINT) AS yyyymm
+FROM d
+""",
+)
+def x_sql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface beyond the reference's to_char/extract (SURVEY.md
+    section 2-H): month truncation and last_day (partition boundaries),
+    add_months with end-of-month clamping (both engines clamp Jan 31 + 1mo
+    to Feb end), quarter, ISO weekday (Monday=1 -- Spark's weekday()+1 ==
+    DuckDB's isodow), and the yyyymm partition key every date-partitioned
+    100 TB table is laid out by.  Pure per-row projection, no shuffle."""
+    t = catalog.load(spark, sf_dir)
+    od = F.col("o_orderdate").cast("date")
+    return t.orders.select(
+        "o_orderkey",
+        F.trunc(od, "month").alias("month_start"),
+        F.last_day(od).alias("month_end"),
+        F.add_months(od, 3).alias("plus3m"),
+        F.quarter(od).cast("long").alias("qtr"),
+        (F.weekday(od) + 1).cast("long").alias("iso_weekday"),
+        (F.year(od) * 100 + F.month(od)).cast("long").alias("yyyymm"),
+    )

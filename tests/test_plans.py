@@ -239,3 +239,48 @@ def test_tpch_q13_preaggregates_before_outer_join(spark, sf_dir):
     # at least one aggregate sits below (after, in formatted tree order) the
     # outer join node: the per-customer count feeding the join's right side
     assert max(agg_lines) > min(join_lines)
+
+
+def test_unpivot_is_mapside_expand(spark, sf_dir):
+    """UNPIVOT must be a pure map-side Expand over the scan: rows fan out
+    4x inside the input partition with ZERO exchanges."""
+    df = REG["x_sql_unpivot"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Expand" in plan
+    assert plans.num_shuffles(df) == 0
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination must probe the eval-gram set via broadcast -- a
+    shuffled join here would move every train-side gram (the whole corpus
+    re-keyed) at 100 TB."""
+    df = REG["x_pipeline_decontaminate"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.num_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_window_is_partitioned(spark, sf_dir):
+    """The epoch shuffle must never gather to one partition: the position
+    window is partitioned by shard (64 independent sorts), so the plan has
+    no SinglePartition exchange."""
+    df = REG["x_pipeline_shuffle_shards"].fn(spark, sf_dir)
+    assert "SinglePartition" not in plans.formatted_plan(df)
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """Sequence packing cumsums per source -- the window exchange must hash
+    on the partition key, not collapse to a single partition."""
+    df = REG["x_pipeline_pack_sequences"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_string_datetime_surfaces_shuffle_free(spark, sf_dir):
+    """Per-row function surfaces must stay inside one codegen stage: no
+    exchange, no UDF nodes (everything is a JVM expression)."""
+    for name in ("x_sql_strings", "x_sql_datetime"):
+        df = REG[name].fn(spark, sf_dir)
+        assert plans.num_shuffles(df) == 0, name
+        assert "BatchEvalPython" not in plans.formatted_plan(df), name
