@@ -186,6 +186,9 @@ def main() -> None:
         "x_text_vocab_top50",
         "x_text_bigram_top50",
         "x_pipeline_quality_gate",
+        "x_pipeline_decontaminate",
+        "x_pipeline_pack_sequences",
+        "x_pipeline_shuffle_shards",
         "x_sql_percentiles",
         "x_sql_stats_moments",
         "x_events_props_json",

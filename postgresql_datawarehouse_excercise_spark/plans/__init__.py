@@ -46,6 +46,17 @@ def num_shuffles(df: DataFrame) -> int:
     return _count_nodes(df, "Exchange")
 
 
+def num_data_shuffles(df: DataFrame) -> int:
+    """Exchanges minus explicit spread()/repartition fan-outs: the shuffles
+    the query's own keys force (join/agg/window), which is what the 100 TB
+    scale pins care about.  A REPARTITION_BY_NUM exchange only exists when a
+    local scan is unsplittably small (operators/dedup.spread)."""
+    plan = formatted_plan(df)
+    return _count_nodes(df, "Exchange") - len(
+        re.findall(r"REPARTITION_BY_NUM", plan)
+    )
+
+
 def num_broadcast_joins(df: DataFrame) -> int:
     return _count_nodes(df, "BroadcastHashJoin")
 

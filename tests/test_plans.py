@@ -76,18 +76,24 @@ def test_events_filter_pushdown(spark, sf_dir):
 
 
 def test_minhash_signatures_single_shuffle(spark, sf_dir):
-    """MinHash signatures: exactly one exchange (the doc_id hash-aggregate,
-    map-side combined to docs x 32 longs). The per-row zero-shuffle form is
-    a CollapseProject trap that recomputes md5 32x -- see operators/dedup.py."""
+    """MinHash signatures: at most one key-forced exchange (the doc_id
+    hash-aggregate, map-side combined to docs x 32 longs). The per-row
+    zero-shuffle form is a CollapseProject trap that recomputes md5 32x --
+    see operators/dedup.py.  When spread() fans out a small local scan, its
+    repartition hashes on doc_id and the agg exchange is ELIDED (the
+    exploded gram set never shuffles) -- hence data shuffles, not total."""
     t = catalog.load(spark, sf_dir)
     df = dedup.minhash_signature_df(t.documents)
-    assert plans.num_shuffles(df) == 1
+    assert plans.num_data_shuffles(df) <= 1
+    assert plans.num_shuffles(df) <= 2
 
 
 def test_simhash_shuffle_free(spark, sf_dir):
+    """The simhash fold is per-row: no key-forced exchange (spread()'s
+    conditional fan-out of a small local scan is the only one allowed)."""
     t = catalog.load(spark, sf_dir)
     df = dedup.simhash_df(t.documents)
-    assert plans.num_shuffles(df) == 0
+    assert plans.num_data_shuffles(df) == 0
 
 
 def test_top_k_uses_take_ordered(spark, sf_dir):
