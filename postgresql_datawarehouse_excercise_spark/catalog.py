@@ -90,6 +90,16 @@ def load(spark: SparkSession, sf_dir: str) -> Tables:
     return _TABLES_CACHE[key]
 
 
+def delta_tables(spark: SparkSession, sf_dir: str, **overrides: DataFrame) -> Tables:
+    """A FRESH (non-memoized) Tables with named slots replaced -- the input
+    shape for MVRegistry.refresh_incremental: override the fact tables
+    (orders, lineitem, ...) with the new batch; dimension tables not named
+    here load their full form lazily as usual."""
+    t = Tables(spark, sf_dir.rstrip("/"))
+    t._cache.update(overrides)
+    return t
+
+
 def register_views(spark: SparkSession, sf_dir: str, include_derived: bool = True) -> None:
     """Expose the catalog to `spark.sql(...)`: every base table as a temp
     view, plus the derived warehouse objects (`time`, `sales`) so the

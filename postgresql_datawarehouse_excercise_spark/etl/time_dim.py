@@ -38,6 +38,45 @@ def build_time_dim(orders: DataFrame, date_col: str = "o_orderdate") -> DataFram
     )
 
 
+TIME_DIM_SCHEMA = (
+    "timeid BIGINT, orderdate DATE, dayofweek STRING, month STRING, year BIGINT"
+)
+
+
+def empty_time_dim(spark) -> DataFrame:
+    """Zero-row time dimension (the bootstrap state for incremental
+    maintenance: the first delta batch extends from here)."""
+    return spark.createDataFrame([], TIME_DIM_SCHEMA)
+
+
+def extend_time_dim(
+    existing: DataFrame, orders: DataFrame, date_col: str = "o_orderdate"
+) -> DataFrame:
+    """Incremental SERIAL append: dates not yet in the dimension get ids
+    continuing from max(timeid), in date order; existing rows keep their
+    ids.  Stable surrogate keys are what a live warehouse needs -- a full
+    rebuild renumbers every fact row's foreign key if a late-arriving date
+    interleaves, this append never does.  When new dates all sort after the
+    existing ones (the normal forward-moving-clock case) the result is
+    identical to a full rebuild.  Scale: the anti join compares distinct
+    dates (calendar-bounded), the window sees only the NEW dates."""
+    new_dates = (
+        orders.select(F.col(date_col).cast("date").alias("orderdate"))
+        .distinct()
+        .join(existing.select("orderdate"), "orderdate", "left_anti")
+    )
+    w = Window.orderBy("orderdate")  # tiny input: new distinct dates only
+    base_max = existing.agg(F.coalesce(F.max("timeid"), F.lit(0)).alias("max_id"))
+    appended = new_dates.crossJoin(F.broadcast(base_max)).select(
+        (F.row_number().over(w) + F.col("max_id")).cast("long").alias("timeid"),
+        F.col("orderdate"),
+        F.date_format("orderdate", "EEEE").alias("dayofweek"),
+        F.date_format("orderdate", "MMMM").alias("month"),
+        F.year("orderdate").cast("long").alias("year"),
+    )
+    return existing.unionByName(appended)
+
+
 # DuckDB oracle twin (same semantics; dayname/monthname return unpadded names).
 ORACLE_TIME_DIM = """
 SELECT CAST(row_number() OVER (ORDER BY orderdate) AS BIGINT) AS timeid,

@@ -103,3 +103,101 @@ def test_uniqueness_invariant_on_sales_key(built, spark):
         .count()
     )
     assert dups == 0
+
+
+# --- incremental maintenance -------------------------------------------------
+
+
+def _date_split(spark, sf_dir, cutoff="1998-07-01"):
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    t = catalog.load(spark, sf_dir)
+    pred = F.col("o_orderdate").cast("date") >= F.lit(cutoff).cast("date")
+    k2 = t.orders.filter(pred).select("o_orderkey")
+    batch1 = catalog.delta_tables(
+        spark, sf_dir,
+        orders=t.orders.filter(~pred),
+        lineitem=t.lineitem.join(k2, t.lineitem.l_orderkey == k2.o_orderkey, "left_anti"),
+    )
+    delta = catalog.delta_tables(
+        spark, sf_dir,
+        orders=t.orders.filter(pred),
+        lineitem=t.lineitem.join(k2, t.lineitem.l_orderkey == k2.o_orderkey, "left_semi"),
+    )
+    return batch1, delta
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_incremental_view2_equals_full_rebuild(spark, sf_dir):
+    """Build time/sales/view2 from the pre-cutoff batch, apply the rest as a
+    delta, and require the merged view2 to equal a full one-shot rebuild
+    bit-for-bit (grain, names, years, exact-decimal sums)."""
+    from postgresql_datawarehouse_excercise_spark.etl.time_dim import build_time_dim
+
+    batch1, delta = _date_split(spark, sf_dir)
+    inc = default_registry(tempfile.mkdtemp(prefix="pdwx-incr-a-"))
+    full = default_registry(tempfile.mkdtemp(prefix="pdwx-incr-b-"))
+    try:
+        inc.defs["time"].builder = lambda tt: build_time_dim(batch1.orders)
+        inc.defs["sales"].builder = lambda tt: batch1.sales()
+        _orig_v2 = full.defs["view2"].builder
+        inc.defs["view2"].builder = lambda tt, b=batch1: _orig_v2(b)
+        for n in ("time", "sales", "view2"):
+            inc.build(spark, sf_dir, n)
+        inc.defs["time"].builder = full.defs["time"].builder
+        inc.defs["sales"].builder = full.defs["sales"].builder
+        inc.defs["view2"].builder = _orig_v2
+        inc.refresh_incremental(spark, sf_dir, "sales", delta)
+        inc.refresh_incremental(spark, sf_dir, "view2", delta)
+
+        for n in ("time", "sales", "view2"):
+            full.build(spark, sf_dir, n)
+        cols = sorted(full.read(spark, "view2").columns)
+        assert _rows(inc.read(spark, "view2"), cols) == _rows(full.read(spark, "view2"), cols)
+        assert _rows(inc.read(spark, "sales"), ["customerid", "timeid", "partkey", "amnt"]) == \
+               _rows(full.read(spark, "sales"), ["customerid", "timeid", "partkey", "amnt"])
+    finally:
+        inc.drop_all()
+        full.drop_all()
+
+
+def test_incremental_rejects_non_additive(spark, sf_dir):
+    """avg-bearing / report MVs must refuse incremental maintenance."""
+    _, delta = _date_split(spark, sf_dir)
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-incr-c-"))
+    try:
+        reg.build(spark, sf_dir, "time")
+        reg.build(spark, sf_dir, "sales")
+        reg.build(spark, sf_dir, "avg_amnt_view")
+        with pytest.raises(ValueError, match="not incrementally maintainable"):
+            reg.refresh_incremental(spark, sf_dir, "avg_amnt_view", delta)
+    finally:
+        reg.drop_all()
+
+
+def test_extend_time_dim_keeps_ids_stable_under_late_dates(spark, sf_dir):
+    """A late-arriving EARLY date must append a NEW id, never renumber the
+    existing ones (stable surrogate keys -- the deliberate divergence from
+    a full rebuild, which would shift every id after the insertion point)."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.etl.time_dim import (
+        build_time_dim,
+        extend_time_dim,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    base = build_time_dim(t.orders.filter(F.col("o_orderkey") % 2 == 0))
+    late = t.orders.filter(F.col("o_orderkey") % 2 == 1)
+    ext = extend_time_dim(base, late)
+    base_rows = {r["orderdate"]: r["timeid"] for r in base.collect()}
+    ext_rows = {r["orderdate"]: r["timeid"] for r in ext.collect()}
+    for d, i in base_rows.items():
+        assert ext_rows[d] == i  # existing ids unchanged
+    n_base = len(base_rows)
+    new_ids = sorted(i for d, i in ext_rows.items() if d not in base_rows)
+    assert new_ids == list(range(n_base + 1, n_base + 1 + len(new_ids)))
+    # no duplicate ids, no duplicate dates
+    assert len(set(ext_rows.values())) == len(ext_rows)

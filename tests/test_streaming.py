@@ -254,3 +254,53 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(spark, sf_dir):
     assert len(got) == len(want)          # genuine suppression, no repeats
     assert set(got) == want               # and exactly the distinct key set
     assert t.events.count() > len(want)   # the input really had duplicates
+
+
+def test_stream_drives_incremental_mv_maintenance(spark, sf_dir, tmp_path):
+    """Continuous aggregate maintenance: orders arrive as four micro-batches
+    (arbitrary arrival order); foreachBatch applies each as an incremental
+    delta, bootstrapping the sales MV on the first batch.  The maintained
+    fact must equal a full one-shot rebuild when compared at the
+    date-keyed grain (timeids may legitimately differ from a rebuild when
+    batches arrive out of date order -- stable surrogate keys -- so the
+    comparison joins each fact to ITS OWN time dimension)."""
+    import tempfile
+
+    from postgresql_datawarehouse_excercise_spark.mv.definitions import default_registry
+    from postgresql_datawarehouse_excercise_spark.streaming.mv_maintenance import (
+        maintain_sales_stream,
+        read_orders_stream,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    in_dir = str(tmp_path / "orders_stream_in")
+    # four hash-split files; file-source arrival order is path/mtime driven,
+    # deliberately NOT date order
+    t.orders.withColumn("b", F.col("o_orderkey") % 4).repartition(4, "b").drop(
+        "b"
+    ).write.parquet(in_dir)
+
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-cmv-"))
+    try:
+        q = maintain_sales_stream(spark, sf_dir, reg, read_orders_stream(spark, in_dir))
+        q.awaitTermination()
+
+        def by_date(sales, time):
+            return sorted(
+                tuple(r)
+                for r in sales.join(time, "timeid")
+                .select("customerid", "orderdate", "partkey", "amnt")
+                .collect()
+            )
+
+        maintained = by_date(reg.read(spark, "sales"), reg.read(spark, "time"))
+        # fresh Tables: the registry seeded the SHARED catalog cache with the
+        # maintained MV (cache_key), so t.sales() would compare it to itself
+        fresh = catalog.delta_tables(spark, sf_dir)
+        want = by_date(fresh.sales(), fresh.time_dim())
+        assert maintained == want
+        # time dimension: every date exactly once, ids dense from 1
+        ids = sorted(r["timeid"] for r in reg.read(spark, "time").collect())
+        assert ids == list(range(1, len(ids) + 1))
+    finally:
+        reg.drop_all()
