@@ -80,6 +80,26 @@ def main() -> None:
     timed("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs))
     timed("simhash", dedup.simhash_df(docs))
 
+    # decontamination kernel at Kx: shingle the multiplied corpus once,
+    # broadcast the eval gram set, probe map-side (x_pipeline_decontaminate)
+    sets_ = dedup.shingled(docs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    grams = sets_.withColumn("bucket", bucket).select(
+        "doc_id", "bucket", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    ).withColumn("h", dedup.h60(F.col("g"))).drop("g")
+    ev = grams.filter(F.col("bucket") >= 90).select("h").distinct().withColumn("hit", F.lit(1))
+    timed(
+        "decontaminate",
+        grams.filter(F.col("bucket") < 90)
+        .join(F.broadcast(ev), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.max("n_shingles").alias("n_shingles"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated")),
+    )
+
     emb = multiply(t.embeddings, "vec_id", k)
     print(f"embeddings x{k}:", flush=True)
     timed("cosine_neardup_blocked", similarity.cosine_neardup_blocked(emb))
