@@ -11,17 +11,78 @@ just adapts the query registry to the driver's shape.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 from postgresql_datawarehouse_excercise_spark.queries import load_all  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# A couple of cheap, known-green entries stay at the very front of queries()
+# as stability sentinels (a regression there flags an engine-wide problem
+# immediately, before any budget is spent on the long tail).
+_SENTINELS = ("q1_time_dim", "q2_avg_transaction")
+
+# Family priority for never-verified entries (the driver's correctness budget
+# runs the dict in order; the LLM-pipeline families are graded first-class, so
+# they go before the SQL-surface and TPC-H-shape extensions).
+_FAMILY_ORDER = (
+    "x_media_", "x_text_", "x_sim_", "x_pipeline_", "x_events_",
+    "x_sql_", "x_tpch_", "x_dedup_", "x_asof", "x_range",
+    "q1_", "q2_", "q3", "q4", "q5",
+)
+
+
+def _family_rank(name: str) -> int:
+    for i, prefix in enumerate(_FAMILY_ORDER):
+        if name.startswith(prefix):
+            return i
+    return len(_FAMILY_ORDER)
+
+
+def _verified_counts() -> dict[str, int]:
+    """How many committed CORRECTNESS_r*.json rounds verified each entry green.
+
+    The driver checks a bounded prefix of ``queries()`` per round; sorting by
+    ascending verified-count rotates that window across rounds so every entry
+    eventually gets a hard correctness row.
+    """
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            ):
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _ordered_names() -> list[str]:
+    registry = load_all()
+    counts = _verified_counts()
+
+    def key(name: str):
+        sentinel = 0 if name in _SENTINELS else 1
+        return (sentinel, counts.get(name, 0), _family_rank(name), name)
+
+    return sorted(registry, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,10 +92,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
-    return {name: qd.fn for name, qd in load_all().items()}
+    """One entry per implemented operator from SURVEY.md section 2.
+
+    Ordered never-verified-first (see _verified_counts) so the driver's
+    per-round correctness budget lands on entries without a hard signal yet.
+    """
+    registry = load_all()
+    return {name: registry[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query."""
-    return {name: qd.oracle for name, qd in load_all().items() if qd.oracle}
+    """DuckDB oracle SQL for every SQL-expressible query (same order)."""
+    registry = load_all()
+    return {
+        name: registry[name].oracle
+        for name in _ordered_names()
+        if registry[name].oracle
+    }
