@@ -144,7 +144,7 @@ WITH scored AS (
 ), canonical AS (
   SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM kept JOIN canonical USING (doc_id)
 GROUP BY source ORDER BY source
 """,
@@ -203,7 +203,7 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id, source, n_tokens,
-       end_offset - n_tokens AS start_offset,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
        CAST(floor((end_offset - n_tokens) / {PACK_BLOCK}.0) AS BIGINT) AS first_block,
        CAST(floor((end_offset - 1) / {PACK_BLOCK}.0) AS BIGINT) AS last_block
 FROM cum
@@ -361,7 +361,7 @@ MAX_EPOCHS = 4.0        # cap on per-source repetition when upsampling
     oracle=f"""
 WITH per_source AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS n_tokens
+         CAST(SUM(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 tot AS (

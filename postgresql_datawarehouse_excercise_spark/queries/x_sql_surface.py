@@ -632,8 +632,8 @@ def x_sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sql_collect_agg",
     oracle="""
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS order_keys,
-       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """,
@@ -641,15 +641,24 @@ FROM orders GROUP BY o_custkey
 def x_sql_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_list / collect_set): each customer's full
     sorted order-key list and distinct priority set -- the groupBy->array
-    primitive that feeds per-key feature vectors and session logs.  Output
-    arrays are SORTED because collect order is partition-dependent in any
-    distributed engine; sort_array makes the result deterministic (and the
-    oracle comparable).  Scale: one shuffle; per-key lists must fit an
+    primitive that feeds per-key feature vectors and session logs.  Arrays
+    are SORTED (collect order is partition-dependent in any distributed
+    engine) and then serialized to a comma-joined string: the driver's
+    comparator sorts rows per column and list cells are unhashable there
+    (CORRECTNESS r2 crash).  Scale: one shuffle; per-key lists must fit an
     executor row -- cap with slice() upstream if a key can be unbounded."""
     t = catalog.load(spark, sf_dir)
     return t.orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -40,22 +40,40 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Dtype-STRICT normalization mirroring the driver's pandas-based value
+    # hash: the driver stringifies/hashes the materialized frames, so an
+    # int64 123 on one side and a float64 123.0 on the other MISMATCH there
+    # (DuckDB SUM(BIGINT) returns HUGEINT which pandas renders as float64).
+    # We therefore tag the numeric kind instead of relying on Python's
+    # cross-type == (int == float is True and would hide the difference).
     if v is None:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
-        v = float(v)
+        # Spark DecimalType reaches pandas as objects, DuckDB DECIMAL as
+        # float64 -- a driver-side mismatch.  Tag it so tests flag any
+        # query that leaks a raw decimal column.
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return ("f", round(v, 6))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, _dt.datetime):
         return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        # The driver's comparator sorts the pandas frame by every column;
+        # list-valued cells are unhashable there and crash the compare
+        # (CORRECTNESS r2: x_media_features, x_sql_collect_agg).  Fail
+        # loudly so no driver-checked query ships an array column.
+        raise AssertionError(
+            "array-valued output column: unsupported by the driver compare; "
+            "serialize to string (array_join / printf) in query AND oracle"
+        )
     return v
 
 
