@@ -169,6 +169,21 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def media_features_serialized(media: DataFrame) -> DataFrame:
+    """media_features with the array<double> embedding serialized to a
+    fixed-format csv string (%.4f per element).  The driver's comparator
+    sorts pandas frames column-wise and list cells are unhashable, so the
+    registry entry exposes this form; the array form (media_features) is the
+    pipeline-facing API."""
+    return media_features(media).select(
+        "doc_id",
+        "media_type",
+        F.array_join(
+            F.transform("features", lambda v: F.format_string("%.4f", v)), ","
+        ).alias("features_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (md5 arithmetic over the utf-8 payload = md5(text))
 # ---------------------------------------------------------------------------
@@ -211,11 +226,11 @@ WHERE i < n
 
 def media_features_sql() -> str:
     feats = ", ".join(
-        f"ROUND(CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS BIGINT) / 255.0, 4)"
+        f"printf('%.4f', ROUND(CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS BIGINT) / 255.0, 4))"
         for i in range(FEATURE_DIM)
     )
     return f"""
 WITH {_SQL_MEDIA}
-SELECT doc_id, media_type, [{feats}] AS features
+SELECT doc_id, media_type, array_to_string([{feats}], ',') AS features_csv
 FROM media
 """

@@ -35,6 +35,10 @@ def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x_media_features", oracle=multimodal.media_features_sql())
 def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas_udf feature extraction -> array<double> embedding
-    column (Arrow batch transfer; md5-derived stand-in features)."""
+    column (Arrow batch transfer; md5-derived stand-in features), serialized
+    to a fixed-format csv string for the driver comparator (array cells are
+    unhashable in its pandas sort path; same fix as x_sql_collect_agg)."""
     t = catalog.load(spark, sf_dir)
-    return multimodal.media_features(multimodal.media_from_documents(t.documents))
+    return multimodal.media_features_serialized(
+        multimodal.media_from_documents(t.documents)
+    )

