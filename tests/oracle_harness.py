@@ -53,8 +53,10 @@ def _norm(v):
     if isinstance(v, Decimal):
         # Spark DecimalType reaches pandas as objects, DuckDB DECIMAL as
         # float64 -- a driver-side mismatch.  Tag it so tests flag any
-        # query that leaks a raw decimal column.
-        return ("dec", str(v))
+        # query that leaks a raw decimal column.  normalize() so the tag
+        # flags decimal LEAKAGE, not scale noise (DECIMAL(22,2) 1.50 vs
+        # DECIMAL(38,2) 1.5 from different SUM widening are equal values).
+        return ("dec", str(v.normalize()))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -87,6 +89,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    # duckdb's fetchall() converts HUGEINT to Python int, which would pass
+    # the strict ('i', v) tags below -- but the DRIVER materializes via
+    # pandas, where HUGEINT becomes float64 and mismatches Spark's int64.
+    # Assert no HUGEINT output columns so the harness mirrors the driver's
+    # pandas path (fix: CAST(... AS BIGINT) around SUM(BIGINT) in the oracle).
+    hugeint_cols = [
+        c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"
+    ]
+    assert not hugeint_cols, (
+        f"oracle emits HUGEINT column(s) {hugeint_cols}: pandas renders these "
+        "float64 on the driver and the value hash mismatches Spark's int64; "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
     d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), (
