@@ -54,6 +54,7 @@ def load_all() -> dict[str, QueryDef]:
         x_dedup,
         x_events,
         x_multimodal,
+        x_mutations,
         x_pipeline,
         x_similarity,
         x_sql_surface,

@@ -1,0 +1,58 @@
+"""Extension: in-place table mutation (operators/mutations.py).
+
+The reference mutates its warehouse with `UPDATE ... WHERE`
+(assignment-5.sql:13-15) on tables with declared constraints; this entry
+exercises the engine's copy-on-write equivalent end-to-end on the driver's
+tables: materialize customer as a partitioned ManagedParquetTable, run an
+UPDATE and a DELETE through the partition-pruned COW path, and aggregate the
+mutated snapshot.  The DuckDB oracle states the same mutations relationally
+(CASE projection + anti-filter), so the value hash pins mutation semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import money, sql_dec, sql_money, sum_c100
+from ..operators import mutations
+from . import query
+
+_UPDATE_PRED = "c_mktsegment = 'BUILDING' AND c_acctbal < 0"
+_DELETE_PRED = "c_mktsegment = 'MACHINERY' AND c_custkey % 10 = 0"
+
+
+@query(
+    "x_mutation_update_delete",
+    oracle=f"""
+WITH mutated AS (
+  SELECT c_mktsegment,
+         CASE WHEN {_UPDATE_PRED} THEN 0.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  WHERE NOT ({_DELETE_PRED})
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_money(f"SUM({sql_dec('c_acctbal')})")} AS sum_acctbal
+FROM mutated
+GROUP BY c_mktsegment
+""",
+)
+def x_mutation_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE + DELETE through partition-pruned copy-on-write, verified by
+    aggregating the mutated snapshot per segment."""
+    t = catalog.load(spark, sf_dir)
+    tbl = mutations.temp_table(
+        spark, t.customer, partition_by=("c_mktsegment",)
+    )
+    tbl.update_where(_UPDATE_PRED, {"c_acctbal": F.lit(0.0)})
+    tbl.delete_where(_DELETE_PRED)
+    return (
+        tbl.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(sum_c100("c_acctbal")).alias("sum_acctbal"),
+        )
+    )

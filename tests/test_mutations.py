@@ -1,0 +1,120 @@
+"""ManagedParquetTable: in-place UPDATE/DELETE (copy-on-write) + CHECK.
+
+Closes SURVEY.md section 7.3 D8's open variant: the reference's
+`UPDATE customer SET city='Sydney' WHERE city='Sidney'`
+(assignment-5.sql:13-15) executed as a real table mutation (not a
+transform-on-read), with partition-pruned rewrites and CHECK-on-write.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark.operators import mutations
+from postgresql_datawarehouse_excercise_spark.sources import bookorders
+
+
+@pytest.fixture(scope="module")
+def customer_raw(spark):
+    if not bookorders.available():
+        pytest.skip("reference dump not present")
+    return bookorders.load_bookorders(spark)["customer"]
+
+
+def _table(spark, df, tmp_path, **kw):
+    t = mutations.ManagedParquetTable(spark, str(tmp_path / "tbl"), **kw)
+    t.overwrite(df)
+    return t
+
+
+def test_update_matches_reference_cleanup(spark, customer_raw, tmp_path):
+    """In-place UPDATEs reproduce the golden transform-on-ingest rows."""
+    t = _table(spark, customer_raw, tmp_path)
+    n = t.update_where("city = 'Sidney'", {"city": F.lit("Sydney")})
+    assert n == customer_raw.filter("city = 'Sidney'").count() > 0
+    t.update_where("customerid = 96", {"district": F.lit("Povardarje")})
+    t.update_where("customerid = 100", {"district": F.lit("Budapest")})
+
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(map(tuple, bookorders.clean_customer(customer_raw).collect()))
+    assert got == want
+    # no-match update touches nothing and reports 0
+    assert t.update_where("city = 'Sidney'", {"city": F.lit("X")}) == 0
+
+
+def test_partitioned_update_rewrites_only_touched_partitions(
+    spark, customer_raw, tmp_path
+):
+    t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
+    sidney_countries = {
+        r[0]
+        for r in customer_raw.filter("city = 'Sidney'")
+        .select("country")
+        .distinct()
+        .collect()
+    }
+    assert sidney_countries  # the cleanup has real work to do
+
+    def files_with_mtime():
+        out = {}
+        for dirpath, _dirs, files in os.walk(t.data_path):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, t.data_path)] = os.stat(p).st_mtime_ns
+        return out
+
+    before = files_with_mtime()
+    t.update_where("city = 'Sidney'", {"city": F.lit("Sydney")})
+    after = files_with_mtime()
+
+    changed_parts = set()
+    for path in set(before) ^ set(after) | {
+        p for p in before.keys() & after.keys() if before[p] != after[p]
+    }:
+        if "=" in path:
+            changed_parts.add(path.split(os.sep)[0])
+    assert changed_parts == {
+        f"country={mutations._escape_path_name(c)}" for c in sidney_countries
+    }
+    # values still correct after the pruned rewrite
+    assert t.read().filter("city = 'Sidney'").count() == 0
+    assert (
+        t.read().count() == customer_raw.count()
+    ), "untouched partitions intact"
+
+
+def test_partitioned_delete_drops_empty_partition(spark, customer_raw, tmp_path):
+    t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
+    one_country = customer_raw.select("country").distinct().orderBy("country").first()[0]
+    n_in = customer_raw.filter(F.col("country") == one_country).count()
+    n = t.delete_where(F.col("country") == F.lit(one_country))
+    assert n == n_in
+    assert not os.path.exists(
+        os.path.join(t.data_path, f"country={mutations._escape_path_name(one_country)}")
+    )
+    assert t.read().count() == customer_raw.count() - n_in
+
+
+def test_check_constraint_rejects_bad_write(spark, customer_raw, tmp_path):
+    t = _table(
+        spark,
+        customer_raw,
+        tmp_path,
+        checks={"city_not_blank": "length(city) > 0"},
+    )
+    with pytest.raises(mutations.CheckViolation, match="city_not_blank"):
+        t.update_where("customerid = 1", {"city": F.lit("")})
+    # rejected write must not have mutated the snapshot
+    assert t.read().filter("length(city) = 0").count() == 0
+    # a clean update still passes
+    assert t.update_where("customerid = 1", {"city": F.lit("Auckland")}) == 1
+
+
+def test_unpartitioned_delete(spark, customer_raw, tmp_path):
+    t = _table(spark, customer_raw, tmp_path)
+    n = t.delete_where("customerid <= 10")
+    assert n == 10
+    assert t.read().count() == customer_raw.count() - 10
