@@ -57,6 +57,7 @@ def load_all() -> dict[str, QueryDef]:
         x_mutations,
         x_pipeline,
         x_similarity,
+        x_sources,
         x_sql_surface,
         x_text,
         x_tpch,

@@ -1,0 +1,80 @@
+"""Extension: text-format source/sink round-trips (sources/files.py).
+
+Each entry exports a driver table to a text format (JSONL / CSV), reads it
+back schema-explicit, and aggregates the re-read rows; the DuckDB oracle
+computes the same aggregate on the original parquet.  A value-hash match
+therefore proves the round-trip is lossless (values, types, row multiplicity)
+-- the property a pipeline that interchanges shards as JSONL/CSV depends on.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import money, sql_dec, sql_money, sum_c100
+from ..sources import files
+from . import query
+
+
+@query(
+    "x_source_jsonl_roundtrip",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_hash
+FROM documents
+GROUP BY lang, source
+""",
+)
+def x_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> gzip JSONL -> schema-explicit re-read -> per-(lang,
+    source) aggregate with an order-canonical content hash: hash equality
+    proves the JSONL sink/source round-trip preserved every text byte."""
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-jsonl-")
+    files.write_jsonl(t.documents, out)
+    back = files.read_jsonl(spark, out, t.documents.schema)
+    return (
+        back.select("lang", "source", "n_chars", F.md5("text").alias("h"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+                "content_hash"
+            ),
+        )
+    )
+
+
+@query(
+    "x_source_csv_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_money(f"SUM({sql_dec('o_totalprice')})")} AS total_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def x_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (sans timestamp column: CSV interchange of order facts) ->
+    gzip CSV with header -> schema-explicit re-read -> status/priority
+    aggregate in exact decimal.  Value-hash equality pins both the CSV
+    writer/reader pair and numeric fidelity through the text format."""
+    t = catalog.load(spark, sf_dir)
+    slim = t.orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    out = tempfile.mkdtemp(prefix="pdwx-csv-")
+    files.write_csv(slim, out)
+    back = files.read_csv(spark, out, slim.schema)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(sum_c100("o_totalprice")).alias("total_price"),
+    )

@@ -265,3 +265,61 @@ def x_text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pretokens"),
         F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_whitespace_tokens"),
     )
+
+
+@query(
+    "x_text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+  FROM documents
+), bi AS (
+  SELECT doc_id, tokens,
+         list_transform(range(1, greatest(len(tokens), 1)),
+                        i -> tokens[i] || ' ' || tokens[i+1]) AS bigrams
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN len(tokens) = 0 THEN 0.0
+            ELSE ROUND(1 - CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 4)
+       END AS dup_token_frac,
+       CASE WHEN len(bigrams) = 0 THEN 0.0
+            ELSE ROUND(1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 4)
+       END AS dup_bigram_frac
+FROM bi
+""",
+)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the C4/Gopher-style quality
+    rules): duplicate-token fraction and duplicate-bigram fraction.  All
+    row-level JVM array expressions (regexp tokenize -> array_distinct /
+    zip_with-of-slices bigrams) -- one narrow scan, no shuffle, no Python;
+    the shape that holds at 100 TB because each row is independent."""
+    t = catalog.load(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    docs = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), toks.alias("tokens")
+    )
+    n1 = F.greatest(F.size("tokens") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("tokens", 1, n1),
+        F.slice(F.col("tokens"), 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_tok = F.size("tokens")
+    n_dis = F.size(F.array_distinct("tokens"))
+    n_bi = F.size(bigrams)
+    n_bi_dis = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.round(1 - n_dis.cast("double") / n_tok, 4))
+        .alias("dup_token_frac"),
+        F.when(n_bi == 0, F.lit(0.0))
+        .otherwise(F.round(1 - n_bi_dis.cast("double") / n_bi, 4))
+        .alias("dup_bigram_frac"),
+    )

@@ -118,3 +118,30 @@ def test_unpartitioned_delete(spark, customer_raw, tmp_path):
     n = t.delete_where("customerid <= 10")
     assert n == 10
     assert t.read().count() == customer_raw.count() - 10
+
+
+def test_pruned_rewrite_scan_reads_only_touched_partitions(
+    spark, customer_raw, tmp_path, monkeypatch
+):
+    """The COW rewrite's staged scan must carry PartitionFilters on the
+    partition column (partition-pruned read), not a full-table scan with a
+    post-filter -- the property that makes a one-partition UPDATE on a
+    100 TB table rewrite one partition."""
+    t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
+
+    captured = []
+    orig = mutations.ManagedParquetTable._write_snapshot
+
+    def capture(self, df, dest):
+        captured.append(df)
+        return orig(self, df, dest)
+
+    monkeypatch.setattr(mutations.ManagedParquetTable, "_write_snapshot", capture)
+    t.update_where("city = 'Sidney'", {"city": F.lit("Sydney")})
+
+    assert captured, "pruned rewrite never staged a write"
+    plan = captured[-1]._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "country" in m.group(1), plan[:2000]
