@@ -32,6 +32,37 @@ def _sales(t: catalog.Tables) -> DataFrame:
     return t.sales()
 
 
+def _sales_table(t: catalog.Tables) -> DataFrame:
+    """The reference's plain-table twin of the sales MV
+    (assignment-5.sql:90-112: CREATE TABLE sales_table with PK
+    (customerid,timeid,isbn), NOT NULL, and FKs to customer/time/book, then
+    INSERT INTO ... SELECT).  Spark-on-parquet enforces none of those
+    declarations, so the INSERT becomes write-after-validate: the declared
+    PK/NOT NULL/FK rules run as one-aggregate assertions on the (small,
+    already-aggregated) fact before it is persisted -- ConstraintViolation
+    rejects the build, mirroring Postgres failing the INSERT."""
+    from ..etl import validate
+
+    df = t.sales()
+    validate.assert_table(
+        df,
+        "sales_table",
+        key=["customerid", "timeid", "partkey"],
+        not_null=["customerid", "timeid", "partkey", "amnt"],
+    )
+    for col, parent, pcol in (
+        ("customerid", t.customer, "c_custkey"),
+        ("timeid", t.time_dim(), "timeid"),
+        ("partkey", t.part, "p_partkey"),
+    ):
+        n = validate.fk_orphans(df, col, parent, pcol)
+        if n:
+            raise validate.ConstraintViolation(
+                f"sales_table: {n} rows with {col} not covered by {pcol}"
+            )
+    return df
+
+
 def _time(t: catalog.Tables) -> DataFrame:
     return t.time_dim()
 
@@ -130,6 +161,17 @@ def default_registry(warehouse: str) -> MVRegistry:
             deps=("time",),
             doc="assignment-5.sql:70-80",
             cache_key="sales",
+        )
+    )
+    reg.register(
+        MVDef(
+            "sales_table",
+            _sales_table,
+            A({"customerid", "timeid", "partkey"}),
+            {"amnt": "sum"},
+            deps=("sales", "time"),
+            doc="assignment-5.sql:90-112 (plain-table twin; INSERT = "
+            "write-after-validate of the declared PK/NOT NULL/FK rules)",
         )
     )
     reg.register(

@@ -18,7 +18,7 @@ from postgresql_datawarehouse_excercise_spark.mv.navigator import AggQuery
 from postgresql_datawarehouse_excercise_spark.queries import load_all
 
 REGISTRY_NAMES = {
-    "time", "sales", "avg_amnt_view", "sum_customer_per_day",
+    "time", "sales", "sales_table", "avg_amnt_view", "sum_customer_per_day",
     "avg_spending_by_customer_on_each_day", "best_buyers", "amount_per_order",
     "ord_avg_amnt", "no_of_ord", "amount_per_order_by_customer", "perc_of_ord",
     "view1", "view2", "view3", "customer_spending", "sum_per_day_per_city",
@@ -201,3 +201,31 @@ def test_extend_time_dim_keeps_ids_stable_under_late_dates(spark, sf_dir):
     assert new_ids == list(range(n_base + 1, n_base + 1 + len(new_ids)))
     # no duplicate ids, no duplicate dates
     assert len(set(ext_rows.values())) == len(ext_rows)
+
+
+def test_sales_table_twin_equals_mv_and_validates(built, spark, sf_dir):
+    """assignment-5.sql:90-112: the plain-table twin must hold exactly the
+    MV's rows (INSERT INTO ... SELECT of the same query) and its build must
+    have enforced the declared PK/NOT NULL/FK rules (write-after-validate)."""
+    mv_rows = sorted(map(tuple, built.read(spark, "sales").collect()))
+    tbl_rows = sorted(map(tuple, built.read(spark, "sales_table").collect()))
+    assert mv_rows == tbl_rows
+
+    # the declared constraints reject a corrupted INSERT: duplicate PK tuple
+    from postgresql_datawarehouse_excercise_spark.etl import validate
+    from postgresql_datawarehouse_excercise_spark.mv.definitions import _sales_table
+
+    t = catalog_load_corrupt(spark, sf_dir)
+    with pytest.raises(validate.ConstraintViolation, match="duplicate key"):
+        _sales_table(t)
+
+
+def catalog_load_corrupt(spark, sf_dir):
+    """Tables facade whose sales() has a duplicated PK tuple."""
+    from postgresql_datawarehouse_excercise_spark import catalog as cat
+
+    base = cat.load(spark, sf_dir)
+    t = cat.Tables(spark, sf_dir)
+    dup = base.sales().limit(1)
+    t._cache["sales"] = base.sales().unionAll(dup)
+    return t
