@@ -509,10 +509,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     )
 
 
-def dedup_clusters_sql(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD) -> str:
-    """Recursive-CTE twin: transitive closure, label = min reachable id."""
-    return f"""
-WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql()}),
+def dedup_clusters_cte(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD) -> str:
+    """CTE list computing `clusters(doc_id, cluster_id, keep)` (recursive
+    transitive closure, label = min reachable id); composable after a
+    `WITH RECURSIVE` prefix so downstream oracles can build on the dedup
+    decision (x_pipeline_canonical_docs)."""
+    return f"""pairs AS ({minhash_lsh_pairs_sql()}),
 strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {min_jaccard}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM strong
@@ -523,9 +525,18 @@ reach(src, dst) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-)
-SELECT src AS doc_id,
-       LEAST(src, MIN(dst)) AS cluster_id,
-       src = LEAST(src, MIN(dst)) AS keep
-FROM reach GROUP BY src
+),
+clusters AS (
+  SELECT src AS doc_id,
+         LEAST(src, MIN(dst)) AS cluster_id,
+         src = LEAST(src, MIN(dst)) AS keep
+  FROM reach GROUP BY src
+)"""
+
+
+def dedup_clusters_sql(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD) -> str:
+    """Recursive-CTE twin: transitive closure, label = min reachable id."""
+    return f"""
+WITH RECURSIVE {dedup_clusters_cte(min_jaccard)}
+SELECT doc_id, cluster_id, keep FROM clusters
 """

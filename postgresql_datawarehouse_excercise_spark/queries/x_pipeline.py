@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..functions import dec, money, sql_dec, sql_money
+from ..operators import dedup as dedup_ops
 from . import query
 
 # per-language sampling rates (percent): heavier on the head language
@@ -524,3 +525,55 @@ FROM sales
 from . import REGISTRY as _REG_INCR  # noqa: E402
 
 _REG_INCR["x_pipeline_incremental_sales"].oracle = _incremental_sales_oracle()
+
+
+@query(
+    "x_pipeline_canonical_docs",
+    oracle=rf"""
+WITH RECURSIVE {dedup_ops.dedup_clusters_cte()},
+docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+merged AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id, d.n_tokens
+  FROM docs d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, n_tokens,
+       (row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id ASC)) = 1
+         AS is_canonical
+FROM merged
+""",
+)
+def x_pipeline_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: compose the near-dup cluster decision
+    (MinHash-LSH -> connected components) with a quality signal and keep the
+    BEST document per cluster (longest, doc_id tie-break) instead of the
+    smallest-id representative -- the real dedup pass of a training
+    pipeline.  Singletons form their own cluster.  Scale shape: the window
+    partitions by cluster_id (tiny, dense clusters; singletons partition
+    alone), so no global sort and no skewed key."""
+    t = catalog.load(spark, sf_dir)
+    pairs = dedup_ops.minhash_lsh_pairs(t.documents).filter(
+        F.col("jaccard") >= dedup_ops.DEDUP_CLUSTER_MIN_JACCARD
+    )
+    clusters = dedup_ops.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    docs = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+    )
+    merged = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return merged.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
