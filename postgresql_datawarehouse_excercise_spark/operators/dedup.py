@@ -475,33 +475,45 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
+    # The loop references `edges` every iteration; without persistence each
+    # join would re-run the WHOLE upstream lineage (minhash signatures +
+    # LSH banding over the full corpus) per iteration.  The skinny (a, b)
+    # edge list is the thing to keep: persist it once, and localCheckpoint
+    # the labels each round so the plan doesn't grow with the iteration
+    # count -- the standard large-scale connected-components loop shape.
+    edges = edges.persist()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

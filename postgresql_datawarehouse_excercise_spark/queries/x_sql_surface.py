@@ -750,3 +750,45 @@ def x_sql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(od) + 1).cast("long").alias("iso_weekday"),
         (F.year(od) * 100 + F.month(od)).cast("long").alias("yyyymm"),
     )
+
+
+@query(
+    "x_sql_approx_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+       TRUE AS median_within_5pct,
+       TRUE AS p99_within_5pct
+FROM orders GROUP BY 1
+""",
+)
+def x_sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch -- the mergeable one-pass quantile path
+    for 100 TB, where exact percentile would sort every group) next to the
+    exact interpolated percentile.  Like x_sql_approx_distinct, the sketch
+    value is engine-specific, so the oracle-checked output is the exact
+    value plus deterministic accuracy-bound booleans (sketch within 5% of
+    exact at accuracy=10000)."""
+    t = catalog.load(spark, sf_dir)
+    approx = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10_000)
+    )
+    agg = t.orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_exact"),
+        approx.alias("ap"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "median_exact",
+        "p99_exact",
+        (
+            F.abs(F.col("ap")[0] - F.col("median_exact"))
+            <= 0.05 * F.abs(F.col("median_exact"))
+        ).alias("median_within_5pct"),
+        (
+            F.abs(F.col("ap")[1] - F.col("p99_exact"))
+            <= 0.05 * F.abs(F.col("p99_exact"))
+        ).alias("p99_within_5pct"),
+    )

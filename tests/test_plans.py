@@ -290,3 +290,21 @@ def test_string_datetime_surfaces_shuffle_free(spark, sf_dir):
         df = REG[name].fn(spark, sf_dir)
         assert plans.num_shuffles(df) == 0, name
         assert "BatchEvalPython" not in plans.formatted_plan(df), name
+
+
+def test_repetition_is_single_scan_no_shuffle(spark, sf_dir):
+    """x_text_repetition is pure row-level array math: its plan must be one
+    pruned scan (doc_id, text) with ZERO exchanges -- the shape that scales
+    linearly with input splits."""
+    df = REG["x_text_repetition"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 0
+    plans.assert_reads_only(df, "doc_id", {"doc_id", "text"})
+
+
+def test_canonical_docs_window_is_key_partitioned(spark, sf_dir):
+    """Canonical selection's ranking window must partition by cluster_id --
+    never collapse to a single partition (the all-data-to-one-task shape
+    that dies at scale)."""
+    df = REG["x_pipeline_canonical_docs"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan[:1500]
