@@ -62,7 +62,12 @@ def multiply(df, key_col: str, k: int):
 
 
 def timed(label: str, df) -> None:
+    # accepts a DataFrame or a 0-arg builder; builders are timed INCLUSIVE
+    # of construction (eager operators like dedup_clusters do their work
+    # in the build, not in the final action)
     t0 = time.perf_counter()
+    if callable(df):
+        df = df()
     n = df.write.format("noop").mode("overwrite").save() or df.count()
     print(f"  {label}: {n} rows in {time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -79,6 +84,14 @@ def main() -> None:
     timed("minhash_lsh_pairs", dedup.minhash_lsh_pairs(docs))
     timed("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs))
     timed("simhash", dedup.simhash_df(docs))
+    # connected components at Kx: every original doc now has K exact copies,
+    # so strong pairs grow ~K^2 per dup group -- the CC loop's worst shape
+    # (dense components).  Persisted edges + checkpointed labels keep each
+    # iteration one join over the skinny edge list.
+    strong = dedup.minhash_lsh_pairs(docs).filter(
+        F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
+    )
+    timed("dedup_clusters", lambda: dedup.dedup_clusters(strong))
 
     # decontamination kernel at Kx: shingle the multiplied corpus once,
     # broadcast the eval gram set, probe map-side (x_pipeline_decontaminate)
