@@ -59,6 +59,7 @@ def load_all() -> dict[str, QueryDef]:
         x_similarity,
         x_sources,
         x_sql_surface,
+        x_streaming,
         x_text,
         x_tpch,
     )

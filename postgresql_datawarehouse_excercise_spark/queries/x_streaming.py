@@ -1,0 +1,117 @@
+"""Extension: DRIVER-CHECKED streaming entries (streaming/events.py).
+
+Each entry actually runs a Structured Streaming query (readStream ->
+watermarked aggregation -> foreachBatch drain with availableNow) and returns
+the drained result as a DataFrame, oracled with the batch-equivalent DuckDB
+SQL.  A value-hash match is therefore an end-to-end streaming correctness
+proof on the driver's own gate -- not just a pytest claim: the stream read
+the same files, produced the same windows/state, and the drain reassembled
+the same rows the batch engine computes.
+
+Update-mode emissions may repeat a key across micro-batches (one emission
+per batch); the drain keeps the LAST emission per key, which for a finite
+input equals the final aggregate (the same reassembly tests/test_streaming
+uses).  On the driver's sf dirs the events table is one parquet file ->
+one micro-batch, so this is exact by construction; with more files it stays
+exact because later emissions strictly supersede earlier ones per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..streaming import events as se
+from . import query
+
+
+def _latest_per_key(rows: list, key_cols: list[str], schema: StructType, spark: SparkSession) -> DataFrame:
+    out = {}
+    for r in rows:
+        out[tuple(r[c] for c in key_cols)] = tuple(r)
+    return spark.createDataFrame(sorted(out.values()), schema=schema)
+
+
+@query(
+    "x_stream_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def x_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed tumbling 1-hour windows, drained and value-hash-checked
+    against the batch SQL."""
+    stream = se.tumbling_hourly(se.read_events_stream(spark, sf_dir))
+    rows = se.run_finite(stream)
+    schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return _latest_per_key(rows, ["window_start", "event_type"], schema, spark)
+
+
+@query(
+    "x_stream_user_totals_stateful",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS max_ts
+FROM events GROUP BY 1
+""",
+)
+def x_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user totals (count + latest event
+    time), drained after the finite input; state must reproduce the batch
+    aggregate exactly."""
+    stream = se.user_totals_stateful(se.read_events_stream(spark, sf_dir))
+    rows = se.run_finite(stream)
+    return _latest_per_key(rows, ["user_id"], se.USER_TOTALS_SCHEMA, spark)
+
+
+@query(
+    "x_stream_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def x_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed per-user 30-minute-gap session windows vs the batch
+    gaps-and-islands oracle (pins merge semantics: end = last event + gap)."""
+    stream = se.session_windows(se.read_events_stream(spark, sf_dir))
+    # session-window aggregation supports complete/append, not update
+    rows = se.run_finite(stream, output_mode="complete")
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return _latest_per_key(rows, ["user_id", "session_start"], schema, spark)
