@@ -489,13 +489,24 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     try:
+        # Convergence test: labels only ever DECREASE (least of self and
+        # neighbor minimum), so the label total is strictly monotone until
+        # the fixpoint -- one aggregate over the checkpointed labels per
+        # iteration instead of a join+shuffle diff.  decimal(38,0) keeps the
+        # total exact at any doc_id magnitude.
+        def label_total(df: DataFrame) -> int:
+            return df.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+
+        prev_total = label_total(labels)
         for _ in range(max_iterations):
             neighbor_min = (
                 edges.join(labels, edges.b == labels.doc_id)
                 .groupBy(F.col("a").alias("doc_id"))
                 .agg(F.min("label").alias("nlabel"))
             )
-            new_labels = (
+            labels = (
                 labels.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -503,15 +514,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            total = label_total(labels)
+            if total == prev_total:
                 break
+            prev_total = total
     finally:
         edges.unpersist()
     return labels.select(
