@@ -25,14 +25,31 @@ def dec(c: Column | str) -> Column:
     return col.cast(DEC)
 
 
+# fround: engine-portable half-up rounding of a DOUBLE at `scale` decimals:
+# floor(x * 10^s + 0.5) / 10^s computed entirely in IEEE doubles.  Every
+# engine performs the identical float ops, so the result is bit-identical
+# everywhere.  round(double, s) is NOT portable: when the quotient lands
+# exactly on a representable .xxx5 tie (power-of-two denominators make this
+# real -- found at sf0.1), Spark (shortest-decimal-string HALF_UP) and
+# DuckDB (binary-value rounding) disagree by 1 ulp of the last digit.
+def fround(x: Column, scale: int = 4) -> Column:
+    factor = F.lit(float(10**scale))
+    return F.floor(x * factor + F.lit(0.5)).cast("double") / factor
+
+
+def sql_floor_round(x: str, scale: int = 4) -> str:
+    """DuckDB twin of _floor_round -- identical op order, identical doubles."""
+    return f"FLOOR(({x}) * {float(10 ** scale)} + 0.5) / {float(10 ** scale)}"
+
+
 def avg4_exact(sum_col: Column, cnt_col: Column) -> Column:
     """Deterministic 4-dp average as DECIMAL(18,4), safe to re-aggregate.
 
-    exact-decimal sum -> double division -> round(4) -> back to decimal, so a
-    downstream SUM over these averages is again exact/order-independent
-    (needed for the reference's weighted-average reconstruction, Q2).
-    """
-    return F.round(sum_col.cast("double") / cnt_col.cast("double"), 4).cast(DEC4)
+    exact-decimal sum -> double division -> portable half-up floor-round(4)
+    -> back to decimal, so a downstream SUM over these averages is again
+    exact/order-independent (needed for the reference's weighted-average
+    reconstruction, Q2)."""
+    return fround(sum_col.cast("double") / cnt_col.cast("double"), 4).cast(DEC4)
 
 
 def money(c: Column) -> Column:
@@ -41,8 +58,9 @@ def money(c: Column) -> Column:
 
 
 def ratio(num: Column, den: Column, scale: int = 4) -> Column:
-    """avg/percent form: exact numerator -> double division -> round(scale)."""
-    return F.round(num.cast("double") / den.cast("double"), scale)
+    """avg/percent form: exact numerator -> double division -> portable
+    half-up floor-round at `scale` (see _floor_round)."""
+    return fround(num.cast("double") / den.cast("double"), scale)
 
 
 # Oracle-side (DuckDB SQL) fragments mirroring the helpers above.
@@ -58,11 +76,11 @@ def sql_money(x: str) -> str:
 
 
 def sql_ratio(num: str, den: str, scale: int = 4) -> str:
-    return f"ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), {scale})"
+    return sql_floor_round(f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)", scale)
 
 
 def sql_avg4_exact(sum_x: str, cnt_x: str) -> str:
-    return f"CAST(ROUND(CAST({sum_x} AS DOUBLE) / CAST({cnt_x} AS DOUBLE), 4) AS DECIMAL(18,4))"
+    return f"CAST({sql_floor_round(f'CAST({sum_x} AS DOUBLE) / CAST({cnt_x} AS DOUBLE)', 4)} AS DECIMAL(18,4))"
 
 
 def cents_sum(qty: Column | str, price: Column | str) -> Column:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import fround
+
 # ---------------------------------------------------------------------------
 # Shared parameters (Spark fns and SQL twins must agree on these literals).
 # ---------------------------------------------------------------------------
@@ -190,13 +192,11 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.size(F.array_intersect("sha", "shb")).cast("double")
+            fround(F.size(F.array_intersect("sha", "shb")).cast("double")
                 / (
                     F.size("sha") + F.size("shb") - F.size(F.array_intersect("sha", "shb"))
                 ).cast("double"),
-                4,
-            ).alias("jaccard"),
+                4, ).alias("jaccard"),
         )
     )
 
@@ -312,11 +312,9 @@ def ngram_jaccard_pairs(documents: DataFrame, min_jaccard: float = 0.1) -> DataF
         pair_inter.select(
             F.expr(f"pa div {PACK}").alias("doc_a"),
             F.expr(f"pb div {PACK}").alias("doc_b"),
-            F.round(
-                F.col("inter").cast("double")
+            fround(F.col("inter").cast("double")
                 / ((F.col("pa") % PACK) + (F.col("pb") % PACK) - F.col("inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
+                4, ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -383,9 +381,8 @@ cand AS (
   WHERE x.doc_id < y.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
-             4) AS jaccard
+       FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cand c
 JOIN hs a ON a.doc_id = c.doc_a
 JOIN hs b ON b.doc_id = c.doc_b
@@ -452,9 +449,9 @@ pair_inter AS (
   GROUP BY 1, 2
 )
 SELECT pa // {PACK} AS doc_a, pb // {PACK} AS doc_b,
-       ROUND(CAST(inter AS DOUBLE) / CAST((pa % {PACK}) + (pb % {PACK}) - inter AS DOUBLE), 4) AS jaccard
+       FLOOR((CAST(inter AS DOUBLE) / CAST((pa % {PACK}) + (pb % {PACK}) - inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM pair_inter
-WHERE ROUND(CAST(inter AS DOUBLE) / CAST((pa % {PACK}) + (pb % {PACK}) - inter AS DOUBLE), 4) >= {min_jaccard}
+WHERE FLOOR((CAST(inter AS DOUBLE) / CAST((pa % {PACK}) + (pb % {PACK}) - inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= {min_jaccard}
 """
 
 

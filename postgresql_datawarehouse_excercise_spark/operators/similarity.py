@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import fround
+
 NEARDUP_THRESHOLD = 0.35
 ANN_PLANES = 4
 TOP_K = 10
@@ -77,7 +79,7 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> Dat
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
+            fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -98,7 +100,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = NEARDUP_THRES
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            fround(cos, 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -200,7 +202,7 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> Da
         .select(
             "vec_id",
             "bucket",
-            F.round(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
+            fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -263,7 +265,7 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> Da
         .select(
             "vec_id",
             "cell",
-            F.round(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
+            fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -298,7 +300,7 @@ def knn_join(embeddings: DataFrame, n_queries: int = KNN_QUERIES, k: int = KNN_K
         .select(
             "query_id",
             "vec_id",
-            F.round(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
+            fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
@@ -326,7 +328,7 @@ base AS (
 def cosine_topk_sql(query_vec_id: int, k: int = TOP_K) -> str:
     return f"""
 WITH {_SQL_BASE}
-SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, q.e), 6) AS cos_sim
+SELECT b.vec_id, FLOOR((list_cosine_similarity(b.e, q.e)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM base b, (SELECT e FROM base WHERE vec_id = {query_vec_id}) q
 WHERE b.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, b.vec_id ASC
@@ -338,9 +340,9 @@ def cosine_neardup_pairs_sql(threshold: float = NEARDUP_THRESHOLD) -> str:
     return f"""
 WITH {_SQL_BASE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+       FLOOR((list_cosine_similarity(a.e, b.e)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM base a JOIN base b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
+WHERE FLOOR((list_cosine_similarity(a.e, b.e)) * 1000000.0 + 0.5) / 1000000.0 >= {threshold}
 """
 
 
@@ -356,7 +358,7 @@ def ann_lsh_topk_sql(query_vec_id: int, k: int = TOP_K) -> str:
     return f"""
 WITH {_SQL_BASE},
 bk AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM base)
-SELECT b.vec_id, b.bucket, ROUND(list_cosine_similarity(b.e, q.e), 6) AS cos_sim
+SELECT b.vec_id, b.bucket, FLOOR((list_cosine_similarity(b.e, q.e)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM bk b, (SELECT e, bucket FROM bk WHERE vec_id = {query_vec_id}) q
 WHERE b.bucket = q.bucket AND b.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, b.vec_id ASC
@@ -370,10 +372,10 @@ WITH {_SQL_BASE},
 q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < {n_queries})
 SELECT query_id, vec_id, cos_sim, rn FROM (
   SELECT q.query_id, b.vec_id,
-         ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cos_sim,
+         FLOOR((list_cosine_similarity(b.e, q.qe)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY q.query_id
-           ORDER BY ROUND(list_cosine_similarity(b.e, q.qe), 6) DESC, b.vec_id ASC
+           ORDER BY FLOOR((list_cosine_similarity(b.e, q.qe)) * 1000000.0 + 0.5) / 1000000.0 DESC, b.vec_id ASC
          ) AS BIGINT) AS rn
   FROM base b CROSS JOIN q
   WHERE b.vec_id != q.query_id
@@ -400,7 +402,7 @@ qcells AS (
   ORDER BY list_cosine_similarity(q.e, c.ce) DESC, c.cid ASC
   LIMIT {IVF_NPROBE}
 )
-SELECT a.vec_id, a.cell, ROUND(list_cosine_similarity(a.e, q.e), 6) AS cos_sim
+SELECT a.vec_id, a.cell, FLOOR((list_cosine_similarity(a.e, q.e)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM assigned a
 JOIN qcells USING (cell)
 CROSS JOIN (SELECT e FROM base WHERE vec_id = {query_vec_id}) q

@@ -26,7 +26,7 @@ _W = f"WITH {ORACLE_SALES_CTE}"
     "q2_avg_amnt_per_customer",
     oracle=f"""{_W}
 SELECT customerid,
-       ROUND(CAST(SUM(amnt) AS DOUBLE) / COUNT(*), 4) AS avg_amnt
+       FLOOR((CAST(SUM(amnt) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_amnt
 FROM sales GROUP BY customerid
 """,
 )
@@ -44,10 +44,10 @@ def q2_avg_amnt_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""{_W},
 per_cust AS (
   SELECT customerid,
-         CAST(ROUND(CAST(SUM(amnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(18,4)) AS avg_amnt
+         CAST(FLOOR((CAST(SUM(amnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS avg_amnt
   FROM sales GROUP BY customerid
 )
-SELECT ROUND(CAST(SUM(avg_amnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_of_avgs
+SELECT FLOOR((CAST(SUM(avg_amnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_of_avgs
 FROM per_cust
 """,
 )
@@ -66,7 +66,7 @@ def q2_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q2_avg_transaction",
     oracle=f"""{_W}
-SELECT ROUND(CAST(SUM(amnt) AS DOUBLE) / COUNT(*), 4) AS avg_transaction
+SELECT FLOOR((CAST(SUM(amnt) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_transaction
 FROM sales
 """,
 )
@@ -105,7 +105,7 @@ per_cd AS (
 )
 SELECT timeid,
        COUNT(*) AS number_of_customer_a_day,
-       ROUND(CAST(SUM(spent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_spending
+       FLOOR((CAST(SUM(spent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_spending
 FROM per_cd GROUP BY timeid
 """,
 )
@@ -128,7 +128,7 @@ per_cd AS (
   FROM sales GROUP BY customerid, timeid
 )
 SELECT COUNT(*) AS customer_day_tuples,
-       ROUND(CAST(SUM(spent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS total_avg
+       FLOOR((CAST(SUM(spent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS total_avg
 FROM per_cd
 """,
 )
@@ -152,10 +152,10 @@ per_cd AS (
 ),
 daily AS (
   SELECT timeid, COUNT(*) AS n,
-         CAST(ROUND(CAST(SUM(spent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(18,4)) AS avg_spending
+         CAST(FLOOR((CAST(SUM(spent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS avg_spending
   FROM per_cd GROUP BY timeid
 )
-SELECT ROUND(CAST(SUM(avg_spending * n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4) AS total_avg
+SELECT FLOOR((CAST(SUM(avg_spending * n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS total_avg
 FROM daily
 """,
 )

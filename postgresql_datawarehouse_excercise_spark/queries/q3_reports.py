@@ -94,7 +94,7 @@ def q3b_amount_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3b_ord_avg_amnt",
     oracle=f"""WITH {_APO_CTE}
-SELECT ROUND(CAST(SUM(order_amount) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS ord_avg_amnt
+SELECT FLOOR((CAST(SUM(order_amount) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS ord_avg_amnt
 FROM amount_per_order
 """,
 )
@@ -190,7 +190,7 @@ no_of_ord AS (
   WHERE o_custkey IN (SELECT customerid FROM best_buyer)
 ),
 ord_avg AS (
-  SELECT CAST(ROUND(CAST(SUM(order_amount) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(18,4)) AS ord_avg_amnt
+  SELECT CAST(FLOOR((CAST(SUM(order_amount) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS ord_avg_amnt
   FROM amount_per_order
 ),
 apobc AS (
@@ -199,7 +199,7 @@ apobc AS (
   WHERE o.o_custkey IN (SELECT customerid FROM best_buyer)
 ),
 perc AS (
-  SELECT ROUND(CAST(COUNT(*) * 100 AS DOUBLE) / CAST(no_of_ord AS DOUBLE), 4) AS perc_of_ord
+  SELECT FLOOR((CAST(COUNT(*) * 100 AS DOUBLE) / CAST(no_of_ord AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS perc_of_ord
   FROM apobc, ord_avg, no_of_ord
   WHERE order_amount > ord_avg_amnt
   GROUP BY no_of_ord

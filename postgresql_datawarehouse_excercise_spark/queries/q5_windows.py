@@ -91,7 +91,7 @@ def q5a_customer_spending(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""WITH {_PERIOD_CTE}
 SELECT DISTINCT customerid, name, city,
        CAST(ROUND(SUM(amnt) OVER custwin, 2) AS DOUBLE) AS sumspending,
-       ROUND(CAST(SUM(amnt) OVER citywin AS DOUBLE) / CAST(COUNT(*) OVER citywin AS DOUBLE), 4) AS avgcityspending
+       FLOOR((CAST(SUM(amnt) OVER citywin AS DOUBLE) / CAST(COUNT(*) OVER citywin AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avgcityspending
 FROM period_sales
 WINDOW custwin AS (PARTITION BY customerid), citywin AS (PARTITION BY city)
 """,
@@ -207,8 +207,8 @@ customer_spending AS (
 )
 SELECT customerid, name, city,
        CAST(ROUND(amountofspending, 2) AS DOUBLE) AS amountofspending,
-       ROUND(CAST(SUM(amountofspending) OVER citywin AS DOUBLE)
-             / CAST(COUNT(*) OVER citywin AS DOUBLE), 4) AS avgspendingbycity
+       FLOOR((CAST(SUM(amountofspending) OVER citywin AS DOUBLE)
+             / CAST(COUNT(*) OVER citywin AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avgspendingbycity
 FROM customer_spending
 WINDOW citywin AS (PARTITION BY city)
 """,

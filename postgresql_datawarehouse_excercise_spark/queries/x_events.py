@@ -44,20 +44,38 @@ def x_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_value
+       CAST((200 * SUM(CAST(ROUND(value * 100) AS BIGINT)) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """,
 )
 def x_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user daily rollup (count + exact-decimal average value)."""
+    """Per-user daily rollup (count + average value, 4 dp).
+
+    The average rounds HALF-UP in exact INTEGER arithmetic:
+    (200*sum_cents + n) // (2n) is round-half-up of sum_cents*100/n for
+    non-negative values, computed identically by any engine.  Double
+    round(sum/n, 4) is NOT portable: when n is a power of two the quotient
+    can land exactly on a representable .xxxx5 tie, and Spark (shortest-
+    string HALF_UP) and DuckDB (binary-value rounding) disagree -- found as
+    a real one-row mismatch at sf0.1."""
     t = catalog.load(spark, sf_dir)
+    sc = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count(F.lit(1))
     return (
         t.events.groupBy(
             "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            ratio(F.sum(dec("value")), F.count(F.lit(1))).alias("avg_value"),
+            n.alias("n_events"),
+            (200 * sc + n).alias("_num"),
+            (2 * n).alias("_den"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            (F.expr("_num div _den").cast("double") / F.lit(10000.0)).alias("avg_value"),
         )
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import dec, money, sql_dec, sql_money
+from ..functions import dec, fround, money, sql_dec, sql_money
 from ..operators import dedup as dedup_ops
 from . import query
 
@@ -369,9 +369,9 @@ tot AS (
   SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_source
 )
 SELECT source, n_docs, n_tokens,
-       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
-       ROUND(LEAST(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens,
-                   {MAX_EPOCHS}), 6) AS sample_weight
+       FLOOR((CAST(n_tokens AS DOUBLE) / total_tokens) * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+       FLOOR((LEAST(CAST(total_tokens AS DOUBLE) / n_sources / n_tokens,
+                   {MAX_EPOCHS})) * 1000000.0 + 0.5) / 1000000.0 AS sample_weight
 FROM per_source, tot
 """,
 )
@@ -396,14 +396,12 @@ def x_pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias("token_share"),
-        F.round(
-            F.least(
+        fround(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias("token_share"),
+        fround(F.least(
                 F.col("total_tokens").cast("double") / F.col("n_sources") / F.col("n_tokens"),
                 F.lit(MAX_EPOCHS),
             ),
-            6,
-        ).alias("sample_weight"),
+            6, ).alias("sample_weight"),
     )
 
 

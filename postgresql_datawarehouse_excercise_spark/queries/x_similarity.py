@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import catalog
+from ..functions import fround
 from ..operators import similarity
 from . import query
 
@@ -70,10 +71,10 @@ def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS comp_sum,
-       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS comp_max,
-       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'min'), 6) AS comp_min,
-       ROUND(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+       FLOOR((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')) * 1000000.0 + 0.5) / 1000000.0 AS comp_sum,
+       FLOOR((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max')) * 1000000.0 + 0.5) / 1000000.0 AS comp_max,
+       FLOOR((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'min')) * 1000000.0 + 0.5) / 1000000.0 AS comp_min,
+       FLOOR((sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
 FROM embeddings
 """,
 )
@@ -89,8 +90,8 @@ def x_sim_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.size("embedding").alias("dim"),
-        F.round(similarity.dot(e, F.transform(e, lambda x: F.lit(1.0))), 6).alias("comp_sum"),
-        F.round(F.array_max(e), 6).alias("comp_max"),
-        F.round(F.array_min(e), 6).alias("comp_min"),
-        F.round(F.sqrt(similarity.dot(e, e)), 6).alias("l2_norm"),
+        fround(similarity.dot(e, F.transform(e, lambda x: F.lit(1.0))), 6).alias("comp_sum"),
+        fround(F.array_max(e), 6).alias("comp_max"),
+        fround(F.array_min(e), 6).alias("comp_min"),
+        fround(F.sqrt(similarity.dot(e, e)), 6).alias("l2_norm"),
     )

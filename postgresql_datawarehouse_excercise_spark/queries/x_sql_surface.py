@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import c100, dec, money, ratio
+from ..functions import c100, dec, fround, money, ratio
 from . import query
 
 
@@ -369,9 +369,9 @@ def x_sql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sql_percentiles",
     oracle="""
 SELECT o_orderpriority,
-       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+       FLOOR((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_price,
+       FLOOR((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_price,
+       FLOOR((quantile_cont(o_totalprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99_price
 FROM orders GROUP BY 1
 """,
 )
@@ -383,9 +383,9 @@ def x_sql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups and is the right tool at dimension-bounded cardinalities.)"""
     t = catalog.load(spark, sf_dir)
     return t.orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
+        fround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        fround(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        fround(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
     )
 
 
@@ -394,7 +394,7 @@ def x_sql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(unnest(range(len(embedding))) AS INT) AS pos,
-       ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+       FLOOR((CAST(unnest(embedding) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS val
 FROM embeddings WHERE vec_id < 4
 """,
 )
@@ -413,7 +413,7 @@ def x_sql_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("pos").cast("int").alias("pos"),
-            F.round(F.col("col").cast("double"), 6).alias("val"),
+            fround(F.col("col").cast("double"), 6).alias("val"),
         )
     )
 
@@ -483,8 +483,8 @@ SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w  AS first_order,
        last_value(o_orderkey)  OVER wf AS last_order,
        nth_value(o_orderkey, 2) OVER wf AS second_order,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist()    OVER w, 6) AS cume
+       FLOOR((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       FLOOR((cume_dist()    OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cume
 FROM orders
 WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -506,8 +506,8 @@ def x_sql_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(wf).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -565,13 +565,12 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_qty,
-       ROUND(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-                  / CAST(n - 1 AS DOUBLE)) / 100, 6) AS stddev_qty,
-       ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+       FLOOR((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100) * 1000000.0 + 0.5) / 1000000.0 AS mean_qty,
+       FLOOR((sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n - 1 AS DOUBLE)) / 100) * 1000000.0 + 0.5) / 1000000.0 AS stddev_qty,
+       FLOOR(((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
              / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
-             6) AS corr_qty_price
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
 FROM s ORDER BY l_returnflag
 """,
 )
@@ -599,13 +598,11 @@ def x_sql_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(sq / n / 100, 6).alias("mean_qty"),
-        F.round(F.sqrt((sqq - sq * sq / n) / (n - F.lit(1.0))) / 100, 6).alias("stddev_qty"),
-        F.round(
-            (n * sqp - sq * sp)
+        fround(sq / n / 100, 6).alias("mean_qty"),
+        fround(F.sqrt((sqq - sq * sq / n) / (n - F.lit(1.0))) / 100, 6).alias("stddev_qty"),
+        fround((n * sqp - sq * sp)
             / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
-            6,
-        ).alias("corr_qty_price"),
+            6, ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -756,8 +753,8 @@ def x_sql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sql_approx_percentile",
     oracle="""
 SELECT o_orderpriority,
-       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
-       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+       FLOOR((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_exact,
+       FLOOR((quantile_cont(o_totalprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99_exact,
        TRUE AS median_within_5pct,
        TRUE AS p99_within_5pct
 FROM orders GROUP BY 1
@@ -775,8 +772,8 @@ def x_sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10_000)
     )
     agg = t.orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_exact"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_exact"),
+        fround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_exact"),
+        fround(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_exact"),
         approx.alias("ap"),
     )
     return agg.select(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import ratio
+from ..functions import fround, ratio
 from ..operators import textlang
 from . import query
 
@@ -42,12 +42,12 @@ def x_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_text_quality",
     oracle=r"""
 SELECT doc_id,
-       ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-             / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
-       ROUND(CAST(len(regexp_extract_all(text, '\d')) AS DOUBLE)
-             / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio,
-       ROUND(CAST(length(text) AS DOUBLE)
-             / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE), 4) AS chars_per_token
+       FLOOR((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       FLOOR((CAST(len(regexp_extract_all(text, '\d')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
+       FLOOR((CAST(length(text) AS DOUBLE)
+             / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS chars_per_token
 FROM documents
 """,
 )
@@ -100,7 +100,7 @@ df AS (SELECT term, COUNT(*) AS df_docs FROM (SELECT DISTINCT doc_id, term FROM 
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
-         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df_docs AS DOUBLE)), 6) AS tfidf
+         FLOOR((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df_docs AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
   FROM tf JOIN df USING (term) CROSS JOIN n
 )
 SELECT doc_id, term, tf, df_docs, tfidf FROM (
@@ -134,10 +134,8 @@ def x_text_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df_docs",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
-                6,
-            ).alias("tfidf"),
+            fround(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
+                6, ).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -283,10 +281,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(tokens) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens,
        CASE WHEN len(tokens) = 0 THEN 0.0
-            ELSE ROUND(1 - CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 4)
+            ELSE FLOOR((1 - CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)) * 10000.0 + 0.5) / 10000.0
        END AS dup_token_frac,
        CASE WHEN len(bigrams) = 0 THEN 0.0
-            ELSE ROUND(1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 4)
+            ELSE FLOOR((1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)) * 10000.0 + 0.5) / 10000.0
        END AS dup_bigram_frac
 FROM bi
 """,
@@ -317,9 +315,9 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.cast("long").alias("n_tokens"),
         n_dis.cast("long").alias("n_distinct_tokens"),
         F.when(n_tok == 0, F.lit(0.0))
-        .otherwise(F.round(1 - n_dis.cast("double") / n_tok, 4))
+        .otherwise(fround(1 - n_dis.cast("double") / n_tok, 4))
         .alias("dup_token_frac"),
         F.when(n_bi == 0, F.lit(0.0))
-        .otherwise(F.round(1 - n_bi_dis.cast("double") / n_bi, 4))
+        .otherwise(fround(1 - n_bi_dis.cast("double") / n_bi, 4))
         .alias("dup_bigram_frac"),
     )
