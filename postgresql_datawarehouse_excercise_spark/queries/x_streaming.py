@@ -115,3 +115,34 @@ def x_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return _latest_per_key(rows, ["user_id", "session_start"], schema, spark)
+
+
+@query(
+    "x_stream_dedup",
+    oracle="""
+SELECT DISTINCT event_id, CAST(1 AS BIGINT) AS n_emitted
+FROM events
+""",
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: the event stream unioned with
+    ITSELF (every event arrives twice) flows through
+    dropDuplicatesWithinWatermark(event_id); the drained survivors must be
+    exactly one row per event_id -- the batch DISTINCT.  Unlike plain
+    dropDuplicates, watermark eviction keeps the dedup state bounded by the
+    late-data horizon, the only dedup shape that survives an unbounded
+    stream."""
+    doubled = se.read_events_stream(spark, sf_dir).unionByName(
+        se.read_events_stream(spark, sf_dir)
+    )
+    deduped = se.dedup_stream(doubled, ["event_id"])
+    rows = se.run_finite(deduped.select("event_id"), output_mode="append")
+    seen: dict = {}
+    for r in rows:
+        seen[r["event_id"]] = seen.get(r["event_id"], 0) + 1
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(seen.items())],
+        schema=StructType(
+            [StructField("event_id", LongType()), StructField("n_emitted", LongType())]
+        ),
+    )
