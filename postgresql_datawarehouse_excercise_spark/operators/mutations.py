@@ -22,6 +22,14 @@ Everything is DataFrame-native: the updated projection is a CASE WHEN over
 the old rows (Catalyst folds it into the rewrite scan), matching rows are
 found with the same pushed-down predicate the rewrite uses, and no row ever
 passes through the driver.
+
+Atomicity contract (stated, not hidden): unpartitioned rewrites and each
+individual partition swap are atomic (os.replace of a staged directory);
+a MULTI-partition mutation is atomic per partition, not across partitions --
+a crash mid-loop leaves some partitions updated and some not, all readable.
+Cross-partition transactional commit is exactly what a lakehouse log (Delta/
+Iceberg) adds; on plain parquet the honest guarantee is per-partition, and
+the staged write means no reader ever sees a half-written file.
 """
 
 from __future__ import annotations
