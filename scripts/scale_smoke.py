@@ -150,6 +150,23 @@ def main() -> None:
     print(f"events x{k}:", flush=True)
     timed("salted_hot_key_sum", salted_sum(evs, ["event_type"], dec("value"), "total"))
 
+    # partition-pruned COW UPDATE at Kx: only the one touched partition of
+    # the Kx customer table is rewritten, so the cost tracks partition size,
+    # not table size
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    cust = multiply(t.customer, "c_custkey", k)
+    print(f"customer x{k} mutation:", flush=True)
+
+    def mutate():
+        tbl = mutations.temp_table(spark, cust, partition_by=("c_mktsegment",))
+        n = tbl.update_where(
+            "c_mktsegment = 'BUILDING' AND c_acctbal < 0", {"c_acctbal": F.lit(0.0)}
+        )
+        return tbl.read().groupBy("c_mktsegment").count()
+
+    timed("cow_update_one_partition", mutate)
+
     spark.stop()
 
 
