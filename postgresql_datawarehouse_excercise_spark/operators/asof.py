@@ -96,3 +96,33 @@ def range_join_buckets(
         < F.unix_timestamp(left_time) + F.lit(window_seconds)
     )
     return joined.filter(keep).drop("_bk", "_probe")
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """asof_join with a match horizon (pandas merge_asof `tolerance`): the
+    latest right row at-or-before left_time counts ONLY if it is within
+    `tolerance_seconds`; older matches become NULL payload.  Same single
+    window pass; the tolerance is a post-projection, not another join.
+    The matched right_time must be in `payload` so the horizon can be
+    evaluated."""
+    if right_time not in payload:
+        payload = [*payload, right_time]
+    joined = asof_join(left, right, on, left_time, right_time, payload)
+    within = (
+        F.col(left_time).cast("long") - F.col(f"asof_{right_time}").cast("long")
+    ) <= F.lit(tolerance_seconds)
+    return joined.select(
+        *[f.name for f in left.schema.fields],
+        *[
+            F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in payload
+        ],
+    )

@@ -90,3 +90,44 @@ def x_range_join_click_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("followup_id") != F.col("click_id"))
         .select("click_id", "followup_id", "click_ts", "ts")
     )
+
+
+TOLERANCE_SECONDS = 7 * 24 * 3600  # orders older than a week don't count
+
+
+@query(
+    "x_asof_latest_order_7d",
+    oracle=f"""
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate AS odate, MAX(o_orderkey) AS orderkey
+  FROM orders WHERE o_custkey < 150 GROUP BY 1, 2
+),
+a AS (
+  SELECT e.event_id, e.user_id, e.ts, od.orderkey, od.odate
+  FROM events e ASOF LEFT JOIN od
+    ON e.user_id = od.user_id AND e.ts >= od.odate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch(ts) - epoch(odate) <= {TOLERANCE_SECONDS}
+            THEN orderkey END AS asof_orderkey,
+       CASE WHEN epoch(ts) - epoch(odate) <= {TOLERANCE_SECONDS}
+            THEN odate END AS asof_odate
+FROM a
+""",
+)
+def x_asof_latest_order_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 7-day tolerance horizon (pandas merge_asof
+    `tolerance` semantics): the latest at-or-before order counts only when
+    it is at most a week old at event time -- the freshness-bounded feature
+    lookup of a training pipeline.  Same one-window-pass plan; the horizon
+    is a projection, not a second join."""
+    t = catalog.load(spark, sf_dir)
+    return asof.asof_join_tolerance(
+        _events(t),
+        _orders_daily(t),
+        on="user_id",
+        left_time="ts",
+        right_time="odate",
+        payload=["orderkey", "odate"],
+        tolerance_seconds=TOLERANCE_SECONDS,
+    )
