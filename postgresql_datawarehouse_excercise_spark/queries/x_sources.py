@@ -78,3 +78,35 @@ def x_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money(sum_c100("o_totalprice")).alias("total_price"),
     )
+
+
+@query(
+    "x_source_partitioned_pruned",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+GROUP BY event_type
+""",
+)
+def x_source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware sink + pruned source on the driver gate: events written
+    day-partitioned to a temp table, then re-read with a day-range filter
+    that must prune to 3 partition directories (the index-scan analog --
+    tests/test_plans pins PartitionFilters; here the VALUES are pinned
+    against computing the same aggregate straight off the unpartitioned
+    parquet in DuckDB)."""
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-part-")
+    t.events.withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    ).write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("day").between(F.lit("2024-01-03"), F.lit("2024-01-05"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
