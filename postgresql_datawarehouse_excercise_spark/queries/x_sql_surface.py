@@ -230,14 +230,19 @@ def x_sql_left_join_zero_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sql_anti_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
 """,
 )
 def x_sql_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join: customers that never ordered (NOT EXISTS twin)."""
+    """LEFT ANTI join (NOT EXISTS twin): customers with no in-progress
+    order.  The 'P' restriction keeps the result non-empty at every SF --
+    the unrestricted "never ordered" form is 0 rows on the driver's data,
+    which green-lights without checking any values."""
     t = catalog.load(spark, sf_dir)
+    in_progress = t.orders.filter(F.col("o_orderstatus") == "P")
     return t.customer.join(
-        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+        in_progress, t.customer.c_custkey == in_progress.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
