@@ -146,3 +146,40 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [StructField("event_id", LongType()), StructField("n_emitted", LongType())]
         ),
     )
+
+
+@query(
+    "x_stream_funnel_stages",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.t_view
+  GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN fp.t_purchase IS NOT NULL THEN 3
+                 WHEN fc.t_click    IS NOT NULL THEN 2
+                 WHEN fv.t_view     IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN fv ON u.user_id = fv.user_id
+LEFT JOIN fc ON u.user_id = fc.user_id
+LEFT JOIN fp ON u.user_id = fp.user_id
+""",
+)
+def x_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed per-user funnel stage via the applyInPandasWithState state
+    machine; the drained final stage per user must equal the batch
+    MIN-join funnel (view -> later click -> later purchase)."""
+    stream = se.funnel_stateful(se.read_events_stream(spark, sf_dir))
+    rows = se.run_finite(stream)
+    return _latest_per_key(rows, ["user_id"], se.FUNNEL_SCHEMA, spark)

@@ -244,3 +244,59 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "2 hours")
     batch x_dedup_exact operator; the training-ingest primitive for
     at-least-once upstream delivery."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), False),
+    ]
+)
+FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType(), False),
+        StructField("stage_us", LongType(), False),
+    ]
+)
+
+
+def funnel_stateful(events: DataFrame) -> DataFrame:
+    """Per-user conversion-funnel state machine via applyInPandasWithState:
+    view -> later click -> later purchase, advancing on the EARLIEST
+    qualifying event (the greedy min-chain, identical to the batch funnel's
+    MIN-join formulation in queries/x_events.py).
+
+    State is two longs per user regardless of event volume.  Within a batch
+    events sort by event time; ACROSS micro-batches the machine assumes
+    time-ordered arrival per user (the property a time-partitioned ingest --
+    file batches split by time, Kafka with event-time-aligned partitions --
+    provides).  Strict `>` on timestamps matches the batch twin's strict
+    inequality, so ties never advance a stage."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stage, stage_us = state.get if state.exists else (0, -1)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts", kind="mergesort")
+            for ts, etype in zip(batch["ts"], batch["event_type"]):
+                us = int(ts.value // 1000)
+                if stage == 0 and etype == "view":
+                    stage, stage_us = 1, us
+                elif stage == 1 and etype == "click" and us > stage_us:
+                    stage, stage_us = 2, us
+                elif stage == 2 and etype == "purchase" and us > stage_us:
+                    stage, stage_us = 3, us
+        state.update((stage, stage_us))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

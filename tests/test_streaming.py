@@ -313,3 +313,49 @@ def test_stream_drives_incremental_mv_maintenance(spark, sf_dir, tmp_path):
         assert ids == list(range(1, len(ids) + 1))
     finally:
         reg.drop_all()
+
+
+def test_funnel_state_carries_across_time_ordered_batches(spark, sf_dir, tmp_path):
+    """Four time-slice files ingested one per micro-batch (time-ordered
+    arrival, the documented ingest contract): the per-user funnel stage
+    machine must end at exactly the batch MIN-join funnel's stage."""
+    import time as _time
+
+    t = catalog.load(spark, sf_dir)
+    src = str(tmp_path / "events_sliced")
+    ts_q = [r[0] for r in t.events.selectExpr("percentile(unix_micros(ts), array(0.25,0.5,0.75)) p").collect()][0]
+    tb = [float("-inf"), *ts_q, float("inf")]
+    for i in range(4):
+        sl = t.events.filter(
+            (F.unix_micros("ts") > F.lit(tb[i])) & (F.unix_micros("ts") <= F.lit(tb[i + 1]))
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # ascending mtimes => file-source ingests in time order
+
+    raw = (
+        spark.readStream.schema(t.events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rows = se.run_finite(se.funnel_stateful(raw))
+    got = {r["user_id"]: r["stage"] for r in rows}  # update mode: last wins via dict
+
+    # batch MIN-join funnel per user
+    ev = t.events.select("user_id", "event_type", "ts")
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id").filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id").filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    users = {r[0] for r in ev.select("user_id").distinct().collect()}
+    s1 = {r[0] for r in fv.collect()}
+    s2 = {r[0] for r in fc.collect()}
+    s3 = {r[0] for r in fp.collect()}
+    want = {u: (3 if u in s3 else 2 if u in s2 else 1 if u in s1 else 0) for u in users}
+    assert got == want
