@@ -57,8 +57,19 @@ def test_left_join_keeps_orderless_customers(spark, sf_dir):
     rows = REG["x_sql_left_join_zero_counts"].fn(spark, sf_dir).collect()
     t = catalog.load(spark, sf_dir)
     assert len(rows) == t.customer.count()
+    # anti-join = customers with no IN-PROGRESS order (kept non-empty at
+    # every SF); cross-check it against the direct NOT-IN computation
     anti = REG["x_sql_anti_join"].fn(spark, sf_dir).count()
-    assert sum(1 for r in rows if r.n_orders == 0) == anti
+    with_p = {
+        r[0]
+        for r in t.orders.filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert anti == t.customer.count() - sum(
+        1 for r in rows if r.c_custkey in with_p
+    )
 
 
 def test_ann_variants_are_subsets_of_bruteforce_ranking(spark, sf_dir):
