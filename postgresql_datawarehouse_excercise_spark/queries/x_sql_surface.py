@@ -794,3 +794,32 @@ def x_sql_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.abs(F.col("p99_exact"))
         ).alias("p99_within_5pct"),
     )
+
+
+@query(
+    "x_sql_lateral_topn",
+    oracle="""
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) c
+""",
+)
+def x_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (top-2 customers per nation by
+    balance, unique-key tie-break) through the spark.sql surface -- the
+    per-row-subquery shape Catalyst decorrelates into a ranked join rather
+    than executing N nested queries.  Same SQL text runs on both engines."""
+    t = catalog.load(spark, sf_dir)
+    t.nation.createOrReplaceTempView("lateral_nation")
+    t.customer.createOrReplaceTempView("lateral_customer")
+    return spark.sql("""
+      SELECT n.n_name, c.c_custkey, c.c_acctbal
+      FROM lateral_nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM lateral_customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+      ) c
+    """)
