@@ -81,6 +81,62 @@ def codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
 
 
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a node line in a logical-plan tree printout
+    (children render under `+-` / `:- ` markers preceded by `: ` / `  `
+    fill).  Root lines (no marker) are depth -1."""
+    m = re.match(r"^([: ]*)[+:]-", line)
+    return len(m.group(1)) if m else -1
+
+
+def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
+    """The analyzed-logical-plan subtree under every EXPLICIT broadcast hint
+    (`ResolvedHint ... BROADCAST`).  Explicit hints matter because AQE never
+    demotes them: a hint pinned onto a fact-cardinality relation is a
+    guaranteed executor OOM at 100x, regardless of runtime statistics."""
+    text = str(df._jdf.queryExecution().analyzed().toString())
+    lines = text.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" in line and "broadcast" in line.lower():
+            d = _tree_depth(line)
+            block = [line]
+            for nxt in lines[i + 1:]:
+                nd = _tree_depth(nxt)
+                if 0 <= nd <= d:
+                    break
+                block.append(nxt)
+            out.append("\n".join(block))
+    return out
+
+
+_FACT_RELATION = re.compile(r"Relation \[[^\]]*\b[ol]_orderkey#")
+
+
+def fact_broadcast_hints(df: DataFrame) -> list[str]:
+    """Explicit broadcast hints whose subtree reaches an orders/lineitem base
+    relation with NO cardinality-reducing node (Aggregate/GlobalLimit)
+    between hint and scan -- i.e. a fact-sized relation statically pinned to
+    broadcast.  A hint over an Aggregate of a fact (e.g. a 1-row max) is
+    fine: the broadcast side is the aggregate's output, not the fact."""
+    offenders = []
+    for sub in broadcast_hint_subtrees(df):
+        entries = [( _tree_depth(l), l) for l in sub.splitlines()]
+        for idx, (d, line) in enumerate(entries):
+            if not _FACT_RELATION.search(line):
+                continue
+            cur, reduced = d, False
+            for pd, pline in reversed(entries[:idx]):
+                if pd < cur:  # ancestor chain within the hint subtree
+                    cur = pd
+                    if "Aggregate" in pline or "GlobalLimit" in pline:
+                        reduced = True
+                        break
+            if not reduced:
+                offenders.append(line.strip())
+    return offenders
+
+
 def assert_broadcasts_dims(df: DataFrame, at_least: int = 1) -> None:
     n = num_broadcast_joins(df)
     assert n >= at_least, f"expected >= {at_least} broadcast joins, plan has {n}"

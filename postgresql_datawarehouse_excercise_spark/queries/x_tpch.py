@@ -110,8 +110,11 @@ LIMIT 10
 """,
 )
 def x_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shipping priority: segment-filtered customers broadcast onto
-    orders, one lineitem shuffle, top-10 via TakeOrderedAndProject."""
+    """TPC-H Q3 shipping priority: lineitem joins the date-filtered orders
+    scan with NO static hint (orders is fact-cardinality at scale -- AQE
+    broadcasts it at runtime only when the filtered slice actually fits);
+    the segment-filtered customer key set broadcasts; top-10 via
+    TakeOrderedAndProject."""
     t = catalog.load(spark, sf_dir)
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t.orders.filter(
@@ -121,10 +124,8 @@ def x_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
-        li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money(sum_rev_cents("l_extendedprice", "l_discount")).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -182,9 +183,11 @@ ORDER BY revenue DESC, n_name ASC
 )
 def x_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local supplier volume: 6-way snowflake join with the
-    "customer and supplier share a nation" cross-table constraint.  All five
-    non-lineitem sides broadcast; the only shuffle is the final 5-row
-    nation aggregate."""
+    "customer and supplier share a nation" cross-table constraint.  The
+    true dimension sides (region-filtered nations, nation-tagged customers,
+    supplier) broadcast; the orders slice joins lineitem UN-hinted --
+    orders is fact-cardinality at 100x, so the broadcast-vs-shuffle call is
+    left to AQE's runtime size check instead of a static hint."""
     t = catalog.load(spark, sf_dir)
     nations = (
         t.nation.join(
@@ -201,7 +204,7 @@ def x_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
     li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
@@ -259,8 +262,10 @@ LIMIT 20
 """,
 )
 def x_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 returned items: quarter of orders broadcast onto the
-    returnflag-filtered lineitem scan; per-customer revenue, top-20."""
+    """TPC-H Q10 returned items: the quarter-filtered orders scan joins the
+    returnflag-filtered lineitem UN-hinted (fact-side; AQE may broadcast it
+    at runtime when the slice fits), nation-tagged customers broadcast;
+    per-customer revenue, top-20."""
     t = catalog.load(spark, sf_dir)
     orders = t.orders.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -274,7 +279,7 @@ def x_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey", "c_name", "c_acctbal", "n_name")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money(sum_rev_cents("l_extendedprice", "l_discount")).alias("revenue"))
@@ -425,10 +430,11 @@ ORDER BY supp_nation, cust_nation, l_year
 def x_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping: bilateral trade between two nations by ship
     year.  Both nation filters reduce supplier and customer to ~2/25 before
-    they touch the fact table; lineitem sees two broadcast joins and one
-    4-group shuffle.  At 100 TB the orders-side pre-join shrinks to ~2/25 of
-    orders via the customer broadcast; AQE downgrades it to a shuffle join
-    if it still exceeds the broadcast threshold."""
+    they touch the fact table; those dim sides broadcast.  The orders scan
+    joins the fact UN-hinted: an explicit broadcast hint would override the
+    size threshold for good (AQE never demotes a hint), and orders is
+    fact-cardinality at 100x -- AQE promotes the join to broadcast at
+    runtime only when the slice actually fits."""
     t = catalog.load(spark, sf_dir)
     nat = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         "n_nationkey", "n_name"
@@ -439,16 +445,15 @@ def x_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t.customer.join(
         F.broadcast(nat), t.customer.c_nationkey == nat.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    orders = t.orders.select("o_orderkey", "o_custkey").join(
-        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
-    )
+    orders = t.orders.select("o_orderkey", "o_custkey")
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == F.col("o_orderkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -486,8 +491,9 @@ def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 national market share: NATION_3's share of ECONOMY-part
     revenue sold into EUROPE customers, per order year.  The share is a
     conditional-aggregate ratio computed in exact long cents (both sums are
-    1e-4ths; the scale cancels in the division).  Part and the
-    region-filtered customer side both broadcast; one 2-group shuffle."""
+    1e-4ths; the scale cancels in the division).  Part, the region-filtered
+    customer key set, and nation-tagged suppliers broadcast; the orders
+    slice joins UN-hinted (fact-side at 100x, AQE decides at runtime)."""
     t = catalog.load(spark, sf_dir)
     eur_nat = t.nation.join(
         F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
@@ -496,14 +502,10 @@ def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t.customer.join(
         F.broadcast(eur_nat), t.customer.c_nationkey == F.col("n_nationkey")
     ).select("c_custkey")
-    orders = (
-        t.orders.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
-    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
     supp = t.supplier.join(
         F.broadcast(t.nation.select("n_nationkey", "n_name")),
         t.supplier.s_nationkey == F.col("n_nationkey"),
@@ -517,7 +519,8 @@ def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("o_year")
         .agg(ratio(F.sum(nat3), F.sum(rev_c)).alias("mkt_share"))
@@ -603,7 +606,7 @@ def x_tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_linestatus")
         .agg(
@@ -789,7 +792,7 @@ def x_tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
     ).otherwise(0)
     order_supp = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max(late).alias("is_late"))
     )

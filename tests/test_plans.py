@@ -138,6 +138,20 @@ def test_tpch_family_no_sortmerge_joins(spark, sf_dir):
         assert plans.num_sortmerge_joins(df) == 0, name
 
 
+def test_tpch_family_no_fact_side_broadcast_hints(spark, sf_dir):
+    """No x_tpch entry may pin an EXPLICIT broadcast hint onto an
+    orders/lineitem-derived relation (an explicit hint overrides the size
+    threshold and AQE never demotes it -- at 100x a filtered orders slice is
+    tens of GB and the hint OOMs every executor).  Hints over an Aggregate
+    of a fact (1-row max etc.) are allowed: the broadcast payload is the
+    aggregate output.  Dim-side hints (region/nation/supplier/part/customer)
+    are exactly what should stay."""
+    for name in sorted(n for n in REG if n.startswith("x_tpch_")):
+        df = REG[name].fn(spark, sf_dir)
+        offenders = plans.fact_broadcast_hints(df)
+        assert not offenders, f"{name}: static broadcast hint on fact-side {offenders}"
+
+
 def test_tpch_q1_single_shuffle_with_pushed_filter(spark, sf_dir):
     """Q1: one exchange (the 6-group aggregate; partials map-side) and the
     shipdate predicate at the parquet reader."""
