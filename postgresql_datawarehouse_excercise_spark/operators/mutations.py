@@ -1,4 +1,5 @@
-"""In-place table mutation over plain parquet: UPDATE / DELETE / CHECK.
+"""In-place table mutation over plain parquet: UPDATE / DELETE / CHECK,
+with versioned snapshots (time travel) and an atomic version pointer.
 
 The reference mutates its warehouse in place -- `UPDATE customer SET city =
 'Sydney' WHERE city = 'Sidney'` (assignment-5.sql:13-15) against tables with
@@ -7,29 +8,44 @@ section 7.3 D8 answered that with transform-on-ingest (parquet is immutable);
 this module closes the remaining gap with a real mutable-table object, the
 way a lakehouse does it but with zero format dependencies:
 
-* **Copy-on-write**: an UPDATE/DELETE rewrites data files and atomically
-  swaps them in; readers before the swap see the old snapshot.
+* **Copy-on-write**: an UPDATE/DELETE builds a NEW snapshot directory and
+  atomically flips a tiny version-pointer file; readers holding the old
+  version keep reading it untouched.
 * **Partition-pruned COW** (the scale path): for a partitioned table, only
-  partitions that contain matching rows are rewritten -- the same file-
-  granularity strategy Delta/Iceberg/Hudi COW uses.  An UPDATE of one city
-  in a country-partitioned 100 TB table rewrites one partition, not 100 TB.
+  partitions that contain matching rows are rewritten; untouched partitions
+  are HARDLINKED into the new snapshot (file-level sharing, the same trick
+  a lakehouse manifest plays logically) -- an UPDATE of one city in a
+  country-partitioned 100 TB table rewrites one partition, not 100 TB, and
+  links the rest in O(#files) metadata operations.
+* **Snapshots / time travel**: every committed mutation is a new immutable
+  `v=N` directory; `read(version=...)` serves any retained snapshot
+  (absolute `0, 1, ...` or relative `-1` = previous).  `retain` bounds the
+  retained history (oldest snapshots are vacuumed after a successful
+  commit; the current snapshot is never vacuumed).
 * **CHECK constraints**: declared per table, validated in ONE aggregate job
   per write (all checks together, count of violations each), raising a named
   `CheckViolation` -- Postgres CHECK semantics on write (the write is
-  rejected, nothing is swapped in).
+  rejected, nothing is committed).
 
 Everything is DataFrame-native: the updated projection is a CASE WHEN over
 the old rows (Catalyst folds it into the rewrite scan), matching rows are
 found with the same pushed-down predicate the rewrite uses, and no row ever
 passes through the driver.
 
-Atomicity contract (stated, not hidden): unpartitioned rewrites and each
-individual partition swap are atomic (os.replace of a staged directory);
-a MULTI-partition mutation is atomic per partition, not across partitions --
-a crash mid-loop leaves some partitions updated and some not, all readable.
-Cross-partition transactional commit is exactly what a lakehouse log (Delta/
-Iceberg) adds; on plain parquet the honest guarantee is per-partition, and
-the staged write means no reader ever sees a half-written file.
+Atomicity contract: a mutation becomes visible with ONE `os.replace` of the
+pointer file -- readers see the old complete snapshot or the new complete
+snapshot, never an intermediate state, including across multi-partition
+mutations (the whole new snapshot is assembled before the flip).  A crash
+mid-build leaves only an unreferenced `.build-*`/`.staging-*` directory; the
+pointer still names the last committed snapshot.  Concurrent WRITERS are
+last-pointer-wins (no optimistic-concurrency log -- that is exactly what a
+Delta/Iceberg commit log adds on top of this layout; documented divergence).
+
+UPDATEs that SET a partition column fall back to a full-snapshot rewrite:
+rows change partition directories, so per-partition pruning cannot stage
+them correctly (the row must LEAVE its source partition and APPEAR in the
+target one).  Correctness first; the pruned path resumes on the next
+non-partition-column mutation.
 """
 
 from __future__ import annotations
@@ -47,8 +63,8 @@ class CheckViolation(RuntimeError):
     """A write violated one or more declared CHECK constraints."""
 
 
-class NoSuchPartitionColumn(RuntimeError):
-    """update/delete referenced a partition spec the table doesn't have."""
+class NoSuchSnapshot(RuntimeError):
+    """read(version=...) named a snapshot that is absent or vacuumed."""
 
 
 def _as_column(expr: "Column | str") -> Column:
@@ -69,12 +85,40 @@ def _escape_path_name(value: object) -> str:
     )
 
 
-class ManagedParquetTable:
-    """A mutable parquet table: COW updates/deletes + CHECK-on-write.
+def _link_tree(src: str, dst: str, skip_rel: frozenset[str] = frozenset()) -> None:
+    """Hardlink every file under src into dst (copy on filesystems without
+    link support), skipping subtrees whose src-relative path is in skip_rel.
+    Metadata-only: shares inodes with the source snapshot, so a 100 GB
+    partition 'copies' in microseconds and the snapshots stay independent
+    (parquet files are immutable once written)."""
+    for dirpath, dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        rel = "" if rel == "." else rel
+        dirs[:] = [
+            d for d in dirs
+            if (os.path.join(rel, d) if rel else d) not in skip_rel
+        ]
+        out_dir = os.path.join(dst, rel) if rel else dst
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(dirpath, f), os.path.join(out_dir, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
-    Layout: ``<root>/data`` holds the current snapshot (optionally
-    partitioned); rewrites build ``<root>/.staging-*`` and atomically swap.
+
+class ManagedParquetTable:
+    """A mutable parquet table: COW updates/deletes, CHECK-on-write, and
+    versioned snapshots with time travel.
+
+    Layout: ``<root>/v=N`` immutable snapshot directories (optionally
+    partitioned inside) plus ``<root>/_current``, a pointer file naming the
+    committed version; commits build a full new snapshot then atomically
+    replace the pointer.
     """
+
+    _POINTER = "_current"
 
     def __init__(
         self,
@@ -82,19 +126,66 @@ class ManagedParquetTable:
         root: str,
         partition_by: tuple[str, ...] = (),
         checks: dict[str, str] | None = None,
+        retain: int = 2,
     ) -> None:
         self.spark = spark
         self.root = root.rstrip("/")
         self.partition_by = tuple(partition_by)
         self.checks: dict[str, str] = dict(checks or {})
+        self.retain = max(1, retain)
 
-    # -- paths ------------------------------------------------------------
+    # -- versions ---------------------------------------------------------
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, self._POINTER)
+
+    def version(self) -> int:
+        """The committed version number (-1 before the first write)."""
+        try:
+            with open(self._pointer_path) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, oldest first."""
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("v=") and name[2:].isdigit():
+                out.append(int(name[2:]))
+        return sorted(out)
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}")
+
     @property
     def data_path(self) -> str:
-        return os.path.join(self.root, "data")
+        """Path of the CURRENT committed snapshot."""
+        return self._snapshot_path(self.version())
 
     def exists(self) -> bool:
-        return os.path.exists(self.data_path)
+        return self.version() >= 0
+
+    def _commit(self, built: str) -> None:
+        """Publish a fully-built snapshot directory: name it v=N+1, then
+        atomically flip the pointer.  Readers see old-or-new, never between;
+        a crash before the flip leaves the old pointer valid."""
+        new_version = self.version() + 1
+        final = self._snapshot_path(new_version)
+        os.replace(built, final)
+        tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write(f"{new_version}\n")
+        os.replace(tmp, self._pointer_path)  # THE commit point
+        self._vacuum(new_version)
+
+    def _vacuum(self, current: int) -> None:
+        """Drop snapshots beyond the retention window (never the current)."""
+        for v in self.versions():
+            if v <= current - self.retain:
+                shutil.rmtree(self._snapshot_path(v), ignore_errors=True)
 
     # -- constraints ------------------------------------------------------
     def add_check(self, name: str, predicate_sql: str) -> None:
@@ -130,8 +221,20 @@ class ManagedParquetTable:
         self._validate(self.read())
 
     # -- io ---------------------------------------------------------------
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.data_path)
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot.  version=None -> current; >=0 -> absolute
+        version number; <0 -> relative to current (-1 = previous snapshot).
+        Raises NoSuchSnapshot for versions outside the retained window."""
+        cur = self.version()
+        if cur < 0:
+            raise NoSuchSnapshot(f"{self.root}: table has no committed snapshot")
+        v = cur if version is None else (cur + version if version < 0 else version)
+        if v not in self.versions():
+            raise NoSuchSnapshot(
+                f"{self.root}: snapshot v={v} not retained "
+                f"(have {self.versions()}, retain={self.retain})"
+            )
+        return self.spark.read.parquet(self._snapshot_path(v))
 
     def _write_snapshot(self, df: DataFrame, dest: str) -> None:
         writer = df.write.mode("overwrite")
@@ -139,22 +242,13 @@ class ManagedParquetTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(dest)
 
-    def _swap_in(self, staging: str) -> None:
-        old = self.root + f".old-{uuid.uuid4().hex[:8]}"
-        os.replace(self.data_path, old)
-        os.replace(staging, self.data_path)
-        shutil.rmtree(old, ignore_errors=True)
-
     def overwrite(self, df: DataFrame) -> None:
         """CREATE or full replace (checks validated first)."""
         self._validate(df)
-        if not self.exists():
-            os.makedirs(self.root, exist_ok=True)
-            self._write_snapshot(df, self.data_path)
-            return
+        os.makedirs(self.root, exist_ok=True)
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
         self._write_snapshot(df, staging)
-        self._swap_in(staging)
+        self._commit(staging)
 
     # -- mutations --------------------------------------------------------
     def update_where(
@@ -163,8 +257,10 @@ class ManagedParquetTable:
         """UPDATE ... SET ... WHERE: rewrite only what the predicate touches.
 
         Returns the number of updated rows.  Partitioned tables rewrite only
-        the partitions containing matches (pruned COW); unpartitioned tables
-        rewrite the single snapshot.
+        the partitions containing matches (pruned COW) -- unless a SET
+        target IS a partition column, in which case rows migrate between
+        partition directories and the rewrite falls back to a full snapshot
+        (see module docstring).
         """
         pred = _as_column(predicate)
         updated = self.read().withColumns(
@@ -173,7 +269,8 @@ class ManagedParquetTable:
                 for col, expr in set_map.items()
             }
         )
-        return self._rewrite_touched(pred, updated)
+        prune = not (set(set_map) & set(self.partition_by))
+        return self._rewrite_touched(pred, updated, prune=prune)
 
     def delete_where(self, predicate: "Column | str") -> int:
         """DELETE ... WHERE: partition-pruned COW like update_where.
@@ -181,18 +278,20 @@ class ManagedParquetTable:
         pred = _as_column(predicate)
         return self._rewrite_touched(pred, self.read().filter(~pred))
 
-    def _rewrite_touched(self, pred: Column, new_rows: DataFrame) -> int:
-        """Rewrite the partitions (or whole snapshot) where pred matches,
-        replacing their contents with new_rows restricted to them."""
+    def _rewrite_touched(
+        self, pred: Column, new_rows: DataFrame, prune: bool = True
+    ) -> int:
+        """Build a new snapshot in which pred-matching content is replaced by
+        new_rows, link-sharing untouched partitions, and commit it."""
         current = self.read()
         n_touched = current.filter(pred).count()
         if n_touched == 0:
             return 0
         self._validate(new_rows)
-        if not self.partition_by:
+        if not self.partition_by or not prune:
             staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
             self._write_snapshot(new_rows, staging)
-            self._swap_in(staging)
+            self._commit(staging)
             return n_touched
 
         # Partition-pruned COW.  The touched partition-value set is small by
@@ -221,30 +320,29 @@ class ManagedParquetTable:
                 for t in touched
             ],
         )
-        # Stage the replacement rows for ONLY the touched partitions, then
-        # swap those partition directories in one by one (atomic per
-        # partition via os.replace).
+        touched_rel = frozenset(
+            os.path.join(
+                *[f"{c}={_escape_path_name(v)}" for c, v in zip(self.partition_by, t)]
+            )
+            for t in touched
+        )
+        # Stage replacement rows for ONLY the touched partitions, assemble
+        # the complete new snapshot (links for untouched partitions, staged
+        # directories for touched ones), then commit with one pointer flip.
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
         self._write_snapshot(new_rows.filter(in_touched), staging)
-        for t in touched:
-            rel = os.path.join(
-                *[
-                    f"{c}={_escape_path_name(v)}"
-                    for c, v in zip(self.partition_by, t)
-                ]
-            )
-            src, dst = os.path.join(staging, rel), os.path.join(self.data_path, rel)
+        build = os.path.join(self.root, f".build-{uuid.uuid4().hex[:8]}")
+        _link_tree(self.data_path, build, skip_rel=touched_rel)
+        for rel in touched_rel:
+            src = os.path.join(staging, rel)
             if os.path.exists(src):
-                old = dst + f".old-{uuid.uuid4().hex[:8]}"
-                if os.path.exists(dst):
-                    os.replace(dst, old)
+                dst = os.path.join(build, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
-                shutil.rmtree(old, ignore_errors=True)
-            elif os.path.exists(dst):
-                # every row of this partition was deleted
-                shutil.rmtree(dst)
+            # else: every row of this partition was deleted -- simply absent
+            # from the new snapshot.
         shutil.rmtree(staging, ignore_errors=True)
+        self._commit(build)
         return n_touched
 
 
@@ -253,6 +351,7 @@ def temp_table(
     df: DataFrame,
     partition_by: tuple[str, ...] = (),
     checks: dict[str, str] | None = None,
+    retain: int = 2,
 ) -> ManagedParquetTable:
     """Materialize df as a throwaway ManagedParquetTable (tests/demos)."""
     t = ManagedParquetTable(
@@ -260,6 +359,7 @@ def temp_table(
         tempfile.mkdtemp(prefix="pdwx-managed-"),
         partition_by=partition_by,
         checks=checks,
+        retain=retain,
     )
     t.overwrite(df)
     return t

@@ -56,3 +56,42 @@ def x_mutation_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(sum_c100("c_acctbal")).alias("sum_acctbal"),
         )
     )
+
+
+@query(
+    "x_mutation_time_travel",
+    oracle=f"""
+SELECT 'v0' AS snapshot, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_money(f"SUM({sql_dec('c_acctbal')})")} AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'v1' AS snapshot, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_money(f"SUM({sql_dec(f'CASE WHEN {_UPDATE_PRED} THEN 0.0 ELSE c_acctbal END')})")}
+         AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def x_mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on the managed table: after an
+    UPDATE commits as snapshot v=1, `read(version=0)` still serves the
+    pre-mutation state -- both snapshots aggregated side by side, tagged.
+    The lakehouse property the reference's MV refresh-by-overwrite lacks
+    (assignment-5.sql:70-80: a concurrent reader mid-refresh); here the
+    version-pointer commit keeps every retained snapshot fully readable."""
+    t = catalog.load(spark, sf_dir)
+    tbl = mutations.temp_table(
+        spark, t.customer, partition_by=("c_mktsegment",)
+    )
+    tbl.update_where(_UPDATE_PRED, {"c_acctbal": F.lit(0.0)})
+
+    def seg_agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(sum_c100("c_acctbal")).alias("sum_acctbal"),
+        ).select(F.lit(tag).alias("snapshot"), "c_mktsegment", "n_customers", "sum_acctbal")
+
+    return seg_agg(tbl.read(version=0), "v0").unionByName(
+        seg_agg(tbl.read(), "v1")
+    )

@@ -120,6 +120,56 @@ def test_unpartitioned_delete(spark, customer_raw, tmp_path):
     assert t.read().count() == customer_raw.count() - 10
 
 
+def test_update_of_partition_column_moves_rows(spark, customer_raw, tmp_path):
+    """SET on a partition column must migrate rows between partition
+    directories (full-snapshot fallback), not drop them -- the silent-loss
+    bug class where touched partitions are computed from OLD values but the
+    staged write filters on NEW values."""
+    t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
+    n_before = customer_raw.count()
+    src = customer_raw.select("country").distinct().orderBy("country").first()[0]
+    n_moved = t.update_where(
+        F.col("country") == F.lit(src), {"country": F.lit("Atlantis")}
+    )
+    assert n_moved == customer_raw.filter(F.col("country") == src).count() > 0
+    assert t.read().count() == n_before, "no rows lost moving partitions"
+    assert t.read().filter(F.col("country") == src).count() == 0
+    assert t.read().filter("country = 'Atlantis'").count() == n_moved
+    assert not os.path.exists(
+        os.path.join(t.data_path, f"country={mutations._escape_path_name(src)}")
+    )
+
+
+def test_time_travel_and_retention(spark, customer_raw, tmp_path):
+    t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
+    assert t.version() == 0
+    t.update_where("city = 'Sidney'", {"city": F.lit("Sydney")})
+    assert t.version() == 1
+    # relative and absolute reads of the pre-mutation snapshot
+    assert t.read(version=-1).filter("city = 'Sidney'").count() > 0
+    assert t.read(version=0).filter("city = 'Sidney'").count() > 0
+    assert t.read().filter("city = 'Sidney'").count() == 0
+    # second commit vacuums v=0 (retain=2 keeps the last two snapshots)
+    t.update_where("customerid = 96", {"district": F.lit("Povardarje")})
+    assert t.versions() == [1, 2]
+    with pytest.raises(mutations.NoSuchSnapshot, match="v=0"):
+        t.read(version=0)
+
+
+def test_concurrent_reader_survives_mutation(spark, customer_raw, tmp_path):
+    """A reader holding the pre-mutation DataFrame keeps reading its own
+    complete snapshot after the pointer flips (the atomicity contract: no
+    FileNotFound window, no half-written state)."""
+    t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
+    old_reader = t.read()
+    n_sidney = old_reader.filter("city = 'Sidney'").count()
+    assert n_sidney > 0
+    t.update_where("city = 'Sidney'", {"city": F.lit("Sydney")})
+    # executes AFTER the swap, against the retained old snapshot
+    assert old_reader.filter("city = 'Sidney'").count() == n_sidney
+    assert t.read().filter("city = 'Sidney'").count() == 0
+
+
 def test_pruned_rewrite_scan_reads_only_touched_partitions(
     spark, customer_raw, tmp_path, monkeypatch
 ):
