@@ -1,41 +1,27 @@
 """Extension: DRIVER-CHECKED streaming entries (streaming/events.py).
 
 Each entry actually runs a Structured Streaming query (readStream ->
-watermarked aggregation -> foreachBatch drain with availableNow) and returns
-the drained result as a DataFrame, oracled with the batch-equivalent DuckDB
-SQL.  A value-hash match is therefore an end-to-end streaming correctness
-proof on the driver's own gate -- not just a pytest claim: the stream read
-the same files, produced the same windows/state, and the drain reassembled
-the same rows the batch engine computes.
+watermarked aggregation -> foreachBatch parquet sink with availableNow) and
+returns a DataFrame over the drained sink, oracled with the batch-equivalent
+DuckDB SQL.  A value-hash match is therefore an end-to-end streaming
+correctness proof on the driver's own gate -- not just a pytest claim: the
+stream read the same files, produced the same windows/state, and the sink
+reassembled the same rows the batch engine computes.
 
-Update-mode emissions may repeat a key across micro-batches (one emission
-per batch); the drain keeps the LAST emission per key, which for a finite
-input equals the final aggregate (the same reassembly tests/test_streaming
-uses).  On the driver's sf dirs the events table is one parquet file ->
-one micro-batch, so this is exact by construction; with more files it stays
-exact because later emissions strictly supersede earlier ones per key.
+The drain is DISTRIBUTED: every micro-batch appends to a temp parquet sink
+executor-side (streaming/events.run_finite_to_sink), so no row passes
+through the driver regardless of stream size; update-mode re-emissions are
+resolved per key by epoch (`latest_per_key`, a row_number over the batch
+epoch) -- later micro-batch emissions strictly supersede earlier ones.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql import functions as F
 
 from ..streaming import events as se
 from . import query
-
-
-def _latest_per_key(rows: list, key_cols: list[str], schema: StructType, spark: SparkSession) -> DataFrame:
-    out = {}
-    for r in rows:
-        out[tuple(r[c] for c in key_cols)] = tuple(r)
-    return spark.createDataFrame(sorted(out.values()), schema=schema)
 
 
 @query(
@@ -50,15 +36,10 @@ def x_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed tumbling 1-hour windows, drained and value-hash-checked
     against the batch SQL."""
     stream = se.tumbling_hourly(se.read_events_stream(spark, sf_dir))
-    rows = se.run_finite(stream)
-    schema = StructType(
-        [
-            StructField("window_start", TimestampType()),
-            StructField("event_type", StringType()),
-            StructField("n_events", LongType()),
-        ]
+    sunk = se.run_finite_to_sink(stream)
+    return se.latest_per_key(sunk, ["window_start", "event_type"]).select(
+        "window_start", "event_type", "n_events"
     )
-    return _latest_per_key(rows, ["window_start", "event_type"], schema, spark)
 
 
 @query(
@@ -73,8 +54,10 @@ def x_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     time), drained after the finite input; state must reproduce the batch
     aggregate exactly."""
     stream = se.user_totals_stateful(se.read_events_stream(spark, sf_dir))
-    rows = se.run_finite(stream)
-    return _latest_per_key(rows, ["user_id"], se.USER_TOTALS_SCHEMA, spark)
+    sunk = se.run_finite_to_sink(stream)
+    return se.latest_per_key(sunk, ["user_id"]).select(
+        "user_id", "n_events", "max_ts"
+    )
 
 
 @query(
@@ -105,16 +88,10 @@ def x_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands oracle (pins merge semantics: end = last event + gap)."""
     stream = se.session_windows(se.read_events_stream(spark, sf_dir))
     # session-window aggregation supports complete/append, not update
-    rows = se.run_finite(stream, output_mode="complete")
-    schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("session_start", TimestampType()),
-            StructField("session_end", TimestampType()),
-            StructField("n_events", LongType()),
-        ]
+    sunk = se.run_finite_to_sink(stream, output_mode="complete")
+    return se.latest_per_key(sunk, ["user_id", "session_start"]).select(
+        "user_id", "session_start", "session_end", "n_events"
     )
-    return _latest_per_key(rows, ["user_id", "session_start"], schema, spark)
 
 
 @query(
@@ -131,20 +108,15 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one row per event_id -- the batch DISTINCT.  Unlike plain
     dropDuplicates, watermark eviction keeps the dedup state bounded by the
     late-data horizon, the only dedup shape that survives an unbounded
-    stream."""
+    stream.  The per-id emission count is computed by aggregating the sink
+    (distributed), not by counting collected rows on the driver."""
     doubled = se.read_events_stream(spark, sf_dir).unionByName(
         se.read_events_stream(spark, sf_dir)
     )
     deduped = se.dedup_stream(doubled, ["event_id"])
-    rows = se.run_finite(deduped.select("event_id"), output_mode="append")
-    seen: dict = {}
-    for r in rows:
-        seen[r["event_id"]] = seen.get(r["event_id"], 0) + 1
-    return spark.createDataFrame(
-        [(k, v) for k, v in sorted(seen.items())],
-        schema=StructType(
-            [StructField("event_id", LongType()), StructField("n_emitted", LongType())]
-        ),
+    sunk = se.run_finite_to_sink(deduped.select("event_id"), output_mode="append")
+    return sunk.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_emitted")
     )
 
 
@@ -181,5 +153,5 @@ def x_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine; the drained final stage per user must equal the batch
     MIN-join funnel (view -> later click -> later purchase)."""
     stream = se.funnel_stateful(se.read_events_stream(spark, sf_dir))
-    rows = se.run_finite(stream)
-    return _latest_per_key(rows, ["user_id"], se.FUNNEL_SCHEMA, spark)
+    sunk = se.run_finite_to_sink(stream)
+    return se.latest_per_key(sunk, ["user_id"]).select("user_id", "stage")

@@ -162,13 +162,23 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-def run_finite(stream_df: DataFrame, output_mode: str = "update") -> list:
-    """Drain a finite stream via foreachBatch + availableNow; returns the
-    union of all emitted rows (tests assert against the batch twin)."""
-    rows: list = []
+def run_finite_to_sink(stream_df: DataFrame, output_mode: str = "update") -> DataFrame:
+    """Drain a finite stream via foreachBatch + availableNow into a temp
+    parquet sink, each emission tagged with its micro-batch epoch
+    (`_epoch`); returns a DataFrame over the sink.
 
-    def sink(batch_df: DataFrame, _epoch: int) -> None:
-        rows.extend(batch_df.collect())
+    This is the SCALE drain: every micro-batch is written executor-side
+    (distributed parquet append), so no row ever passes through the driver
+    -- the downstream consumer reads the sink like any other table.  The
+    epoch column lets update-mode consumers keep the last emission per key
+    (`F.row_number` over `_epoch` desc) without any ordering assumption on
+    the sink files."""
+    import tempfile
+
+    sink_dir = tempfile.mkdtemp(prefix="pdwx-stream-sink-")
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        batch_df.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(sink_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
@@ -177,7 +187,39 @@ def run_finite(stream_df: DataFrame, output_mode: str = "update") -> list:
         .start()
     )
     q.awaitTermination()
-    return rows
+    spark = stream_df.sparkSession
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(sink_dir, "*.parquet")):
+        from pyspark.sql.types import LongType, StructField
+
+        schema = StructType(
+            [*stream_df.schema.fields, StructField("_epoch", LongType())]
+        )
+        return spark.createDataFrame([], schema=schema)
+    return spark.read.parquet(sink_dir)
+
+
+def latest_per_key(sunk: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Final state per key from an update-mode sink: later epochs strictly
+    supersede earlier emissions of the same key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_epoch").desc())
+    return (
+        sunk.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_epoch")
+    )
+
+
+def run_finite(stream_df: DataFrame, output_mode: str = "update") -> list:
+    """Drain a finite stream and return all emitted rows as a list in epoch
+    order (a SMALL-RESULT helper for tests; driver-side by construction --
+    production paths use run_finite_to_sink and stay distributed)."""
+    sunk = run_finite_to_sink(stream_df, output_mode)
+    return sunk.orderBy("_epoch").drop("_epoch").collect()
 
 
 def enrich_with_customers(events: DataFrame, customer: DataFrame) -> DataFrame:
