@@ -112,13 +112,16 @@ def asof_join_tolerance(
     `tolerance_seconds`; older matches become NULL payload.  Same single
     window pass; the tolerance is a post-projection, not another join.
     The matched right_time must be in `payload` so the horizon can be
-    evaluated."""
+    evaluated.  The delta is evaluated in MICROSECONDS (unix_micros), not
+    cast('long') seconds: second-truncation silently widens the horizon by
+    up to a second for sub-second timestamps, and disagrees with an oracle
+    evaluating fractional epochs at the exact boundary."""
     if right_time not in payload:
         payload = [*payload, right_time]
     joined = asof_join(left, right, on, left_time, right_time, payload)
     within = (
-        F.col(left_time).cast("long") - F.col(f"asof_{right_time}").cast("long")
-    ) <= F.lit(tolerance_seconds)
+        F.unix_micros(F.col(left_time)) - F.unix_micros(F.col(f"asof_{right_time}"))
+    ) <= F.lit(int(tolerance_seconds) * 1_000_000)
     return joined.select(
         *[f.name for f in left.schema.fields],
         *[

@@ -108,9 +108,9 @@ a AS (
     ON e.user_id = od.user_id AND e.ts >= od.odate
 )
 SELECT event_id, user_id, ts,
-       CASE WHEN epoch(ts) - epoch(odate) <= {TOLERANCE_SECONDS}
+       CASE WHEN epoch_us(ts) - epoch_us(odate) <= {TOLERANCE_SECONDS * 1000000}
             THEN orderkey END AS asof_orderkey,
-       CASE WHEN epoch(ts) - epoch(odate) <= {TOLERANCE_SECONDS}
+       CASE WHEN epoch_us(ts) - epoch_us(odate) <= {TOLERANCE_SECONDS * 1000000}
             THEN odate END AS asof_odate
 FROM a
 """,

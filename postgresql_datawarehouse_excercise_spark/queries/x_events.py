@@ -52,13 +52,17 @@ FROM events GROUP BY 1, 2
 def x_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily rollup (count + average value, 4 dp).
 
-    The average rounds HALF-UP in exact INTEGER arithmetic:
-    (200*sum_cents + n) // (2n) is round-half-up of sum_cents*100/n for
-    non-negative values, computed identically by any engine.  Double
-    round(sum/n, 4) is NOT portable: when n is a power of two the quotient
-    can land exactly on a representable .xxxx5 tie, and Spark (shortest-
-    string HALF_UP) and DuckDB (binary-value rounding) disagree -- found as
-    a real one-row mismatch at sf0.1."""
+    The average rounds in exact INTEGER arithmetic: floor((200*sum_cents
+    + n) / (2n)) is round-half-toward-+inf of sum_cents*100/n, computed
+    identically by any engine.  Double round(sum/n, 4) is NOT portable:
+    when n is a power of two the quotient can land exactly on a
+    representable .xxxx5 tie, and Spark (shortest-string HALF_UP) and
+    DuckDB (binary-value rounding) disagree -- found as a real one-row
+    mismatch at sf0.1.  The division must FLOOR on both sides: DuckDB's
+    `//` floors toward -inf while Spark's `div` truncates toward zero, so
+    a negative-sum day would differ under `div`; the explicit
+    mathematical-mod subtraction makes Spark's quotient floored too (exact
+    long arithmetic, no double in the hot path)."""
     t = catalog.load(spark, sf_dir)
     sc = F.sum(F.round(F.col("value") * 100).cast("long"))
     n = F.count(F.lit(1))
@@ -75,7 +79,12 @@ def x_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "day",
             "n_events",
-            (F.expr("_num div _den").cast("double") / F.lit(10000.0)).alias("avg_value"),
+            (
+                F.expr(
+                    "(_num - ((_num % _den + _den) % _den)) div _den"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 

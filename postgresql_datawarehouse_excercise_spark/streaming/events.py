@@ -44,12 +44,31 @@ def _events_raw_schema(sf_dir: str) -> StructType:
     testdata moved to micros)."""
     ts_type: Any = TimestampType()
     try:
+        import glob
+        import os
+
         import pyarrow.parquet as pq
 
-        if str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == "timestamp[ns]":
+        path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(path):
+            # Spark-written dataset directory: any part file carries the
+            # dataset schema
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no part files under {path}")
+            path = parts[0]
+        if str(pq.read_schema(path).field("ts").type) == "timestamp[ns]":
             ts_type = LongType()
-    except Exception:
-        pass  # no footer to sniff (e.g. dir not yet populated): micros path
+    except FileNotFoundError:
+        pass  # not yet populated: default micros path
+    except Exception as exc:  # unreadable footer must fail loudly, not
+        # silently select the wrong timestamp layout (a nanos directory
+        # stream-read as micros misparses far from the cause)
+        from ..catalog import SchemaDriftError
+
+        raise SchemaDriftError(
+            f"cannot sniff events ts physical type at {sf_dir}: {exc!r}"
+        ) from exc
     return StructType(
         [
             StructField("event_id", LongType(), True),

@@ -147,6 +147,32 @@ def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_events_schema_sniff_handles_dataset_directory(tmp_path):
+    """The ts-layout sniff must resolve a part file when events.parquet is a
+    Spark-written DIRECTORY (not a single file) -- a nanos-layout directory
+    silently sniffed as micros would misparse far from the cause."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType
+
+    d = tmp_path / "sfdir" / "events.parquet"
+    d.mkdir(parents=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "part-00000.parquet", store_schema=False,
+                   coerce_timestamps=None)
+    schema = se._events_raw_schema(str(tmp_path / "sfdir"))
+    assert isinstance(schema["ts"].dataType, LongType), schema["ts"]
+
+
 def test_stream_static_join_equals_batch(spark, sf_dir):
     """Stream-static dimension enrichment must match the batch join."""
     from pyspark.sql import functions as F
