@@ -223,6 +223,7 @@ def main() -> None:
         "x_sim_ann_ivf",
         "x_sim_cosine_neardup",
         "x_asof_latest_order",
+        "x_asof_latest_order_7d",
         "x_range_join_click_followups",
         "x_text_tfidf_top5",
         "x_text_vocab_top50",
@@ -230,6 +231,7 @@ def main() -> None:
         "x_text_repetition",
         "x_pipeline_canonical_docs",
         "x_mutation_update_delete",
+        "x_mutation_time_travel",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
         "x_sql_approx_percentile",
@@ -249,6 +251,7 @@ def main() -> None:
         "x_tpch_q1_pricing_summary",
         "x_tpch_q2_min_cost_supplier",
         "x_tpch_q3_shipping_priority",
+        "x_tpch_q4_order_priority",
         "x_tpch_q5_local_supplier",
         "x_tpch_q6_revenue_forecast",
         "x_tpch_q7_volume_shipping",
@@ -258,21 +261,24 @@ def main() -> None:
         "x_tpch_q11_important_parts",
         "x_tpch_q12_late_lines",
         "x_tpch_q13_customer_distribution",
+        "x_tpch_q14_promo_revenue",
         "x_tpch_q15_top_supplier",
         "x_tpch_q16_supplier_part_counts",
         "x_tpch_q17_small_quantity",
         "x_tpch_q18_large_orders",
+        "x_tpch_q19_disjunctive_bands",
         "x_tpch_q20_dominant_suppliers",
         "x_tpch_q21_late_sole_supplier",
         "x_tpch_q22_inactive_customers",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir))
 
-    # one streaming datapoint (single run: stream startup dominates and
-    # best-of-N would triple the ~seconds-long fixed cost for no signal)
-    results["x_stream_tumbling_hourly"] = timed(
-        lambda: q["x_stream_tumbling_hourly"](spark, sf_dir), iters=1
-    )
+    # streaming datapoints (single run: stream startup dominates and
+    # best-of-N would triple the ~seconds-long fixed cost for no signal);
+    # x_stream_dedup doubles the input and drains via the distributed
+    # parquet sink -- the entry that used to collect O(N) rows to the driver
+    for name in ("x_stream_tumbling_hourly", "x_stream_dedup"):
+        results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 
     total = round(sum(results.values()), 4)
 

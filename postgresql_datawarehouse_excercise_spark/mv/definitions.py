@@ -44,22 +44,20 @@ def _sales_table(t: catalog.Tables) -> DataFrame:
     from ..etl import validate
 
     df = t.sales()
-    validate.assert_table(
+    # all declared rules (PK, NOT NULL, 3 FKs) in ONE aggregate job -- five
+    # separate validation actions used to make this the longest build on the
+    # mv_build_all critical path
+    validate.assert_table_one_pass(
         df,
         "sales_table",
         key=["customerid", "timeid", "partkey"],
         not_null=["customerid", "timeid", "partkey", "amnt"],
+        fks=[
+            ("customerid", t.customer, "c_custkey"),
+            ("timeid", t.time_dim(), "timeid"),
+            ("partkey", t.part, "p_partkey"),
+        ],
     )
-    for col, parent, pcol in (
-        ("customerid", t.customer, "c_custkey"),
-        ("timeid", t.time_dim(), "timeid"),
-        ("partkey", t.part, "p_partkey"),
-    ):
-        n = validate.fk_orphans(df, col, parent, pcol)
-        if n:
-            raise validate.ConstraintViolation(
-                f"sales_table: {n} rows with {col} not covered by {pcol}"
-            )
     return df
 
 

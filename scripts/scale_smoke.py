@@ -29,6 +29,12 @@ Measured at K=10 on local[32] (vs the sf0.1 bench numbers):
                                                   16 salt buckets)
   (the last three measured on a contended host -- same-day baseline ops ran
   ~2-3x their recorded times, so treat them as upper bounds)
+
+TPC-H shapes at K=10 (round 5, post de-hinting -- facts materialized to a
+temp sf-dir so AQE sees real file sizes; orders no longer carries a static
+broadcast hint, so this is the proof the family survives a scale-up):
+  q3 6.3 s | q5 3.0 s | q7 4.0 s | q8 3.4 s | q9 5.0 s | q21 7.9 s
+  (vs 0.4-1.7 s at 1x: sub-linear to linear in the 10x data; no OOM)
 """
 
 from __future__ import annotations
@@ -142,6 +148,34 @@ def main() -> None:
             F.sum((qc * pc).cast("decimal(38,0)")).alias("sqp"),
         ),
     )
+
+    # TPC-H join shapes at Kx: materialize the multiplied facts as a real
+    # sf-dir (the registry entries read through catalog.load) with the dims
+    # symlinked, then run the join-heavy shapes end-to-end.  This validates
+    # the fact-side de-hinting: orders at Kx exceeds any broadcast
+    # threshold, so AQE must pick the join strategy from runtime sizes --
+    # the shape that used to OOM under a pinned F.broadcast(orders) hint.
+    import tempfile
+
+    tpch_dir = tempfile.mkdtemp(prefix="pdwx-scale-tpch-")
+    line.write.mode("overwrite").parquet(f"{tpch_dir}/lineitem.parquet")
+    ords.write.mode("overwrite").parquet(f"{tpch_dir}/orders.parquet")
+    for tab in ("region", "nation", "customer", "supplier", "part",
+                "events", "documents", "embeddings"):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{tpch_dir}/{tab}.parquet")
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    regq = load_all()
+    print(f"tpch facts x{k}:", flush=True)
+    for name in (
+        "x_tpch_q3_shipping_priority",
+        "x_tpch_q5_local_supplier",
+        "x_tpch_q7_volume_shipping",
+        "x_tpch_q8_market_share",
+        "x_tpch_q9_product_profit",
+        "x_tpch_q21_late_sole_supplier",
+    ):
+        timed(name, lambda name=name: regq[name].fn(spark, tpch_dir))
 
     from postgresql_datawarehouse_excercise_spark.functions import dec
     from postgresql_datawarehouse_excercise_spark.operators.skew import salted_sum

@@ -42,6 +42,37 @@ def test_assert_table_raises_with_all_problems(spark, sf_dir):
     assert "duplicate key" in msg and "CHECK impossible" in msg
 
 
+def test_one_pass_validator_matches_separate_checks(spark, sf_dir):
+    """assert_table_one_pass must find the same violations the separate
+    per-rule jobs find -- duplicates, NULLs, FK orphans -- and pass clean
+    tables, all from its single aggregate action."""
+    t = catalog.load(spark, sf_dir)
+    # clean: nation has unique keys, no nulls, full region coverage
+    validate.assert_table_one_pass(
+        t.nation, "nation", key=["n_nationkey"],
+        not_null=["n_nationkey", "n_name"],
+        fks=[("n_regionkey", t.region, "r_regionkey")],
+    )
+    # dirty: duplicated keys + an FK orphan + a NULL, all reported together
+    dirty = t.nation.unionAll(t.nation).withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") == 0, F.lit(999)).otherwise(F.col("n_regionkey")),
+    ).withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 1, F.lit(None)).otherwise(F.col("n_name")),
+    )
+    with pytest.raises(validate.ConstraintViolation) as exc:
+        validate.assert_table_one_pass(
+            dirty, "nation", key=["n_nationkey"],
+            not_null=["n_name"],
+            fks=[("n_regionkey", t.region, "r_regionkey")],
+        )
+    msg = str(exc.value)
+    assert "duplicate key" in msg
+    assert "NULLs" in msg
+    assert "n_regionkey not covered" in msg
+
+
 def test_partitioned_write_prunes(spark, sf_dir):
     t = catalog.load(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="pdwx-part-") + "/orders_by_status"
