@@ -31,6 +31,28 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # immediately, before any budget is spent on the long tail).
 _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 
+# Entries whose IMPLEMENTATION changed this round (verified green locally
+# against DuckDB, but the driver's own gate should confirm before their next
+# natural rotation): fronted right after any known-red entries.
+_TOUCHED_THIS_ROUND = (
+    "x_mutation_time_travel",       # new: snapshot/time-travel entry
+    "x_mutation_update_delete",     # versioned-snapshot COW rewrite
+    "x_tpch_q3_shipping_priority",  # fact-side broadcast de-hinting
+    "x_tpch_q5_local_supplier",
+    "x_tpch_q7_volume_shipping",
+    "x_tpch_q8_market_share",
+    "x_tpch_q10_returned_items",
+    "x_tpch_q12_late_lines",
+    "x_tpch_q21_late_sole_supplier",
+    "x_stream_tumbling_hourly",     # distributed sink drain
+    "x_stream_user_totals_stateful",
+    "x_stream_session_windows",
+    "x_stream_dedup",
+    "x_stream_funnel_stages",
+    "x_events_user_daily",          # floor-consistent integer average
+    "x_asof_latest_order_7d",       # microsecond tolerance boundary
+)
+
 # Family priority for never-verified entries (the driver's correctness budget
 # runs the dict in order; the LLM-pipeline families are graded first-class, so
 # they go before the SQL-surface and TPC-H-shape extensions).
@@ -106,7 +128,15 @@ def _ordered_names() -> list[str]:
 
     def key(name: str):
         sentinel = 0 if name in _SENTINELS else 1
-        return (sentinel, 0 if name in erred else 1, counts.get(name, 0), _family_rank(name), name)
+        touched = 0 if name in _TOUCHED_THIS_ROUND else 1
+        return (
+            sentinel,
+            0 if name in erred else 1,
+            touched,
+            counts.get(name, 0),
+            _family_rank(name),
+            name,
+        )
 
     return sorted(registry, key=key)
 

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QueryDef]:
         x_events,
         x_multimodal,
         x_mutations,
+        x_mv,
         x_pipeline,
         x_similarity,
         x_sources,

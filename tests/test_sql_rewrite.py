@@ -1,0 +1,91 @@
+"""SQL-text MV rewrite (mv/sql_rewrite.py): spark.sql queries over the star
+view answered from materialized views, value- and schema-identical to direct
+execution, with the rewrite visible in the physical plan (MV parquet scan,
+no fact scan).
+
+Extends the navigator's four reference checks (assignment-5.md:626-632) to
+SQL TEXT via analyzed-plan matching -- SURVEY.md section 4 option (b), minus
+the compiled-JVM extension rule (documented divergence in the module)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from postgresql_datawarehouse_excercise_spark.mv import sql_rewrite
+from postgresql_datawarehouse_excercise_spark.mv.definitions import (
+    default_navigator,
+    default_registry,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-sqlrw-"))
+    reg.build_all(spark, sf_dir)
+    nav = default_navigator(reg)
+    sql_rewrite.register_star_view(spark, sf_dir)
+    return reg, nav
+
+
+def _run(spark, sf_dir, built, text):
+    reg, nav = built
+    explain: list[str] = []
+    df = sql_rewrite.spark_sql(spark, sf_dir, text, reg, nav, explain=explain)
+    return df, explain
+
+
+def _assert_equivalent(spark, df, text):
+    direct = spark.sql(text)
+    assert df.schema == direct.schema
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_rewrites_customer_year_aggregate_onto_view2(spark, sf_dir, built):
+    """The reference's View2 decision, reproduced from SQL text: a
+    name/year SUM plans against the view2 parquet and never scans the
+    fact."""
+    text = "SELECT name, year, SUM(amnt) AS amnt FROM sales_star GROUP BY name, year"
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("view2" in e for e in explain), explain
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "view2" in plan
+    assert "lineitem" not in plan and "orders" not in plan
+    _assert_equivalent(spark, df, text)
+
+
+def test_fd_bridge_rewrite_with_filter(spark, sf_dir, built):
+    """country is reachable from view2's grain only via the FD bridge; the
+    WHERE predicate re-applies at MV grain before re-aggregation."""
+    text = (
+        "SELECT district, SUM(amnt) AS amnt FROM sales_star "
+        "WHERE country = 'ASIA' GROUP BY district"
+    )
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("FD bridge" in e for e in explain), explain
+    _assert_equivalent(spark, df, text)
+
+
+def test_time_fd_picks_cheapest_sufficient_mv(spark, sf_dir, built):
+    text = "SELECT dayofweek, SUM(amnt) AS amnt FROM sales_star GROUP BY dayofweek"
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("rewriting onto MV" in e for e in explain), explain
+    _assert_equivalent(spark, df, text)
+
+
+def test_non_navigable_shapes_execute_as_written(spark, sf_dir, built):
+    """COUNT(DISTINCT) is not additively re-aggregable; a non-star FROM is
+    not matched at all -- both must fall through untouched."""
+    for text in (
+        "SELECT name, COUNT(DISTINCT partkey) AS n FROM sales_star GROUP BY name",
+        "SELECT r_name, COUNT(*) AS n FROM {} GROUP BY r_name",
+    ):
+        if "{}" in text:
+            import os
+
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet")).createOrReplaceTempView("region_v")
+            text = text.format("region_v")
+        df, explain = _run(spark, sf_dir, built, text)
+        assert any("executing as written" in e for e in explain), explain
+        _assert_equivalent(spark, df, text)
