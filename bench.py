@@ -232,6 +232,7 @@ def main() -> None:
         "x_pipeline_canonical_docs",
         "x_mutation_update_delete",
         "x_mutation_time_travel",
+        "x_mutation_optimize_zorder",
         "x_mv_sql_rewrite",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",

@@ -98,9 +98,25 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     (deterministic under retries, unlike round-robin); when the input
     already has enough splits -- every real 100 TB table -- this is a no-op
     and plans keep their scan-local pipelines.  Measured sf0.1/local[32]:
-    minhash 1.3 -> 0.8 s, n-gram jaccard 2.4 -> 1.1 s."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    minhash 1.3 -> 0.8 s, n-gram jaccard 2.4 -> 1.1 s.
+
+    The split-count probe is PLAN-SIDE: estimated splits = optimizer
+    sizeInBytes / files.maxPartitionBytes (how FilePartition packing sizes
+    scan splits).  The previous df.rdd.getNumPartitions() probe forced an
+    RDD lineage conversion (a py4j round-trip plus plan re-derivation) on
+    every shingle-pipeline construction."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    try:
+        max_split = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    if max(1, size // max_split) >= target:
         return df
     return df.repartition(target, *keys)
 

@@ -278,6 +278,62 @@ class ManagedParquetTable:
         pred = _as_column(predicate)
         return self._rewrite_touched(pred, self.read().filter(~pred))
 
+    def optimize(
+        self,
+        cluster_by: tuple[str, ...],
+        zorder: bool = False,
+        num_files: int | None = None,
+    ) -> None:
+        """OPTIMIZE / CLUSTER analog (the reference's A7 unique-index
+        clustering intent; Delta's OPTIMIZE ZORDER BY): rewrite the current
+        snapshot with rows clustered on cluster_by and commit it as a new
+        version -- contents identical, layout selective.
+
+        * linear (default): repartitionByRange + sortWithinPartitions on
+          the cluster keys -- parquet row-group min/max stats become narrow
+          disjoint ranges, so selective scans on the leading key prune
+          files/row groups.
+        * zorder=True (2-3 numeric keys): min-max normalize each key to 21
+          bits (one aggregate job) and range-cluster on the Morton
+          interleave, so selectivity survives on EVERY key dimension, not
+          just the leading one -- the multi-dimensional clustering a
+          lakehouse OPTIMIZE gives.
+
+        ``num_files`` sets the range-partition count (compaction knob:
+        small-file consolidation picks a low target; default leaves it to
+        spark.sql.shuffle.partitions).  Time travel covers layout changes
+        too: the pre-optimize snapshot stays readable at read(version=-1)
+        within the retention window."""
+        df = self.read()
+        if zorder:
+            bounds = df.agg(
+                *[
+                    f(c).alias(f"{tag}_{i}")
+                    for i, c in enumerate(cluster_by)
+                    for tag, f in (("mn", F.min), ("mx", F.max))
+                ]
+            ).collect()[0]
+            span = (1 << 21) - 1
+            normalized = []
+            for i, c in enumerate(cluster_by):
+                lo, hi = float(bounds[f"mn_{i}"]), float(bounds[f"mx_{i}"])
+                scale = span / (hi - lo) if hi > lo else 0.0
+                normalized.append(
+                    ((F.col(c).cast("double") - F.lit(lo)) * F.lit(scale)).cast("long")
+                )
+            cluster_expr = [zorder_key(normalized)]
+        else:
+            cluster_expr = [F.col(c) for c in cluster_by]
+        range_args = ([num_files] if num_files else []) + cluster_expr
+        clustered = (
+            df.repartitionByRange(*range_args)
+            .sortWithinPartitions(*cluster_expr)
+            .select(*df.columns)  # the helper key never reaches the files
+        )
+        staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
+        self._write_snapshot(clustered, staging)
+        self._commit(staging)
+
     def _rewrite_touched(
         self, pred: Column, new_rows: DataFrame, prune: bool = True
     ) -> int:
@@ -344,6 +400,23 @@ class ManagedParquetTable:
         shutil.rmtree(staging, ignore_errors=True)
         self._commit(build)
         return n_touched
+
+
+def zorder_key(cols: list[Column], bits: int = 21) -> Column:
+    """Morton (Z-order) interleave of up to 3 non-negative long columns,
+    each already normalized to [0, 2^bits): bit i of column k lands at
+    position i*n+k.  Statically unrolled shifts, so the whole key stays one
+    codegen expression."""
+    n = len(cols)
+    assert 1 <= n <= 3 and n * bits <= 63
+    key = F.lit(0).cast("long")
+    for k, c in enumerate(cols):
+        lc = c.cast("long")
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(lc, i).bitwiseAND(F.lit(1)), i * n + k)
+            )
+    return key
 
 
 def temp_table(

@@ -81,6 +81,66 @@ def codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
 
 
+_INTERESTING_METRICS = ("numoutputrows", "time", "datasize", "spill", "numfiles", "peakmemory")
+
+
+def _walk_executed(node, depth: int, out: list[tuple[int, str, dict[str, int]]]) -> None:
+    name = str(node.nodeName())
+    metrics: dict[str, int] = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        key = str(kv._1())
+        if any(tok in key.lower() for tok in _INTERESTING_METRICS):
+            metrics[key] = int(kv._2().value())
+    out.append((depth, name, metrics))
+    # adaptive / staged nodes hide their subtree outside children()
+    for accessor in ("executedPlan", "plan", "child"):
+        if name in ("AdaptiveSparkPlan", "ShuffleQueryStage", "BroadcastQueryStage", "ResultQueryStage"):
+            try:
+                _walk_executed(getattr(node, accessor)(), depth + 1, out)
+                return
+            except Exception:
+                continue
+    s = node.children()
+    for i in range(s.size()):
+        _walk_executed(s.apply(i), depth + 1, out)
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """Per-node ACTUALS -- the reference's EXPLAIN ANALYZE methodology
+    (assignment-5.md:481-522 reads loops/rows per node; SURVEY D9).  Spark
+    has no EXPLAIN ANALYZE statement, but every executed physical node
+    carries SQLMetrics; this executes the DataFrame's OWN plan (toRdd
+    count: full distributed execution, no rows to the driver -- a write
+    would run a separate QueryExecution whose metrics stay zero) and
+    renders the FINAL (post-AQE) tree with each node's actual output rows
+    / timings / data sizes."""
+    df._jdf.queryExecution().toRdd().count()
+    rows: list[tuple[int, str, dict[str, int]]] = []
+    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
+    lines = []
+    for depth, name, metrics in rows:
+        rendered = ", ".join(f"{k}={v:,}" for k, v in sorted(metrics.items()))
+        lines.append(f"{'  ' * depth}{name}" + (f"  [{rendered}]" if rendered else ""))
+    return "\n".join(lines)
+
+
+def actual_output_rows(df: DataFrame, node_name: str) -> list[int]:
+    """numOutputRows actuals for every executed node named node_name
+    (assert-able analog of the reference's rows=N per plan node)."""
+    df._jdf.queryExecution().toRdd().count()
+    rows: list[tuple[int, str, dict[str, int]]] = []
+    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
+    out = []
+    for _depth, name, metrics in rows:
+        if name == node_name:
+            for k, v in metrics.items():
+                if k.lower() == "number of output rows" or k.lower() == "numoutputrows":
+                    out.append(v)
+    return out
+
+
 def _tree_depth(line: str) -> int:
     """Indentation depth of a node line in a logical-plan tree printout
     (children render under `+-` / `:- ` markers preceded by `: ` / `  `

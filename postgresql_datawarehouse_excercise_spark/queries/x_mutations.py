@@ -95,3 +95,32 @@ def x_mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg_agg(tbl.read(version=0), "v0").unionByName(
         seg_agg(tbl.read(), "v1")
     )
+
+
+@query(
+    "x_mutation_optimize_zorder",
+    oracle=f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_money(f"SUM({sql_dec('o_totalprice')})")} AS sum_totalprice
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def x_mutation_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER through the managed table (the A7 clustering analog):
+    orders re-clustered on the Morton interleave of (custkey, totalprice)
+    committed as a new snapshot, then aggregated -- the oracle pins that
+    clustering is pure layout (bit-identical content), and the entry raises
+    unless the optimize actually committed a new version."""
+    t = catalog.load(spark, sf_dir)
+    tbl = mutations.temp_table(spark, t.orders)
+    tbl.optimize(cluster_by=("o_custkey", "o_totalprice"), zorder=True, num_files=8)
+    if tbl.version() != 1:
+        raise AssertionError(f"optimize did not commit: version={tbl.version()}")
+    return (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(sum_c100("o_totalprice")).alias("sum_totalprice"),
+        )
+    )

@@ -170,6 +170,82 @@ def test_concurrent_reader_survives_mutation(spark, customer_raw, tmp_path):
     assert t.read().filter("city = 'Sidney'").count() == 0
 
 
+def test_optimize_linear_clustering_narrows_file_stats(spark, tmp_path):
+    """OPTIMIZE (cluster_by) must range-cluster the snapshot: per-file
+    min/max spans of the cluster key become disjoint slices whose total
+    equals the global range (a random layout gives ~nfiles x the global
+    span) -- the property that lets parquet row-group stats prune selective
+    scans.  Content and history must survive: values identical, previous
+    snapshot still readable."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    big = spark.range(20_000).select(
+        F.col("id").alias("customerid"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(8)  # scrambled layout: every file spans the whole range
+    t = _table(spark, big, tmp_path)
+    before = sorted(map(tuple, t.read().collect()))
+    v0 = t.version()
+    t.optimize(cluster_by=("customerid",), num_files=4)
+    assert t.version() == v0 + 1
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert sorted(map(tuple, t.read(version=-1).collect())) == before
+
+    spans, files = 0, 0
+    lo_all, hi_all = None, None
+    for dirpath, _dirs, names in os.walk(t.data_path):
+        for f in names:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(dirpath, f))
+            idx = md.schema.names.index("customerid")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans += st.max - st.min
+                lo_all = st.min if lo_all is None else min(lo_all, st.min)
+                hi_all = st.max if hi_all is None else max(hi_all, st.max)
+                files += 1
+    assert files > 1, "need multiple row groups/files for the test to bite"
+    global_span = hi_all - lo_all
+    assert spans <= global_span * 1.05, (spans, global_span, files)
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    """zorder_key must be the exact bit interleave (x bit i -> position
+    i*n, y bit i -> i*n+1 for n=2)."""
+    from pyspark.sql import functions as F
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(21):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 1_000_000) for y in (0, 1, 5, 2_000_000)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", mutations.zorder_key([F.col("x"), F.col("y")]).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_optimize_zorder_preserves_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") * 7 % 89).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    t = _table(spark, df, tmp_path)
+    before = sorted(map(tuple, t.read().collect()))
+    t.optimize(cluster_by=("a", "b"), zorder=True)
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.read().columns == ["id", "a", "b", "payload"]
+
+
 def test_pruned_rewrite_scan_reads_only_touched_partitions(
     spark, customer_raw, tmp_path, monkeypatch
 ):

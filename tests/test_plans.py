@@ -138,6 +138,20 @@ def test_tpch_family_no_sortmerge_joins(spark, sf_dir):
         assert plans.num_sortmerge_joins(df) == 0, name
 
 
+def test_explain_analyze_reports_per_node_actuals(spark, sf_dir):
+    """The reference's EXPLAIN ANALYZE methodology (per-node loops/rows,
+    assignment-5.md:481-522) must have a real analog: after execution the
+    final plan renders with ACTUAL output rows per node, and the final
+    aggregate's actual equals the true group count."""
+    t = catalog.load(spark, sf_dir)
+    df = t.nation.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+    report = plans.explain_analyze(df)
+    assert "numOutputRows" in report and "Scan parquet" in report
+    n_groups = df.count()
+    actuals = plans.actual_output_rows(df, "HashAggregate")
+    assert actuals and n_groups in actuals, (actuals, n_groups)
+
+
 def test_tpch_family_no_fact_side_broadcast_hints(spark, sf_dir):
     """No x_tpch entry may pin an EXPLICIT broadcast hint onto an
     orders/lineitem-derived relation (an explicit hint overrides the size
