@@ -241,6 +241,8 @@ def main() -> None:
         "x_pipeline_decontaminate",
         "x_pipeline_pack_sequences",
         "x_pipeline_shuffle_shards",
+        "x_pipeline_scd2_history",
+        "x_pipeline_scd2_incremental",
         "x_sql_percentiles",
         "x_sql_stats_moments",
         "x_events_props_json",

@@ -575,3 +575,84 @@ def x_pipeline_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+# --- SCD2 dimension history (operators/scd.py) ----------------------------
+
+_SCD2_SNAP_SQL = """
+snap AS (
+  SELECT o_custkey AS customerid, o_orderdate AS observed_at,
+         arg_max(o_orderpriority, o_orderkey) AS priority
+  FROM orders GROUP BY 1, 2
+)"""
+
+_SCD2_HISTORY_SQL = f"""WITH {_SCD2_SNAP_SQL},
+marked AS (
+  SELECT customerid, priority, observed_at,
+         lag(priority) OVER (PARTITION BY customerid ORDER BY observed_at) AS prev
+  FROM snap
+),
+kept AS (
+  SELECT customerid, priority, observed_at FROM marked
+  WHERE prev IS DISTINCT FROM priority
+)
+SELECT customerid, priority,
+       observed_at AS valid_from,
+       lead(observed_at) OVER (PARTITION BY customerid ORDER BY observed_at) AS valid_to,
+       lead(observed_at) OVER (PARTITION BY customerid ORDER BY observed_at) IS NULL
+         AS is_current
+FROM kept
+"""
+
+
+def _scd2_snapshots(t: catalog.Tables) -> DataFrame:
+    """Per (customer, day) attribute snapshot: the priority of that day's
+    max order (deterministic arg-max, identical in the oracle)."""
+    return (
+        t.orders.groupBy(
+            F.col("o_custkey").alias("customerid"),
+            F.col("o_orderdate").alias("observed_at"),
+        )
+        .agg(F.max(F.struct("o_orderkey", "o_orderpriority")).alias("m"))
+        .select("customerid", F.col("m.o_orderpriority").alias("priority"), "observed_at")
+    )
+
+
+@query("x_pipeline_scd2_history", oracle=_SCD2_HISTORY_SQL)
+def x_pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py): full attribute
+    history with validity intervals from a pile of dated snapshots -- one
+    window pass does change detection AND interval assembly.  The
+    warehouse-standard treatment of the reference's overwrite-in-place
+    customer cleanup (assignment-5.sql:13-15): history is kept, facts can
+    join AS OF event time."""
+    from ..operators import scd
+
+    t = catalog.load(spark, sf_dir)
+    return scd.scd2_from_snapshots(
+        _scd2_snapshots(t), ["customerid"], ["priority"], "observed_at"
+    ).select("customerid", "priority", "valid_from", "valid_to", "is_current")
+
+
+@query("x_pipeline_scd2_incremental", oracle=_SCD2_HISTORY_SQL)
+def x_pipeline_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance == full rebuild, on the driver's own
+    gate: history built from pre-1997 snapshots, then the 1997+ batch
+    applied with scd2_apply (closed rows untouched, open rows of affected
+    keys re-assembled, new keys bootstrapped) -- the result must hash-match
+    the one-shot full-history oracle."""
+    from ..operators import scd
+
+    t = catalog.load(spark, sf_dir)
+    snaps = _scd2_snapshots(t)
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    history = scd.scd2_from_snapshots(
+        snaps.filter(F.col("observed_at") < cutoff),
+        ["customerid"], ["priority"], "observed_at",
+    )
+    applied = scd.scd2_apply(
+        history,
+        snaps.filter(F.col("observed_at") >= cutoff),
+        ["customerid"], ["priority"], "observed_at",
+    )
+    return applied.select("customerid", "priority", "valid_from", "valid_to", "is_current")
