@@ -95,3 +95,64 @@ def x_sim_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.array_min(e), 6).alias("comp_min"),
         fround(F.sqrt(similarity.dot(e, e)), 6).alias("l2_norm"),
     )
+
+
+@query(
+    "x_sim_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, e,
+         CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+  FROM sc
+)
+SELECT vec_id,
+       CAST(len(qv) AS INT) AS dim,
+       FLOOR(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       list_aggregate(qv, 'sum') AS q_sum,
+       list_aggregate(list_transform(qv, x -> x * x), 'sum') AS q_dot,
+       qv[1] AS q_first,
+       qv[len(qv)] AS q_last
+FROM q
+""",
+)
+def x_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the embedding-store compression
+    step before ANN at scale: 4x smaller, SIMD-friendly): scale = 127/max|x|,
+    q_i = floor(x_i * scale + 0.5) -- explicit floor-plus-half rounding so
+    every engine computes the identical code, no round() tie-break dialects.
+    Entirely JVM-side array transforms, no shuffle; the output pins the full
+    code vector through its sum / power-sum / endpoints."""
+    from pyspark.sql import functions as F
+
+    t = catalog.load(spark, sf_dir)
+    e = similarity.as_double(F.col("embedding"))
+    mx = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    base = t.embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        e.alias("e"),
+        scale.alias("scale"),
+    )
+    q = F.transform(F.col("e"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)))
+    return base.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        fround(F.col("scale"), 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(q, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_dot"),
+        q.getItem(0).alias("q_first"),
+        F.element_at(q, -1).alias("q_last"),
+    )

@@ -321,3 +321,56 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fround(1 - n_bi_dis.cast("double") / n_bi, 4))
         .alias("dup_bigram_frac"),
     )
+
+
+CHUNK_TOKENS = 64   # chunk size in whitespace tokens
+CHUNK_STRIDE = 48   # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16 tokens
+
+
+@query(
+    "x_text_chunk_overlap",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+s AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS start
+  FROM d WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(len(t[start + 1 : start + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens
+FROM s
+""",
+)
+def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (context-window prep
+    for training/RAG): fixed-size token chunks advancing by a stride, so
+    consecutive chunks share CHUNK_TOKENS - CHUNK_STRIDE tokens of context.
+    Pure per-row array ops (split -> sequence of starts -> explode ->
+    slice) -- no shuffle at all, embarrassingly parallel over scan splits;
+    output rows ~ tokens/stride per document."""
+    t = catalog.load(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    return (
+        t.documents.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+            ).alias("chunk_text"),
+            F.size(F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
