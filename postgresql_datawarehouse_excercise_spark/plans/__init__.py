@@ -173,12 +173,17 @@ def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
 _FACT_RELATION = re.compile(r"Relation \[[^\]]*\b[ol]_orderkey#")
 
 
+_REDUCING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate")
+
+
 def fact_broadcast_hints(df: DataFrame) -> list[str]:
     """Explicit broadcast hints whose subtree reaches an orders/lineitem base
-    relation with NO cardinality-reducing node (Aggregate/GlobalLimit)
-    between hint and scan -- i.e. a fact-sized relation statically pinned to
-    broadcast.  A hint over an Aggregate of a fact (e.g. a 1-row max) is
-    fine: the broadcast side is the aggregate's output, not the fact."""
+    relation with NO cardinality-reducing node (Aggregate / GlobalLimit /
+    Deduplicate) between hint and scan -- i.e. a fact-sized relation
+    statically pinned to broadcast.  A hint over an Aggregate of a fact
+    (e.g. a 1-row max) or a Deduplicate projecting a low-cardinality key
+    set (e.g. the time dimension's DISTINCT order dates) is fine: the
+    broadcast side is the reduced output, not the fact."""
     offenders = []
     for sub in broadcast_hint_subtrees(df):
         entries = [( _tree_depth(l), l) for l in sub.splitlines()]
@@ -189,7 +194,7 @@ def fact_broadcast_hints(df: DataFrame) -> list[str]:
             for pd, pline in reversed(entries[:idx]):
                 if pd < cur:  # ancestor chain within the hint subtree
                     cur = pd
-                    if "Aggregate" in pline or "GlobalLimit" in pline:
+                    if any(tok in pline for tok in _REDUCING_NODES):
                         reduced = True
                         break
             if not reduced:
