@@ -241,6 +241,7 @@ def main() -> None:
         "x_sql_approx_percentile",
         "x_pipeline_quality_gate",
         "x_pipeline_decontaminate",
+        "x_pipeline_decontaminate_bloom",
         "x_pipeline_pack_sequences",
         "x_pipeline_shuffle_shards",
         "x_pipeline_scd2_history",

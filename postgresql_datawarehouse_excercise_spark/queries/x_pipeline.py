@@ -656,3 +656,57 @@ def x_pipeline_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["customerid"], ["priority"], "observed_at",
     )
     return applied.select("customerid", "priority", "valid_from", "valid_to", "is_current")
+
+
+@query("x_pipeline_decontaminate_bloom", oracle=_decontaminate_oracle())
+def x_pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the BLOOM-FILTER scale path (the swap the plain
+    entry documents for when the eval gram set outgrows broadcast memory):
+
+      1. build a fixed-size Bloom over the eval grams (operators/
+         bloomfilter.py: one numpy partial per partition, driver OR --
+         traffic independent of eval cardinality, no false negatives);
+      2. probe every TRAIN gram with the broadcast bit array (vectorized
+         pandas UDF) -- false positives only;
+      3. EXACT-confirm just the bloom-positive survivors against the
+         distinct eval grams (a join whose left side is already thinned to
+         ~the contaminated grams + fp-rate noise).
+
+    No false negatives + exact confirm => output is bit-identical to the
+    pure-exact formulation, so this entry shares ITS oracle -- the driver
+    gate proves the scale path loses nothing."""
+    from ..operators import bloomfilter
+    from ..operators.dedup import h60, shingled
+
+    t = catalog.load(spark, sf_dir)
+    grams = (
+        shingled(t.documents)
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .select(
+            "doc_id", "bucket", F.size("sh").alias("n_shingles"),
+            F.explode("sh").alias("g"),
+        )
+        .withColumn("h", h60(F.col("g")))
+        .drop("g")
+    )
+    eval_grams = grams.filter(F.col("bucket") >= TRAIN_PCT).select("h").distinct()
+    bloom = bloomfilter.build(eval_grams, "h")
+    might_contain = bloomfilter.probe_col(spark, bloom)
+    train = grams.filter(F.col("bucket") < TRAIN_PCT)
+    survivors = train.filter(might_contain(F.col("h")))
+    confirmed = (
+        survivors.join(eval_grams.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"))
+    )
+    return (
+        train.groupBy("doc_id")
+        .agg(F.max("n_shingles").alias("n_shingles"))
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
