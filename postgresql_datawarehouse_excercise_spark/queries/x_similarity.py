@@ -119,8 +119,8 @@ q AS (
 SELECT vec_id,
        CAST(len(qv) AS INT) AS dim,
        FLOOR(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
-       list_aggregate(qv, 'sum') AS q_sum,
-       list_aggregate(list_transform(qv, x -> x * x), 'sum') AS q_dot,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS q_dot,
        qv[1] AS q_first,
        qv[len(qv)] AS q_last
 FROM q
