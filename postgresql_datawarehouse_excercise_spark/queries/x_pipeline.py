@@ -674,7 +674,15 @@ def x_pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFram
 
     No false negatives + exact confirm => output is bit-identical to the
     pure-exact formulation, so this entry shares ITS oracle -- the driver
-    gate proves the scale path loses nothing."""
+    gate proves the scale path loses nothing.
+
+    At bench scale this runs ~2x the plain entry (the bloom build is an
+    extra pass over the shingle lineage and the probe is an Arrow UDF hop);
+    the trade only pays off when the eval gram set no longer broadcasts --
+    which is exactly when the plain entry stops working at all.  In a real
+    pipeline the shingled grams would be persisted across the build/probe/
+    confirm passes; here each pass recomputes lineage so the timed cost is
+    an upper bound."""
     from ..operators import bloomfilter
     from ..operators.dedup import h60, shingled
 
