@@ -679,10 +679,9 @@ def x_pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFram
     At bench scale this runs ~2x the plain entry (the bloom build is an
     extra pass over the shingle lineage and the probe is an Arrow UDF hop);
     the trade only pays off when the eval gram set no longer broadcasts --
-    which is exactly when the plain entry stops working at all.  In a real
-    pipeline the shingled grams would be persisted across the build/probe/
-    confirm passes; here each pass recomputes lineage so the timed cost is
-    an upper bound."""
+    which is exactly when the plain entry stops working at all.  The
+    shingled grams persist across the build/probe/confirm passes so the
+    corpus is tokenized once."""
     from ..operators import bloomfilter
     from ..operators.dedup import h60, shingled
 
@@ -696,6 +695,9 @@ def x_pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("h", h60(F.col("g")))
         .drop("g")
+        # the gram set feeds three passes (bloom build, probe, confirm):
+        # persist so shingling runs once; LRU-evicted with the session
+        .persist()
     )
     eval_grams = grams.filter(F.col("bucket") >= TRAIN_PCT).select("h").distinct()
     bloom = bloomfilter.build(eval_grams, "h")

@@ -57,6 +57,32 @@ def test_apply_with_unchanged_attrs_is_a_noop_version(spark):
     assert _hist(applied) == [(1, "a", 1, None, True)]
 
 
+def test_apply_equals_rebuild_property(spark):
+    """Property sweep: random snapshot sets and split points -- incremental
+    apply must equal the one-shot rebuild for every shape (multiple keys,
+    repeated attrs, keys absent from either side of the split)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        rows = []
+        for k in range(1, 5):
+            days = sorted(rng.sample(range(1, 28), rng.randint(1, 6)))
+            for d in days:
+                rows.append((k, rng.choice("abc"), d))
+        split = rng.randint(2, 26)
+        snaps = _snap(spark, rows)
+        full = scd.scd2_from_snapshots(snaps, KEY, TRACKED, TS)
+        applied = scd.scd2_apply(
+            scd.scd2_from_snapshots(
+                snaps.filter(F.dayofmonth("ts") < split), KEY, TRACKED, TS
+            ),
+            snaps.filter(F.dayofmonth("ts") >= split),
+            KEY, TRACKED, TS,
+        )
+        assert _hist(applied) == _hist(full), (trial, split, rows)
+
+
 def test_as_of_join_against_history(spark):
     """The point of SCD2: a fact row joins the attribute version valid at
     its event time."""
