@@ -230,6 +230,50 @@ def test_zorder_key_is_morton_interleave(spark):
         assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
 
 
+def test_zorder_beats_linear_on_the_second_dimension(spark, tmp_path):
+    """The point of Z-order over linear clustering: a selective filter on
+    the SECOND key must skip files.  With linear clustering on `a` alone,
+    every file spans the full `b` range (independent columns), so a narrow
+    b-slice intersects every file's stats; under the Morton interleave both
+    dimensions get locality and the same slice prunes most files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.range(40_000).select(
+        (F.xxhash64(F.col("id")) % 1000).alias("a"),
+        (F.xxhash64(F.col("id") + 7) % 1000).alias("b"),
+    ).select(F.abs("a").alias("a"), F.abs("b").alias("b"))
+
+    def files_touching_b_slice(table, lo=100, hi=150):
+        touched = total = 0
+        for dirpath, _dirs, names in os.walk(table.data_path):
+            for f in names:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(dirpath, f))
+                idx = md.schema.names.index("b")
+                fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+                fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+                total += 1
+                if fmax >= lo and fmin <= hi:
+                    touched += 1
+        return touched, total
+
+    t_lin = _table(spark, df, tmp_path / "lin")
+    t_lin.optimize(cluster_by=("a",), num_files=16)
+    lin_touched, lin_total = files_touching_b_slice(t_lin)
+
+    t_z = _table(spark, df, tmp_path / "zo")
+    t_z.optimize(cluster_by=("a", "b"), zorder=True, num_files=16)
+    z_touched, z_total = files_touching_b_slice(t_z)
+
+    assert lin_total >= 8 and z_total >= 8
+    # linear on `a`: essentially every file spans all of b
+    assert lin_touched >= lin_total - 1, (lin_touched, lin_total)
+    # z-order: the 5% b-slice must prune at least half the files
+    assert z_touched <= z_total // 2, (z_touched, z_total)
+
+
 def test_optimize_zorder_preserves_content(spark, tmp_path):
     from pyspark.sql import functions as F
 
