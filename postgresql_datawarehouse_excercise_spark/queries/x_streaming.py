@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import catalog
 from ..streaming import events as se
 from . import query
 
@@ -91,6 +92,31 @@ def x_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunk = se.run_finite_to_sink(stream, output_mode="complete")
     return se.latest_per_key(sunk, ["user_id", "session_start"]).select(
         "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@query(
+    "x_stream_segment_hourly",
+    oracle="""
+SELECT date_trunc('hour', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def x_stream_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment on the driver gate: the event
+    stream joins the STATIC customer dimension (re-read and broadcast per
+    micro-batch -- the canonical streaming enrichment pattern), then
+    windows per segment; the drained counts must equal the batch join."""
+    t = catalog.load(spark, sf_dir)
+    enriched = se.enrich_with_customers(
+        se.read_events_stream(spark, sf_dir), t.customer
+    )
+    sunk = se.run_finite_to_sink(se.segment_counts(enriched))
+    return se.latest_per_key(sunk, ["window_start", "segment"]).select(
+        "window_start", "segment", "n_events"
     )
 
 
