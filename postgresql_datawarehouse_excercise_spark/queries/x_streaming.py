@@ -181,3 +181,54 @@ def x_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.funnel_stateful(se.read_events_stream(spark, sf_dir))
     sunk = se.run_finite_to_sink(stream)
     return se.latest_per_key(sunk, ["user_id"]).select("user_id", "stage")
+
+
+@query(
+    "x_stream_incremental_mv",
+    oracle="""
+SELECT o_custkey AS customerid,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       l_partkey AS partkey,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS amnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+GROUP BY 1, 2, 3
+""",
+)
+def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate maintenance on the driver gate: orders split
+    into 4 files stream in ARBITRARY date order (maxFilesPerTrigger=1 ->
+    4 micro-batches); each foreachBatch applies its batch as an incremental
+    delta to the persisted sales MV (streaming/mv_maintenance.py),
+    bootstrapping the MV and the append-only time dimension from nothing.
+    The maintained fact must hash-match the one-shot full rebuild at the
+    DATE-keyed grain (time ids are arrival-order surrogates by design --
+    stable once assigned, but not date-ordered under out-of-order arrival,
+    so the join back through the time dimension is part of the proof)."""
+    import tempfile
+
+    from ..functions import money
+    from ..mv.definitions import default_registry
+    from ..streaming import mv_maintenance as mvm
+
+    t = catalog.load(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="pdwx-stream-orders-")
+    t.orders.repartition(4).write.mode("overwrite").parquet(src)
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-stream-wh-"))
+    try:
+        q = mvm.maintain_sales_stream(
+            spark, sf_dir, reg, mvm.read_orders_stream(spark, src)
+        )
+        q.awaitTermination()
+        merged = reg.read(spark, "sales")
+        tdim = reg.read(spark, "time").select("timeid", "orderdate")
+        return (
+            merged.join(F.broadcast(tdim), "timeid")
+            .groupBy("customerid", "orderdate", "partkey")
+            .agg(money(F.sum("amnt")).alias("amnt"))
+            .localCheckpoint()
+        )
+    finally:
+        reg.drop_all()
