@@ -95,9 +95,10 @@ def _attr_names(expr) -> list[str]:
 
 def _match_star_aggregate(jplan, view_name: str):
     """Match Aggregate[attrs][sum(m) as alias] <- Filter? <- SubqueryAlias
-    view_name.  Returns (group_cols, measure, aliases, filter_sql, out_cols)
-    or None.  aliases maps output position -> output column name so the
-    rewrite reproduces the exact result schema."""
+    view_name.  Returns (group_cols, measure, filter_attrs, filter_sql,
+    out_cols) or None.  out_cols is (output name, source attr, is_measure)
+    per output position so the rewrite reproduces the exact result schema,
+    including aliased group columns (`name AS customer`)."""
     if _cls(jplan) != "Aggregate":
         return None
     groups = []
@@ -106,13 +107,13 @@ def _match_star_aggregate(jplan, view_name: str):
             return None
         groups.append(g.name())
     measure = None
-    out_cols: list[tuple[str, str | None]] = []  # (output name, None=group | measure attr)
+    out_cols: list[tuple[str, str, bool]] = []  # (out name, src attr, is_measure)
     for e in _seq(jplan.aggregateExpressions()):
         kind = _cls(e)
         if kind == "AttributeReference":
             if e.name() not in groups:
                 return None
-            out_cols.append((e.name(), None))
+            out_cols.append((e.name(), e.name(), False))
             continue
         if kind != "Alias":
             return None
@@ -120,7 +121,7 @@ def _match_star_aggregate(jplan, view_name: str):
         if _cls(child) == "AttributeReference":
             if child.name() not in groups:
                 return None
-            out_cols.append((e.name(), None))
+            out_cols.append((e.name(), child.name(), False))
             continue
         if _cls(child) != "AggregateExpression":
             return None
@@ -135,7 +136,7 @@ def _match_star_aggregate(jplan, view_name: str):
         if measure is not None:  # one additive measure per navigable query
             return None
         measure = arg.name()
-        out_cols.append((e.name(), measure))
+        out_cols.append((e.name(), measure, True))
     if measure is None:
         return None
     node = _children(jplan)[0]
@@ -202,12 +203,13 @@ def spark_sql(
     agg = out.groupBy(*groups).agg(F.sum(measure).alias("__m"))
     # re-aggregating a pre-summed measure widens decimals one step further
     # than the direct query; pin the ORIGINAL result's dtype so the rewrite
-    # is schema-identical to executing the text
+    # is schema-identical to executing the text.  Group columns re-alias to
+    # their OUTPUT names (the text may write `name AS customer`).
     return agg.select(
         *[
-            F.col("__m").cast(df.schema[name].dataType).alias(name)
-            if mcol is not None
-            else F.col(name)
-            for name, mcol in out_cols
+            F.col("__m").cast(df.schema[out].dataType).alias(out)
+            if is_measure
+            else F.col(src).alias(out)
+            for out, src, is_measure in out_cols
         ]
     )

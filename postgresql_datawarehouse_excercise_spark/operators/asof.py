@@ -121,7 +121,7 @@ def asof_join_tolerance(
     joined = asof_join(left, right, on, left_time, right_time, payload)
     within = (
         F.unix_micros(F.col(left_time)) - F.unix_micros(F.col(f"asof_{right_time}"))
-    ) <= F.lit(int(tolerance_seconds) * 1_000_000)
+    ) <= F.lit(int(round(tolerance_seconds * 1_000_000)))  # honors fractional tolerances
     return joined.select(
         *[f.name for f in left.schema.fields],
         *[

@@ -68,10 +68,14 @@ def probe_col(
     bit array ships to executors once via a Spark broadcast, each Arrow
     batch probes vectorized."""
     bc = spark.sparkContext.broadcast(bloom_bytes)
+    unpacked: dict[str, np.ndarray] = {}  # per-worker-process cache
 
     @F.pandas_udf(BooleanType())
     def might_contain(s: pd.Series) -> pd.Series:
-        bits = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8)).astype(bool)
+        bits = unpacked.get("bits")
+        if bits is None:
+            bits = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8)).astype(bool)
+            unpacked["bits"] = bits
         h = s.to_numpy(dtype=np.int64)
         hit = np.ones(len(h), dtype=bool)
         for pos in _positions(h, n_bits, k):

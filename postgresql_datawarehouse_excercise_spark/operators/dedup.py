@@ -100,23 +100,41 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     and plans keep their scan-local pipelines.  Measured sf0.1/local[32]:
     minhash 1.3 -> 0.8 s, n-gram jaccard 2.4 -> 1.1 s.
 
-    The split-count probe is PLAN-SIDE: estimated splits = optimizer
-    sizeInBytes / files.maxPartitionBytes (how FilePartition packing sizes
-    scan splits).  The previous df.rdd.getNumPartitions() probe forced an
-    RDD lineage conversion (a py4j round-trip plus plan re-derivation) on
-    every shingle-pipeline construction."""
+    The split-count probe is PLAN-SIDE when the input is a bare scan chain
+    (Project/Filter over a file relation -- every caller in this repo):
+    estimated splits = optimizer sizeInBytes / files.maxPartitionBytes (how
+    FilePartition packing sizes scan splits), avoiding the RDD lineage
+    conversion the old df.rdd.getNumPartitions() probe forced per call.
+    For any other shape the size estimate is NOT trustworthy (joins
+    multiply child sizes; unknown-stats sources report defaultSizeInBytes),
+    so the probe falls back to the exact RDD partition count rather than
+    silently skipping the fan-out."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    try:
-        max_split = int(
-            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+
+    def scan_chain_only(node) -> bool:
+        if str(node.nodeName()) not in (
+            "Project", "Filter", "SubqueryAlias", "Relation", "LogicalRelation"
+        ):
+            return False
+        s = node.children()
+        return all(scan_chain_only(s.apply(i)) for i in range(s.size()))
+
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    if scan_chain_only(jplan):
+        size = int(str(jplan.stats().sizeInBytes()))
+        try:
+            max_split = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+                )
             )
-        )
-    except Exception:
-        max_split = 128 * 1024 * 1024
-    if max(1, size // max_split) >= target:
+        except Exception:
+            max_split = 128 * 1024 * 1024
+        enough = max(1, size // max_split) >= target
+    else:
+        enough = df.rdd.getNumPartitions() >= target
+    if enough:
         return df
     return df.repartition(target, *keys)
 

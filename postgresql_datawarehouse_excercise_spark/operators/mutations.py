@@ -169,12 +169,30 @@ class ManagedParquetTable:
         return self.version() >= 0
 
     def _commit(self, built: str) -> None:
-        """Publish a fully-built snapshot directory: name it v=N+1, then
-        atomically flip the pointer.  Readers see old-or-new, never between;
-        a crash before the flip leaves the old pointer valid."""
-        new_version = self.version() + 1
-        final = self._snapshot_path(new_version)
-        os.replace(built, final)
+        """Publish a fully-built snapshot directory: name it after the next
+        free version slot, then atomically flip the pointer.  Readers see
+        old-or-new, never between; a crash before the flip leaves the old
+        pointer valid.
+
+        The slot is max(pointer, existing v= dirs) + 1, and an occupied
+        slot (an orphan directory from a crash between rename and flip, or
+        a racing writer's fresh commit) advances to the next one instead of
+        failing -- so a crash never bricks future commits and concurrent
+        writers degrade to the documented last-pointer-wins.  Orphans age
+        out through the normal retention vacuum once the pointer passes
+        them."""
+        new_version = max([self.version(), *self.versions()]) + 1
+        last_exc: OSError | None = None
+        for _ in range(100):
+            try:
+                os.replace(built, self._snapshot_path(new_version))
+                last_exc = None
+                break
+            except OSError as exc:  # slot taken by an orphan/racing commit
+                last_exc = exc
+                new_version += 1
+        if last_exc is not None:
+            raise last_exc
         tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             fh.write(f"{new_version}\n")

@@ -37,12 +37,18 @@ def x_mv_sql_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     star-view aggregate onto view2 (cheapest sufficient materialization),
     and the result must equal the query's relational statement."""
     reg = default_registry(tempfile.mkdtemp(prefix="pdwx-sqlrw-entry-"))
-    for name in ("time", "sales", "view2"):  # the rewrite target's dep chain
-        reg.build(spark, sf_dir, name)
-    nav = default_navigator(reg)
-    sql_rewrite.register_star_view(spark, sf_dir)
-    explain: list[str] = []
-    df = sql_rewrite.spark_sql(spark, sf_dir, _TEXT, reg, nav, explain=explain)
-    if not any("rewriting onto MV 'view2'" in e for e in explain):
-        raise AssertionError(f"MV rewrite did not fire: {explain}")
-    return df.select("name", "year", money(F.col("amnt")).alias("amnt"))
+    try:
+        for name in ("time", "sales", "view2"):  # the rewrite target's dep chain
+            reg.build(spark, sf_dir, name)
+        nav = default_navigator(reg)
+        sql_rewrite.register_star_view(spark, sf_dir)
+        explain: list[str] = []
+        df = sql_rewrite.spark_sql(spark, sf_dir, _TEXT, reg, nav, explain=explain)
+        if not any("rewriting onto MV 'view2'" in e for e in explain):
+            raise AssertionError(f"MV rewrite did not fire: {explain}")
+        # materialize before the temp warehouse is dropped
+        return df.select(
+            "name", "year", money(F.col("amnt")).alias("amnt")
+        ).localCheckpoint()
+    finally:
+        reg.drop_all()

@@ -88,9 +88,11 @@ def x_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed per-user 30-minute-gap session windows vs the batch
     gaps-and-islands oracle (pins merge semantics: end = last event + gap)."""
     stream = se.session_windows(se.read_events_stream(spark, sf_dir))
-    # session-window aggregation supports complete/append, not update
+    # session-window aggregation supports complete/append, not update; a
+    # complete-mode drain keeps ONLY the final epoch (per-key last-wins
+    # would resurrect sessions a later batch merged away)
     sunk = se.run_finite_to_sink(stream, output_mode="complete")
-    return se.latest_per_key(sunk, ["user_id", "session_start"]).select(
+    return se.last_epoch_snapshot(sunk).select(
         "user_id", "session_start", "session_end", "n_events"
     )
 

@@ -221,8 +221,11 @@ def run_finite_to_sink(stream_df: DataFrame, output_mode: str = "update") -> Dat
 
 
 def latest_per_key(sunk: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Final state per key from an update-mode sink: later epochs strictly
-    supersede earlier emissions of the same key."""
+    """Final state per key from an UPDATE-mode sink: later epochs strictly
+    supersede earlier emissions of the same key.  (Only valid for update
+    mode, where a key absent from later batches is final -- complete-mode
+    sinks need last_epoch_snapshot, because a later batch can MERGE keys
+    away, e.g. session windows absorbing an earlier session.)"""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*key_cols).orderBy(F.col("_epoch").desc())
@@ -231,6 +234,16 @@ def latest_per_key(sunk: DataFrame, key_cols: list[str]) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_epoch")
     )
+
+
+def last_epoch_snapshot(sunk: DataFrame) -> DataFrame:
+    """Final result from a COMPLETE-mode sink: each batch emits the whole
+    answer, so the last epoch IS the result and earlier epochs are
+    discarded wholesale (a key the final batch no longer emits -- merged
+    away by in-watermark late data -- must not survive from an earlier
+    epoch)."""
+    last = sunk.agg(F.max("_epoch").alias("_epoch"))
+    return sunk.join(F.broadcast(last), "_epoch").drop("_epoch")
 
 
 def run_finite(stream_df: DataFrame, output_mode: str = "update") -> list:

@@ -140,6 +140,21 @@ def test_update_of_partition_column_moves_rows(spark, customer_raw, tmp_path):
     )
 
 
+def test_orphan_snapshot_dir_does_not_brick_commits(spark, customer_raw, tmp_path):
+    """A crash between the snapshot rename and the pointer flip leaves an
+    orphan v=N+1 directory; the next commit must skip the occupied slot
+    instead of failing forever on rename-onto-non-empty."""
+    t = _table(spark, customer_raw, tmp_path)
+    orphan = os.path.join(t.root, f"v={t.version() + 1}")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stray.parquet"), "w") as fh:
+        fh.write("not really parquet")
+    n = t.update_where("city = 'Sidney'", {"city": F.lit("Sydney")})
+    assert n > 0
+    assert t.read().filter("city = 'Sidney'").count() == 0
+    assert t.version() == 2  # slot 1 was occupied; commit landed on 2
+
+
 def test_time_travel_and_retention(spark, customer_raw, tmp_path):
     t = _table(spark, customer_raw, tmp_path, partition_by=("country",))
     assert t.version() == 0

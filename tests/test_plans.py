@@ -162,7 +162,12 @@ def test_registry_no_fact_side_broadcast_hints(spark, sf_dir):
     (region/nation/supplier/part/customer) are exactly what should stay.
     Side-effectful families (stream drains, mutations, source round-trips)
     do real work at construction and are audited separately."""
-    skip = ("x_stream_", "x_mutation_", "x_source_", "x_mv_", "x_pipeline_incremental")
+    skip = (
+        "x_stream_", "x_mutation_", "x_source_", "x_mv_",
+        "x_pipeline_incremental",
+        # eager bloom build + session-lifetime persist at construction
+        "x_pipeline_decontaminate_bloom",
+    )
     for name in sorted(REG):
         if name.startswith(skip):
             continue

@@ -55,6 +55,20 @@ def test_rewrites_customer_year_aggregate_onto_view2(spark, sf_dir, built):
     _assert_equivalent(spark, df, text)
 
 
+def test_aliased_group_column_rewrites(spark, sf_dir, built):
+    """`name AS customer` in the SELECT must re-alias in the rewritten
+    result (regression: the rewrite used to emit only the source column and
+    crash resolving the output alias)."""
+    text = (
+        "SELECT name AS customer, year, SUM(amnt) AS total "
+        "FROM sales_star GROUP BY name, year"
+    )
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("rewriting onto MV" in e for e in explain), explain
+    assert df.columns == ["customer", "year", "total"]
+    _assert_equivalent(spark, df, text)
+
+
 def test_fd_bridge_rewrite_with_filter(spark, sf_dir, built):
     """country is reachable from view2's grain only via the FD bridge; the
     WHERE predicate re-applies at MV grain before re-aggregation."""
