@@ -319,10 +319,19 @@ class ManagedParquetTable:
 
         ``num_files`` sets the range-partition count (compaction knob:
         small-file consolidation picks a low target; default leaves it to
-        spark.sql.shuffle.partitions).  Time travel covers layout changes
-        too: the pre-optimize snapshot stays readable at read(version=-1)
-        within the retention window."""
+        spark.sql.shuffle.partitions).  With NO cluster keys this is pure
+        small-file compaction: rewrite the snapshot into num_files files
+        (the OPTIMIZE-without-ZORDER bin-packing case).  Time travel covers
+        layout changes too: the pre-optimize snapshot stays readable at
+        read(version=-1) within the retention window."""
         df = self.read()
+        if not cluster_by:
+            if not num_files:
+                raise ValueError("compaction without cluster keys needs num_files")
+            staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
+            self._write_snapshot(df.repartition(num_files), staging)
+            self._commit(staging)
+            return
         if zorder:
             bounds = df.agg(
                 *[

@@ -289,6 +289,24 @@ def test_zorder_beats_linear_on_the_second_dimension(spark, tmp_path):
     assert z_touched <= z_total // 2, (z_touched, z_total)
 
 
+def test_optimize_compaction_consolidates_small_files(spark, customer_raw, tmp_path):
+    t = _table(spark, customer_raw.repartition(16), tmp_path)
+
+    def n_files():
+        return sum(
+            1 for _d, _s, names in os.walk(t.data_path)
+            for f in names if f.endswith(".parquet")
+        )
+
+    assert n_files() >= 8
+    before = sorted(map(tuple, t.read().collect()))
+    t.optimize(cluster_by=(), num_files=2)
+    assert n_files() <= 2
+    assert sorted(map(tuple, t.read().collect())) == before
+    with pytest.raises(ValueError, match="num_files"):
+        t.optimize(cluster_by=())
+
+
 def test_optimize_zorder_preserves_content(spark, tmp_path):
     from pyspark.sql import functions as F
 
