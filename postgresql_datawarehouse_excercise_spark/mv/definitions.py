@@ -170,6 +170,10 @@ def default_registry(warehouse: str) -> MVRegistry:
             deps=("sales", "time"),
             doc="assignment-5.sql:90-112 (plain-table twin; INSERT = "
             "write-after-validate of the declared PK/NOT NULL/FK rules)",
+            # content == the sales MV by construction (same builder output);
+            # after validation the build link-shares sales' parquet files
+            # instead of rewriting identical bytes
+            link_from="sales",
         )
     )
     reg.register(

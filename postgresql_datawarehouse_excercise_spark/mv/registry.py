@@ -46,6 +46,13 @@ class MVDef:
     # catalog cache slot this MV backs: once built, downstream builders read
     # the persisted parquet instead of recomputing the defining lineage.
     cache_key: str | None = None
+    # content-identical twin: when set and that MV is already built, this
+    # MV's build runs its builder (for validation side effects) but then
+    # HARDLINKS the twin's immutable parquet files instead of rewriting the
+    # same bytes (INSERT INTO t SELECT * FROM mv with matching formats ==
+    # a link-share copy; parquet files are never mutated in place).  The
+    # declarer asserts the builder's output equals the twin's content.
+    link_from: str | None = None
 
 
 @dataclass
@@ -87,6 +94,19 @@ class MVRegistry:
             # evict so the builder recomputes from base lineage
             catalog.load(spark, sf_dir)._cache.pop(mv.cache_key, None)
         df = mv.builder(catalog.load(spark, sf_dir))
+        if mv.link_from and self.is_built(mv.link_from):
+            # builder already ran (validations fired); share the twin's files
+            from ..operators.mutations import _link_tree
+
+            dest = self.path(name)
+            shutil.rmtree(dest, ignore_errors=True)
+            _link_tree(self.path(mv.link_from), dest)
+            self.stats[name] = self.stats.get(
+                mv.link_from, 1 << 62
+            )
+            if mv.cache_key:
+                catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
+            return
         # row-count stats ride along with the write via the Observation API
         # (one job per MV instead of write + count read-back)
         from pyspark.sql import Observation
