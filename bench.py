@@ -217,6 +217,7 @@ def main() -> None:
         "x_events_session_windows",
         "x_events_funnel",
         "x_events_retention_cohorts",
+        "x_events_hourly_anomaly",
         "x_sim_topk_bruteforce",
         "x_sim_knn_join",
         "x_sim_ann_lsh",

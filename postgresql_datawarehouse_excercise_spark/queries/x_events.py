@@ -324,3 +324,86 @@ def x_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         money(F.sum("sum_value")).alias("total_value"),
     )
+
+
+ANOMALY_TRAIL = 24   # trailing window (hours) the baseline is computed over
+ANOMALY_MIN_N = 12   # baseline must cover at least this many hours
+ANOMALY_SIGMA = 3    # |z| threshold
+
+
+@query(
+    "x_events_hourly_anomaly",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, window_start, n,
+         CAST(COUNT(*)    OVER trail AS BIGINT) AS c,
+         CAST(SUM(n)      OVER trail AS BIGINT) AS s1,
+         CAST(SUM(n * n)  OVER trail AS BIGINT) AS s2
+  FROM hourly
+  WINDOW trail AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n AS n_events,
+       CASE WHEN c >= {ANOMALY_MIN_N} AND c * s2 - s1 * s1 > 0
+            THEN FLOOR(((c * n - s1) / sqrt(CAST(c * s2 - s1 * s1 AS DOUBLE)))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS zscore,
+       (c >= {ANOMALY_MIN_N}
+        AND (c * n - s1) * (c * n - s1)
+              > {ANOMALY_SIGMA * ANOMALY_SIGMA} * (c * s2 - s1 * s1)) AS anomaly
+FROM w
+""",
+)
+def x_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection over hourly event volumes (the
+    monitoring pass a training-data ingest runs to catch upstream breakage):
+    each (event_type, hour) count is z-scored against the previous
+    {ANOMALY_TRAIL} hours' mean/std.
+
+    With c = trailing hours, s1 = sum, s2 = power sum, the population-std
+    z-score reduces to ONE integer numerator over one integer sqrt:
+    z = (c*n - s1) / sqrt(c*s2 - s1^2), and the anomaly DECISION is exact
+    integer arithmetic -- |z| > sigma iff
+    (c*n - s1)^2 > sigma^2 * (c*s2 - s1^2), no floats involved, so the
+    flag can never drift between engines; only the reported z value itself
+    touches doubles (identical closed form + portable rounding on both
+    sides).  One window pass over the (type, hour) aggregate; the trailing
+    frame is ROWS-bounded so state is {ANOMALY_TRAIL} rows per type."""
+    from pyspark.sql.window import Window
+
+    from ..functions import fround
+
+    t = catalog.load(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    n = F.col("n")
+    c = F.count(F.lit(1)).over(trail)
+    s1 = F.sum("n").over(trail)
+    s2 = F.sum(n * n).over(trail)
+    w = hourly.select(
+        "event_type", "window_start", n.alias("n_events"),
+        c.alias("c"), s1.alias("s1"), s2.alias("s2"),
+    )
+    intnum = F.col("c") * F.col("n_events") - F.col("s1")
+    intvar = F.col("c") * F.col("s2") - F.col("s1") * F.col("s1")
+    ok = (F.col("c") >= ANOMALY_MIN_N) & (intvar > 0)
+    z = intnum / F.sqrt(intvar.cast("double"))
+    return w.select(
+        "event_type", "window_start", "n_events",
+        F.when(ok, fround(z, 6)).alias("zscore"),
+        (
+            (F.col("c") >= ANOMALY_MIN_N)
+            & (intnum * intnum > F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA) * intvar)
+        ).alias("anomaly"),
+    )
