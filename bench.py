@@ -237,6 +237,7 @@ def main() -> None:
         "x_mutation_time_travel",
         "x_mutation_optimize_zorder",
         "x_mv_sql_rewrite",
+        "x_mv_sql_rewrite_multi",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
         "x_sql_approx_percentile",

@@ -125,6 +125,23 @@ def _view2_mv(t: catalog.Tables) -> DataFrame:
     return _view2(t).withColumnRenamed("sum_d", "amnt")
 
 
+def _view2_stats(t: catalog.Tables) -> DataFrame:
+    """Count-bearing twin of view2: same (customer, year) grain with both
+    SUM(amnt) and COUNT(*) materialized, making COUNT/AVG queries navigable
+    (AVG re-derives as SUM(sum)/SUM(cnt); a sum-only MV cannot answer it)."""
+    sales = t.sales()
+    cust = t.customer.select(
+        F.col("c_custkey").alias("customerid"), F.col("c_name").alias("name")
+    )
+    tdim = t.time_dim().select("timeid", "year")
+    return (
+        sales.join(F.broadcast(cust), "customerid")
+        .join(F.broadcast(tdim), "timeid")
+        .groupBy("customerid", "name", "year")
+        .agg(F.sum("amnt").alias("amnt"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _view3_mv(t: catalog.Tables) -> DataFrame:
     return _view3(t).withColumnRenamed("sum_d", "amnt")
 
@@ -226,6 +243,25 @@ def default_registry(warehouse: str) -> MVRegistry:
     reg.register(
         MVDef("sum_per_day_per_city", _sum_per_day_per_city, A(), {},
               deps=("sales", "time"), doc="assignment-5.sql:567-576 (period report)")
+    )
+    return reg
+
+
+def with_count_stats(reg: MVRegistry) -> MVRegistry:
+    """EXTENSION (not one of the reference's 15 objects): register the
+    count-bearing view2 twin so COUNT(*)/AVG SQL-text queries can be
+    answered from a materialization.  Opt-in so the default stack stays
+    exactly the reference's A3 inventory."""
+    reg.register(
+        MVDef(
+            "view2_stats",
+            _view2_stats,
+            frozenset({"customerid", "name", "year"}),
+            {"amnt": "sum", "cnt": "count"},
+            deps=("sales", "time"),
+            doc="extension: COUNT/AVG-navigable twin of view2 "
+            "(assignment-5.sql:313-321 grain, + count measure)",
+        )
     )
     return reg
 

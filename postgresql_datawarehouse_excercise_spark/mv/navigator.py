@@ -122,6 +122,52 @@ class AggregateNavigator:
         cands = self.eligible(q)
         return cands[0] if cands else None
 
+    def eligible_multi(
+        self,
+        group_cols: frozenset[str],
+        filter_attrs: frozenset[str],
+        needs: frozenset[tuple[str, str | None]],
+    ) -> list[Candidate]:
+        """Multi-measure eligibility: every need must be computable from the
+        SAME view.  ``needs`` holds ('sum', m) / ('count', None) / ('avg', m)
+        pairs -- SUM re-aggregates an additive sum column, COUNT(*) re-sums
+        a count column, AVG needs both (SUM(sum)/SUM(cnt)).  Grouping / data
+        sufficiency / FD-bridge checks are identical to ``eligible``."""
+        out: list[Candidate] = []
+        for name, mv in self.registry.defs.items():
+            has_cnt = "count" in mv.measures.values()
+
+            def _ok(kind: str, m: str | None) -> bool:
+                if kind == "sum":
+                    return mv.measures.get(m) == "sum"
+                if kind == "count":
+                    return has_cnt
+                if kind == "avg":
+                    return mv.measures.get(m) == "sum" and has_cnt
+                return False
+
+            if not all(_ok(kind, m) for kind, m in needs):
+                continue
+            grain = mv.grain
+            reach = fd_closure(grain)
+            need = group_cols | filter_attrs
+            if not need <= reach:
+                continue
+            out.append(
+                Candidate(name, self.registry.rowcount(name), need & grain, need - grain)
+            )
+        out.sort(key=lambda c: (c.rowcount, c.mv_name))
+        return out
+
+    def choose_multi(
+        self,
+        group_cols: frozenset[str],
+        filter_attrs: frozenset[str],
+        needs: frozenset[tuple[str, str | None]],
+    ) -> Candidate | None:
+        cands = self.eligible_multi(group_cols, filter_attrs, needs)
+        return cands[0] if cands else None
+
     def answer(
         self,
         spark: SparkSession,

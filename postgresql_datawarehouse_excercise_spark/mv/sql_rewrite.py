@@ -5,14 +5,22 @@ checks for queries stated as AggQuery intents; this module extends the same
 rewrite to SQL TEXT.  ``spark_sql`` parses and analyzes the text through
 Catalyst, pattern-matches the ANALYZED logical plan --
 
-    Aggregate [group attrs] [SUM(measure) AS alias]
-      +- (Filter condition)?
-          +- SubqueryAlias <star view>
+    GlobalLimit?/LocalLimit?
+      +- Sort?                       -- ORDER BY over output attrs
+          +- Project?                -- analyzer-inserted (hidden having/sort aggs)
+              +- Filter?             -- HAVING over aggregate outputs
+                  +- Aggregate [group attrs] [SUM/COUNT(*)/AVG measures]
+                      +- (Filter condition)?                  -- WHERE
+                          +- SubqueryAlias <star view>
 
--- extracts the grouping / filter attribute sets and the measure, and asks
-the navigator for the cheapest sufficient MV.  On a match the returned
-DataFrame reads the MV parquet (plus FD bridge joins), re-applies the
-filter predicate at MV grain, and re-aggregates; otherwise the original
+-- extracts the grouping / filter attribute sets and every measure, and asks
+the navigator for the cheapest MV sufficient for ALL of them (SUM needs an
+additive sum column; COUNT(*) needs a count column; AVG needs both, derived
+as SUM(sum)/SUM(cnt) with Spark's own Average decimal typing replicated so
+the result is bit-identical to direct execution).  On a match the returned
+DataFrame reads the MV parquet (plus FD bridge joins), re-applies the WHERE
+predicate at MV grain, re-aggregates, then re-applies HAVING / ORDER BY /
+LIMIT from the rendered Catalyst expressions; otherwise the original
 ``spark.sql`` DataFrame is returned untouched.  Either way the result is
 column-for-column identical to executing the text directly.
 
@@ -33,11 +41,12 @@ materialization that can answer it.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .navigator import AggQuery, AggregateNavigator
+from .navigator import AggregateNavigator
 from .registry import MVRegistry
 
 STAR_VIEW = "sales_star"
@@ -93,12 +102,24 @@ def _attr_names(expr) -> list[str]:
     return [a.name() for a in _seq(expr.references().toSeq())]
 
 
-def _match_star_aggregate(jplan, view_name: str):
-    """Match Aggregate[attrs][sum(m) as alias] <- Filter? <- SubqueryAlias
-    view_name.  Returns (group_cols, measure, filter_attrs, filter_sql,
-    out_cols) or None.  out_cols is (output name, source attr, is_measure)
-    per output position so the rewrite reproduces the exact result schema,
-    including aliased group columns (`name AS customer`)."""
+import re as _re
+
+_DEC_RE = _re.compile(r"DECIMAL\((\d+),(\d+)\)", _re.I)
+
+
+def _dtype_sql(expr) -> str:
+    return expr.dataType().sql().lower()
+
+
+# out_specs entries: (out_name, kind, src_attr, out_dtype_sql, arg_dtype_sql)
+# kind in {'group', 'sum', 'count', 'avg'}; src/arg dtype None where n/a.
+def _match_aggregate(jplan, view_name: str):
+    """Match Aggregate[attrs][SUM/COUNT(*)/AVG measures] <- Filter? <-
+    SubqueryAlias view_name.  Returns (groups, out_specs, filter_attrs,
+    filter_sql) or None.  out_specs carries one entry per output position so
+    the rewrite reproduces the exact result schema, including aliased group
+    columns (`name AS customer`) and analyzer-inserted hidden aggregates
+    (`count(1)` backing a HAVING)."""
     if _cls(jplan) != "Aggregate":
         return None
     groups = []
@@ -106,14 +127,14 @@ def _match_star_aggregate(jplan, view_name: str):
         if _cls(g) != "AttributeReference":
             return None
         groups.append(g.name())
-    measure = None
-    out_cols: list[tuple[str, str, bool]] = []  # (out name, src attr, is_measure)
+    out_specs: list[tuple[str, str, str | None, str | None, str | None]] = []
+    n_measures = 0
     for e in _seq(jplan.aggregateExpressions()):
         kind = _cls(e)
         if kind == "AttributeReference":
             if e.name() not in groups:
                 return None
-            out_cols.append((e.name(), e.name(), False))
+            out_specs.append((e.name(), "group", e.name(), None, None))
             continue
         if kind != "Alias":
             return None
@@ -121,23 +142,27 @@ def _match_star_aggregate(jplan, view_name: str):
         if _cls(child) == "AttributeReference":
             if child.name() not in groups:
                 return None
-            out_cols.append((e.name(), child.name(), False))
+            out_specs.append((e.name(), "group", child.name(), None, None))
             continue
-        if _cls(child) != "AggregateExpression":
+        if _cls(child) != "AggregateExpression" or child.isDistinct():
             return None
         fn = child.aggregateFunction()
-        if _cls(fn) != "Sum" or child.isDistinct():
-            return None
+        fcls = _cls(fn)
         arg = fn.children().apply(0)
         if _cls(arg) == "Cast":  # analyzer-inserted numeric promotion
             arg = arg.child()
-        if _cls(arg) != "AttributeReference":
+        if fcls == "Sum" and _cls(arg) == "AttributeReference":
+            out_specs.append((e.name(), "sum", arg.name(), _dtype_sql(e), None))
+        elif fcls == "Count" and _cls(arg) == "Literal":  # COUNT(*) ~ count(1)
+            out_specs.append((e.name(), "count", None, _dtype_sql(e), None))
+        elif fcls == "Average" and _cls(arg) == "AttributeReference":
+            out_specs.append(
+                (e.name(), "avg", arg.name(), _dtype_sql(e), _dtype_sql(arg))
+            )
+        else:
             return None
-        if measure is not None:  # one additive measure per navigable query
-            return None
-        measure = arg.name()
-        out_cols.append((e.name(), measure, True))
-    if measure is None:
+        n_measures += 1
+    if n_measures == 0:
         return None
     node = _children(jplan)[0]
     filter_sql = None
@@ -148,7 +173,84 @@ def _match_star_aggregate(jplan, view_name: str):
         node = _children(node)[0]
     if _cls(node) != "SubqueryAlias" or node.alias() != view_name:
         return None
-    return groups, measure, filter_attrs, filter_sql, out_cols
+    return groups, out_specs, filter_attrs, filter_sql
+
+
+def _match_star_query(jplan, view_name: str):
+    """Unwrap [GlobalLimit/LocalLimit?] [Sort?] [Project?] [Sort?] [Filter?]
+    above the Aggregate (the shapes the analyzer emits for LIMIT / ORDER BY /
+    hidden-output projection / HAVING), then match the Aggregate itself.
+    HAVING and ORDER BY expressions reference Aggregate OUTPUT attrs by name
+    (possibly view-qualified or backticked like `count(1)`), so the rendered
+    SQL re-resolves against the re-aggregated relation aliased as the view."""
+    node = jplan
+    limit = None
+    if _cls(node) == "GlobalLimit":
+        if _cls(node.limitExpr()) != "Literal":
+            return None
+        limit = int(node.limitExpr().sql())
+        node = _children(node)[0]
+        if _cls(node) != "LocalLimit":
+            return None
+        node = _children(node)[0]
+    sort_orders = None
+
+    def _orders(n):
+        return [
+            (o.child().sql(), o.direction().sql(), o.nullOrdering().sql())
+            for o in _seq(n.order())
+        ]
+
+    if _cls(node) == "Sort":
+        sort_orders = _orders(node)
+        node = _children(node)[0]
+    project = None
+    if _cls(node) == "Project":
+        project = []
+        for e in _seq(node.projectList()):
+            if _cls(e) == "AttributeReference":
+                project.append((e.name(), e.sql()))
+            elif _cls(e) == "Alias" and _cls(e.child()) == "AttributeReference":
+                project.append((e.name(), e.child().sql()))
+            else:
+                return None
+        node = _children(node)[0]
+    if sort_orders is None and _cls(node) == "Sort":
+        sort_orders = _orders(node)
+        node = _children(node)[0]
+    having_sql = None
+    if _cls(node) == "Filter" and _cls(_children(node)[0]) == "Aggregate":
+        having_sql = node.condition().sql()
+        node = _children(node)[0]
+    m = _match_aggregate(node, view_name)
+    if m is None:
+        return None
+    groups, out_specs, filter_attrs, filter_sql = m
+    return groups, out_specs, filter_attrs, filter_sql, having_sql, sort_orders, project, limit
+
+
+def _dec_scale(dtype_sql: str) -> int | None:
+    m = _DEC_RE.match(dtype_sql.strip())
+    return int(m.group(2)) if m else None
+
+
+# Spark 4's decimal Average is CORRECTLY ROUNDED: half-up of the exact
+# quotient at the output scale (verified empirically, incl. negatives).  A
+# plain Divide replication rounds at the divide's own adjusted scale first
+# (double rounding) and diverges in the last digit.  Re-deriving
+# AVG = SUM(sum)/SUM(cnt) therefore divides at scale s_out + 12 and casts:
+# the cast's half-up equals the exact rounding UNLESS the exact quotient
+# lies within 0.5*10^-(s_out+12) below a scale-(s_out+1) tie point -- and a
+# rational S/C either hits the tie exactly (both paths round up; identical)
+# or misses it by >= 1/(C * 10^(s_out+1)) > 0.5*10^-(s_out+12) whenever
+# C < 2*10^11.  Bounds: group count < 2e11 rows and |sum| < 10^(38-s_cast)
+# integer digits (cast overflow -> NULL otherwise); both hold for any
+# realistic grouped aggregate, and far beyond the tested scales.
+_AVG_EXTRA_SCALE = 12
+
+
+def _avg_quotient_scale(out_scale: int) -> int:
+    return min(out_scale + _AVG_EXTRA_SCALE, 32)
 
 
 def spark_sql(
@@ -162,24 +264,28 @@ def spark_sql(
 ) -> DataFrame:
     """spark.sql() with MV navigation (see module docstring)."""
     df = spark.sql(sql_text)
-    m = _match_star_aggregate(df._jdf.queryExecution().analyzed(), view_name)
+    m = _match_star_query(df._jdf.queryExecution().analyzed(), view_name)
     if m is None:
         if explain is not None:
             explain.append("plan shape not navigable; executing as written")
         return df
-    groups, measure, filter_attrs, filter_sql, out_cols = m
-    q = AggQuery(
-        group_cols=frozenset(groups),
-        measure=measure,
-        filter_attrs=frozenset(filter_attrs),
+    groups, out_specs, filter_attrs, filter_sql, having_sql, sort_orders, project, limit = m
+    needs = frozenset(
+        (kind, src) for _, kind, src, _, _ in out_specs if kind != "group"
     )
-    cand = navigator.choose(q)
+    cand = navigator.choose_multi(
+        frozenset(groups), frozenset(filter_attrs), needs
+    )
     if cand is None:
         if explain is not None:
-            explain.append(f"no sufficient MV for {q}; executing as written")
+            explain.append(
+                f"no MV sufficient for groups={sorted(groups)} "
+                f"measures={sorted(needs)}; executing as written"
+            )
         return df
     mv = registry.defs[cand.mv_name]
     out = registry.read(spark, cand.mv_name)
+    cnt_col = next((c for c, k in mv.measures.items() if k == "count"), None)
     if explain is not None:
         explain.append(
             f"rewriting onto MV '{cand.mv_name}' (rows={cand.rowcount}); "
@@ -195,21 +301,74 @@ def spark_sql(
         if explain is not None:
             explain.append(f"FD bridge join {src} -> {attr}")
     if filter_sql is not None:
-        # the filter references only grain/bridged attrs (data sufficiency),
+        # the WHERE references only grain/bridged attrs (data sufficiency),
         # so it applies at MV grain BEFORE the re-aggregation; the rendered
         # predicate qualifies attrs with the view name, so alias the
         # rewritten relation to make those references resolve
         out = out.alias(view_name).filter(F.expr(filter_sql))
-    agg = out.groupBy(*groups).agg(F.sum(measure).alias("__m"))
-    # re-aggregating a pre-summed measure widens decimals one step further
-    # than the direct query; pin the ORIGINAL result's dtype so the rewrite
-    # is schema-identical to executing the text.  Group columns re-alias to
-    # their OUTPUT names (the text may write `name AS customer`).
-    return agg.select(
-        *[
-            F.col("__m").cast(df.schema[out].dataType).alias(out)
-            if is_measure
-            else F.col(src).alias(out)
-            for out, src, is_measure in out_cols
-        ]
-    )
+
+    # re-aggregate: SUM(m) = SUM(mv.m); COUNT(*) = SUM(mv.cnt); AVG(m) =
+    # SUM(mv.m)/SUM(mv.cnt) with Spark's own Average typing (sum widened to
+    # precision+10, count as decimal(20,0), quotient cast to the output
+    # dtype) so values AND schema are bit-identical to direct execution.
+    agg_exprs = []
+    for out_name, kind, src, out_dt, arg_dt in out_specs:
+        if kind == "group":
+            continue
+        if kind == "sum":
+            agg_exprs.append(F.sum(src).cast(out_dt).alias(out_name))
+        elif kind == "count":
+            # coalesce pins nullable=False, matching Count's schema
+            agg_exprs.append(
+                F.coalesce(F.sum(cnt_col), F.lit(0)).cast(out_dt).alias(out_name)
+            )
+        else:  # avg
+            total = F.sum(src)
+            s_out = _dec_scale(out_dt)
+            if s_out is not None:
+                sq = _avg_quotient_scale(s_out)
+                quot = total.cast(f"decimal(38,{sq})") / F.sum(cnt_col).cast(
+                    "decimal(20,0)"
+                )
+            else:
+                quot = total.cast("double") / F.sum(cnt_col).cast("double")
+            agg_exprs.append(quot.cast(out_dt).alias(out_name))
+    try:
+        agg = out.groupBy(*groups).agg(*agg_exprs)
+        # shape to the Aggregate's exact output list (names + positions), then
+        # re-alias as the view so HAVING / ORDER BY render-SQL (which may
+        # qualify group attrs as `view.attr` or backtick hidden names like
+        # `count(1)`) re-resolves against it.
+        shaped = agg.select(
+            *[
+                F.col(out_name) if kind != "group" else F.col(src).alias(out_name)
+                for out_name, kind, src, _, _ in out_specs
+            ]
+        ).alias(view_name)
+        if having_sql is not None:
+            shaped = shaped.filter(F.expr(having_sql))
+        if sort_orders is not None:
+            cols = []
+            for expr_sql, direction, null_ord in sort_orders:
+                c = F.expr(expr_sql)
+                meth = ("asc" if direction == "ASC" else "desc") + (
+                    "_nulls_first" if null_ord == "NULLS FIRST" else "_nulls_last"
+                )
+                cols.append(getattr(c, meth)())
+            shaped = shaped.orderBy(*cols)
+        if project is not None:
+            shaped = shaped.select(
+                *[F.expr(src_sql).alias(out_name) for out_name, src_sql in project]
+            )
+        if limit is not None:
+            shaped = shaped.limit(limit)
+        return shaped
+    except AnalysisException:
+        # a rendered HAVING/ORDER BY fragment that does not re-resolve against
+        # the re-aggregated relation (e.g. a Sort above a renaming Project)
+        # falls back to direct execution -- always correct, just unrewritten.
+        if explain is not None:
+            explain.append(
+                "rewritten wrappers failed to re-resolve; executing as written"
+            )
+        return df

@@ -16,13 +16,19 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..etl.sales_fact import ORACLE_SALES_CTE
 from ..functions import money
 from ..mv import sql_rewrite
-from ..mv.definitions import default_navigator, default_registry
+from ..mv.definitions import default_navigator, default_registry, with_count_stats
 from . import query
 from .q4_views import _VIEW2_CTE
 
 _TEXT = "SELECT name, year, SUM(amnt) AS amnt FROM sales_star GROUP BY name, year"
+
+_TEXT_MULTI = """SELECT name, year, SUM(amnt) AS total_amnt, COUNT(*) AS n_rows,
+       AVG(amnt) AS avg_amnt
+FROM sales_star WHERE year >= 1996 GROUP BY name, year
+HAVING COUNT(*) > 1 ORDER BY total_amnt DESC, name, year LIMIT 100"""
 
 
 @query(
@@ -49,6 +55,63 @@ def x_mv_sql_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the temp warehouse is dropped
         return df.select(
             "name", "year", money(F.col("amnt")).alias("amnt")
+        ).localCheckpoint()
+    finally:
+        reg.drop_all()
+
+
+@query(
+    "x_mv_sql_rewrite_multi",
+    oracle=f"""WITH {ORACLE_SALES_CTE},
+time_y AS (
+  SELECT CAST(row_number() OVER (ORDER BY orderdate) AS BIGINT) AS timeid,
+         CAST(year(orderdate) AS BIGINT) AS year
+  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS orderdate FROM orders)
+),
+star AS (
+  SELECT c.c_name AS name, t.year, s.amnt
+  FROM sales s
+  JOIN customer c ON s.customerid = c.c_custkey
+  JOIN time_y t ON s.timeid = t.timeid
+  WHERE t.year >= 1996
+),
+g AS (
+  SELECT name, year, SUM(amnt) AS sum_d, COUNT(*) AS cnt,
+         CAST(SUM(amnt) * 10000 AS BIGINT) AS s4
+  FROM star GROUP BY name, year HAVING COUNT(*) > 1
+)
+SELECT name, year,
+       CAST(ROUND(sum_d, 2) AS DOUBLE) AS total_amnt,
+       cnt AS n_rows,
+       CAST((2 * s4 * 10000 + cnt) // (2 * cnt) AS DOUBLE) / 100000000.0 AS avg_amnt
+FROM g
+ORDER BY sum_d DESC, name, year
+LIMIT 100
+""",
+)
+def x_mv_sql_rewrite_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure SQL text (SUM + COUNT(*) + AVG with WHERE / HAVING /
+    ORDER BY / LIMIT) answered from the count-bearing view2 twin: AVG
+    re-derives as SUM(sum)/SUM(cnt) bit-identically to direct execution
+    (correctly-rounded decimal quotient -- see mv/sql_rewrite.py), and the
+    oracle replicates that rounding with exact integer arithmetic
+    ((2*S*10^4 + C) // (2*C) = half-up at scale 8 for positive sums)."""
+    reg = with_count_stats(default_registry(tempfile.mkdtemp(prefix="pdwx-sqlrwm-")))
+    try:
+        for name in ("time", "sales", "view2_stats"):
+            reg.build(spark, sf_dir, name)
+        nav = default_navigator(reg)
+        sql_rewrite.register_star_view(spark, sf_dir)
+        explain: list[str] = []
+        df = sql_rewrite.spark_sql(spark, sf_dir, _TEXT_MULTI, reg, nav, explain=explain)
+        if not any("rewriting onto MV 'view2_stats'" in e for e in explain):
+            raise AssertionError(f"MV rewrite did not fire: {explain}")
+        return df.select(
+            "name",
+            "year",
+            money(F.col("total_amnt")).alias("total_amnt"),
+            "n_rows",
+            F.col("avg_amnt").cast("double").alias("avg_amnt"),
         ).localCheckpoint()
     finally:
         reg.drop_all()

@@ -88,6 +88,64 @@ def test_time_fd_picks_cheapest_sufficient_mv(spark, sf_dir, built):
     _assert_equivalent(spark, df, text)
 
 
+@pytest.fixture(scope="module")
+def built_stats(spark, sf_dir):
+    """Registry extended with the count-bearing view2 twin (opt-in), making
+    COUNT(*) / AVG / multi-measure texts navigable."""
+    from postgresql_datawarehouse_excercise_spark.mv.definitions import with_count_stats
+
+    reg = with_count_stats(default_registry(tempfile.mkdtemp(prefix="pdwx-sqlrw-st-")))
+    for name in ("time", "sales", "view2_stats"):
+        reg.build(spark, sf_dir, name)
+    nav = default_navigator(reg)
+    sql_rewrite.register_star_view(spark, sf_dir)
+    return reg, nav
+
+
+def test_multi_measure_having_sort_limit_rewrites(spark, sf_dir, built_stats):
+    """SUM + COUNT(*) + AVG with WHERE/HAVING/ORDER BY/LIMIT rewrites onto
+    the count-bearing MV and is bit-identical to direct execution -- the
+    AVG re-derivation (SUM(sum)/SUM(cnt) at widened quotient scale) must
+    reproduce Spark's correctly-rounded decimal Average exactly, and the
+    LIMIT must pick the same rows (ordered compare, not sorted)."""
+    text = (
+        "SELECT name, year, SUM(amnt) AS total_amnt, COUNT(*) AS n_rows, "
+        "AVG(amnt) AS avg_amnt FROM sales_star WHERE year >= 1996 "
+        "GROUP BY name, year HAVING COUNT(*) > 1 "
+        "ORDER BY total_amnt DESC, name, year LIMIT 50"
+    )
+    df, explain = _run(spark, sf_dir, built_stats, text)
+    assert any("view2_stats" in e for e in explain), explain
+    direct = spark.sql(text)
+    assert df.schema == direct.schema
+    assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect()))
+
+
+def test_hidden_sort_aggregate_rewrites(spark, sf_dir, built_stats):
+    """ORDER BY AVG(amnt) where AVG is not in the SELECT list: the analyzer
+    parks it as a hidden aggregate output behind a Project; the rewrite must
+    reproduce the sort and then drop the hidden column."""
+    text = (
+        "SELECT name, SUM(amnt) AS s FROM sales_star "
+        "GROUP BY name ORDER BY AVG(amnt) DESC, name LIMIT 10"
+    )
+    df, explain = _run(spark, sf_dir, built_stats, text)
+    assert any("rewriting onto MV" in e for e in explain), explain
+    direct = spark.sql(text)
+    assert df.schema == direct.schema
+    assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect()))
+
+
+def test_count_without_count_mv_executes_as_written(spark, sf_dir, built):
+    """A COUNT(*) text is only navigable when some MV materializes a count
+    column; the default (reference-only) stack has none, so the query must
+    fall through to direct execution rather than mis-rewrite."""
+    text = "SELECT name, COUNT(*) AS n FROM sales_star GROUP BY name"
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("executing as written" in e for e in explain), explain
+    _assert_equivalent(spark, df, text)
+
+
 def test_non_navigable_shapes_execute_as_written(spark, sf_dir, built):
     """COUNT(DISTINCT) is not additively re-aggregable; a non-star FROM is
     not matched at all -- both must fall through untouched."""
