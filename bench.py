@@ -218,6 +218,8 @@ def main() -> None:
         "x_events_funnel",
         "x_events_retention_cohorts",
         "x_events_hourly_anomaly",
+        "x_events_gap_fill",
+        "x_text_pii_redact",
         "x_sim_topk_bruteforce",
         "x_sim_knn_join",
         "x_sim_ann_lsh",

@@ -407,3 +407,76 @@ def x_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (intnum * intnum > F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA) * intvar)
         ).alias("anomaly"),
     )
+
+
+@query(
+    "x_events_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.h AS window_start, g.event_type,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.total_value, 0.0) AS total_value,
+       e.n_events IS NULL AS filled,
+       last_value(e.total_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM (SELECT h, event_type FROM hours CROSS JOIN types) g
+LEFT JOIN hourly e ON g.h = e.h AND g.event_type = e.event_type
+""",
+)
+def x_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap fill (the hypertable `time_bucket_gapfill` analog):
+    every (hour, event_type) cell of the observed range exists in the
+    output -- absent cells appear zero-filled and flagged, plus a
+    last-observation-carried-forward value per type.
+
+    Scale shape: the only |events|-sized job is the hourly pre-aggregate
+    (one shuffle, map-side partial).  The hour spine is generated
+    DISTRIBUTED via F.sequence+explode on the 1-row bounds aggregate (no
+    driver-side range materialization), the type dimension is a tiny
+    DISTINCT, and their cross join -- |hours| x |types| rows, millions at
+    a century of hours -- joins the hourly aggregate, never raw events.
+    LOCF is one window pass over that post-aggregate grid, partitioned by
+    type so state per task is bounded by the spine length."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum(dec("value"))).alias("total_value"),
+    )
+    bounds = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = t.events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    joined = grid.join(hourly, ["h", "event_type"], "left")
+    locf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("h").alias("window_start"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        F.col("n_events").isNull().alias("filled"),
+        F.last("total_value", ignorenulls=True).over(locf).alias("locf_value"),
+    )

@@ -374,3 +374,67 @@ def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+# PII patterns shared by the Spark and DuckDB sides: restricted to the
+# RE2-and-Java-regex COMMON subset (no lookaround, no backrefs) so both
+# engines match identically.  The corpus is letters-and-spaces only, so the
+# injected markers (derived deterministically from doc_id on BOTH engines)
+# are the sole matches -- giving the redactor a real, verifiable signal.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\+\d[\d-]{7,}"
+
+
+@query(
+    "x_text_pii_redact",
+    oracle=rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         'user' || doc_id || '@mail.example.com ' || substr(text, 1, 120)
+         || ' ip 10.1.' || (doc_id % 256) || '.7 call +1555-0' || (doc_id % 100000)
+         AS payload
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(payload, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(payload, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(payload, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       substr(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(payload, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+         1, 160) AS redacted_prefix
+FROM dirty
+""",
+)
+def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: match emails / IPv4s / phone
+    numbers, count them, and replace with typed placeholder tokens.
+
+    All JVM-side (regexp_count / regexp_replace chain inside one codegen
+    stage) -- a pure map over input splits, no shuffle, embarrassingly
+    parallel at 100 TB.  The PII occurrences are injected deterministically
+    from doc_id (the synthetic corpus carries none), so the oracle verifies
+    actual redactions, not a no-op."""
+    t = catalog.load(spark, sf_dir)
+    payload = F.concat(
+        F.lit("user"), F.col("doc_id"), F.lit("@mail.example.com "),
+        F.substring("text", 1, 120),
+        F.lit(" ip 10.1."), F.col("doc_id") % 256, F.lit(".7 call +1555-0"),
+        F.col("doc_id") % 100000,
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(payload, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count(payload, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(payload, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(payload, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.substring(redacted, 1, 160).alias("redacted_prefix"),
+    )
