@@ -1,0 +1,123 @@
+"""Exact-arithmetic k-means over the embedding column (IVF training step).
+
+The IVF ANN entry (operators/similarity.py) coarse-quantizes with
+DETERMINISTIC centroids; this module supplies the training loop that would
+produce such centroids -- Lloyd's algorithm expressed as DataFrame ops:
+
+  assign     broadcast the K-row centroid relation against the vector scan,
+             squared-L2 per pair via zip_with/aggregate (JVM codegen, no
+             UDF), keep each vector's argmin by (dist, centroid id);
+  recompute  posexplode components -> per-(cluster, position) exact sums ->
+             half-up integer mean -> regroup to arrays.
+
+Cross-engine determinism (the DuckDB oracle must reproduce every
+assignment bit-for-bit) comes from running entirely on an exact integer
+grid: components quantize to micro-units (floor(x*1e6 + 0.5) as BIGINT --
+the portable fround trick), so distances are exact BIGINT sums, argmin
+ties break on centroid id, and centroid means use the floored-quotient
+half-up trick ((2s+n) fld (2n), mathematical floor via mod subtraction)
+that x_events_user_daily established.  Floating-point k-means is NOT
+reproducible across engines (sum order, tie handling); quantized k-means
+is, and 1e-6 resolution is far below any clustering-relevant signal.
+
+Scale design (100 TB): centroids are always a K-row relation -- broadcast,
+never shuffled; the assign step is a map over vector splits; recompute
+shuffles |V| x dim skinny (cluster, pos, component) rows with map-side
+partial aggregation.  Iteration count here is FIXED (2) for the oracled
+entry; an open-ended loop would drive convergence from a 1-row aggregate
+per round exactly like dedup's label propagation (operators/dedup.py).
+
+Empty-cluster semantics: a centroid that attracts no members in iteration
+1 simply drops out (standard Lloyd's degeneracy handling); both engines
+derive surviving clusters from the same exact assignment, so they agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000
+
+
+def quantize(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """(vec_id, qv: array<long>) -- components in exact micro-units."""
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            F.col(col),
+            lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def init_centroids(q: DataFrame, k: int) -> DataFrame:
+    """Deterministic init: the k lowest vec_ids, cid = 0..k-1 by that order."""
+    w = Window.orderBy("vec_id")
+    return (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("qv").alias("cq"))
+    )
+
+
+def _dist2(qcol, ccol):
+    """Exact squared L2 between two micro-unit arrays (BIGINT fold)."""
+    return F.aggregate(
+        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2): each vector's nearest centroid, ties to the
+    lowest cid.  Broadcast cross join: K rows against the vector scan."""
+    j = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _dist2(F.col("qv"), F.col("cq")).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def recompute(q: DataFrame, assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, position) exact component sums ->
+    half-up integer mean -> arrays re-assembled in position order."""
+    a = assigned.select("vec_id", "cid").join(q, "vec_id")
+    comp = a.select("cid", F.posexplode("qv").alias("pos", "x"))
+    sums = comp.groupBy("cid", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = sums.select(
+        "cid",
+        "pos",
+        (2 * F.col("s") + F.col("n")).alias("_a"),
+        (2 * F.col("n")).alias("_b"),
+    ).select(
+        "cid",
+        "pos",
+        F.expr("(_a - ((_a % _b + _b) % _b)) div _b").alias("c"),
+    )
+    return mean.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda st: st.getField("c"),
+        ).alias("cq")
+    )
+
+
+def kmeans_assignments(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Run `iters` Lloyd's rounds; return the final exact assignment
+    (vec_id, cluster, dist2_q)."""
+    q = quantize(embeddings)
+    cents = init_centroids(q, k)
+    assigned = assign(q, cents)
+    for _ in range(iters - 1):
+        cents = recompute(q, assigned)
+        assigned = assign(q, cents)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist2").alias("dist2_q")
+    )

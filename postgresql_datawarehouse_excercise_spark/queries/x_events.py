@@ -42,11 +42,20 @@ def x_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x_events_user_daily",
     oracle="""
-SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-       COUNT(*) AS n_events,
-       CAST((200 * SUM(CAST(ROUND(value * 100) AS BIGINT)) + COUNT(*))
-            // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_value
-FROM events GROUP BY 1, 2
+WITH g AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         200 * SUM(CAST(ROUND(value * 100) AS BIGINT)) + COUNT(*) AS a,
+         2 * COUNT(*) AS b
+  FROM events GROUP BY 1, 2
+)
+-- DuckDB's // TRUNCATES toward zero on integers (SELECT (-7)//2 = -3), so
+-- subtract the mathematical mod first: the numerator becomes exactly
+-- divisible and truncate == floor, matching Spark's div-based floor for
+-- any sign of the sum.
+SELECT user_id, day, n_events,
+       CAST((a - ((a % b + b) % b)) // b AS DOUBLE) / 10000.0 AS avg_value
+FROM g
 """,
 )
 def x_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,11 +67,12 @@ def x_events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     when n is a power of two the quotient can land exactly on a
     representable .xxxx5 tie, and Spark (shortest-string HALF_UP) and
     DuckDB (binary-value rounding) disagree -- found as a real one-row
-    mismatch at sf0.1.  The division must FLOOR on both sides: DuckDB's
-    `//` floors toward -inf while Spark's `div` truncates toward zero, so
-    a negative-sum day would differ under `div`; the explicit
-    mathematical-mod subtraction makes Spark's quotient floored too (exact
-    long arithmetic, no double in the hot path)."""
+    mismatch at sf0.1.  The division must FLOOR on BOTH sides: Spark's
+    `div` AND DuckDB's `//` each truncate toward zero (probe: DuckDB
+    (-7)//2 = -3), so a negative-sum day would round differently without
+    care; the mathematical-mod subtraction (applied on both engines) makes
+    the numerator exactly divisible, where truncation and floor coincide
+    (exact long arithmetic, no double in the hot path)."""
     t = catalog.load(spark, sf_dir)
     sc = F.sum(F.round(F.col("value") * 100).cast("long"))
     n = F.count(F.lit(1))

@@ -156,3 +156,66 @@ def x_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getItem(0).alias("q_first"),
         F.element_at(q, -1).alias("q_last"),
     )
+
+
+# dim=64 in the driver's embeddings table (TESTDATA.md); the oracle's
+# component explode pins it -- the Spark side is dim-agnostic.
+_KMEANS_ORACLE = """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
+  FROM q ORDER BY vec_id LIMIT 8
+),
+comp AS (SELECT vec_id, r.i, qv[r.i] AS x FROM q, range(1, 65) r(i)),
+ccomp1 AS (SELECT cid, r.i, cq[r.i] AS c FROM init, range(1, 65) r(i)),
+d1 AS (
+  SELECT comp.vec_id, ccomp1.cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist2
+  FROM comp JOIN ccomp1 ON comp.i = ccomp1.i
+  GROUP BY 1, 2
+),
+m1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+sums AS (
+  SELECT m1.cid, comp.i, CAST(SUM(comp.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM m1 JOIN comp USING (vec_id) GROUP BY 1, 2
+),
+cent2 AS (
+  -- floored half-up mean; DuckDB's // TRUNCATES toward zero on integers,
+  -- so subtract the mathematical mod first (numerator becomes exactly
+  -- divisible and truncate == floor), matching Spark's div-based floor
+  SELECT cid, i,
+         ((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n) AS c
+  FROM sums
+),
+d2 AS (
+  SELECT comp.vec_id, cent2.cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist2
+  FROM comp JOIN cent2 USING (i) GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d2
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster, dist2 AS dist2_q FROM a2 WHERE rn = 1
+"""
+
+
+@query("x_sim_kmeans", oracle=_KMEANS_ORACLE)
+def x_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (2 Lloyd's rounds, k=8) over the embedding column on an
+    exact integer grid -- the training step behind the IVF entry's
+    centroids, reproduced bit-for-bit by the SQL oracle (see
+    operators/clustering.py for the determinism + scale argument)."""
+    from ..operators import clustering
+
+    t = catalog.load(spark, sf_dir)
+    return clustering.kmeans_assignments(t.embeddings, k=8, iters=2)

@@ -1,0 +1,52 @@
+"""Exact-arithmetic k-means (operators/clustering.py): Lloyd's invariants
+plus the determinism the cross-engine oracle depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark import catalog
+from postgresql_datawarehouse_excercise_spark.operators import clustering
+
+
+def test_every_vector_assigned_once(spark, sf_dir):
+    t = catalog.load(spark, sf_dir)
+    n_vecs = t.embeddings.count()
+    out = clustering.kmeans_assignments(t.embeddings, k=8, iters=2)
+    rows = out.collect()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    assert all(0 <= r.cluster < 8 for r in rows)
+    assert all(r.dist2_q >= 0 for r in rows)
+
+
+def test_lloyds_inertia_never_increases(spark, sf_dir):
+    """Each assign/recompute round can only lower total squared distance --
+    the defining monotonicity of Lloyd's.  (Quantizing centroid means to
+    the integer grid perturbs by <= 0.5 ulp of 1e-6 per component, far
+    below the distances involved, so the invariant must still hold.)"""
+    t = catalog.load(spark, sf_dir)
+    q = clustering.quantize(t.embeddings)
+    cents = clustering.init_centroids(q, 8)
+    a1 = clustering.assign(q, cents)
+    a2 = clustering.assign(q, clustering.recompute(q, a1))
+    i1 = a1.agg(F.sum("dist2")).collect()[0][0]
+    i2 = a2.agg(F.sum("dist2")).collect()[0][0]
+    assert i2 <= i1, (i1, i2)
+
+
+def test_assignments_deterministic_across_runs(spark, sf_dir):
+    t = catalog.load(spark, sf_dir)
+    r1 = sorted(map(tuple, clustering.kmeans_assignments(t.embeddings).collect()))
+    r2 = sorted(map(tuple, clustering.kmeans_assignments(t.embeddings).collect()))
+    assert r1 == r2
+
+
+def test_init_centroids_are_lowest_vec_ids(spark, sf_dir):
+    t = catalog.load(spark, sf_dir)
+    q = clustering.quantize(t.embeddings)
+    cents = clustering.init_centroids(q, 4).collect()
+    assert [c.cid for c in sorted(cents, key=lambda c: c.cid)] == [0, 1, 2, 3]
+    lowest = [r.qv for r in q.orderBy("vec_id").limit(4).collect()]
+    got = [c.cq for c in sorted(cents, key=lambda c: c.cid)]
+    assert [list(x) for x in got] == [list(x) for x in lowest]
