@@ -289,7 +289,12 @@ def main() -> None:
     # best-of-N would triple the ~seconds-long fixed cost for no signal);
     # x_stream_dedup doubles the input and drains via the distributed
     # parquet sink -- the entry that used to collect O(N) rows to the driver
-    for name in ("x_stream_tumbling_hourly", "x_stream_dedup", "x_stream_incremental_mv"):
+    for name in (
+        "x_stream_tumbling_hourly",
+        "x_stream_dedup",
+        "x_stream_incremental_mv",
+        "x_stream_range_join",
+    ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 
     total = round(sum(results.values()), 4)

@@ -234,3 +234,28 @@ def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         reg.drop_all()
+
+
+@query(
+    "x_stream_range_join",
+    oracle="""
+SELECT c.event_id AS click_id, e.event_id AS followup_id, c.ts AS click_ts, e.ts
+FROM events c JOIN events e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts
+ AND epoch(e.ts) < epoch(c.ts) + 3600
+WHERE c.event_type = 'click' AND e.event_id != c.event_id
+""",
+)
+def x_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-range join on the driver gate: clicks joined to
+    the same user's events within the following hour, BOTH sides streaming
+    with two-sided watermarks (join state bounded by watermark + range
+    slack, the production-shape interval join).  Append mode -- each
+    matched pair is emitted exactly once when the watermark proves no more
+    matches can arrive -- drained executor-side to the parquet sink; the
+    result must hash-match the batch range join's relational statement
+    (same oracle as x_range_join_click_followups)."""
+    stream = se.click_followups_stream(spark, sf_dir)
+    sunk = se.run_finite_to_sink(stream, output_mode="append")
+    return sunk.select("click_id", "followup_id", "click_ts", "ts")
