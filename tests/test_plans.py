@@ -346,3 +346,39 @@ def test_canonical_docs_window_is_key_partitioned(spark, sf_dir):
     df = REG["x_pipeline_canonical_docs"].fn(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "Exchange SinglePartition" not in plan, plan[:1500]
+
+
+def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
+    """PII redaction is a pure map (regexp chain in one codegen stage):
+    zero exchanges, no Python UDF nodes, scan pruned to (doc_id, text)."""
+    df = REG["x_text_pii_redact"].fn(spark, sf_dir)
+    assert plans.num_shuffles(df) == 0
+    assert "BatchEvalPython" not in plans.formatted_plan(df)
+    plans.assert_reads_only(df, "doc_id", {"doc_id", "text"})
+
+
+def test_gap_fill_broadcasts_spine_no_sortmerge(spark, sf_dir):
+    """Gap fill's grid construction must stay broadcast-shaped (the spine
+    and type dimensions are tiny by construction) and every events scan
+    must prune to the three used columns -- the |events|-sized work is the
+    single hourly aggregate, nothing else."""
+    import re
+
+    df = REG["x_events_gap_fill"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert plans.num_sortmerge_joins(df) == 0
+    assert plans.num_broadcast_joins(df) + p.count("BroadcastNestedLoopJoin") >= 2
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", p):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        assert cols <= {"ts", "event_type", "value"}, schema
+
+
+def test_kmeans_centroids_broadcast_never_shuffled(spark, sf_dir):
+    """The K-row centroid relation must reach the vector scan as a
+    broadcast (nested-loop cross join); a shuffled/sort-merge centroid
+    join would shuffle the full vector set once per iteration."""
+    df = REG["x_sim_kmeans"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert plans.num_sortmerge_joins(df) == 0
+    assert "BatchEvalPython" not in p

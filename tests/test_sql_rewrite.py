@@ -121,6 +121,20 @@ def test_multi_measure_having_sort_limit_rewrites(spark, sf_dir, built_stats):
     assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect()))
 
 
+def test_multi_measure_rewrite_scans_mv_not_fact(spark, sf_dir, built_stats):
+    """The rewritten multi-measure plan must read the view2_stats parquet
+    and never touch the fact lineage (no lineitem/orders scan)."""
+    text = (
+        "SELECT name, year, SUM(amnt) AS s, COUNT(*) AS n, AVG(amnt) AS a "
+        "FROM sales_star GROUP BY name, year"
+    )
+    df, explain = _run(spark, sf_dir, built_stats, text)
+    assert any("view2_stats" in e for e in explain), explain
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "view2_stats" in plan
+    assert "lineitem" not in plan and "orders" not in plan
+
+
 def test_hidden_sort_aggregate_rewrites(spark, sf_dir, built_stats):
     """ORDER BY AVG(amnt) where AVG is not in the SELECT list: the analyzer
     parks it as a hidden aggregate output behind a Project; the rewrite must
