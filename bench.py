@@ -249,6 +249,7 @@ def main() -> None:
         "x_pipeline_decontaminate_bloom",
         "x_pipeline_pack_sequences",
         "x_pipeline_shuffle_shards",
+        "x_pipeline_cdc_apply",
         "x_pipeline_scd2_history",
         "x_pipeline_scd2_incremental",
         "x_sql_percentiles",

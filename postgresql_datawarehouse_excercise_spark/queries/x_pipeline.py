@@ -720,3 +720,60 @@ def x_pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFram
             (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "x_pipeline_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op, value
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_ops
+  FROM log
+)
+SELECT user_id, event_type,
+       FLOOR(value * 100.0 + 0.5) / 100.0 AS last_value,
+       n_ops
+FROM ranked WHERE rn = 1 AND op = 'U'
+""",
+)
+def x_pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC apply): fold an ordered upsert/tombstone
+    log into its final snapshot -- the last operation per key wins, and a
+    trailing delete removes the key entirely.
+
+    This replaces per-row MERGE with ONE shuffle: partition by key, rank by
+    the total order (ts, op sequence id), keep rank 1, drop tombstones --
+    the snapshot-compaction step of a Debezium-style CDC ingest.  At 100 TB
+    the log shuffles once on the key hash and the window state per task is
+    one row (rank-1 retention), regardless of how many ops a key received.
+    Ops are derived deterministically from the events table (every 10th
+    event id is a tombstone) so both engines fold the identical log."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    log = t.events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "value",
+    )
+    key = Window.partitionBy("user_id", "event_type")
+    ranked = log.select(
+        "*",
+        F.row_number()
+        .over(key.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(key).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        "event_type",
+        (F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("double") / 100.0).alias("last_value"),
+        "n_ops",
+    )
