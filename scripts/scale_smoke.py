@@ -123,6 +123,12 @@ def main() -> None:
     print(f"embeddings x{k}:", flush=True)
     timed("cosine_neardup_blocked", similarity.cosine_neardup_blocked(emb))
     timed("knn_join_8q", similarity.knn_join(emb))
+    # k-means at Kx: the centroid relation stays K_CLUSTERS rows (broadcast),
+    # assign is a map over vector splits, recompute shuffles skinny
+    # (cluster, pos, component) rows -- cost must track |V|, nothing worse
+    from postgresql_datawarehouse_excercise_spark.operators import clustering
+
+    timed("kmeans_2rounds", clustering.kmeans_assignments(emb))
 
     line = multiply(t.lineitem, "l_orderkey", k)
     ords = multiply(t.orders, "o_orderkey", k)
@@ -183,6 +189,42 @@ def main() -> None:
     evs = multiply(t.events, "event_id", k)
     print(f"events x{k}:", flush=True)
     timed("salted_hot_key_sum", salted_sum(evs, ["event_type"], dec("value"), "total"))
+
+    # CDC compaction at Kx: one key-hash shuffle + rank-1 window; per-task
+    # state is one row per key regardless of ops-per-key
+    from pyspark.sql.window import Window
+
+    keyw = Window.partitionBy("user_id", "event_type")
+    timed(
+        "cdc_apply_compaction",
+        evs.select(
+            "user_id", "event_type", "ts", "event_id", "value",
+            F.row_number()
+            .over(keyw.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+            .alias("rn"),
+        ).filter((F.col("rn") == 1) & (F.col("event_id") % 10 != 0)),
+    )
+
+    # gap fill at Kx: the |events|-sized job is one hourly aggregate; the
+    # spine x types grid stays aggregate-cardinality no matter how large
+    # the input grows
+    hourly = evs.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = evs.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = spine.crossJoin(F.broadcast(evs.select("event_type").distinct()))
+    timed(
+        "gap_fill",
+        grid.join(hourly, ["h", "event_type"], "left").select(
+            "h", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events")
+        ),
+    )
 
     # partition-pruned COW UPDATE at Kx: only the one touched partition of
     # the Kx customer table is rewritten, so the cost tracks partition size,
