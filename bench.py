@@ -241,6 +241,7 @@ def main() -> None:
         "x_mutation_optimize_zorder",
         "x_mv_sql_rewrite",
         "x_mv_sql_rewrite_multi",
+        "x_source_bucketed_join",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
         "x_sql_approx_percentile",

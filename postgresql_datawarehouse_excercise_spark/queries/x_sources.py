@@ -9,13 +9,14 @@ therefore proves the round-trip is lossless (values, types, row multiplicity)
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import money, sql_dec, sql_money, sum_c100
+from ..functions import dec, money, sql_dec, sql_money, sum_c100
 from ..sources import files
 from . import query
 
@@ -110,3 +111,61 @@ def x_source_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "x_source_bucketed_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_money(f"SUM({sql_dec('l_extendedprice')})")} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def x_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketed on the
+    join key (8 buckets, sorted), then joined WITHOUT a shuffle -- the
+    plan contains no shuffle Exchange on either join input (pinned in
+    tests/test_plans.py).  This is the pre-shuffled layout a 100 TB
+    warehouse keeps its biggest fact pair in: the bucket id is a stable
+    hash of the key, so bucket i of lineitem only ever joins bucket i of
+    orders and the exchange disappears from EVERY subsequent join on that
+    key, amortizing one write-time shuffle across all future queries.
+    The merge hint pins the at-scale strategy: at bench SF Catalyst would
+    broadcast the small side (both facts exceed any broadcast threshold
+    at 100 TB, where sort-merge over co-located buckets is the real
+    plan).  Values are pinned against the plain (shuffled) join in
+    DuckDB."""
+    import uuid
+
+    t = catalog.load(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    loc = tempfile.mkdtemp(prefix="pdwx-bucketed-")
+    lt, ot = f"pdwx_bl_{tag}", f"pdwx_bo_{tag}"
+    try:
+        (
+            t.lineitem.select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{loc}/{lt}").saveAsTable(lt)
+        )
+        (
+            t.orders.select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{loc}/{ot}").saveAsTable(ot)
+        )
+        joined = spark.table(lt).hint("merge").join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        shutil.rmtree(loc, ignore_errors=True)

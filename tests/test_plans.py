@@ -382,3 +382,45 @@ def test_kmeans_centroids_broadcast_never_shuffled(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert plans.num_sortmerge_joins(df) == 0
     assert "BatchEvalPython" not in p
+
+
+def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
+    """Co-located bucketed layout: the fact-fact merge join over tables
+    bucketed (and sorted) on the join key must contain ZERO shuffle
+    exchanges on its inputs -- the write-time shuffle is amortized across
+    every subsequent join -- while the identical unbucketed join shuffles
+    both sides."""
+    import tempfile
+    import uuid
+
+    t = catalog.load(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    loc = tempfile.mkdtemp(prefix="pdwx-bkt-plan-")
+    lt, ot = f"pdwx_pbl_{tag}", f"pdwx_pbo_{tag}"
+    try:
+        (
+            t.lineitem.select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{loc}/{lt}").saveAsTable(lt)
+        )
+        (
+            t.orders.select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{loc}/{ot}").saveAsTable(ot)
+        )
+        bucketed = spark.table(lt).hint("merge").join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert plans.num_shuffles(bucketed) == 0
+        assert plans.num_sortmerge_joins(bucketed) == 1
+        plain = t.lineitem.select("l_orderkey", "l_extendedprice").hint("merge").join(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert plans.num_shuffles(plain) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
