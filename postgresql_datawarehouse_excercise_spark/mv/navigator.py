@@ -132,7 +132,16 @@ class AggregateNavigator:
         SAME view.  ``needs`` holds ('sum', m) / ('count', None) / ('avg', m)
         pairs -- SUM re-aggregates an additive sum column, COUNT(*) re-sums
         a count column, AVG needs both (SUM(sum)/SUM(cnt)).  Grouping / data
-        sufficiency / FD-bridge checks are identical to ``eligible``."""
+        sufficiency / FD-bridge checks are identical to ``eligible``.
+
+        SEMANTIC CONTRACT on MVDef.measures (holds for every registered MV;
+        a violating registration would silently produce wrong rewrites):
+          * a measure of kind 'count' is COUNT(*) at the view's grain --
+            never COUNT(col) of a nullable column;
+          * a measure of kind 'sum' aggregates a NON-NULL base column, so
+            AVG(m) = SUM(m)/COUNT(*) = SUM(sum)/SUM(cnt) is exact (with
+            nulls in m, AVG divides by COUNT(m) != COUNT(*) and the
+            re-derivation would be wrong)."""
         out: list[Candidate] = []
         for name, mv in self.registry.defs.items():
             has_cnt = "count" in mv.measures.values()

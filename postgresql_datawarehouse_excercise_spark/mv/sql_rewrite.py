@@ -41,7 +41,7 @@ materialization that can answer it.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
+from pyspark.errors import AnalysisException, ParseException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,7 +153,9 @@ def _match_aggregate(jplan, view_name: str):
             arg = arg.child()
         if fcls == "Sum" and _cls(arg) == "AttributeReference":
             out_specs.append((e.name(), "sum", arg.name(), _dtype_sql(e), None))
-        elif fcls == "Count" and _cls(arg) == "Literal":  # COUNT(*) ~ count(1)
+        elif fcls == "Count" and _cls(arg) == "Literal" and not arg.nullable():
+            # COUNT(*) ~ count(1); a NULL literal (COUNT(NULL) = 0 per
+            # group) must NOT match -- it is not the row count
             out_specs.append((e.name(), "count", None, _dtype_sql(e), None))
         elif fcls == "Average" and _cls(arg) == "AttributeReference":
             out_specs.append(
@@ -304,8 +306,17 @@ def spark_sql(
         # the WHERE references only grain/bridged attrs (data sufficiency),
         # so it applies at MV grain BEFORE the re-aggregation; the rendered
         # predicate qualifies attrs with the view name, so alias the
-        # rewritten relation to make those references resolve
-        out = out.alias(view_name).filter(F.expr(filter_sql))
+        # rewritten relation to make those references resolve.  A predicate
+        # that does not round-trip through render-SQL (e.g. an IN/EXISTS
+        # subquery) falls back to direct execution instead of crashing.
+        try:
+            out = out.alias(view_name).filter(F.expr(filter_sql))
+        except (AnalysisException, ParseException):
+            if explain is not None:
+                explain.append(
+                    "WHERE predicate failed to re-resolve; executing as written"
+                )
+            return df
 
     # re-aggregate: SUM(m) = SUM(mv.m); COUNT(*) = SUM(mv.cnt); AVG(m) =
     # SUM(mv.m)/SUM(mv.cnt) with Spark's own Average typing (sum widened to
@@ -333,18 +344,21 @@ def spark_sql(
             else:
                 quot = total.cast("double") / F.sum(cnt_col).cast("double")
             agg_exprs.append(quot.cast(out_dt).alias(out_name))
+    agg = out.groupBy(*groups).agg(*agg_exprs)
+    # shape to the Aggregate's exact output list (names + positions), then
+    # re-alias as the view so HAVING / ORDER BY render-SQL (which may
+    # qualify group attrs as `view.attr` or backtick hidden names like
+    # `count(1)`) re-resolves against it.  The re-aggregation itself stays
+    # OUTSIDE the try: a defect there should surface, not silently fall
+    # back; only the rendered-SQL wrapper re-resolution below is allowed
+    # to bail out.
+    shaped = agg.select(
+        *[
+            F.col(out_name) if kind != "group" else F.col(src).alias(out_name)
+            for out_name, kind, src, _, _ in out_specs
+        ]
+    ).alias(view_name)
     try:
-        agg = out.groupBy(*groups).agg(*agg_exprs)
-        # shape to the Aggregate's exact output list (names + positions), then
-        # re-alias as the view so HAVING / ORDER BY render-SQL (which may
-        # qualify group attrs as `view.attr` or backtick hidden names like
-        # `count(1)`) re-resolves against it.
-        shaped = agg.select(
-            *[
-                F.col(out_name) if kind != "group" else F.col(src).alias(out_name)
-                for out_name, kind, src, _, _ in out_specs
-            ]
-        ).alias(view_name)
         if having_sql is not None:
             shaped = shaped.filter(F.expr(having_sql))
         if sort_orders is not None:
@@ -363,7 +377,7 @@ def spark_sql(
         if limit is not None:
             shaped = shaped.limit(limit)
         return shaped
-    except AnalysisException:
+    except (AnalysisException, ParseException):
         # a rendered HAVING/ORDER BY fragment that does not re-resolve against
         # the re-aggregated relation (e.g. a Sort above a renaming Project)
         # falls back to direct execution -- always correct, just unrewritten.

@@ -36,8 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 SCALE = 1_000_000
 
 
@@ -53,12 +51,14 @@ def quantize(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def init_centroids(q: DataFrame, k: int) -> DataFrame:
-    """Deterministic init: the k lowest vec_ids, cid = 0..k-1 by that order."""
-    w = Window.orderBy("vec_id")
-    return (
-        q.orderBy("vec_id")
-        .limit(k)
-        .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("qv").alias("cq"))
+    """Deterministic init: the k lowest vec_ids, cid = 0..k-1 by that order.
+    The k-row result is materialized through the driver -- k is a
+    hyperparameter (bounded, tiny), and building the relation directly
+    avoids a single-partition ranking window in every plan."""
+    rows = q.orderBy("vec_id").limit(k).collect()
+    return q.sparkSession.createDataFrame(
+        [(i, list(r.qv)) for i, r in enumerate(sorted(rows, key=lambda r: r.vec_id))],
+        "cid int, cq array<bigint>",
     )
 
 
@@ -73,12 +73,18 @@ def _dist2(qcol, ccol):
 
 def assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid, dist2): each vector's nearest centroid, ties to the
-    lowest cid.  Broadcast cross join: K rows against the vector scan."""
+    lowest cid.  Broadcast cross join (K rows against the vector scan),
+    then argmin as MIN over (dist2, cid) structs -- lexicographic struct
+    ordering IS the (distance, centroid-id) tie-break, and the aggregate
+    combines map-side, so the shuffle carries |V| pre-reduced rows rather
+    than the K-expanded set a ranking window would sort."""
     j = q.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", _dist2(F.col("qv"), F.col("cq")).alias("dist2")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    best = j.groupBy("vec_id").agg(F.min(F.struct("dist2", "cid")).alias("_m"))
+    return best.select(
+        "vec_id", F.col("_m.cid").alias("cid"), F.col("_m.dist2").alias("dist2")
+    )
 
 
 def recompute(q: DataFrame, assigned: DataFrame) -> DataFrame:

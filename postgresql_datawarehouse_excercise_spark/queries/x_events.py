@@ -451,11 +451,13 @@ def x_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-observation-carried-forward value per type.
 
     Scale shape: the only |events|-sized job is the hourly pre-aggregate
-    (one shuffle, map-side partial).  The hour spine is generated
+    (one shuffle, map-side partial), computed ONCE via lazy localCheckpoint
+    and shared by every downstream branch.  The hour spine is generated
     DISTRIBUTED via F.sequence+explode on the 1-row bounds aggregate (no
     driver-side range materialization), the type dimension is a tiny
-    DISTINCT, and their cross join -- |hours| x |types| rows, millions at
-    a century of hours -- joins the hourly aggregate, never raw events.
+    DISTINCT -- both derived from the checkpointed hourly relation, not
+    from raw events -- and their cross join (|hours| x |types| rows,
+    millions at a century of hours) joins that same hourly aggregate.
     LOCF is one window pass over that post-aggregate grid, partitioned by
     type so state per task is bounded by the spine length."""
     from pyspark.sql.window import Window
@@ -467,14 +469,21 @@ def x_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money(F.sum(dec("value"))).alias("total_value"),
     )
-    bounds = t.events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    # bounds and the type dimension derive FROM the hourly aggregate (its
+    # min/max hour equals the truncated raw min/max; its type set equals
+    # the raw distinct).  Without intervention Catalyst pushes column
+    # pruning through each branch and the |events| scan runs three times
+    # (column-disjoint copies, so ReuseExchange cannot fire); the lazy
+    # localCheckpoint pins ONE physical computation of the aggregate-sized
+    # hourly relation that all three branches then read -- one raw scan
+    # total, the same persist-the-shared-frontier pattern operators/dedup.py
+    # uses for its edge list.
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
     )
-    types = t.events.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = hours.crossJoin(F.broadcast(types))
     joined = grid.join(hourly, ["h", "event_type"], "left")
     locf = (

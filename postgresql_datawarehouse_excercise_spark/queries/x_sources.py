@@ -144,15 +144,13 @@ def x_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = tempfile.mkdtemp(prefix="pdwx-bucketed-")
     lt, ot = f"pdwx_bl_{tag}", f"pdwx_bo_{tag}"
     try:
-        (
-            t.lineitem.select("l_orderkey", "l_extendedprice")
-            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", f"{loc}/{lt}").saveAsTable(lt)
+        files.write_bucketed(
+            t.lineitem.select("l_orderkey", "l_extendedprice"),
+            lt, f"{loc}/{lt}", "l_orderkey",
         )
-        (
-            t.orders.select("o_orderkey", "o_orderpriority")
-            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", f"{loc}/{ot}").saveAsTable(ot)
+        files.write_bucketed(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            ot, f"{loc}/{ot}", "o_orderkey",
         )
         joined = spark.table(lt).hint("merge").join(
             spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")

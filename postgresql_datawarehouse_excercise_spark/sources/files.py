@@ -43,3 +43,20 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+BUCKETS = 8  # bucket count shared by co-located fact pairs
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str) -> None:
+    """Persist `df` as an external table bucketed AND sorted on `key`
+    (BUCKETS buckets): the write-time shuffle that makes every later join
+    on `key` between same-bucketed tables exchange-free.  Both sides of a
+    co-located pair must use this one function so the bucketing scheme
+    can never drift between them."""
+    (
+        df.write.bucketBy(BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    )

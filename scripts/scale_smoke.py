@@ -211,14 +211,15 @@ def main() -> None:
     hourly = evs.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    bounds = evs.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    # bounds/types derive from the lazily-checkpointed hourly aggregate so
+    # the |events|-sized computation runs once across all three branches
+    # (queries/x_events.py)
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
     )
-    grid = spine.crossJoin(F.broadcast(evs.select("event_type").distinct()))
+    grid = spine.crossJoin(F.broadcast(hourly.select("event_type").distinct()))
     timed(
         "gap_fill",
         grid.join(hourly, ["h", "event_type"], "left").select(

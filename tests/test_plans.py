@@ -359,18 +359,16 @@ def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
 
 def test_gap_fill_broadcasts_spine_no_sortmerge(spark, sf_dir):
     """Gap fill's grid construction must stay broadcast-shaped (the spine
-    and type dimensions are tiny by construction) and every events scan
-    must prune to the three used columns -- the |events|-sized work is the
-    single hourly aggregate, nothing else."""
-    import re
-
+    and type dimensions are tiny by construction) and the raw events scan
+    must run exactly once: every branch reads the lazily-checkpointed
+    hourly aggregate (ExistingRDD), never events parquet directly -- the
+    |events|-sized work is the single hourly aggregate, nothing else."""
     df = REG["x_events_gap_fill"].fn(spark, sf_dir)
     p = plans.formatted_plan(df)
     assert plans.num_sortmerge_joins(df) == 0
     assert plans.num_broadcast_joins(df) + p.count("BroadcastNestedLoopJoin") >= 2
-    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", p):
-        cols = {c.split(":")[0] for c in schema.split(",") if c}
-        assert cols <= {"ts", "event_type", "value"}, schema
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p
 
 
 def test_kmeans_centroids_broadcast_never_shuffled(spark, sf_dir):
@@ -382,6 +380,9 @@ def test_kmeans_centroids_broadcast_never_shuffled(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert plans.num_sortmerge_joins(df) == 0
     assert "BatchEvalPython" not in p
+    # argmin is a map-side-combining MIN(struct), never a ranking window
+    # sorting the K-expanded rows
+    assert "Window" not in p
 
 
 def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
@@ -398,15 +399,15 @@ def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
     loc = tempfile.mkdtemp(prefix="pdwx-bkt-plan-")
     lt, ot = f"pdwx_pbl_{tag}", f"pdwx_pbo_{tag}"
     try:
-        (
-            t.lineitem.select("l_orderkey", "l_extendedprice")
-            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", f"{loc}/{lt}").saveAsTable(lt)
+        from postgresql_datawarehouse_excercise_spark.sources import files
+
+        files.write_bucketed(
+            t.lineitem.select("l_orderkey", "l_extendedprice"),
+            lt, f"{loc}/{lt}", "l_orderkey",
         )
-        (
-            t.orders.select("o_orderkey", "o_orderpriority")
-            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", f"{loc}/{ot}").saveAsTable(ot)
+        files.write_bucketed(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            ot, f"{loc}/{ot}", "o_orderkey",
         )
         bucketed = spark.table(lt).hint("merge").join(
             spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")

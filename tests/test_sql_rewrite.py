@@ -160,6 +160,27 @@ def test_count_without_count_mv_executes_as_written(spark, sf_dir, built):
     _assert_equivalent(spark, df, text)
 
 
+def test_subquery_where_falls_back_not_crashes(spark, sf_dir, built):
+    """A WHERE containing a subquery cannot round-trip through render-SQL;
+    the rewrite must fall back to direct execution, never raise."""
+    text = (
+        "SELECT name, SUM(amnt) AS s FROM sales_star "
+        "WHERE year IN (SELECT 1996) GROUP BY name"
+    )
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("executing as written" in e for e in explain), explain
+    _assert_equivalent(spark, df, text)
+
+
+def test_count_null_literal_not_matched_as_count_star(spark, sf_dir, built_stats):
+    """COUNT(NULL) is 0 per group, not the row count; the matcher must not
+    rewrite it onto the count measure."""
+    text = "SELECT name, COUNT(NULL) AS n FROM sales_star GROUP BY name"
+    df, explain = _run(spark, sf_dir, built_stats, text)
+    assert any("executing as written" in e for e in explain), explain
+    _assert_equivalent(spark, df, text)
+
+
 def test_non_navigable_shapes_execute_as_written(spark, sf_dir, built):
     """COUNT(DISTINCT) is not additively re-aggregable; a non-star FROM is
     not matched at all -- both must fall through untouched."""
