@@ -49,8 +49,10 @@ _TOUCHED_THIS_ROUND = (
     "x_stream_session_windows",
     "x_stream_dedup",
     "x_stream_funnel_stages",
-    "x_events_user_daily",          # floor-consistent integer average
+    "x_events_user_daily",          # floor-consistent integer average (oracle
+                                    # re-fixed: mod-subtraction floor division)
     "x_asof_latest_order_7d",       # microsecond tolerance boundary
+    "x_mv_sql_rewrite",             # matcher generalized to multi-measure
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -160,6 +160,48 @@ def test_count_without_count_mv_executes_as_written(spark, sf_dir, built):
     _assert_equivalent(spark, df, text)
 
 
+_MATRIX = [
+    # (text, expect_rewrite) -- a sweep over group sets x measure mixes x
+    # wrappers; every case must be value- and schema-identical to direct
+    # execution whether or not the rewrite fires.
+    ("SELECT year, SUM(amnt) AS s FROM sales_star GROUP BY year", True),
+    ("SELECT district, year, SUM(amnt) AS s FROM sales_star GROUP BY district, year", True),
+    # dayofweek is reachable only via timeid's FD, which the count-bearing
+    # MV's grain does not carry -- a COUNT query on it must fall back
+    ("SELECT dayofweek, COUNT(*) AS n FROM sales_star GROUP BY dayofweek", False),
+    ("SELECT year, COUNT(*) AS n FROM sales_star GROUP BY year", True),
+    ("SELECT year, AVG(amnt) AS a FROM sales_star GROUP BY year", True),
+    ("SELECT year, SUM(amnt) AS s, AVG(amnt) AS a, COUNT(*) AS n "
+     "FROM sales_star GROUP BY year", True),
+    ("SELECT country, SUM(amnt) AS s FROM sales_star "
+     "WHERE district <> 'JAPAN' GROUP BY country", True),
+    ("SELECT year, COUNT(*) AS n FROM sales_star GROUP BY year "
+     "HAVING SUM(amnt) > 1000 ORDER BY n DESC, year LIMIT 3", True),
+    ("SELECT name AS who, year AS y, AVG(amnt) AS a FROM sales_star "
+     "GROUP BY name, year ORDER BY a DESC, who, y LIMIT 9", True),
+    # not navigable: measure expression, distinct, non-grain filter attr
+    ("SELECT year, SUM(amnt * 2) AS s FROM sales_star GROUP BY year", False),
+    ("SELECT year, SUM(DISTINCT amnt) AS s FROM sales_star GROUP BY year", False),
+    ("SELECT year, MAX(amnt) AS m FROM sales_star GROUP BY year", False),
+]
+
+
+@pytest.mark.parametrize("text,expect_rewrite", _MATRIX)
+def test_rewrite_equivalence_matrix(spark, sf_dir, built_stats, text, expect_rewrite):
+    """Matrix sweep: the rewriter must be value- and schema-transparent on
+    every navigable shape, and must fall back (not mis-rewrite) on every
+    non-navigable one."""
+    df, explain = _run(spark, sf_dir, built_stats, text)
+    fired = any("rewriting onto MV" in e for e in explain)
+    assert fired == expect_rewrite, (text, explain)
+    direct = spark.sql(text)
+    assert df.schema == direct.schema, text
+    if "LIMIT" in text:
+        assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect())), text
+    else:
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect())), text
+
+
 def test_subquery_where_falls_back_not_crashes(spark, sf_dir, built):
     """A WHERE containing a subquery cannot round-trip through render-SQL;
     the rewrite must fall back to direct execution, never raise."""
