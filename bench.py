@@ -219,7 +219,9 @@ def main() -> None:
         "x_events_retention_cohorts",
         "x_events_hourly_anomaly",
         "x_events_gap_fill",
+        "x_events_trailing_24h",
         "x_text_pii_redact",
+        "x_text_block_dedup",
         "x_sim_topk_bruteforce",
         "x_sim_knn_join",
         "x_sim_ann_lsh",
@@ -251,6 +253,7 @@ def main() -> None:
         "x_pipeline_pack_sequences",
         "x_pipeline_shuffle_shards",
         "x_pipeline_cdc_apply",
+        "x_pipeline_weighted_sample",
         "x_pipeline_scd2_history",
         "x_pipeline_scd2_incremental",
         "x_sql_percentiles",
@@ -296,6 +299,7 @@ def main() -> None:
         "x_stream_dedup",
         "x_stream_incremental_mv",
         "x_stream_range_join",
+        "x_stream_cdc_latest",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 

@@ -499,3 +499,45 @@ def x_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").isNull().alias("filled"),
         F.last("total_value", ignorenulls=True).over(locf).alias("locf_value"),
     )
+
+
+@query(
+    "x_events_trailing_24h",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+         AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+""",
+)
+def x_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24-hour activity features (count + value sum over
+    the user's preceding day) via a TIME-RANGE window frame -- the
+    feature-engineering primitive behind rate limits / engagement scores.
+
+    The frame orders by MICROSECOND epoch on both engines (Spark
+    unix_micros == DuckDB epoch_us, exact integers): ordering by seconds
+    would truncate sub-second timestamps differently than DuckDB's
+    fractional epoch() and shift the 24h boundary for events within the
+    same second.  The windowed sum runs in exact long cents (portable);
+    state per task is bounded by one user's 24h event volume."""
+    from pyspark.sql.window import Window
+
+    from ..functions import c100
+
+    t = catalog.load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_399_999_999, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        (F.sum(c100("value")).over(w).cast("double") / 100.0).alias("value_24h"),
+    )

@@ -777,3 +777,35 @@ def x_pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("double") / 100.0).alias("last_value"),
         "n_ops",
     )
+
+
+@query(
+    "x_pipeline_weighted_sample",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(LEAST(10000, length(text) * 5) AS DOUBLE) / 10000.0 AS weight
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < LEAST(10000, length(text) * 5)
+""",
+)
+def x_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a PER-DOCUMENT acceptance probability
+    (here a length proxy capped at 1; any quality score slots in): accept
+    iff the id-hash uniform falls below the weight, in integer basis
+    points -- deterministic on any cluster, any partitioning, any retry
+    (the property rand() cannot give), and a pure filter in the scan
+    stage.  The mixture-weights entry reweights strata; this samples at
+    row grain with a continuous weight."""
+    t = catalog.load(spark, sf_dir)
+    wbp = F.least(F.lit(10000), F.length("text") * 5)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return t.documents.filter(u < wbp).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        (wbp.cast("double") / 10000.0).alias("weight"),
+    )

@@ -259,3 +259,47 @@ def x_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.click_followups_stream(spark, sf_dir)
     sunk = se.run_finite_to_sink(stream, output_mode="append")
     return sunk.select("click_id", "followup_id", "click_ts", "ts")
+
+
+@query(
+    "x_stream_cdc_latest",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op, value
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_ops
+  FROM log
+)
+SELECT user_id, event_type,
+       FLOOR(value * 100.0 + 0.5) / 100.0 AS last_value,
+       n_ops
+FROM ranked WHERE rn = 1 AND op = 'U'
+""",
+)
+def x_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot maintenance: the running MAX over
+    (ts, event_id, value) structs per key IS the live last-writer-wins
+    state (O(1) per key, updated each micro-batch), with tombstones
+    (every 10th event id) dropped at read time -- the continuously-
+    maintained twin of x_pipeline_cdc_apply's batch compaction, and the
+    drained state must hash-match the batch fold's relational statement."""
+    stream = se.read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("last"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    sunk = se.run_finite_to_sink(agg, output_mode="update")
+    final = se.latest_per_key(sunk, ["user_id", "event_type"])
+    return final.filter(F.col("last.event_id") % 10 != 0).select(
+        "user_id",
+        "event_type",
+        (F.floor(F.col("last.value") * 100.0 + F.lit(0.5)).cast("double") / 100.0)
+        .alias("last_value"),
+        "n_ops",
+    )

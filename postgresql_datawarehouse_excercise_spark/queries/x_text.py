@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import fround, ratio
+from ..functions import fround, ratio, sql_ratio
 from ..operators import textlang
 from . import query
 
@@ -437,4 +437,80 @@ def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(payload, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
         F.regexp_count(payload, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         F.substring(redacted, 1, 160).alias("redacted_prefix"),
+    )
+
+
+BLOCK_TOKENS = 16  # span size for intra-corpus block dedup
+
+
+@query(
+    "x_text_block_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+spans AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(
+           0, CAST(ceil(len(tk) / {BLOCK_TOKENS}.0) AS BIGINT) - 1)) AS block_idx
+  FROM toks
+),
+blocks AS (
+  SELECT doc_id, block_idx,
+         array_to_string(
+           tk[(block_idx*{BLOCK_TOKENS}+1):(block_idx*{BLOCK_TOKENS}+{BLOCK_TOKENS})],
+           ' ') AS block
+  FROM spans
+),
+ranked AS (
+  SELECT doc_id, block_idx,
+         row_number() OVER (PARTITION BY md5(block)
+                            ORDER BY doc_id, block_idx) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupe_blocks,
+       {{ratio}} AS keep_ratio
+FROM ranked GROUP BY doc_id
+""".format(ratio=sql_ratio("SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)", "COUNT(*)")),
+)
+def x_text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus span deduplication (the C4/Dolma pattern): documents
+    split into 16-token blocks, only the globally FIRST occurrence of
+    each block survives (total order: doc_id, position), and each document
+    reports its surviving fraction.
+
+    Scale shape: blocks explode to |tokens|/16 skinny (hash, doc, pos)
+    rows; first-occurrence selection is one shuffle on the block hash with
+    a rank-1 window (per-task state bounded by one hash's occurrence
+    count); the per-doc rollup re-shuffles aggregate-sized rows only.  No
+    strings cross the wire after hashing."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), " ")
+    nblk = F.ceil(F.size(tk) / F.lit(float(BLOCK_TOKENS))).cast("int")
+    blocks = t.documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tk, i * BLOCK_TOKENS + 1, BLOCK_TOKENS)
+                ),
+            )
+        ).alias("block_idx", "block"),
+    )
+    w = Window.partitionBy(F.md5("block")).orderBy("doc_id", "block_idx")
+    ranked = blocks.select(
+        "doc_id", "block_idx", F.row_number().over(w).alias("rn")
+    )
+    keep = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dupe_blocks"),
+        ratio(keep, F.count(F.lit(1))).alias("keep_ratio"),
     )
