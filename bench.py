@@ -241,9 +241,11 @@ def main() -> None:
         "x_mutation_update_delete",
         "x_mutation_time_travel",
         "x_mutation_optimize_zorder",
+        "x_mutation_snapshot_diff",
         "x_mv_sql_rewrite",
         "x_mv_sql_rewrite_multi",
         "x_source_bucketed_join",
+        "x_source_schema_evolution",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
         "x_sql_approx_percentile",

@@ -124,3 +124,60 @@ def x_mutation_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(sum_c100("o_totalprice")).alias("sum_totalprice"),
         )
     )
+
+
+_DIFF_DELETE_PRED = "c_mktsegment = 'MACHINERY' AND c_acctbal < -900"
+
+
+@query(
+    "x_mutation_snapshot_diff",
+    oracle=f"""
+SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer WHERE {_DIFF_DELETE_PRED} HAVING COUNT(*) > 0
+UNION ALL
+SELECT 'update', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE {_UPDATE_PRED} HAVING COUNT(*) > 0
+UNION ALL
+SELECT 'unchanged', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE NOT ({_DIFF_DELETE_PRED}) AND NOT ({_UPDATE_PRED})
+HAVING COUNT(*) > 0
+""",
+)
+def x_mutation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed from snapshots (the Delta table_changes analog):
+    after an UPDATE (v1) and a DELETE (v2) commit, diff the v0 snapshot
+    against the head GENERICALLY -- full-outer join on the primary key,
+    whole-row struct comparison classifies each key as delete / insert /
+    update / unchanged.  No knowledge of the mutations is used by the
+    diff; the oracle restates the predicates relationally (they touch
+    disjoint segments, so apply order cannot matter).  Scale shape: one
+    key-hash shuffle of both snapshots; the struct compare is per-row
+    codegen; untouched partitions hardlink-share files between snapshots,
+    so the diff's I/O is real but storage stays deduplicated."""
+    t = catalog.load(spark, sf_dir)
+    # retain=3: v0 (initial), v1 (update), v2 (delete) must ALL stay
+    # readable for the diff -- the default retention of 2 would vacuum v0
+    # as soon as the second mutation commits
+    tbl = mutations.temp_table(
+        spark, t.customer, partition_by=("c_mktsegment",), retain=3
+    )
+    tbl.update_where(_UPDATE_PRED, {"c_acctbal": F.lit(0.0)})
+    tbl.delete_where(_DIFF_DELETE_PRED)
+    cols = t.customer.columns
+    old = tbl.read(version=0).select(
+        "c_custkey", F.struct(*cols).alias("o")
+    )
+    new = tbl.read().select("c_custkey", F.struct(*cols).alias("n"))
+    j = old.join(new, "c_custkey", "full_outer")
+    change = (
+        F.when(F.col("n").isNull(), F.lit("delete"))
+        .when(F.col("o").isNull(), F.lit("insert"))
+        .when(~F.col("o").eqNullSafe(F.col("n")), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint()
+    )

@@ -167,3 +167,35 @@ def x_source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@query(
+    "x_source_schema_evolution",
+    oracle=f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_money(f"SUM({sql_dec('o_totalprice')})")} AS total_price
+FROM orders GROUP BY 1
+""",
+)
+def x_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an early batch written WITHOUT the status
+    column and a later batch WITH it land in the same dataset;
+    mergeSchema unifies them (missing column = NULL for old files) and the
+    aggregate runs over the union -- the additive-column migration every
+    long-lived ingest eventually performs, with no rewrite of old data.
+    The NULL status group in the result IS the old batch, pinned by the
+    oracle's CASE restatement."""
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-evo-")
+    t.orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{out}/batch=1")
+    t.orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(dec("o_totalprice"))).alias("total_price"),
+    )
