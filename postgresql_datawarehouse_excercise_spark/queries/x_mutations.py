@@ -179,5 +179,4 @@ def x_mutation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(change.alias("change_type"))
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .localCheckpoint()
     )

@@ -32,10 +32,16 @@ SAMPLE_RATES = {"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 20}
 _DEFAULT_RATE = 10
 
 
-def _bucket(col: F.Column) -> F.Column:
-    """Deterministic 0..99 bucket from the md5 prefix -- identical in any
-    engine (operators/dedup.py h32 recipe)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % 100
+def _bucket(col: F.Column, modulus: int = 100) -> F.Column:
+    """Deterministic 0..modulus-1 bucket from the md5 prefix -- identical
+    in any engine (operators/dedup.py h32 recipe).  The ONE home of this
+    hash recipe in the sampling entries: every sampler must share it, or a
+    recipe change silently changes which rows a 'deterministic' sample
+    keeps."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % modulus
+    )
 
 
 @query(
@@ -799,11 +805,7 @@ def x_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row grain with a continuous weight."""
     t = catalog.load(spark, sf_dir)
     wbp = F.least(F.lit(10000), F.length("text") * 5)
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 10000
-    )
+    u = _bucket(F.col("doc_id"), modulus=10000)
     return t.documents.filter(u < wbp).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "source",
