@@ -242,6 +242,7 @@ def main() -> None:
         "x_mutation_time_travel",
         "x_mutation_optimize_zorder",
         "x_mutation_snapshot_diff",
+        "x_mutation_merge_upsert",
         "x_mv_sql_rewrite",
         "x_mv_sql_rewrite_multi",
         "x_source_bucketed_join",

@@ -296,6 +296,52 @@ class ManagedParquetTable:
         pred = _as_column(predicate)
         return self._rewrite_touched(pred, self.read().filter(~pred))
 
+    def merge_upsert(
+        self, source: DataFrame, key_cols: tuple[str, ...]
+    ) -> tuple[int, int]:
+        """MERGE INTO ... WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
+        THEN INSERT * (the Delta/Iceberg upsert): source rows replace
+        matched target rows wholesale, unmatched source rows insert, all
+        committed as one snapshot.  Returns (n_updated, n_inserted).
+
+        Source keys must be unique -- duplicate keys make last-writer-wins
+        ambiguous, so they are rejected (one aggregate job), mirroring
+        Delta's multiple-source-rows-matched error.  Partition-pruned COW:
+        the touched partitions are those carrying SOURCE rows plus those of
+        the matched target rows (a key whose partition value changes in the
+        source touches BOTH its old and new partition); everything else
+        hardlink-shares into the new snapshot."""
+        current = self.read()
+        source = source.select(*current.columns)  # align order; missing -> error
+        keys = [*key_cols]
+        n_dup = source.groupBy(*keys).count().filter(F.col("count") > 1).count()
+        if n_dup:
+            raise ValueError(
+                f"merge source has {n_dup} duplicate keys on {keys}; "
+                "last-writer-wins would be ambiguous"
+            )
+        src_keys = source.select(*keys)
+        n_matched = current.join(src_keys, keys, "left_semi").count()
+        n_inserted = source.count() - n_matched
+        merged = source.unionByName(current.join(src_keys, keys, "left_anti"))
+        self._validate(merged)
+        if not self.partition_by:
+            staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
+            self._write_snapshot(merged, staging)
+            self._commit(staging)
+            return n_matched, n_inserted
+        touched = [
+            tuple(r)
+            for r in source.select(*self.partition_by)
+            .unionByName(
+                current.join(src_keys, keys, "left_semi").select(*self.partition_by)
+            )
+            .distinct()
+            .collect()
+        ]
+        self._commit_pruned(merged, touched)
+        return n_matched, n_inserted
+
     def optimize(
         self,
         cluster_by: tuple[str, ...],
@@ -388,6 +434,14 @@ class ManagedParquetTable:
             .distinct()
             .collect()
         ]
+        self._commit_pruned(new_rows, touched)
+        return n_touched
+
+    def _commit_pruned(self, new_rows: DataFrame, touched: list[tuple]) -> None:
+        """Commit new_rows as the next snapshot rewriting ONLY the partitions
+        in `touched` (a list of partition-value tuples): untouched partitions
+        hardlink into the new snapshot, touched ones are re-staged from
+        new_rows, one pointer flip commits the whole thing."""
         # OR-of-conjunctions over literal partition values: Catalyst turns
         # this into partition pruning, so the rewrite scan reads ONLY the
         # touched partitions.
@@ -426,7 +480,6 @@ class ManagedParquetTable:
             # from the new snapshot.
         shutil.rmtree(staging, ignore_errors=True)
         self._commit(build)
-        return n_touched
 
 
 def zorder_key(cols: list[Column], bits: int = 21) -> Column:

@@ -180,3 +180,63 @@ def x_mutation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "x_mutation_merge_upsert",
+    oracle=f"""
+WITH source AS (
+  SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 7
+),
+merged AS (
+  SELECT * FROM source
+  UNION ALL
+  SELECT * FROM customer WHERE c_custkey % 10 != 3
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_money(f"SUM({sql_dec('c_acctbal')})")} AS sum_acctbal,
+       CAST(SUM(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted
+FROM merged GROUP BY c_mktsegment
+""",
+)
+def x_mutation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the managed table (the Delta/Iceberg upsert): a source
+    batch of updated rows (every custkey%10==3, balance zeroed) plus brand
+    new rows (copies of custkey%10==7 shifted past the key space) merges in
+    one snapshot commit -- matched rows replaced, unmatched inserted,
+    untouched partitions hardlink-shared.  The entry raises unless the
+    merge's (updated, inserted) counts match the construction, and the
+    post-merge aggregate must equal the oracle's relational MERGE
+    statement."""
+    t = catalog.load(spark, sf_dir)
+    tbl = mutations.temp_table(spark, t.customer, partition_by=("c_mktsegment",))
+    upd = t.customer.filter(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    ins = t.customer.filter(F.col("c_custkey") % 10 == 7).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    n_upd_want, n_ins_want = upd.count(), ins.count()
+    n_upd, n_ins = tbl.merge_upsert(upd.unionByName(ins), ("c_custkey",))
+    if (n_upd, n_ins) != (n_upd_want, n_ins_want):
+        raise AssertionError(
+            f"merge counts {(n_upd, n_ins)} != expected {(n_upd_want, n_ins_want)}"
+        )
+    return (
+        tbl.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(sum_c100("c_acctbal")).alias("sum_acctbal"),
+            F.sum(F.when(F.col("c_custkey") >= 1_000_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserted"),
+        )
+        .localCheckpoint()
+    )

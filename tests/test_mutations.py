@@ -348,3 +348,46 @@ def test_pruned_rewrite_scan_reads_only_touched_partitions(
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "country" in m.group(1), plan[:2000]
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, sf_dir):
+    """Duplicate keys in the merge source make last-writer-wins ambiguous;
+    the merge must refuse (Delta's multiple-source-rows-matched error)."""
+    import pytest
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    t = catalog.load(spark, sf_dir)
+    tbl = mutations.temp_table(spark, t.customer.limit(50))
+    src = t.customer.limit(5).unionByName(t.customer.limit(5))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tbl.merge_upsert(src, ("c_custkey",))
+
+
+def test_merge_upsert_partition_move_conserves_rows(spark, sf_dir):
+    """A source row that changes a key's PARTITION value must remove the
+    row from its old partition and land it in the new one -- both
+    partitions are touched, total row count is conserved, and the key
+    exists exactly once afterward."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    t = catalog.load(spark, sf_dir)
+    base = t.customer
+    n0 = base.count()
+    tbl = mutations.temp_table(spark, base, partition_by=("c_mktsegment",))
+    moved_key = base.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.min("c_custkey")
+    ).collect()[0][0]
+    src = base.filter(F.col("c_custkey") == moved_key).withColumn(
+        "c_mktsegment", F.lit("MACHINERY")
+    )
+    n_upd, n_ins = tbl.merge_upsert(src, ("c_custkey",))
+    assert (n_upd, n_ins) == (1, 0)
+    after = tbl.read()
+    assert after.count() == n0
+    rows = after.filter(F.col("c_custkey") == moved_key).collect()
+    assert len(rows) == 1 and rows[0].c_mktsegment == "MACHINERY"
