@@ -229,6 +229,7 @@ def main() -> None:
         "x_sim_cosine_neardup",
         "x_sim_quantize_int8",
         "x_sim_kmeans",
+        "x_sim_ann_recall",
         "x_text_chunk_overlap",
         "x_asof_latest_order",
         "x_asof_latest_order_7d",

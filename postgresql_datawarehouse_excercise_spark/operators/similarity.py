@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import fround
+from ..functions import fround, ratio
 
 NEARDUP_THRESHOLD = 0.35
 ANN_PLANES = 4
@@ -409,4 +409,85 @@ CROSS JOIN (SELECT e FROM base WHERE vec_id = {query_vec_id}) q
 WHERE a.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, a.vec_id ASC
 LIMIT {k}
+"""
+
+
+def ann_recall(
+    embeddings: DataFrame, n_queries: int = KNN_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Recall@k of the LSH index against exact brute force, per query: the
+    evaluation loop every ANN deployment needs before trusting the
+    approximate path.  Both rankings use the same rounded score and
+    deterministic tie-break, so the result is engine-exact (the oracle
+    replays both searches); the exact arm is one broadcast pass over the
+    corpus (the knn_join shape), the approximate arm scans only the
+    queries' buckets."""
+    base = _norms(embeddings).withColumn("bucket", _bucket(F.col("e")))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    from pyspark.sql.window import Window
+
+    score = fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", score.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(base.crossJoin(F.broadcast(q)))
+    approx = topk(base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")))
+    joined = exact.join(
+        approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        ratio(F.count("hit"), F.count(F.lit(1))).alias("recall"),
+    )
+
+
+def ann_recall_sql(n_queries: int = KNN_QUERIES, k: int = TOP_K) -> str:
+    from ..functions import sql_ratio
+
+    fr6 = "FLOOR((list_cosine_similarity(b.e, q.qe)) * 1000000.0 + 0.5) / 1000000.0"
+    recall = sql_ratio("COUNT(a.vec_id)", "COUNT(*)")
+    return f"""
+WITH {_SQL_BASE},
+bk AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+      FROM bk WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {fr6} DESC, b.vec_id ASC) AS rn
+    FROM bk b CROSS JOIN q WHERE b.vec_id != q.query_id
+  ) WHERE rn <= {k}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {fr6} DESC, b.vec_id ASC) AS rn
+    FROM bk b JOIN q ON b.bucket = q.qbucket WHERE b.vec_id != q.query_id
+  ) WHERE rn <= {k}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       {recall} AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
 """

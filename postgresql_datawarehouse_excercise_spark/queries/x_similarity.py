@@ -219,3 +219,18 @@ def x_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = catalog.load(spark, sf_dir)
     return clustering.kmeans_assignments(t.embeddings, k=8, iters=2)
+
+
+@query("x_sim_ann_recall", oracle=similarity.ann_recall_sql())
+def x_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH index vs exact brute force over the 8-query
+    evaluation set -- the index-quality measurement that decides whether
+    an approximate path is shippable.  Both arms share the rounded score
+    + deterministic tie-break, so recall is bit-exact cross-engine
+    (operators/similarity.ann_recall).  On the driver's SYNTHETIC
+    near-orthogonal embeddings the measured recall is low (0.0-0.4) --
+    the honest reading for 4 sign-planes over noise, and exactly the
+    signal this evaluator exists to surface before anyone ships that
+    index; real clustered embeddings score far higher."""
+    t = catalog.load(spark, sf_dir)
+    return similarity.ann_recall(t.embeddings)
