@@ -220,6 +220,7 @@ def main() -> None:
         "x_events_hourly_anomaly",
         "x_events_gap_fill",
         "x_events_trailing_24h",
+        "x_events_attribution",
         "x_text_pii_redact",
         "x_text_block_dedup",
         "x_sim_topk_bruteforce",

@@ -541,3 +541,71 @@ def x_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         (F.sum(c100("value")).over(w).cast("double") / 100.0).alias("value_24h"),
     )
+
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution horizon
+
+
+@query(
+    "x_events_attribution",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+attrib AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= {ATTRIB_WINDOW_US}
+            THEN last_click_id END AS attributed_click_id,
+       CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= {ATTRIB_WINDOW_US}
+            THEN last_click_ts END AS attributed_click_ts
+FROM attrib WHERE event_type = 'purchase'
+""",
+)
+def x_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the same user's most
+    recent PRECEDING click, voided when the click is older than the 7-day
+    horizon -- the marketing-analytics staple, built as ONE ordered window
+    pass over the merged click/purchase stream (the as-of union trick:
+    no self-join, no range explosion; state per task is one remembered
+    click).  The horizon compares MICROSECOND epochs on both engines, the
+    boundary discipline x_asof_latest_order_7d established."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    tagged = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attrib = tagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    fresh = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+    ) <= ATTRIB_WINDOW_US
+    return attrib.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("last_click_id")).alias("attributed_click_id"),
+        F.when(fresh, F.col("last_click_ts")).alias("attributed_click_ts"),
+    )
