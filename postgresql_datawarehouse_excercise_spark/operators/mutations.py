@@ -300,30 +300,59 @@ class ManagedParquetTable:
         self, source: DataFrame, key_cols: tuple[str, ...]
     ) -> tuple[int, int]:
         """MERGE INTO ... WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
-        THEN INSERT * (the Delta/Iceberg upsert): source rows replace
-        matched target rows wholesale, unmatched source rows insert, all
-        committed as one snapshot.  Returns (n_updated, n_inserted).
+        THEN INSERT * (the Delta/Iceberg upsert): every matched TARGET row
+        takes the source row's values (a target with duplicate keys keeps
+        its cardinality -- all duplicates update, exactly Delta's
+        semantics), unmatched source rows insert, all committed as one
+        snapshot.  Returns (n_updated_target_rows, n_inserted).
 
-        Source keys must be unique -- duplicate keys make last-writer-wins
-        ambiguous, so they are rejected (one aggregate job), mirroring
-        Delta's multiple-source-rows-matched error.  Partition-pruned COW:
-        the touched partitions are those carrying SOURCE rows plus those of
-        the matched target rows (a key whose partition value changes in the
-        source touches BOTH its old and new partition); everything else
-        hardlink-shares into the new snapshot."""
+        Source keys must be unique -- duplicate SOURCE keys make the merge
+        ambiguous, so they are rejected, mirroring Delta's
+        multiple-source-rows-matched error.  The aligned source is lazily
+        localCheckpoint-ed, so an expensive source lineage (a CDC join,
+        say) computes once across the merge's passes.  An empty or
+        all-miss source no-ops and returns (0, 0) without committing.
+        Partition-pruned COW: the touched partitions are those carrying
+        SOURCE rows plus those of the matched target rows (a key whose
+        partition value changes in the source touches BOTH its old and new
+        partition); everything else hardlink-shares into the new
+        snapshot."""
         current = self.read()
-        source = source.select(*current.columns)  # align order; missing -> error
+        # align order (missing column -> analysis error) and pin ONE
+        # physical computation of the source lineage
+        source = source.select(*current.columns).localCheckpoint(eager=False)
         keys = [*key_cols]
         n_dup = source.groupBy(*keys).count().filter(F.col("count") > 1).count()
         if n_dup:
             raise ValueError(
                 f"merge source has {n_dup} duplicate keys on {keys}; "
-                "last-writer-wins would be ambiguous"
+                "the merge would be ambiguous"
             )
         src_keys = source.select(*keys)
-        n_matched = current.join(src_keys, keys, "left_semi").count()
-        n_inserted = source.count() - n_matched
-        merged = source.unionByName(current.join(src_keys, keys, "left_anti"))
+        matched = current.join(src_keys, keys, "left_semi")
+        n_matched = matched.count()
+        inserts = source.join(current.select(*keys), keys, "left_anti")
+        n_inserted = inserts.count()
+        if n_matched == 0 and n_inserted == 0:
+            return 0, 0
+        # WHEN MATCHED THEN UPDATE SET *: left-join the source onto the
+        # target and take the source's value column-wise where a match
+        # exists (presence flag, not coalesce -- a legitimately-NULL source
+        # value must overwrite).  Target cardinality is preserved.
+        tagged = source.select(
+            *keys,
+            F.struct(*[F.col(c).alias(c) for c in current.columns]).alias("__src"),
+            F.lit(1).alias("__m"),
+        )
+        updated = current.join(tagged, keys, "left").select(
+            *[
+                F.when(F.col("__m") == 1, F.col(f"__src.{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in current.columns
+            ]
+        )
+        merged = updated.unionByName(inserts)
         self._validate(merged)
         if not self.partition_by:
             staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
@@ -333,13 +362,12 @@ class ManagedParquetTable:
         touched = [
             tuple(r)
             for r in source.select(*self.partition_by)
-            .unionByName(
-                current.join(src_keys, keys, "left_semi").select(*self.partition_by)
-            )
+            .unionByName(matched.select(*self.partition_by))
             .distinct()
             .collect()
         ]
-        self._commit_pruned(merged, touched)
+        if touched:
+            self._commit_pruned(merged, touched)
         return n_matched, n_inserted
 
     def optimize(

@@ -560,7 +560,7 @@ attrib AS (
          last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts,
          last_value(click_id IGNORE NULLS) OVER w AS last_click_id
   FROM tagged
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,

@@ -185,11 +185,13 @@ def x_mutation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x_mutation_merge_upsert",
     oracle=f"""
-WITH source AS (
+WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+source AS (
   SELECT c_custkey, c_name, c_nationkey, 0.0 AS c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 10 = 3
   UNION ALL
-  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  SELECT c_custkey + (SELECT m FROM mx) + 1, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 10 = 7
 ),
 merged AS (
@@ -200,27 +202,29 @@ merged AS (
 SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        {sql_money(f"SUM({sql_dec('c_acctbal')})")} AS sum_acctbal,
-       CAST(SUM(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_inserted
+       CAST(SUM(CASE WHEN c_custkey > (SELECT m FROM mx) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inserted
 FROM merged GROUP BY c_mktsegment
 """,
 )
 def x_mutation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the managed table (the Delta/Iceberg upsert): a source
     batch of updated rows (every custkey%10==3, balance zeroed) plus brand
-    new rows (copies of custkey%10==7 shifted past the key space) merges in
-    one snapshot commit -- matched rows replaced, unmatched inserted,
-    untouched partitions hardlink-shared.  The entry raises unless the
-    merge's (updated, inserted) counts match the construction, and the
-    post-merge aggregate must equal the oracle's relational MERGE
-    statement."""
+    new rows (copies of custkey%10==7 shifted past the key space -- shift
+    derived from MAX(c_custkey) on BOTH engines, so no scale factor can
+    collide inserts with real keys) merges in one snapshot commit --
+    matched rows updated in place, unmatched inserted, untouched
+    partitions hardlink-shared.  The entry raises unless the merge's
+    (updated, inserted) counts match the construction, and the post-merge
+    aggregate must equal the oracle's relational MERGE statement."""
     t = catalog.load(spark, sf_dir)
+    shift = t.customer.agg(F.max("c_custkey")).collect()[0][0] + 1
     tbl = mutations.temp_table(spark, t.customer, partition_by=("c_mktsegment",))
     upd = t.customer.filter(F.col("c_custkey") % 10 == 3).withColumn(
         "c_acctbal", F.lit(0.0)
     )
     ins = t.customer.filter(F.col("c_custkey") % 10 == 7).withColumn(
-        "c_custkey", F.col("c_custkey") + 1_000_000
+        "c_custkey", F.col("c_custkey") + F.lit(shift)
     )
     n_upd_want, n_ins_want = upd.count(), ins.count()
     n_upd, n_ins = tbl.merge_upsert(upd.unionByName(ins), ("c_custkey",))
@@ -234,7 +238,7 @@ def x_mutation_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             money(sum_c100("c_acctbal")).alias("sum_acctbal"),
-            F.sum(F.when(F.col("c_custkey") >= 1_000_000, 1).otherwise(0))
+            F.sum(F.when(F.col("c_custkey") >= F.lit(shift), 1).otherwise(0))
             .cast("long")
             .alias("n_inserted"),
         )

@@ -391,3 +391,45 @@ def test_merge_upsert_partition_move_conserves_rows(spark, sf_dir):
     assert after.count() == n0
     rows = after.filter(F.col("c_custkey") == moved_key).collect()
     assert len(rows) == 1 and rows[0].c_mktsegment == "MACHINERY"
+
+
+def test_merge_upsert_duplicate_target_keys_all_update(spark, sf_dir):
+    """Delta semantics: a target with duplicate keys keeps its cardinality
+    -- every matched row takes the source values; nothing collapses."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, "b2", 21.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    tbl = mutations.temp_table(spark, base)
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "new", 1.0)], "k long, name string, v double"
+    )
+    n_upd, n_ins = tbl.merge_upsert(src, ("k",))
+    assert (n_upd, n_ins) == (2, 1)
+    after = sorted(map(tuple, tbl.read().collect()))
+    assert after == [
+        (1, "a", 10.0),
+        (2, "B", 99.0),
+        (2, "B", 99.0),
+        (3, "c", 30.0),
+        (9, "new", 1.0),
+    ]
+
+
+def test_merge_upsert_empty_source_noop(spark, sf_dir):
+    """An empty CDC batch must no-op and return (0, 0) -- on partitioned
+    AND unpartitioned tables -- without committing a new version."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    t = catalog.load(spark, sf_dir)
+    for part in ((), ("c_mktsegment",)):
+        tbl = mutations.temp_table(spark, t.customer.limit(20), partition_by=part)
+        v0 = tbl.version()
+        empty = t.customer.limit(0)
+        assert tbl.merge_upsert(empty, ("c_custkey",)) == (0, 0)
+        assert tbl.version() == v0
