@@ -433,3 +433,55 @@ def test_merge_upsert_empty_source_noop(spark, sf_dir):
         empty = t.customer.limit(0)
         assert tbl.merge_upsert(empty, ("c_custkey",)) == (0, 0)
         assert tbl.version() == v0
+
+
+def test_merge_upsert_random_sweep_matches_pandas_reference(spark, sf_dir):
+    """Randomized MERGE sweep against an independent pandas fold: for
+    seeded random target/source pairs (with duplicate target keys, nulls,
+    partition moves, and disjoint inserts), merge_upsert's table state
+    must equal the reference last-writer-wins semantics computed entirely
+    outside Spark."""
+    import random
+
+    import pandas as pd
+
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        tgt = [
+            (
+                rng.randrange(12),
+                f"p{rng.randrange(3)}",
+                rng.choice([None, round(rng.uniform(-5, 5), 2)]),
+            )
+            for _ in range(30)
+        ]
+        src_keys = rng.sample(range(20), 8)
+        src = [
+            (
+                k,
+                f"p{rng.randrange(3)}",
+                rng.choice([None, round(rng.uniform(-5, 5), 2)]),
+            )
+            for k in src_keys
+        ]
+        target = spark.createDataFrame(tgt, "k long, part string, v double")
+        source = spark.createDataFrame(src, "k long, part string, v double")
+        tbl = mutations.temp_table(spark, target, partition_by=("part",))
+        n_upd, n_ins = tbl.merge_upsert(source, ("k",))
+
+        # independent reference: dict of source rows by key, fold over target
+        srows = {r[0]: r for r in src}
+        expect = [srows.get(r[0], r) for r in tgt]
+        expect += [r for r in src if r[0] not in {t[0] for t in tgt}]
+        nskey = lambda r: tuple("\0" if x is None else str(x) for x in r)  # noqa: E731
+        want = sorted(map(tuple, expect), key=nskey)
+        # partitioned parquet surfaces the partition column last on read;
+        # re-select the declared order before comparing
+        got = sorted(
+            map(tuple, tbl.read().select("k", "part", "v").collect()), key=nskey
+        )
+        assert got == want, (seed, got[:5], want[:5])
+        assert n_upd == sum(1 for r in tgt if r[0] in srows)
+        assert n_ins == len([r for r in src if r[0] not in {t[0] for t in tgt}])
