@@ -247,6 +247,7 @@ def main() -> None:
         "x_mutation_merge_upsert",
         "x_mv_sql_rewrite",
         "x_mv_sql_rewrite_multi",
+        "x_mv_sketch_rollup",
         "x_source_bucketed_join",
         "x_source_schema_evolution",
         "x_source_jsonl_roundtrip",

@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import catalog
 from ..etl.sales_fact import ORACLE_SALES_CTE
 from ..functions import money
 from ..mv import sql_rewrite
@@ -115,3 +116,55 @@ def x_mv_sql_rewrite_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         reg.drop_all()
+
+
+@query(
+    "x_mv_sketch_rollup",
+    oracle="""
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS year,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(DISTINCT date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT)
+         AS n_months,
+       TRUE AS estimate_ok
+FROM orders GROUP BY 1
+""",
+)
+def x_mv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-bearing rollup: COUNT DISTINCT is NOT additive, so the MV
+    navigator never rewrites it (mv/definitions.py measures) -- unless the
+    materialization stores a MERGEABLE sketch.  Per-(year, month) HLL
+    sketches of the customer set union-merge to the year grain, and the
+    merged estimate must land within the sketch's error bound of the
+    exact count (asserted; lgK=12 gives ~1.6% standard error, the gate
+    allows 5%).  At 100 TB the monthly sketch MV is KB-per-group regardless
+    of cardinality, and any coarser distinct-count query re-aggregates
+    sketches instead of rescanning the fact -- the approximate analog of
+    the additive-measure MV rewrite.  DataSketches HLL is deterministic
+    for identical input, so the boolean gate is hash-stable; the oracle
+    pins the exact counts."""
+    t = catalog.load(spark, sf_dir)
+    o = t.orders.select(
+        F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("month"),
+        "o_custkey",
+    )
+    monthly = o.groupBy("year", "month").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    rolled = monthly.groupBy("year").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    exact = o.groupBy("year").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return rolled.join(exact, "year").select(
+        "year",
+        "exact_distinct",
+        "n_months",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.05
+        ).alias("estimate_ok"),
+    )
