@@ -126,9 +126,11 @@ def _view2_mv(t: catalog.Tables) -> DataFrame:
 
 
 def _view2_stats(t: catalog.Tables) -> DataFrame:
-    """Count-bearing twin of view2: same (customer, year) grain with both
-    SUM(amnt) and COUNT(*) materialized, making COUNT/AVG queries navigable
-    (AVG re-derives as SUM(sum)/SUM(cnt); a sum-only MV cannot answer it)."""
+    """Count/extrema-bearing twin of view2: same (customer, year) grain
+    with SUM(amnt), COUNT(*), MAX(amnt), MIN(amnt) materialized, making
+    COUNT/AVG/MAX/MIN queries navigable (AVG re-derives as SUM(sum)/
+    SUM(cnt); max-of-max and min-of-min re-aggregate losslessly; a
+    sum-only MV can answer none of them)."""
     sales = t.sales()
     cust = t.customer.select(
         F.col("c_custkey").alias("customerid"), F.col("c_name").alias("name")
@@ -138,7 +140,12 @@ def _view2_stats(t: catalog.Tables) -> DataFrame:
         sales.join(F.broadcast(cust), "customerid")
         .join(F.broadcast(tdim), "timeid")
         .groupBy("customerid", "name", "year")
-        .agg(F.sum("amnt").alias("amnt"), F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("amnt").alias("amnt"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("amnt").alias("amnt__max"),
+            F.min("amnt").alias("amnt__min"),
+        )
     )
 
 
@@ -257,10 +264,10 @@ def with_count_stats(reg: MVRegistry) -> MVRegistry:
             "view2_stats",
             _view2_stats,
             frozenset({"customerid", "name", "year"}),
-            {"amnt": "sum", "cnt": "count"},
+            {"amnt": "sum", "cnt": "count", "amnt__max": "max", "amnt__min": "min"},
             deps=("sales", "time"),
-            doc="extension: COUNT/AVG-navigable twin of view2 "
-            "(assignment-5.sql:313-321 grain, + count measure)",
+            doc="extension: COUNT/AVG/MAX/MIN-navigable twin of view2 "
+            "(assignment-5.sql:313-321 grain, + count and extrema measures)",
         )
     )
     return reg

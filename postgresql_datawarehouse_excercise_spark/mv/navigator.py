@@ -153,6 +153,11 @@ class AggregateNavigator:
                     return has_cnt
                 if kind == "avg":
                     return mv.measures.get(m) == "sum" and has_cnt
+                if kind in ("max", "min"):
+                    # max/min measures are stored under <measure>__<kind>
+                    # (one measure can carry several kinds; the column name
+                    # disambiguates) and re-aggregate losslessly
+                    return mv.measures.get(f"{m}__{kind}") == kind
                 return False
 
             if not all(_ok(kind, m) for kind, m in needs):

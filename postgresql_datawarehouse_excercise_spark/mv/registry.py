@@ -263,7 +263,9 @@ class MVRegistry:
             updated = extend_time_dim(existing_t, delta.orders)
             self.stats[name] = self._swap_write(updated, name, mv.partition_by)
         else:
-            if not mv.measures or set(mv.measures.values()) - {"sum", "count"}:
+            if not mv.measures or set(mv.measures.values()) - {
+                "sum", "count", "max", "min"
+            }:
                 raise ValueError(
                     f"{name} is not incrementally maintainable "
                     f"(measures: {mv.measures or 'none'}); use refresh()"
@@ -294,7 +296,15 @@ class MVRegistry:
                 merged = (
                     existing.unionByName(delta_rows.select(*existing.columns))
                     .groupBy(*keys)
-                    .agg(*[F.sum(m).alias(m) for m in mv.measures])
+                    .agg(
+                        *[
+                            # sum-of-sums / sum-of-counts / max-of-max /
+                            # min-of-min: each kind re-aggregates with its
+                            # own combiner
+                            {"max": F.max, "min": F.min}.get(k, F.sum)(m).alias(m)
+                            for m, k in mv.measures.items()
+                        ]
+                    )
                 )
                 # re-aggregation widens decimals; pin the declared schema
                 merged = merged.select(

@@ -153,6 +153,11 @@ def _match_aggregate(jplan, view_name: str):
             arg = arg.child()
         if fcls == "Sum" and _cls(arg) == "AttributeReference":
             out_specs.append((e.name(), "sum", arg.name(), _dtype_sql(e), None))
+        elif fcls in ("Max", "Min") and _cls(arg) == "AttributeReference":
+            # max-of-max / min-of-min re-aggregate losslessly
+            out_specs.append(
+                (e.name(), fcls.lower(), arg.name(), _dtype_sql(e), None)
+            )
         elif fcls == "Count" and _cls(arg) == "Literal" and not arg.nullable():
             # COUNT(*) ~ count(1); a NULL literal (COUNT(NULL) = 0 per
             # group) must NOT match -- it is not the row count
@@ -328,6 +333,12 @@ def spark_sql(
             continue
         if kind == "sum":
             agg_exprs.append(F.sum(src).cast(out_dt).alias(out_name))
+        elif kind in ("max", "min"):
+            # the MV column for a max/min measure is named <measure>__<kind>
+            fn = F.max if kind == "max" else F.min
+            agg_exprs.append(
+                fn(f"{src}__{kind}").cast(out_dt).alias(out_name)
+            )
         elif kind == "count":
             # coalesce pins nullable=False, matching Count's schema
             agg_exprs.append(

@@ -27,7 +27,7 @@ from .q4_views import _VIEW2_CTE
 _TEXT = "SELECT name, year, SUM(amnt) AS amnt FROM sales_star GROUP BY name, year"
 
 _TEXT_MULTI = """SELECT name, year, SUM(amnt) AS total_amnt, COUNT(*) AS n_rows,
-       AVG(amnt) AS avg_amnt
+       AVG(amnt) AS avg_amnt, MAX(amnt) AS max_amnt
 FROM sales_star WHERE year >= 1996 GROUP BY name, year
 HAVING COUNT(*) > 1 ORDER BY total_amnt DESC, name, year LIMIT 100"""
 
@@ -78,13 +78,15 @@ star AS (
 ),
 g AS (
   SELECT name, year, SUM(amnt) AS sum_d, COUNT(*) AS cnt,
-         CAST(SUM(amnt) * 10000 AS BIGINT) AS s4
+         CAST(SUM(amnt) * 10000 AS BIGINT) AS s4,
+         MAX(amnt) AS max_d
   FROM star GROUP BY name, year HAVING COUNT(*) > 1
 )
 SELECT name, year,
        CAST(ROUND(sum_d, 2) AS DOUBLE) AS total_amnt,
        cnt AS n_rows,
-       CAST((2 * s4 * 10000 + cnt) // (2 * cnt) AS DOUBLE) / 100000000.0 AS avg_amnt
+       CAST((2 * s4 * 10000 + cnt) // (2 * cnt) AS DOUBLE) / 100000000.0 AS avg_amnt,
+       CAST(ROUND(max_d, 2) AS DOUBLE) AS max_amnt
 FROM g
 ORDER BY sum_d DESC, name, year
 LIMIT 100
@@ -113,6 +115,7 @@ def x_mv_sql_rewrite_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.col("total_amnt")).alias("total_amnt"),
             "n_rows",
             F.col("avg_amnt").cast("double").alias("avg_amnt"),
+            money(F.col("max_amnt")).alias("max_amnt"),
         ).localCheckpoint()
     finally:
         reg.drop_all()

@@ -179,10 +179,14 @@ _MATRIX = [
      "HAVING SUM(amnt) > 1000 ORDER BY n DESC, year LIMIT 3", True),
     ("SELECT name AS who, year AS y, AVG(amnt) AS a FROM sales_star "
      "GROUP BY name, year ORDER BY a DESC, who, y LIMIT 9", True),
-    # not navigable: measure expression, distinct, non-grain filter attr
+    # max-of-max / min-of-min re-aggregate from the extrema measures
+    ("SELECT year, MAX(amnt) AS m FROM sales_star GROUP BY year", True),
+    ("SELECT year, MIN(amnt) AS lo, MAX(amnt) AS hi, AVG(amnt) AS a, "
+     "COUNT(*) AS n, SUM(amnt) AS s FROM sales_star GROUP BY year", True),
+    # not navigable: measure expression, distinct, non-re-aggregable agg
     ("SELECT year, SUM(amnt * 2) AS s FROM sales_star GROUP BY year", False),
     ("SELECT year, SUM(DISTINCT amnt) AS s FROM sales_star GROUP BY year", False),
-    ("SELECT year, MAX(amnt) AS m FROM sales_star GROUP BY year", False),
+    ("SELECT year, stddev(amnt) AS sd FROM sales_star GROUP BY year", False),
 ]
 
 
