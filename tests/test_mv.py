@@ -229,3 +229,39 @@ def catalog_load_corrupt(spark, sf_dir):
     dup = base.sales().limit(1)
     t._cache["sales"] = base.sales().unionAll(dup)
     return t
+
+
+def test_incremental_extrema_measures_equal_full_rebuild(spark, sf_dir):
+    """Max/min measures must survive incremental maintenance: view2_stats
+    (sum + count + max + min) built from the pre-cutoff batch and merged
+    with the delta must equal a full one-shot rebuild bit-for-bit -- the
+    merge combines each measure with its OWN kind (max-of-max, min-of-min,
+    sum-of-sum/count), never blanket SUM."""
+    from postgresql_datawarehouse_excercise_spark.etl.time_dim import build_time_dim
+    from postgresql_datawarehouse_excercise_spark.mv.definitions import with_count_stats
+
+    batch1, delta = _date_split(spark, sf_dir)
+    inc = with_count_stats(default_registry(tempfile.mkdtemp(prefix="pdwx-incr-x-")))
+    full = with_count_stats(default_registry(tempfile.mkdtemp(prefix="pdwx-incr-y-")))
+    try:
+        _orig = full.defs["view2_stats"].builder
+        inc.defs["time"].builder = lambda tt: build_time_dim(batch1.orders)
+        inc.defs["sales"].builder = lambda tt: batch1.sales()
+        inc.defs["view2_stats"].builder = lambda tt, b=batch1: _orig(b)
+        for n in ("time", "sales", "view2_stats"):
+            inc.build(spark, sf_dir, n)
+        inc.defs["time"].builder = full.defs["time"].builder
+        inc.defs["sales"].builder = full.defs["sales"].builder
+        inc.defs["view2_stats"].builder = _orig
+        inc.refresh_incremental(spark, sf_dir, "sales", delta)
+        inc.refresh_incremental(spark, sf_dir, "view2_stats", delta)
+
+        for n in ("time", "sales", "view2_stats"):
+            full.build(spark, sf_dir, n)
+        cols = sorted(full.read(spark, "view2_stats").columns)
+        assert _rows(inc.read(spark, "view2_stats"), cols) == _rows(
+            full.read(spark, "view2_stats"), cols
+        )
+    finally:
+        inc.drop_all()
+        full.drop_all()
