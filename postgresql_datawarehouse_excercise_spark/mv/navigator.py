@@ -130,8 +130,10 @@ class AggregateNavigator:
     ) -> list[Candidate]:
         """Multi-measure eligibility: every need must be computable from the
         SAME view.  ``needs`` holds ('sum', m) / ('count', None) / ('avg', m)
-        pairs -- SUM re-aggregates an additive sum column, COUNT(*) re-sums
-        a count column, AVG needs both (SUM(sum)/SUM(cnt)).  Grouping / data
+        / ('max', m) / ('min', m) pairs -- SUM re-aggregates an additive sum
+        column, COUNT(*) re-sums a count column, AVG needs both
+        (SUM(sum)/SUM(cnt)), MAX/MIN re-aggregate an extrema column
+        (max-of-max / min-of-min are lossless).  Grouping / data
         sufficiency / FD-bridge checks are identical to ``eligible``.
 
         SEMANTIC CONTRACT on MVDef.measures (holds for every registered MV;

@@ -39,7 +39,10 @@ class MVDef:
     name: str
     builder: Callable[[catalog.Tables], DataFrame]
     grain: frozenset[str]
-    measures: dict[str, str]  # column -> 'sum' | 'count' | 'avg4'
+    measures: dict[str, str]  # column -> 'sum' | 'count' | 'max' | 'min' | 'avg4'
+    # ('max'/'min' columns follow the <measure>__<kind> naming convention so
+    # the navigator can find the extrema column for a measure -- enforced in
+    # MVRegistry.register)
     deps: tuple[str, ...] = ()
     partition_by: tuple[str, ...] = ()
     doc: str = ""
@@ -62,6 +65,13 @@ class MVRegistry:
     stats: dict[str, int] = field(default_factory=dict)
 
     def register(self, mv: MVDef) -> MVDef:
+        for col, kind in mv.measures.items():
+            if kind in ("max", "min") and not col.endswith(f"__{kind}"):
+                raise ValueError(
+                    f"{mv.name}: extrema measure column '{col}' must follow "
+                    f"the <measure>__{kind} naming convention (the navigator "
+                    "derives the column name from the measure)"
+                )
         self.defs[mv.name] = mv
         return mv
 
@@ -237,7 +247,8 @@ class MVRegistry:
           * the ``time`` dimension: append-only SERIAL extension
             (etl/time_dim.extend_time_dim) -- new dates continue the id
             sequence, existing ids never move;
-          * additive MVs (all measures 'sum'/'count'): the MV builder runs
+          * re-aggregable MVs (measures 'sum'/'count'/'max'/'min'; each
+            merges with its own kind's combiner): the MV builder runs
             on the delta Tables (producing the delta at the MV's own grain
             -- Tables.sales() composes automatically: delta facts x full
             dims x the UPDATED time dimension), then old + delta re-

@@ -111,6 +111,24 @@ def _dtype_sql(expr) -> str:
     return expr.dataType().sql().lower()
 
 
+_INTEGRALS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _exact_widening(from_sql: str, to_sql: str) -> bool:
+    """True iff casting from_sql -> to_sql is lossless numeric widening
+    (every representable value maps to the same number): integral to a
+    not-narrower integral, or decimal(p,s) to decimal(P>=p, s)."""
+    f, t = from_sql.strip().lower(), to_sql.strip().lower()
+    if f in _INTEGRALS and t in _INTEGRALS:
+        return _INTEGRALS.index(f) <= _INTEGRALS.index(t)
+    mf, mt = _DEC_RE.match(from_sql.strip()), _DEC_RE.match(to_sql.strip())
+    if mf and mt:
+        return int(mt.group(2)) == int(mf.group(2)) and int(mt.group(1)) >= int(
+            mf.group(1)
+        )
+    return False
+
+
 # out_specs entries: (out_name, kind, src_attr, out_dtype_sql, arg_dtype_sql)
 # kind in {'group', 'sum', 'count', 'avg'}; src/arg dtype None where n/a.
 def _match_aggregate(jplan, view_name: str):
@@ -149,8 +167,15 @@ def _match_aggregate(jplan, view_name: str):
         fn = child.aggregateFunction()
         fcls = _cls(fn)
         arg = fn.children().apply(0)
-        if _cls(arg) == "Cast":  # analyzer-inserted numeric promotion
-            arg = arg.child()
+        if _cls(arg) == "Cast" and fcls in ("Sum", "Average"):
+            # Strip ONLY exactness-preserving numeric widening (the shape
+            # the analyzer inserts): integral->wider-integral or
+            # decimal(p,s)->decimal(P>=p,s).  A user-written cast that
+            # changes the VALUE SEMANTICS (to double: per-add FP rounding;
+            # to string under Max/Min: different ordering) must NOT match,
+            # or the rewrite would diverge from direct execution.
+            if _exact_widening(arg.child().dataType().sql(), arg.dataType().sql()):
+                arg = arg.child()
         if fcls == "Sum" and _cls(arg) == "AttributeReference":
             out_specs.append((e.name(), "sum", arg.name(), _dtype_sql(e), None))
         elif fcls in ("Max", "Min") and _cls(arg) == "AttributeReference":

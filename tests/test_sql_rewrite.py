@@ -187,6 +187,13 @@ _MATRIX = [
     ("SELECT year, SUM(amnt * 2) AS s FROM sales_star GROUP BY year", False),
     ("SELECT year, SUM(DISTINCT amnt) AS s FROM sales_star GROUP BY year", False),
     ("SELECT year, stddev(amnt) AS sd FROM sales_star GROUP BY year", False),
+    # value-semantics-changing casts must NOT match: string ordering under
+    # MAX differs from numeric, and double accumulation under SUM diverges
+    # at the ULP level from the MV's exact-decimal sum
+    ("SELECT year, MAX(CAST(amnt AS STRING)) AS m FROM sales_star GROUP BY year",
+     False),
+    ("SELECT year, SUM(CAST(amnt AS DOUBLE)) AS s FROM sales_star GROUP BY year",
+     False),
 ]
 
 
