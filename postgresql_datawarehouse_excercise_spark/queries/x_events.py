@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import dec, money, ratio
+from ..functions import dec, money
 from . import query
 
 
