@@ -11,8 +11,13 @@ on the driver schema per FIXTURES.md section B:
 Plan shape (the one we want at 100 TB):
   lineitem JOIN orders        -- the only big-big join; shuffle on orderkey,
                                  AQE skew-split if a hot order key exists
-  ... JOIN part (broadcast)   -- dim, fits executor memory
-  ... JOIN time (broadcast)   -- < 100k rows by construction
+  ... JOIN part (un-hinted)   -- part scales LINEARLY with SF (200k x SF in
+                                 TPC-H terms), so no static broadcast hint:
+                                 AQE promotes the join to broadcast at
+                                 runtime while the slice fits, and falls
+                                 back to shuffle when it no longer does
+  ... JOIN time (broadcast)   -- bounded by CALENDAR DAYS (Deduplicate of
+                                 order dates), constant at any SF
   groupBy(custkey,timeid,partkey)  -- partial (map-side) agg then final
 
 Money arithmetic is DECIMAL(18,2)-exact (functions.dec) so the fact content is
@@ -39,7 +44,7 @@ def build_sales(
     tdim = time_dim.select("timeid", "orderdate")
     joined = (
         line.join(ords, line.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
+        .join(prices, line.l_partkey == prices.p_partkey)
         .join(F.broadcast(tdim), "orderdate")
     )
     return joined.groupBy(

@@ -137,7 +137,7 @@ def _view2_stats(t: catalog.Tables) -> DataFrame:
     )
     tdim = t.time_dim().select("timeid", "year")
     return (
-        sales.join(F.broadcast(cust), "customerid")
+        sales.join(cust, "customerid")
         .join(F.broadcast(tdim), "timeid")
         .groupBy("customerid", "name", "year")
         .agg(

@@ -212,8 +212,10 @@ class AggregateNavigator:
             src = self._bridge_source(mv.grain, attr)
             if src is None:
                 raise ValueError(f"no bridge from grain {sorted(mv.grain)} to {attr}")
+            # customerid-sourced bridges scale with SF: no static hint --
+            # AQE broadcasts whichever side is small at runtime
             bridge = self.bridges[(src, attr)](spark, sf_dir)
-            df = df.join(F.broadcast(bridge), src)
+            df = df.join(bridge, src)
             if explain is not None:
                 explain.append(f"FD bridge join {src} -> {attr}")
         agg_col = F.sum(q.measure).alias(q.measure)

@@ -69,8 +69,8 @@ def register_star_view(
     tdim = t.time_dim().select("timeid", "orderdate", "dayofweek", "month", "year")
     star = (
         t.sales()
-        .join(F.broadcast(cust), "customerid")
-        .join(F.broadcast(geo), "customerid")
+        .join(cust, "customerid")
+        .join(geo, "customerid")
         .join(F.broadcast(tdim), "timeid")
         .select(
             "customerid", "name", "district", "country",
@@ -329,7 +329,9 @@ def spark_sql(
             if explain is not None:
                 explain.append(f"no FD bridge to {attr}; executing as written")
             return df
-        out = out.join(F.broadcast(navigator.bridges[(src, attr)](spark, sf_dir)), src)
+        # bridges from customerid are customer-derived (SF-scaling): no
+        # static hint -- AQE broadcasts whichever side is small at runtime
+        out = out.join(navigator.bridges[(src, attr)](spark, sf_dir), src)
         if explain is not None:
             explain.append(f"FD bridge join {src} -> {attr}")
     if filter_sql is not None:

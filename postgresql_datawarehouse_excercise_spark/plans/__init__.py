@@ -126,6 +126,25 @@ def explain_analyze(df: DataFrame) -> str:
     return "\n".join(lines)
 
 
+def final_node_names(df: DataFrame) -> list[str]:
+    """Node names of the FINAL (post-AQE) executed plan; runs the query.
+    The initial plan can legitimately show a SortMergeJoin where static
+    statistics are unknown (post-aggregate relations have no size estimate);
+    what matters at runtime is the plan AQE actually executes."""
+    df._jdf.queryExecution().toRdd().count()
+    rows: list[tuple[int, str, dict[str, int]]] = []
+    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
+    return [name for _depth, name, _metrics in rows]
+
+
+def final_sortmerge_joins(df: DataFrame) -> int:
+    return sum(1 for n in final_node_names(df) if "SortMergeJoin" in n)
+
+
+def final_broadcast_joins(df: DataFrame) -> int:
+    return sum(1 for n in final_node_names(df) if "BroadcastHashJoin" in n)
+
+
 def actual_output_rows(df: DataFrame, node_name: str) -> list[int]:
     """numOutputRows actuals for every executed node named node_name
     (assert-able analog of the reference's rows=N per plan node)."""
@@ -170,7 +189,20 @@ def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
     return out
 
 
-_FACT_RELATION = re.compile(r"Relation \[[^\]]*\b[ol]_orderkey#")
+# Base relations whose row count scales linearly with SF.  In TPC-H terms
+# that is NOT just orders/lineitem: customer (150k x SF), part (200k x SF),
+# supplier (10k x SF) and the pipeline tables (events/documents/embeddings)
+# all grow with the dataset -- only nation/region are constant.  At the
+# 100 TB north star a "dimension" slice of customer is tens of GB, over
+# Spark's broadcast hard limit, and an EXPLICIT hint is exactly the thing
+# AQE never demotes.  Each relation is recognized by a key column unique to
+# it (word-boundary anchored so ps_* never matches s_* etc.).
+_FACT_RELATION = re.compile(
+    r"Relation \[[^\]]*\b("
+    r"[ol]_orderkey|c_custkey|p_partkey|ps_partkey|s_suppkey|"
+    r"event_id|doc_id|vec_id"
+    r")#"
+)
 
 
 _REDUCING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate")

@@ -36,7 +36,8 @@ def _best_buyers(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
     per_cust = sales.groupBy("customerid").agg(F.sum("amnt").alias("spending_d"))
     return (
-        per_cust.join(F.broadcast(cust), "customerid")
+        # customer scales with SF: no static hint; AQE broadcasts at runtime
+        per_cust.join(cust, "customerid")
         .orderBy(F.col("spending_d").desc(), F.col("customerid").asc())
         .limit(k)
         .select(
@@ -70,7 +71,7 @@ def _amount_per_order(t: catalog.Tables) -> DataFrame:
     line = t.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
     prices = t.part.select("p_partkey", "p_retailprice")
     return (
-        line.join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
+        line.join(prices, line.l_partkey == prices.p_partkey)
         .groupBy(F.col("l_orderkey").alias("orderid"))
         .agg(cents_sum("l_quantity", "p_retailprice").alias("order_amount"))
     )

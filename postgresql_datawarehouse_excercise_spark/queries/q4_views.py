@@ -35,7 +35,7 @@ def _view1(t: catalog.Tables) -> DataFrame:
     nation = t.nation.select("n_nationkey", F.col("n_name").alias("district"))
     tdim = t.time_dim().select("timeid", "dayofweek")
     return (
-        sales.join(F.broadcast(cust), "customerid")
+        sales.join(cust, "customerid")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(tdim), "timeid")
         .select("customerid", "name", "district", "timeid", "dayofweek", "partkey", "amnt")
@@ -75,7 +75,7 @@ def _view2(t: catalog.Tables) -> DataFrame:
     )
     tdim = t.time_dim().select("timeid", "year")
     return (
-        sales.join(F.broadcast(cust), "customerid")
+        sales.join(cust, "customerid")
         .join(F.broadcast(tdim), "timeid")
         .groupBy("customerid", "name", "year")
         .agg(F.sum("amnt").alias("sum_d"))
@@ -159,12 +159,12 @@ def q4a_best_buyers_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spend = (
         line.join(ords, line.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
+        .join(prices, line.l_partkey == prices.p_partkey)
         .groupBy(F.col("o_custkey").alias("customerid"))
         .agg(cents_sum("l_quantity", "p_retailprice").alias("spending_d"))
     )
     return (
-        spend.join(F.broadcast(cust), "customerid")
+        spend.join(cust, "customerid")
         .orderBy(F.col("spending_d").desc(), F.col("customerid").asc())
         .limit(5)
         .select(
@@ -252,7 +252,7 @@ def _geo(t: catalog.Tables) -> DataFrame:
 
 def _top_country_from(per_cust: DataFrame, geo: DataFrame) -> DataFrame:
     return (
-        per_cust.join(F.broadcast(geo), "customerid")
+        per_cust.join(geo, "customerid")
         .groupBy("country")
         .agg(F.sum("amnt_d").alias("spending_d"))
         .orderBy(F.col("spending_d").desc(), F.col("country").asc())
@@ -272,7 +272,7 @@ def q4b_top_country_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices = t.part.select("p_partkey", "p_retailprice")
     per_cust = (
         line.join(ords, line.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(prices), line.l_partkey == prices.p_partkey)
+        .join(prices, line.l_partkey == prices.p_partkey)
         .groupBy(F.col("o_custkey").alias("customerid"))
         .agg(cents_sum("l_quantity", "p_retailprice").alias("amnt_d"))
     )

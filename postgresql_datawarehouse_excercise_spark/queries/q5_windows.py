@@ -62,7 +62,7 @@ def _period_sales(t: catalog.Tables) -> DataFrame:
     nation = t.nation.select("n_nationkey", F.col("n_name").alias("city"))
     return (
         sales.join(F.broadcast(tdim), "timeid")
-        .join(F.broadcast(cust), "customerid")
+        .join(cust, "customerid")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("customerid", "name", "city", "timeid", "day", "partkey", "amnt")
     )

@@ -203,7 +203,8 @@ def x_events_segment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     return (
-        t.events.join(F.broadcast(dim), "user_id")
+        # customer scales with SF: un-hinted, AQE broadcasts while it fits
+        t.events.join(dim, "user_id")
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "segment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

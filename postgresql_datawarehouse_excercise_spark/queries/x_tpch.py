@@ -16,11 +16,18 @@ EXISTS/NOT-EXISTS-as-aggregation (Q21), and an anti-join dormant-customer
 report (Q22).  Adapted to the driver's column subset (no partsupp /
 shipmode / commitdate); constants chosen to hit the 1995-2001 data range.
 
-Scale design: every dimension side is broadcast (customer/part/supplier fit
-in memory at any SF; at 100 TB lineitem/orders are the only shuffle-bearing
-tables); all monetary aggregation is exact-decimal (order-independent across
-partitions); every top-k compiles to TakeOrderedAndProject (no global sort);
-date filters and band predicates push to the parquet scan.
+Scale design: only the CONSTANT-cardinality relations (nation, region, and
+1-row scalar aggregates) carry explicit broadcast hints.  customer, part,
+supplier and partsupp all scale LINEARLY with SF in TPC-H -- at the 100 TB
+north star a filtered customer slice is tens of GB, over Spark's broadcast
+hard limit, and an explicit hint is never demoted by AQE -- so every
+SF-scaling side joins un-hinted and AQE promotes it to broadcast at runtime
+only when the slice actually fits (it always does at bench SFs, so the
+small-scale plans are unchanged).  All monetary aggregation is exact-decimal
+(order-independent across partitions); every top-k compiles to
+TakeOrderedAndProject (no global sort); date filters and band predicates
+push to the parquet scan.  plans.fact_broadcast_hints + the registry-wide
+plan guard pin the no-SF-scaling-hints property for every entry.
 """
 
 from __future__ import annotations
@@ -113,8 +120,9 @@ def x_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: lineitem joins the date-filtered orders
     scan with NO static hint (orders is fact-cardinality at scale -- AQE
     broadcasts it at runtime only when the filtered slice actually fits);
-    the segment-filtered customer key set broadcasts; top-10 via
-    TakeOrderedAndProject."""
+    the segment-filtered customer key set is ALSO un-hinted -- customer
+    scales linearly with SF, so the broadcast call belongs to AQE's runtime
+    size check, not a static hint; top-10 via TakeOrderedAndProject."""
     t = catalog.load(spark, sf_dir)
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t.orders.filter(
@@ -125,7 +133,7 @@ def x_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money(sum_rev_cents("l_extendedprice", "l_discount")).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -183,11 +191,11 @@ ORDER BY revenue DESC, n_name ASC
 )
 def x_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local supplier volume: 6-way snowflake join with the
-    "customer and supplier share a nation" cross-table constraint.  The
-    true dimension sides (region-filtered nations, nation-tagged customers,
-    supplier) broadcast; the orders slice joins lineitem UN-hinted --
-    orders is fact-cardinality at 100x, so the broadcast-vs-shuffle call is
-    left to AQE's runtime size check instead of a static hint."""
+    "customer and supplier share a nation" cross-table constraint.  Only the
+    CONSTANT relations (region-filtered nations) carry hints; customer and
+    supplier scale linearly with SF, so they join un-hinted like orders --
+    AQE's runtime size check promotes each side to broadcast only when the
+    slice actually fits."""
     t = catalog.load(spark, sf_dir)
     nations = (
         t.nation.join(
@@ -205,9 +213,9 @@ def x_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            t.supplier.select("s_suppkey", "s_nationkey"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -264,8 +272,9 @@ LIMIT 20
 def x_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 returned items: the quarter-filtered orders scan joins the
     returnflag-filtered lineitem UN-hinted (fact-side; AQE may broadcast it
-    at runtime when the slice fits), nation-tagged customers broadcast;
-    per-customer revenue, top-20."""
+    at runtime when the slice fits); the nation hint stays (constant
+    cardinality) but the nation-tagged CUSTOMER side is un-hinted -- customer
+    scales with SF; per-customer revenue, top-20."""
     t = catalog.load(spark, sf_dir)
     orders = t.orders.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -280,7 +289,7 @@ def x_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_acctbal", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money(sum_rev_cents("l_extendedprice", "l_discount")).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -301,7 +310,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 )
 def x_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promo revenue share: conditional aggregate ratio; part
-    broadcast onto a one-month lineitem slice, single scalar output."""
+    joins a one-month lineitem slice UN-hinted (part scales with SF -- AQE
+    broadcasts it at runtime while it fits), single scalar output."""
     t = catalog.load(spark, sf_dir)
     li = t.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
@@ -310,7 +320,7 @@ def x_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev4 = c100("l_extendedprice") * (F.lit(100) - c100("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(t.part.select("p_partkey", "p_type")),
+        li.join(t.part.select("p_partkey", "p_type"),
                 li.l_partkey == F.col("p_partkey"))
         .agg(
             # both sums are exact 1e-4ths; the scale cancels in the ratio
@@ -337,7 +347,9 @@ FROM big JOIN orders   ON o_orderkey = l_orderkey
 def x_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume orders: self-aggregate on lineitem with HAVING,
     the surviving keys (rare) joined back to orders+customer.  The aggregate
-    is the only big shuffle; the join sides after HAVING are tiny."""
+    is the only big shuffle; the join sides after HAVING are tiny, but
+    CUSTOMER is un-hinted (SF-scaling) -- AQE broadcasts whichever side of
+    each join is actually small at runtime."""
     t = catalog.load(spark, sf_dir)
     big = (
         t.lineitem.groupBy("l_orderkey")
@@ -351,7 +363,7 @@ def x_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             big.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_name")),
+            t.customer.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
@@ -370,11 +382,12 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 def x_tpch_q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 discounted revenue over disjunctive brand/size/quantity
     bands: the OR-of-ANDs predicate evaluates post-join, but the derivable
-    prefilters (quantity range, brand set) still push to the scans."""
+    prefilters (quantity range, brand set) still push to the scans; part is
+    un-hinted (SF-scaling), AQE promotes the join at runtime."""
     t = catalog.load(spark, sf_dir)
     li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     joined = li.join(
-        F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+        t.part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     band1 = (
@@ -430,11 +443,12 @@ ORDER BY supp_nation, cust_nation, l_year
 def x_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping: bilateral trade between two nations by ship
     year.  Both nation filters reduce supplier and customer to ~2/25 before
-    they touch the fact table; those dim sides broadcast.  The orders scan
-    joins the fact UN-hinted: an explicit broadcast hint would override the
-    size threshold for good (AQE never demotes a hint), and orders is
-    fact-cardinality at 100x -- AQE promotes the join to broadcast at
-    runtime only when the slice actually fits."""
+    they touch the fact table, but a fixed FRACTION of an SF-scaling table
+    still scales with SF -- so supplier, customer and orders all join
+    UN-hinted (an explicit hint overrides the size threshold for good; AQE
+    never demotes it) and AQE promotes each join to broadcast at runtime
+    only when the slice actually fits.  Only the 25-row nation carries a
+    hint."""
     t = catalog.load(spark, sf_dir)
     nat = t.nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         "n_nationkey", "n_name"
@@ -451,9 +465,9 @@ def x_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -492,8 +506,10 @@ def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue sold into EUROPE customers, per order year.  The share is a
     conditional-aggregate ratio computed in exact long cents (both sums are
     1e-4ths; the scale cancels in the division).  Part, the region-filtered
-    customer key set, and nation-tagged suppliers broadcast; the orders
-    slice joins UN-hinted (fact-side at 100x, AQE decides at runtime)."""
+    customer key set, nation-tagged suppliers and the orders slice ALL join
+    un-hinted -- every one of them scales linearly with SF, so the
+    broadcast decision is AQE's at runtime; only nation/region (constant)
+    carry hints."""
     t = catalog.load(spark, sf_dir)
     eur_nat = t.nation.join(
         F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
@@ -516,12 +532,12 @@ def x_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat3 = F.when(F.col("supp_nation") == "NATION_3", rev_c).otherwise(F.lit(0))
     return (
         li.join(
-            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("o_year")
         .agg(ratio(F.sum(nat3), F.sum(rev_c)).alias("mkt_share"))
         .orderBy("o_year")
@@ -549,8 +565,10 @@ ORDER BY nation, o_year DESC
 )
 def x_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 product-type profit (adapted: cost = p_retailprice * qty in
-    place of ps_supplycost — the driver schema has no partsupp).  LIKE-filtered
-    part broadcast prunes lineitem first; profit per row is computed in exact
+    place of ps_supplycost — the driver schema has no partsupp).  The
+    LIKE-filtered part slice prunes lineitem first but joins UN-hinted
+    (part scales with SF; AQE broadcasts at runtime while it fits); profit
+    per row is computed in exact
     long 1e-4ths (revenue cents minus cost cents) so the per-(nation, year)
     sums are order-independent across partitions."""
     t = catalog.load(spark, sf_dir)
@@ -565,8 +583,8 @@ def x_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount_c = (_rev_c() - c100("p_retailprice") * c100("l_quantity")).cast("decimal(38,0)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             t.orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
             li.l_orderkey == F.col("o_orderkey"),
@@ -674,8 +692,10 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: per-supplier quarterly revenue, then the
     supplier(s) whose revenue equals the global max.  The scalar max is a
     1-row broadcast cross join back onto the aggregate (no second scan of
-    lineitem, no window-over-everything); equality on the 2-dp-rounded
-    revenue is exact."""
+    lineitem, no window-over-everything -- a 1-row aggregate is the ONE
+    thing a static hint is always right for); the supplier dimension joins
+    un-hinted (SF-scaling -- AQE broadcasts the 1-row-ish filtered side at
+    runtime instead); equality on the 2-dp-rounded revenue is exact."""
     t = catalog.load(spark, sf_dir)
     revenue = (
         t.lineitem.filter(
@@ -690,7 +710,7 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -724,7 +744,8 @@ def x_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     below-20%% test runs in exact integer cents (qty_c * 5 * n < sum_c), so
     Spark and the oracle agree bit-for-bit with no double-threshold edge
     cases.  At scale both sides of the self-join shuffle on l_partkey —
-    co-partitioned, no broadcast of the fact."""
+    co-partitioned, no broadcast of the fact; the brand/size part slice is
+    un-hinted (part scales with SF, AQE decides)."""
     t = catalog.load(spark, sf_dir)
     part = t.part.filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)).select(
         "p_partkey"
@@ -738,7 +759,7 @@ def x_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(part_avg, li.l_partkey == part_avg.pk)
         .filter(c100("l_quantity") * F.lit(5) * F.col("n_li") < F.col("sum_qty_c"))
         .agg(
@@ -802,7 +823,7 @@ def x_tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("n_late", F.sum("is_late").over(w))
         .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("sk") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -843,11 +864,13 @@ def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp, so the supplier-part catalog is derived from lineitem --
     supply cost = MIN(l_extendedprice) observed per (part, supplier), an
     arithmetic-free exact min).  Both the part slice and the region-filtered
-    supplier side broadcast BEFORE the (part, supplier) aggregate, so the
-    only large shuffle moves just the qualifying ~p_size/600 fraction of
-    lineitem; the per-part min is a second aggregate over the already-tiny
-    offer set, broadcast back for the argmin equality join (no window
-    re-shuffle of the fact)."""
+    supplier side prefilter lineitem BEFORE the (part, supplier) aggregate,
+    so the only large shuffle moves just the qualifying ~p_size/600 fraction
+    of lineitem; the per-part min is a second aggregate over the already-tiny
+    offer set joined back for the argmin equality.  All part/supplier-derived
+    sides (and the per-part min, whose cardinality tracks part count) join
+    UN-hinted -- they scale linearly with SF, so AQE makes the broadcast call
+    at runtime; only nation/region carry hints."""
     t = catalog.load(spark, sf_dir)
     part = t.part.filter(
         (F.col("p_size") < 10) & (F.col("p_type") == "ECONOMY")
@@ -865,19 +888,19 @@ def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("cost"))
     )
     best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(F.min("cost").alias("min_cost"))
     return (
         offers.join(
-            F.broadcast(best),
+            best,
             (offers.l_partkey == F.col("bp")) & (F.col("cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .join(eu, offers.l_suppkey == eu.s_suppkey)
+        .join(part, offers.l_partkey == part.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
             money(F.col("cost")).alias("supply_cost"),
@@ -925,7 +948,7 @@ def x_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     val = (
         t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_rev_c().cast("decimal(38,0)")).alias("value_c"))
     )
@@ -958,8 +981,10 @@ def x_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-H Q16 supplier-part relationship counts (adapted: the supplier
     pool per part comes from lineitem, and the "customer complaints"
     exclusion is suppliers with negative account balance).  The NOT IN
-    subquery is a broadcast left-anti join applied before anything else; the
-    brand/type/size slice broadcasts onto the fact; COUNT(DISTINCT) runs as
+    subquery is a left-anti join applied before anything else; the
+    brand/type/size slice prefilters the fact.  Both sides are un-hinted
+    (supplier/part scale with SF; AQE broadcasts them at runtime while they
+    fit).  COUNT(DISTINCT) runs as
     Spark's two-phase distinct aggregate, partial per partition, so the
     shuffle carries (group, suppkey) pairs -- bounded by catalog size, not
     fact size."""
@@ -972,8 +997,8 @@ def x_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFra
     complaints = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t.lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(
@@ -1007,8 +1032,9 @@ ORDER BY s_suppkey
 def x_tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 potential part promotion (adapted: no availqty, so "excess
     stock" becomes dominance -- a supplier who shipped more than half of a
-    red-part's 1997 volume).  The LIKE-filtered part slice broadcasts onto
-    one ship-year of lineitem; per-(supplier, part) quantities aggregate in
+    red-part's 1997 volume).  The LIKE-filtered part slice prefilters one
+    ship-year of lineitem (un-hinted -- part scales with SF, AQE broadcasts
+    at runtime); per-(supplier, part) quantities aggregate in
     exact cents; the half-share test is a window over the aggregate's own
     output (small), and the surviving supplier keys semi-join the supplier
     dimension."""
@@ -1022,7 +1048,7 @@ def x_tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
         .agg(F.sum(c100("l_quantity")).alias("sp_qty_c"))
     )

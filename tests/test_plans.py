@@ -130,12 +130,18 @@ def test_asof_join_is_single_window_pass(spark, sf_dir):
 
 
 def test_tpch_family_no_sortmerge_joins(spark, sf_dir):
-    """Every TPC-H-style query must resolve its dimension sides as broadcast
-    hash joins -- a SortMergeJoin against customer/part/supplier/nation would
-    shuffle the fact table once per dimension at 100 TB."""
+    """Every TPC-H-style query must resolve its small join sides as broadcast
+    hash joins AT THIS SF -- a SortMergeJoin against a slice that fits in
+    memory wastes a fact shuffle.  Since the SF-scaling sides are
+    deliberately un-hinted (an explicit hint would OOM at 100x; AQE promotes
+    at runtime), the pin is on the FINAL post-AQE plan: the initial plan may
+    show SortMergeJoin where static stats are unknown (post-aggregate
+    relations), and AQE must have converted every one of them."""
     for name in sorted(n for n in REG if n.startswith("x_tpch_")):
         df = REG[name].fn(spark, sf_dir)
-        assert plans.num_sortmerge_joins(df) == 0, name
+        if plans.num_sortmerge_joins(df) == 0:
+            continue  # statically broadcast everywhere -- nothing to convert
+        assert plans.final_sortmerge_joins(df) == 0, name
 
 
 def test_explain_analyze_reports_per_node_actuals(spark, sf_dir):
@@ -153,13 +159,15 @@ def test_explain_analyze_reports_per_node_actuals(spark, sf_dir):
 
 
 def test_registry_no_fact_side_broadcast_hints(spark, sf_dir):
-    """NO lazy registry entry may pin an EXPLICIT broadcast hint onto an
-    orders/lineitem-derived relation (an explicit hint overrides the size
-    threshold and AQE never demotes it -- at 100x a filtered orders slice is
-    tens of GB and the hint OOMs every executor).  Hints over an Aggregate /
-    Deduplicate / Limit of a fact (1-row max, DISTINCT order dates, ...) are
-    allowed: the broadcast payload is the reduced output.  Dim-side hints
-    (region/nation/supplier/part/customer) are exactly what should stay.
+    """NO lazy registry entry may pin an EXPLICIT broadcast hint onto a
+    relation that SCALES WITH SF (an explicit hint overrides the size
+    threshold and AQE never demotes it -- at 100x a filtered slice of such a
+    table is tens of GB and the hint OOMs every executor).  That is not just
+    orders/lineitem: customer, part, supplier, events, documents and
+    embeddings all grow linearly with the dataset; only nation/region are
+    constant.  Hints over an Aggregate / Deduplicate / Limit of a scaling
+    relation (1-row max, DISTINCT order dates, a limit(k)-bounded query set,
+    ...) are allowed: the broadcast payload is the reduced output.
     Side-effectful families (stream drains, mutations, source round-trips)
     do real work at construction and are audited separately."""
     skip = (
@@ -233,8 +241,10 @@ def test_tpch_q2_prefilters_fact_and_prunes_lineitem(spark, sf_dir):
     plans.assert_reads_only(
         df, "l_extendedprice", {"l_partkey", "l_suppkey", "l_extendedprice"}
     )
-    assert plans.num_sortmerge_joins(df) == 0
-    assert plans.num_broadcast_joins(df) >= 4
+    # the part/supplier sides are un-hinted (SF-scaling), so the broadcast
+    # resolution is AQE's at runtime: pin the FINAL plan
+    assert plans.final_sortmerge_joins(df) == 0
+    assert plans.final_broadcast_joins(df) >= 4
 
 
 def test_tpch_q11_single_fact_shuffle_scalar_broadcast(spark, sf_dir):
