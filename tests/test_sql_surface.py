@@ -90,6 +90,35 @@ def test_ann_variants_are_subsets_of_bruteforce_ranking(spark, sf_dir):
             assert exact[r.vec_id] == r.cos_sim, (variant.__name__, r)
 
 
+def test_ann_ivf_recall_and_candidate_bound(spark, sf_dir):
+    """The production ANN must actually ANSWER: mean recall@10 >= 0.8 on
+    the evaluation set (the round-5 single-bucket LSH scored 0.0-0.4 here)
+    while probing a bounded fraction of the corpus -- the candidate set per
+    query stays ~nprobe/ncells, never a hidden full scan."""
+    from postgresql_datawarehouse_excercise_spark.operators import similarity
+
+    t = __import__(
+        "postgresql_datawarehouse_excercise_spark.catalog", fromlist=["load"]
+    ).load(spark, sf_dir)
+    rec = similarity.ann_recall(t.embeddings).collect()
+    assert len(rec) == similarity.KNN_QUERIES
+    mean_recall = sum(float(r.recall) for r in rec) / len(rec)
+    assert mean_recall >= 0.8, [(r.query_id, float(r.recall)) for r in rec]
+    # candidate bound: pairs surviving the probed-cell join, per query
+    base = similarity._ivf_base(t.embeddings)
+    cents, assigned = similarity._ivf_train(base)
+    from pyspark.sql import functions as F
+
+    n = t.embeddings.count()
+    q = base.filter(F.col("vec_id") < similarity.KNN_QUERIES).limit(
+        similarity.KNN_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    qcells = similarity._probe_cells(q, cents)
+    cand_pairs = assigned.join(qcells, "cell").count()
+    frac = cand_pairs / (similarity.KNN_QUERIES * n)
+    assert frac <= 0.5, f"candidate fraction {frac:.2%} -- index degenerated to a scan"
+
+
 def test_spark_sql_entry_point_natural_join(spark, sf_dir):
     """The reference user writes SQL: registered views must support the
     reference's NATURAL JOIN formulation verbatim (SURVEY §2-C1) and agree
