@@ -35,24 +35,47 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND = (
-    "x_mutation_time_travel",       # new: snapshot/time-travel entry
-    "x_mutation_update_delete",     # versioned-snapshot COW rewrite
-    "x_tpch_q3_shipping_priority",  # fact-side broadcast de-hinting
+    # round 6: SF-scaling broadcast de-hinting (customer/part/supplier sides)
+    "x_tpch_q2_min_cost_supplier",
+    "x_tpch_q3_shipping_priority",
     "x_tpch_q5_local_supplier",
     "x_tpch_q7_volume_shipping",
     "x_tpch_q8_market_share",
+    "x_tpch_q9_product_profit",
     "x_tpch_q10_returned_items",
-    "x_tpch_q12_late_lines",
+    "x_tpch_q11_important_parts",
+    "x_tpch_q14_promo_revenue",
+    "x_tpch_q15_top_supplier",
+    "x_tpch_q16_supplier_part_counts",
+    "x_tpch_q17_small_quantity",
+    "x_tpch_q18_large_orders",
+    "x_tpch_q19_disjunctive_bands",
+    "x_tpch_q20_dominant_suppliers",
     "x_tpch_q21_late_sole_supplier",
-    "x_stream_tumbling_hourly",     # distributed sink drain
-    "x_stream_user_totals_stateful",
-    "x_stream_session_windows",
-    "x_stream_dedup",
-    "x_stream_funnel_stages",
-    "x_events_user_daily",          # floor-consistent integer average (oracle
-                                    # re-fixed: mod-subtraction floor division)
-    "x_asof_latest_order_7d",       # microsecond tolerance boundary
-    "x_mv_sql_rewrite",             # matcher generalized to multi-measure
+    # de-hinted sales-fact ETL + reference family derived from it
+    "q1_sales_fact",
+    "q3a_best_buyers",
+    "q3b_amount_per_order",
+    "q4a_best_buyers_raw",
+    "q4b_top_country_raw",
+    "q4_view1",
+    "q4_view2",
+    "q4_view3",
+    "q5a_window_report",
+    "x_events_segment_hourly",
+    # k-means IVF ANN (recall 0.0-0.4 -> 0.89) + limit-bounded query sides
+    "x_sim_ann_ivf",
+    "x_sim_ann_recall",
+    "x_sim_ann_lsh",
+    "x_sim_topk_bruteforce",
+    "x_sim_knn_join",
+    # expression-measure SQL rewrite + AVG headroom guard + catalog ANALYZE
+    "x_mv_sql_rewrite_expr",
+    "x_mv_sql_rewrite",
+    "x_mv_sql_rewrite_multi",
+    # merge duplicate-check reserved alias; bloom tree-OR fold
+    "x_mutation_merge_upsert",
+    "x_pipeline_decontaminate_bloom",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

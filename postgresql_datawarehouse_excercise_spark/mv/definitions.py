@@ -135,7 +135,7 @@ def _view2_stats(t: catalog.Tables) -> DataFrame:
     cust = t.customer.select(
         F.col("c_custkey").alias("customerid"), F.col("c_name").alias("name")
     )
-    tdim = t.time_dim().select("timeid", "year")
+    tdim = t.time_dim().select("timeid", "year", "dayofweek")
     return (
         sales.join(cust, "customerid")
         .join(F.broadcast(tdim), "timeid")
@@ -145,6 +145,16 @@ def _view2_stats(t: catalog.Tables) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.max("amnt").alias("amnt__max"),
             F.min("amnt").alias("amnt__min"),
+            # conditional-expression measure: Saturday revenue.  dayofweek
+            # is a function of timeid (the sales grain), so this is exactly
+            # SUM(CASE WHEN dayofweek='Saturday' THEN quantity*price ELSE 0)
+            # partial-summed to (customer, year) -- additive, declared in
+            # measure_exprs below so SUM(CASE...)-shaped SQL text rewrites
+            F.sum(
+                F.when(F.col("dayofweek") == "Saturday", F.col("amnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("amnt_sat"),
         )
     )
 
@@ -183,6 +193,10 @@ def default_registry(warehouse: str) -> MVRegistry:
             deps=("time",),
             doc="assignment-5.sql:70-80",
             cache_key="sales",
+            # the reference's own fact measure is the EXPRESSION
+            # SUM(quantity*price) (assignment-5.sql:75); declare it so
+            # line-grain SQL text stating that expression rewrites here
+            measure_exprs={"quantity * price": "amnt"},
         )
     )
     reg.register(
@@ -233,15 +247,18 @@ def default_registry(warehouse: str) -> MVRegistry:
     reg.register(
         MVDef("view1", _view1_mv,
               A({"customerid", "name", "district", "timeid", "dayofweek", "partkey"}),
-              {"amnt": "sum"}, deps=("sales", "time"), doc="assignment-5.sql:300-310")
+              {"amnt": "sum"}, deps=("sales", "time"), doc="assignment-5.sql:300-310",
+              measure_exprs={"quantity * price": "amnt"})
     )
     reg.register(
         MVDef("view2", _view2_mv, A({"customerid", "name", "year"}), {"amnt": "sum"},
-              deps=("sales", "time"), doc="assignment-5.sql:313-321")
+              deps=("sales", "time"), doc="assignment-5.sql:313-321",
+              measure_exprs={"quantity * price": "amnt"})
     )
     reg.register(
         MVDef("view3", _view3_mv, A({"district", "timeid", "dayofweek", "partkey"}),
-              {"amnt": "sum"}, deps=("view1",), doc="assignment-5.sql:401-409")
+              {"amnt": "sum"}, deps=("view1",), doc="assignment-5.sql:401-409",
+              measure_exprs={"quantity * price": "amnt"})
     )
     reg.register(
         MVDef("customer_spending", _customer_spending, A(), {},
@@ -264,10 +281,17 @@ def with_count_stats(reg: MVRegistry) -> MVRegistry:
             "view2_stats",
             _view2_stats,
             frozenset({"customerid", "name", "year"}),
-            {"amnt": "sum", "cnt": "count", "amnt__max": "max", "amnt__min": "min"},
+            {"amnt": "sum", "cnt": "count", "amnt__max": "max", "amnt__min": "min",
+             "amnt_sat": "sum"},
             deps=("sales", "time"),
             doc="extension: COUNT/AVG/MAX/MIN-navigable twin of view2 "
-            "(assignment-5.sql:313-321 grain, + count and extrema measures)",
+            "(assignment-5.sql:313-321 grain, + count, extrema and a "
+            "conditional-expression measure)",
+            measure_exprs={
+                "quantity * price": "amnt",
+                "CASE WHEN dayofweek = 'Saturday' THEN quantity * price "
+                "ELSE 0 END": "amnt_sat",
+            },
         )
     )
     return reg

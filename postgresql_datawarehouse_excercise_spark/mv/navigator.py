@@ -127,6 +127,7 @@ class AggregateNavigator:
         group_cols: frozenset[str],
         filter_attrs: frozenset[str],
         needs: frozenset[tuple[str, str | None]],
+        expr_measures: dict[str, dict[str, str]] | None = None,
     ) -> list[Candidate]:
         """Multi-measure eligibility: every need must be computable from the
         SAME view.  ``needs`` holds ('sum', m) / ('count', None) / ('avg', m)
@@ -160,6 +161,12 @@ class AggregateNavigator:
                     # (one measure can carry several kinds; the column name
                     # disambiguates) and re-aggregate losslessly
                     return mv.measures.get(f"{m}__{kind}") == kind
+                if kind == "sum_expr":
+                    # m is the CANONICAL analyzed render of the measure
+                    # expression; expr_measures maps mv -> {canon: column}
+                    # (built by the SQL rewriter from MVDef.measure_exprs
+                    # through the same analyzer the query went through)
+                    return m in (expr_measures or {}).get(name, {})
                 return False
 
             if not all(_ok(kind, m) for kind, m in needs):
@@ -180,8 +187,9 @@ class AggregateNavigator:
         group_cols: frozenset[str],
         filter_attrs: frozenset[str],
         needs: frozenset[tuple[str, str | None]],
+        expr_measures: dict[str, dict[str, str]] | None = None,
     ) -> Candidate | None:
-        cands = self.eligible_multi(group_cols, filter_attrs, needs)
+        cands = self.eligible_multi(group_cols, filter_attrs, needs, expr_measures)
         return cands[0] if cands else None
 
     def answer(

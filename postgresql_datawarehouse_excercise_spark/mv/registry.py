@@ -56,6 +56,14 @@ class MVDef:
     # a link-share copy; parquet files are never mutated in place).  The
     # declarer asserts the builder's output equals the twin's content.
     link_from: str | None = None
+    # expression-valued measures: SQL text of a line-grain expression (over
+    # the sales_lines star view) -> the 'sum'-kind column of THIS view that
+    # holds its per-grain partial sums.  SEMANTIC CONTRACT on the declarer:
+    # the column must equal SUM(<expr>) grouped to the view's grain exactly
+    # (exact decimal arithmetic).  The SQL rewriter canonicalizes both the
+    # declared text and the query's measure through the same analyzer, so
+    # SUM(quantity*price)-shaped texts re-aggregate from the view.
+    measure_exprs: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -77,6 +85,45 @@ class MVRegistry:
 
     def path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
+
+    def table_name(self, name: str) -> str:
+        """Session-catalog table over this MV's parquet (unique per
+        warehouse dir, so concurrent registries never collide)."""
+        import hashlib
+
+        tag = hashlib.md5(self.warehouse.encode()).hexdigest()[:8]
+        return f"pdwx_mv_{tag}_{name}"
+
+    def _analyze(self, spark: SparkSession, name: str) -> None:
+        """The VACUUM ANALYZE analog (SURVEY A9): register an external table
+        over the freshly-written parquet and COMPUTE STATISTICS (table +
+        grain-column), feeding Spark's cost-based optimizer -- filter
+        selectivity from column min/max/ndv and join reordering from row
+        counts, exactly what the reference gets from autovacuum's ANALYZE.
+        Only NAVIGATION TARGETS (MVs declaring measures) are analyzed: the
+        optimizer only ever reads rewrite sources through the catalog, and
+        stats on report-style scalars are a per-build scan for nothing.
+        Partitioned MVs are skipped (none of the reference stack is; the
+        path-based read stays authoritative for those)."""
+        mv = self.defs[name]
+        if mv.partition_by or not mv.measures:
+            return
+        tbl = self.table_name(name)
+        loc = os.path.abspath(self.path(name))
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}'")
+        if mv.grain:
+            spark.sql(
+                f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(sorted(mv.grain))
+            )
+        else:
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read through the analyzed catalog table: plans carry the computed
+        statistics (read() stays the stats-free path-based twin)."""
+        return spark.table(self.table_name(name))
 
     def is_built(self, name: str) -> bool:
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
@@ -114,6 +161,7 @@ class MVRegistry:
             self.stats[name] = self.stats.get(
                 mv.link_from, 1 << 62
             )
+            self._analyze(spark, name)
             if mv.cache_key:
                 catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
             return
@@ -129,6 +177,7 @@ class MVRegistry:
             writer = writer.partitionBy(*mv.partition_by)
         writer.parquet(self.path(name))
         self.stats[name] = obs.get["rows"]
+        self._analyze(spark, name)
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
 
@@ -327,6 +376,9 @@ class MVRegistry:
             else:
                 merged = delta_rows  # bootstrap: delta IS the initial state
             self.stats[name] = self._swap_write(merged, name, mv.partition_by)
+        # no per-batch ANALYZE: incremental maintenance is the hot
+        # micro-batch path, and slightly-stale optimizer stats between
+        # periodic full builds is exactly autovacuum's behavior too
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
 
@@ -344,9 +396,14 @@ class MVRegistry:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))
 
-    def drop_all(self) -> None:
-        """DROP ... CASCADE analog: remove in reverse dependency order."""
+    def drop_all(self, spark: SparkSession | None = None) -> None:
+        """DROP ... CASCADE analog: remove in reverse dependency order (and,
+        when a session is supplied, the analyzed catalog tables over the
+        deleted paths; table names are warehouse-hashed, so a leftover entry
+        in a temp session can never collide with a new registry)."""
         for name in reversed(self.topo_order()):
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {self.table_name(name)}")
             shutil.rmtree(self.path(name), ignore_errors=True)
         self.stats.clear()
         # evict any catalog cache slots now pointing at deleted files

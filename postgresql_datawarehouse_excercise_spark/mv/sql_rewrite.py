@@ -50,6 +50,7 @@ from .navigator import AggregateNavigator
 from .registry import MVRegistry
 
 STAR_VIEW = "sales_star"
+LINES_VIEW = "sales_lines"
 
 
 def register_star_view(
@@ -80,6 +81,53 @@ def register_star_view(
     )
     star.createOrReplaceTempView(name)
     return star
+
+
+def register_lines_view(
+    spark: SparkSession, sf_dir: str, name: str = LINES_VIEW
+) -> DataFrame:
+    """Publish the LINE-grain star (one row per order line, measures as raw
+    quantity/price columns) -- the relation behind EXPRESSION-valued
+    aggregates like SUM(quantity * price), the reference's own fact measure
+    (assignment-5.sql:75).  A text aggregating this view re-aggregates from
+    the sales MV stack when the measure expression canonically matches a
+    declared MV measure expr (MVDef.measure_exprs); executing it directly
+    joins every line to the dimensions -- exactly what the rewrite avoids."""
+    from ..functions import dec
+
+    t = catalog.load(spark, sf_dir)
+    from ..queries.q4_views import _geo
+
+    tdim = t.time_dim().select("timeid", "orderdate", "dayofweek", "month", "year")
+    cust = t.customer.select(
+        F.col("c_custkey").alias("customerid"), F.col("c_name").alias("name")
+    )
+    geo = _geo(t)
+    lines = (
+        t.lineitem.select("l_orderkey", "l_partkey", dec("l_quantity").alias("quantity"))
+        .join(
+            t.orders.select(
+                "o_orderkey",
+                F.col("o_custkey").alias("customerid"),
+                F.col("o_orderdate").cast("date").alias("orderdate"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t.part.select("p_partkey", dec("p_retailprice").alias("price")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(tdim), "orderdate")
+        .join(cust, "customerid")
+        .join(geo, "customerid")
+        .select(
+            "customerid", "name", "district", "country",
+            "timeid", "orderdate", "dayofweek", "month", "year",
+            F.col("l_partkey").alias("partkey"), "quantity", "price",
+        )
+    )
+    lines.createOrReplaceTempView(name)
+    return lines
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +226,16 @@ def _match_aggregate(jplan, view_name: str):
                 arg = arg.child()
         if fcls == "Sum" and _cls(arg) == "AttributeReference":
             out_specs.append((e.name(), "sum", arg.name(), _dtype_sql(e), None))
+        elif fcls == "Sum":
+            # EXPRESSION-valued sum (SUM(a*b), SUM(CASE WHEN...)): carry the
+            # CANONICAL analyzed render of the argument; eligibility then
+            # requires an MV whose declared measure expr canonicalizes to
+            # the same string over the same view (MVDef.measure_exprs).
+            # Sum of an exact expression re-aggregates additively from the
+            # MV's per-grain partial sums; only deterministic scalar
+            # expressions can appear under Sum in an analyzed plan, and a
+            # non-matching render simply falls through to direct execution.
+            out_specs.append((e.name(), "sum_expr", arg.sql(), _dtype_sql(e), None))
         elif fcls in ("Max", "Min") and _cls(arg) == "AttributeReference":
             # max-of-max / min-of-min re-aggregate losslessly
             out_specs.append(
@@ -195,6 +253,11 @@ def _match_aggregate(jplan, view_name: str):
             return None
         n_measures += 1
     if n_measures == 0:
+        return None
+    if len({name for name, *_ in out_specs}) != len(out_specs):
+        # duplicate output names (e.g. SELECT year, SUM(amnt) AS year ...):
+        # the shaped re-select would be ambiguous and raise where direct
+        # execution succeeds -- not navigable, execute as written
         return None
     node = _children(jplan)[0]
     filter_sql = None
@@ -233,19 +296,32 @@ def _match_star_query(jplan, view_name: str):
             for o in _seq(n.order())
         ]
 
+    sort_above_project = False
     if _cls(node) == "Sort":
         sort_orders = _orders(node)
+        sort_above_project = True
         node = _children(node)[0]
     project = None
     if _cls(node) == "Project":
         project = []
+        renames = False
         for e in _seq(node.projectList()):
             if _cls(e) == "AttributeReference":
                 project.append((e.name(), e.sql()))
             elif _cls(e) == "Alias" and _cls(e.child()) == "AttributeReference":
                 project.append((e.name(), e.child().sql()))
+                renames = renames or e.name() != e.child().name()
             else:
                 return None
+        if sort_above_project and renames:
+            # ORDER BY sat above a RENAMING projection: the rewrite applies
+            # the sort before re-projecting, so a sort name that also exists
+            # pre-projection bound to a DIFFERENT attribute (swap-renames
+            # like SELECT name AS year, year AS name ... ORDER BY year)
+            # would re-resolve silently to the wrong column -- the fallback
+            # only catches resolution FAILURES, not wrong resolutions.
+            # Only identity projections above Sort are navigable.
+            return None
         node = _children(node)[0]
     if sort_orders is None and _cls(node) == "Sort":
         sort_orders = _orders(node)
@@ -259,6 +335,37 @@ def _match_star_query(jplan, view_name: str):
         return None
     groups, out_specs, filter_attrs, filter_sql = m
     return groups, out_specs, filter_attrs, filter_sql, having_sql, sort_orders, project, limit
+
+
+_CANON_CACHE: dict[tuple[str, str], str | None] = {}
+
+
+def _canonical_measure_sql(
+    spark: SparkSession, expr_text: str, view_name: str
+) -> str | None:
+    """Canonical analyzed render of a declared measure expression over
+    view_name -- the SAME pipeline that renders the query side, so two
+    texts match iff Catalyst analyzes them to the same expression (name
+    resolution, type coercion, literal casts all normalized).  None when
+    the declared text does not analyze against the view (view absent or
+    schema drift): the expr measure is then simply not offered."""
+    key = (view_name, expr_text)
+    if key not in _CANON_CACHE:
+        try:
+            probe = spark.sql(f"SELECT SUM({expr_text}) AS __m FROM {view_name}")
+            jplan = probe._jdf.queryExecution().analyzed()
+            while _cls(jplan) != "Aggregate":
+                jplan = _children(jplan)[0]
+            alias = _seq(jplan.aggregateExpressions())[-1]
+            arg = alias.child().aggregateFunction().children().apply(0)
+            if _cls(arg) == "Cast" and _exact_widening(
+                arg.child().dataType().sql(), arg.dataType().sql()
+            ):
+                arg = arg.child()
+            _CANON_CACHE[key] = arg.sql()
+        except Exception:
+            _CANON_CACHE[key] = None
+    return _CANON_CACHE[key]
 
 
 def _dec_scale(dtype_sql: str) -> int | None:
@@ -305,8 +412,21 @@ def spark_sql(
     needs = frozenset(
         (kind, src) for _, kind, src, _, _ in out_specs if kind != "group"
     )
+    # expression-measure availability: canonicalize every declared
+    # MVDef.measure_exprs text through the SAME analyzer/view the query
+    # went through, yielding {mv: {canonical_sql: mv_column}}
+    expr_measures: dict[str, dict[str, str]] = {}
+    if any(kind == "sum_expr" for kind, _ in needs):
+        for mv_name, mvdef in registry.defs.items():
+            canon_cols = {}
+            for decl, col in getattr(mvdef, "measure_exprs", {}).items():
+                canon = _canonical_measure_sql(spark, decl, view_name)
+                if canon is not None:
+                    canon_cols[canon] = col
+            if canon_cols:
+                expr_measures[mv_name] = canon_cols
     cand = navigator.choose_multi(
-        frozenset(groups), frozenset(filter_attrs), needs
+        frozenset(groups), frozenset(filter_attrs), needs, expr_measures
     )
     if cand is None:
         if explain is not None:
@@ -350,6 +470,49 @@ def spark_sql(
                 )
             return df
 
+    # AVG headroom guard: the re-derivation divides at quotient scale
+    # s_out+12 inside decimal(38, sq), leaving 38-sq integer digits, and its
+    # no-double-rounding proof needs group count < 2e11.  Both bounds hold
+    # for any realistic aggregate, but "realistic" is an assumption -- so
+    # ENFORCE it: one scalar aggregate over the (small, pre-aggregated) MV
+    # bounds every output group's |sum| by SUM(abs(m)) and its count by
+    # SUM(cnt); if either could breach, execute as written instead of
+    # risking a NULL/last-digit-divergent average.
+    avg_specs = [s for s in out_specs if s[1] == "avg"]
+    if avg_specs and cnt_col is not None:
+        checks = [
+            F.sum(F.abs(F.col(src)).cast("decimal(38,0)")).alias(f"__s{i}")
+            for i, (_, _, src, out_dt, _) in enumerate(avg_specs)
+            if _dec_scale(out_dt) is not None
+        ]
+        if checks:
+            bound = out.agg(*checks, F.sum(cnt_col).alias("__n")).collect()[0]
+            total_cnt = bound["__n"] or 0
+            ok = total_cnt < 2 * 10**11
+            idx = 0
+            for _, _, src, out_dt, _ in avg_specs:
+                s_out = _dec_scale(out_dt)
+                if s_out is None:
+                    continue
+                sq = _avg_quotient_scale(s_out)
+                s_abs = bound[f"__s{idx}"]
+                idx += 1
+                # SUM(m) per output group is bounded by SUM(abs(m)) over the
+                # whole MV; it must fit the 38-sq integer digits of the cast.
+                # A NULL bound with rows present means the bound aggregate
+                # itself overflowed decimal(38,0) -- certainly too large.
+                if s_abs is None:
+                    ok = ok and total_cnt == 0
+                elif int(s_abs) >= 10 ** (38 - sq):
+                    ok = False
+            if not ok:
+                if explain is not None:
+                    explain.append(
+                        "AVG re-derivation headroom exceeded "
+                        "(|sum| or count bound); executing as written"
+                    )
+                return df
+
     # re-aggregate: SUM(m) = SUM(mv.m); COUNT(*) = SUM(mv.cnt); AVG(m) =
     # SUM(mv.m)/SUM(mv.cnt) with Spark's own Average typing (sum widened to
     # precision+10, count as decimal(20,0), quotient cast to the output
@@ -360,6 +523,12 @@ def spark_sql(
             continue
         if kind == "sum":
             agg_exprs.append(F.sum(src).cast(out_dt).alias(out_name))
+        elif kind == "sum_expr":
+            # the MV column holding per-grain partial sums of this exact
+            # (canonicalized) expression; additive, so SUM re-aggregates
+            agg_exprs.append(
+                F.sum(expr_measures[cand.mv_name][src]).cast(out_dt).alias(out_name)
+            )
         elif kind in ("max", "min"):
             # the MV column for a max/min measure is named <measure>__<kind>
             fn = F.max if kind == "max" else F.min

@@ -10,8 +10,12 @@ distributed shape:
   1. ``build``: mapInPandas over the hash column emits ONE partial bloom
      (packed bit array) per input partition -- numpy-vectorized position
      computation, executor-side;
-  2. the driver ORs the partials (bounded: n_partitions x bits/8 bytes --
-     independent of row count) and broadcasts the final bit array;
+  2. the partials OR-fold in ONE executor tree stage (repartition to
+     _FAN_IN, OR inside each task), so the driver receives at most _FAN_IN
+     partials -- a FIXED byte bound (_FAN_IN x bits/8, 4 MB at defaults)
+     independent of BOTH row count and partition count.  Without the tree
+     stage, blooming a million-partition train-side input would push
+     partitions x 512 KB through the driver;
   3. ``probe_col``: a pandas UDF tests membership per row, vectorized over
      Arrow batches with the identical position arithmetic.
 
@@ -41,10 +45,14 @@ def _positions(h: np.ndarray, n_bits: int, k: int) -> list[np.ndarray]:
     return out
 
 
-def build(hashes: DataFrame, col: str, n_bits: int = 1 << 22, k: int = 4) -> bytes:
-    """Bloom bit array (packed bytes) from a DataFrame's long hash column.
-    One partial per partition, OR-reduced on the driver: driver traffic is
-    n_partitions * n_bits/8 bytes, never O(rows)."""
+# max partials the driver ever collects; the tree stage folds everything
+# above this executor-side (driver bound: _FAN_IN * n_bits/8 bytes)
+_FAN_IN = 8
+
+
+def _reduced_partials(hashes: DataFrame, col: str, n_bits: int, k: int) -> DataFrame:
+    """Per-partition partial blooms, OR-folded executor-side down to at most
+    _FAN_IN rows (exposed separately so tests can pin the bound)."""
 
     def partial(batches):
         arr = np.zeros(n_bits, dtype=bool)
@@ -54,9 +62,27 @@ def build(hashes: DataFrame, col: str, n_bits: int = 1 << 22, k: int = 4) -> byt
                 arr[pos] = True
         yield pd.DataFrame({"bits": [np.packbits(arr).tobytes()]})
 
-    partials = hashes.select(col).mapInPandas(partial, schema="bits binary").collect()
+    def orfold(batches):
+        acc = None
+        for pdf in batches:
+            for b in pdf["bits"]:
+                v = np.frombuffer(b, dtype=np.uint8)
+                acc = v.copy() if acc is None else acc | v
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    partials = hashes.select(col).mapInPandas(partial, schema="bits binary")
+    return partials.repartition(_FAN_IN).mapInPandas(orfold, schema="bits binary")
+
+
+def build(hashes: DataFrame, col: str, n_bits: int = 1 << 22, k: int = 4) -> bytes:
+    """Bloom bit array (packed bytes) from a DataFrame's long hash column.
+    One partial per partition, tree-OR-folded to <= _FAN_IN rows
+    executor-side, final OR on the driver: driver traffic is a constant
+    _FAN_IN * n_bits/8 bytes however many rows or partitions come in."""
+    rows = _reduced_partials(hashes, col, n_bits, k).collect()
     acc = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in partials:
+    for row in rows:
         acc |= np.frombuffer(row["bits"], dtype=np.uint8)
     return acc.tobytes()
 

@@ -322,7 +322,15 @@ class ManagedParquetTable:
         # physical computation of the source lineage
         source = source.select(*current.columns).localCheckpoint(eager=False)
         keys = [*key_cols]
-        n_dup = source.groupBy(*keys).count().filter(F.col("count") > 1).count()
+        # reserved alias, not .count(): a key column literally named 'count'
+        # would make the default count column ambiguous and raise instead of
+        # performing the merge
+        n_dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .count()
+        )
         if n_dup:
             raise ValueError(
                 f"merge source has {n_dup} duplicate keys on {keys}; "

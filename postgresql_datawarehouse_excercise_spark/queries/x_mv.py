@@ -121,6 +121,58 @@ def x_mv_sql_rewrite_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         reg.drop_all()
 
 
+_TEXT_EXPR = """SELECT year, SUM(quantity * price) AS revenue,
+       SUM(CASE WHEN dayofweek = 'Saturday' THEN quantity * price ELSE 0 END) AS sat_revenue
+FROM sales_lines WHERE year >= 1996 GROUP BY year ORDER BY year"""
+
+
+@query(
+    "x_mv_sql_rewrite_expr",
+    oracle="""
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS year,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CASE WHEN dayname(CAST(o_orderdate AS DATE)) = 'Saturday'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))
+                           ELSE 0 END), 2) AS DOUBLE) AS sat_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(CAST(o_orderdate AS DATE)) >= 1996
+GROUP BY 1 ORDER BY year
+""",
+)
+def x_mv_sql_rewrite_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPRESSION-valued measures answered from an MV: SQL text over the
+    LINE-grain star stating SUM(quantity * price) -- the reference's own
+    fact measure (assignment-5.sql:75) -- plus a conditional
+    SUM(CASE WHEN dayofweek='Saturday' ...) rewrites onto the
+    expression-bearing view2 twin.  The matcher canonicalizes the measure
+    expression through the analyzer and requires an MV whose declared
+    measure expr (MVDef.measure_exprs) canonicalizes identically; direct
+    execution would join every order line to part/time/customer.  The
+    entry RAISES unless the rewrite fired."""
+    reg = with_count_stats(default_registry(tempfile.mkdtemp(prefix="pdwx-sqlrwe-")))
+    try:
+        for name in ("time", "sales", "view2_stats"):
+            reg.build(spark, sf_dir, name)
+        nav = default_navigator(reg)
+        sql_rewrite.register_lines_view(spark, sf_dir)
+        explain: list[str] = []
+        df = sql_rewrite.spark_sql(
+            spark, sf_dir, _TEXT_EXPR, reg, nav,
+            view_name=sql_rewrite.LINES_VIEW, explain=explain,
+        )
+        if not any("rewriting onto MV 'view2_stats'" in e for e in explain):
+            raise AssertionError(f"expression-measure rewrite did not fire: {explain}")
+        return df.select(
+            "year",
+            money(F.col("revenue")).alias("revenue"),
+            money(F.col("sat_revenue")).alias("sat_revenue"),
+        ).localCheckpoint()
+    finally:
+        reg.drop_all()
+
+
 @query(
     "x_mv_sketch_rollup",
     oracle="""

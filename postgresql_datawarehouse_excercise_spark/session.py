@@ -22,6 +22,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Dimension tables (region/nation/customer/part/time) are broadcast-able.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Cost-based optimization over the ANALYZEd MV catalog tables
+    # (mv/registry._analyze -- the VACUUM ANALYZE analog, SURVEY A9):
+    # filter-selectivity estimates from column min/max/ndv and
+    # CostBasedJoinReorder from row counts.  Path-based parquet reads carry
+    # no catalog stats, so plans outside the analyzed tables are unchanged.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert (catalog normalizes to micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

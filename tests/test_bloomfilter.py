@@ -25,3 +25,15 @@ def test_partition_count_does_not_change_the_filter(spark):
     a = spark.range(2_000).select(F.col("id").alias("h")).repartition(1)
     b = spark.range(2_000).select(F.col("id").alias("h")).repartition(7)
     assert bloomfilter.build(a, "h") == bloomfilter.build(b, "h")
+
+
+def test_driver_collect_bounded_on_many_partition_input(spark):
+    """Blooming a many-partition input (the train-side foot-gun) must fold
+    partials executor-side: the driver collects at most _FAN_IN rows --
+    a fixed byte bound -- and the filter stays bit-identical to the
+    single-partition build."""
+    wide = spark.range(10_000).select(F.col("id").alias("h")).repartition(64)
+    reduced = bloomfilter._reduced_partials(wide, "h", 1 << 22, 4)
+    assert reduced.count() <= bloomfilter._FAN_IN
+    narrow = spark.range(10_000).select(F.col("id").alias("h")).repartition(1)
+    assert bloomfilter.build(wide, "h") == bloomfilter.build(narrow, "h")

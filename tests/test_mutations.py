@@ -420,6 +420,24 @@ def test_merge_upsert_duplicate_target_keys_all_update(spark, sf_dir):
     ]
 
 
+def test_merge_upsert_key_column_named_count(spark, sf_dir):
+    """A key column literally named 'count' must not collide with the
+    duplicate-source check's internal aggregate alias (ADVICE regression:
+    groupBy().count() made F.col('count') ambiguous and raised)."""
+    from postgresql_datawarehouse_excercise_spark.operators import mutations
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "count long, v double"
+    )
+    tbl = mutations.temp_table(spark, base)
+    src = spark.createDataFrame([(2, 99.0), (3, 30.0)], "count long, v double")
+    n_upd, n_ins = tbl.merge_upsert(src, ("count",))
+    assert (n_upd, n_ins) == (1, 1)
+    assert sorted(map(tuple, tbl.read().collect())) == [
+        (1, 10.0), (2, 99.0), (3, 30.0)
+    ]
+
+
 def test_merge_upsert_empty_source_noop(spark, sf_dir):
     """An empty CDC batch must no-op and return (0, 0) -- on partitioned
     AND unpartitioned tables -- without committing a new version."""

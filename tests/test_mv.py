@@ -44,6 +44,67 @@ def test_all_mvs_built_with_stats(built):
         assert built.stats[name] >= 0
 
 
+def test_analyze_populates_catalog_statistics(built, spark):
+    """The VACUUM ANALYZE analog (SURVEY A9): after build_all every
+    unpartitioned MV has a catalog table whose statistics carry the exact
+    row count plus grain-column min/max/ndv -- the inputs Spark's CBO
+    needs."""
+    desc = spark.sql(
+        f"DESCRIBE EXTENDED {built.table_name('sales')}"
+    ).collect()
+    stats_row = next(r for r in desc if r.col_name == "Statistics")
+    assert f"{built.stats['sales']} rows" in stats_row.data_type
+    col = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            f"DESCRIBE EXTENDED {built.table_name('sales')} timeid"
+        ).collect()
+    }
+    assert col["min"] != "NULL" and col["max"] != "NULL"
+    assert int(col["distinct_count"]) > 0
+
+
+def test_cbo_column_stats_improve_filtered_join_plan(built, spark):
+    """Stats-sensitive plan improvement: a selective filter over the
+    ANALYZEd sales table estimates from column min/max (rowCount ~ the
+    true slice), so the join side fits a small broadcast threshold; the
+    identical query through the stats-free path-based read keeps the whole
+    file's size estimate and falls back to a shuffle join.  This is what
+    CBO buys on a cold multi-join query at scale: the optimizer sees
+    through the filter instead of assuming the full relation."""
+    probe = built.read(spark, "sales").select("timeid", "amnt")
+    with_stats = (
+        built.table(spark, "sales").filter(F.col("timeid") <= 5).select("timeid")
+    )
+    without = (
+        built.read(spark, "sales").filter(F.col("timeid") <= 5).select("timeid")
+    )
+
+    def est_bytes(df):
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+    s_est, p_est = est_bytes(with_stats), est_bytes(without)
+    # the CBO estimate must see through the filter (the path-based one
+    # keeps the whole relation's size)
+    assert s_est * 4 <= p_est, (s_est, p_est)
+    assert (
+        with_stats._jdf.queryExecution().optimizedPlan().stats().rowCount().isDefined()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # a threshold BETWEEN the two estimates: only the stats-informed
+        # side qualifies for broadcast, whatever the test SF
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str((s_est + p_est) // 2)
+        )
+        from postgresql_datawarehouse_excercise_spark import plans
+
+        assert plans.num_broadcast_joins(probe.join(with_stats, "timeid")) == 1
+        assert plans.num_broadcast_joins(probe.join(without, "timeid")) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_view_stack_row_monotonicity(built):
     # view3 aggregates view1; view2 aggregates sales: coarser grain => fewer rows
     assert built.stats["view3"] <= built.stats["view1"]

@@ -144,6 +144,31 @@ def test_tpch_family_no_sortmerge_joins(spark, sf_dir):
         assert plans.final_sortmerge_joins(df) == 0, name
 
 
+def test_tpch_dehinted_joins_respond_to_size_thresholds(spark, sf_dir):
+    """The de-hinted join strategy must be AQE's size-based call, not a
+    static pin: with default thresholds the small sides broadcast at this
+    SF; with broadcast disabled (threshold -1, emulating the 100x case
+    where no slice fits) every join falls back to shuffle.  A leftover
+    F.broadcast hint would keep broadcasting at threshold -1 and fail
+    here -- this is the runtime proof behind the no-SF-scaling-hints
+    guard."""
+    name = "x_tpch_q3_shipping_priority"
+    df = REG[name].fn(spark, sf_dir)
+    assert plans.final_broadcast_joins(df) >= 2  # customer + orders slices fit
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # build FIRST (catalog.load re-applies the default runtime confs), then
+    # flip the thresholds -- physical planning happens at action time
+    df2 = REG[name].fn(spark, sf_dir)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert plans.final_broadcast_joins(df2) == 0, "a static hint survived"
+        assert plans.final_sortmerge_joins(df2) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_explain_analyze_reports_per_node_actuals(spark, sf_dir):
     """The reference's EXPLAIN ANALYZE methodology (per-node loops/rows,
     assignment-5.md:481-522) must have a real analog: after execution the

@@ -197,6 +197,14 @@ _MATRIX = [
 ]
 
 
+def _norm_row(row) -> tuple:
+    # double-valued aggregates (stddev) accumulate in partition order, which
+    # legitimately varies between two DIRECT executions of the same text
+    # (AQE coalescing); round floats so the compare tests VALUES, not ULPs.
+    # Exact types (int/Decimal/str) pass through untouched.
+    return tuple(round(v, 6) if isinstance(v, float) else v for v in row)
+
+
 @pytest.mark.parametrize("text,expect_rewrite", _MATRIX)
 def test_rewrite_equivalence_matrix(spark, sf_dir, built_stats, text, expect_rewrite):
     """Matrix sweep: the rewriter must be value- and schema-transparent on
@@ -208,9 +216,9 @@ def test_rewrite_equivalence_matrix(spark, sf_dir, built_stats, text, expect_rew
     direct = spark.sql(text)
     assert df.schema == direct.schema, text
     if "LIMIT" in text:
-        assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect())), text
+        assert list(map(_norm_row, df.collect())) == list(map(_norm_row, direct.collect())), text
     else:
-        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect())), text
+        assert sorted(map(_norm_row, df.collect())) == sorted(map(_norm_row, direct.collect())), text
 
 
 def test_subquery_where_falls_back_not_crashes(spark, sf_dir, built):
@@ -232,6 +240,161 @@ def test_count_null_literal_not_matched_as_count_star(spark, sf_dir, built_stats
     df, explain = _run(spark, sf_dir, built_stats, text)
     assert any("executing as written" in e for e in explain), explain
     _assert_equivalent(spark, df, text)
+
+
+@pytest.fixture(scope="module")
+def built_lines(spark, sf_dir, built_stats):
+    """built_stats registry + the LINE-grain star view registered, enabling
+    expression-valued measure texts (SUM(quantity*price), SUM(CASE...))."""
+    sql_rewrite.register_lines_view(spark, sf_dir)
+    return built_stats
+
+
+def _run_lines(spark, sf_dir, built_lines, text):
+    reg, nav = built_lines
+    explain: list[str] = []
+    df = sql_rewrite.spark_sql(
+        spark, sf_dir, text, reg, nav,
+        view_name=sql_rewrite.LINES_VIEW, explain=explain,
+    )
+    return df, explain
+
+
+_EXPR_MATRIX = [
+    # expression-valued measures over the LINE-grain star: navigable iff an
+    # MV declares the canonically-identical expression (measure_exprs)
+    ("SELECT year, SUM(quantity * price) AS revenue "
+     "FROM sales_lines GROUP BY year", True),
+    # whitespace / formatting differences canonicalize away
+    ("SELECT year, SUM(quantity*price) AS revenue "
+     "FROM sales_lines GROUP BY year", True),
+    ("SELECT year, SUM(quantity * price) AS r, "
+     "SUM(CASE WHEN dayofweek = 'Saturday' THEN quantity * price ELSE 0 END) AS sat "
+     "FROM sales_lines WHERE year >= 1996 GROUP BY year "
+     "ORDER BY year LIMIT 10", True),
+    # FD-bridged group attr with an expression measure
+    ("SELECT country, SUM(quantity * price) AS r "
+     "FROM sales_lines GROUP BY country", True),
+    # non-matching expressions MUST fall through, never mis-rewrite
+    ("SELECT year, SUM(quantity * quantity) AS qq "
+     "FROM sales_lines GROUP BY year", False),
+    ("SELECT year, SUM(quantity * price * 2) AS r2 "
+     "FROM sales_lines GROUP BY year", False),
+    ("SELECT year, SUM(CASE WHEN dayofweek = 'Sunday' THEN quantity * price "
+     "ELSE 0 END) AS sun FROM sales_lines GROUP BY year", False),
+    # a WHERE on a line-grain attr (not reachable from any MV grain) blocks
+    ("SELECT year, SUM(quantity * price) AS r FROM sales_lines "
+     "WHERE quantity > 5 GROUP BY year", False),
+]
+
+
+@pytest.mark.parametrize("text,expect_rewrite", _EXPR_MATRIX)
+def test_expression_measure_matrix(spark, sf_dir, built_lines, text, expect_rewrite):
+    """Expression-measure sweep: SUM(a*b) / SUM(CASE...) texts rewrite onto
+    the MV stack when the canonicalized expression matches a declared
+    measure expr, and fall through (value-identically) otherwise."""
+    df, explain = _run_lines(spark, sf_dir, built_lines, text)
+    fired = any("rewriting onto MV" in e for e in explain)
+    assert fired == expect_rewrite, (text, explain)
+    direct = spark.sql(text)
+    assert df.schema == direct.schema, text
+    if "LIMIT" in text:
+        assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect())), text
+    else:
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect())), text
+
+
+def test_expression_measure_scans_mv_not_fact(spark, sf_dir, built_lines):
+    """The rewritten SUM(quantity*price) plan must read MV parquet, never
+    the line-grain fact lineage."""
+    text = "SELECT year, SUM(quantity * price) AS r FROM sales_lines GROUP BY year"
+    df, explain = _run_lines(spark, sf_dir, built_lines, text)
+    assert any("rewriting onto MV" in e for e in explain), explain
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan and "part.parquet" not in plan
+
+
+def test_measure_alias_colliding_with_group_falls_back(spark, sf_dir, built_stats):
+    """`SELECT year, SUM(amnt) AS year` makes the shaped re-select ambiguous;
+    the matcher must refuse (duplicate output names) so the text executes as
+    written instead of raising (ADVICE regression)."""
+    text = "SELECT year, SUM(amnt) AS year FROM sales_star GROUP BY year"
+    df, explain = _run(spark, sf_dir, built_stats, text)
+    assert any("executing as written" in e for e in explain), explain
+    direct = spark.sql(text)
+    assert df.schema == direct.schema
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_swap_renamed_group_columns_stay_order_correct(spark, sf_dir, built_stats):
+    """Swap-renames (`name AS year, year AS name ... ORDER BY year`) must
+    order by the OUTPUT alias exactly as direct execution does -- whether the
+    rewrite fires or bails, the ordered result is identical (ADVICE
+    regression; tie-broken ORDER BY so the compare is deterministic)."""
+    for text in (
+        "SELECT name AS year, year AS name, SUM(amnt) AS s FROM sales_star "
+        "GROUP BY name, year ORDER BY year, name, s LIMIT 7",
+        "SELECT name AS year, year AS name, SUM(amnt) AS s FROM sales_star "
+        "GROUP BY name, year HAVING COUNT(*) >= 0 ORDER BY year, name, s LIMIT 7",
+    ):
+        df, _explain = _run(spark, sf_dir, built_stats, text)
+        direct = spark.sql(text)
+        assert df.schema == direct.schema
+        assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect())), text
+
+
+def test_avg_headroom_guard_falls_back_on_huge_sums(spark, sf_dir):
+    """The AVG re-derivation's decimal(38, s_out+12) cast leaves ~18 integer
+    digits; an MV whose sums approach that must fall back to direct
+    execution instead of silently returning NULL / last-digit-divergent
+    averages (ADVICE regression).  A small-valued twin proves the guard
+    does not fire spuriously."""
+    import tempfile as _tf
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark.mv.navigator import AggregateNavigator
+    from postgresql_datawarehouse_excercise_spark.mv.registry import MVDef, MVRegistry
+
+    def scenario(view, amnt_values):
+        rows = [(1996 + i % 2, v) for i, v in enumerate(amnt_values)]
+        base = spark.createDataFrame(rows, "year BIGINT, amnt DECIMAL(38,4)")
+        base.createOrReplaceTempView(view)
+        reg = MVRegistry(_tf.mkdtemp(prefix="pdwx-headroom-"))
+        reg.register(
+            MVDef(
+                "big",
+                lambda t, b=base: b.groupBy("year").agg(
+                    F.sum("amnt").alias("amnt"),
+                    F.count(F.lit(1)).alias("cnt"),
+                ),
+                frozenset({"year"}),
+                {"amnt": "sum", "cnt": "count"},
+            )
+        )
+        reg.build(spark, sf_dir, "big")
+        nav = AggregateNavigator(reg)
+        text = f"SELECT year, AVG(amnt) AS a FROM {view} GROUP BY year"
+        explain: list[str] = []
+        df = sql_rewrite.spark_sql(
+            spark, sf_dir, text, reg, nav, view_name=view, explain=explain
+        )
+        try:
+            direct = spark.sql(text)
+            assert sorted(map(tuple, df.collect())) == sorted(
+                map(tuple, direct.collect())
+            ), (view, explain)
+            return explain
+        finally:
+            reg.drop_all()
+
+    huge = scenario("headroom_huge", [Decimal("6e19"), Decimal("7e19"),
+                                      Decimal("5e19"), Decimal("8e19")])
+    assert any("headroom" in e for e in huge), huge
+    small = scenario("headroom_small", [Decimal("100.5"), Decimal("7.25"),
+                                        Decimal("3.5"), Decimal("9.75")])
+    assert any("rewriting onto MV" in e for e in small), small
 
 
 def test_non_navigable_shapes_execute_as_written(spark, sf_dir, built):
