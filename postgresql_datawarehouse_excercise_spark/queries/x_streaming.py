@@ -201,14 +201,17 @@ GROUP BY 1, 2, 3
 )
 def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate maintenance on the driver gate: orders split
-    into 4 files stream in ARBITRARY date order (maxFilesPerTrigger=1 ->
-    4 micro-batches); each foreachBatch applies its batch as an incremental
-    delta to the persisted sales MV (streaming/mv_maintenance.py),
-    bootstrapping the MV and the append-only time dimension from nothing.
-    The maintained fact must hash-match the one-shot full rebuild at the
-    DATE-keyed grain (time ids are arrival-order surrogates by design --
-    stable once assigned, but not date-ordered under out-of-order arrival,
-    so the join back through the time dimension is part of the proof)."""
+    into 2 files stream in ARBITRARY date order (maxFilesPerTrigger=1 ->
+    2 micro-batches -- the minimum that exercises BOTH the bootstrap and
+    the out-of-order incremental merge; more batches re-test the same two
+    transitions at real per-batch cost); each foreachBatch applies its
+    batch as an incremental delta to the persisted sales MV
+    (streaming/mv_maintenance.py), bootstrapping the MV and the
+    append-only time dimension from nothing.  The maintained fact must
+    hash-match the one-shot full rebuild at the DATE-keyed grain (time ids
+    are arrival-order surrogates by design -- stable once assigned, but
+    not date-ordered under out-of-order arrival, so the join back through
+    the time dimension is part of the proof)."""
     import tempfile
 
     from ..functions import money
@@ -217,7 +220,7 @@ def x_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = catalog.load(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="pdwx-stream-orders-")
-    t.orders.repartition(4).write.mode("overwrite").parquet(src)
+    t.orders.repartition(2).write.mode("overwrite").parquet(src)
     reg = default_registry(tempfile.mkdtemp(prefix="pdwx-stream-wh-"))
     try:
         q = mvm.maintain_sales_stream(
