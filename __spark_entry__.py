@@ -69,10 +69,14 @@ _TOUCHED_THIS_ROUND = (
     "x_sim_ann_lsh",
     "x_sim_topk_bruteforce",
     "x_sim_knn_join",
-    # expression-measure SQL rewrite + AVG headroom guard + catalog ANALYZE
+    # expression-measure / COUNT(DISTINCT) / join-text SQL rewrite +
+    # AVG headroom guard + catalog ANALYZE
     "x_mv_sql_rewrite_expr",
+    "x_mv_sql_rewrite_distinct",
+    "x_mv_sql_rewrite_join",
     "x_mv_sql_rewrite",
     "x_mv_sql_rewrite_multi",
+    "x_stream_incremental_mv",      # 2 micro-batches
     # merge duplicate-check reserved alias; bloom tree-OR fold
     "x_mutation_merge_upsert",
     "x_pipeline_decontaminate_bloom",

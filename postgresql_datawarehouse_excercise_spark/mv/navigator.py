@@ -167,6 +167,11 @@ class AggregateNavigator:
                     # (built by the SQL rewriter from MVDef.measure_exprs
                     # through the same analyzer the query went through)
                     return m in (expr_measures or {}).get(name, {})
+                if kind == "count_distinct":
+                    # exact only when the attr is part of the view's GRAIN:
+                    # the MV then holds every distinct (grain) combination
+                    # once, so per-group distinct sets are preserved
+                    return m in mv.grain
                 return False
 
             if not all(_ok(kind, m) for kind, m in needs):

@@ -9,15 +9,23 @@ Catalyst, pattern-matches the ANALYZED logical plan --
       +- Sort?                       -- ORDER BY over output attrs
           +- Project?                -- analyzer-inserted (hidden having/sort aggs)
               +- Filter?             -- HAVING over aggregate outputs
-                  +- Aggregate [group attrs] [SUM/COUNT(*)/AVG measures]
+                  +- Aggregate [group attrs] [measures]
                       +- (Filter condition)?                  -- WHERE
                           +- SubqueryAlias <star view>
+                             | Project? over Join Inner(timeid=timeid)
+                                 over SubqueryAlias{sales, time}
+                                              -- the reference's own
+                                              -- NATURAL JOIN formulation
 
 -- extracts the grouping / filter attribute sets and every measure, and asks
 the navigator for the cheapest MV sufficient for ALL of them (SUM needs an
-additive sum column; COUNT(*) needs a count column; AVG needs both, derived
+additive sum column -- by NAME for plain attributes, by CANONICAL ANALYZED
+RENDER for expression measures like SUM(quantity*price) declared in
+MVDef.measure_exprs; COUNT(*) needs a count column; AVG needs both, derived
 as SUM(sum)/SUM(cnt) with Spark's own Average decimal typing replicated so
-the result is bit-identical to direct execution).  On a match the returned
+the result is bit-identical to direct execution; COUNT(DISTINCT attr) needs
+attr in the view's GRAIN -- distinct grain sets survive the aggregation;
+MAX/MIN re-aggregate extrema columns).  On a match the returned
 DataFrame reads the MV parquet (plus FD bridge joins), re-applies the WHERE
 predicate at MV grain, re-aggregates, then re-applies HAVING / ORDER BY /
 LIMIT from the rendered Catalyst expressions; otherwise the original
@@ -177,6 +185,63 @@ def _exact_widening(from_sql: str, to_sql: str) -> bool:
     return False
 
 
+def _equi_name_set(expr) -> set[str] | None:
+    """For a conjunction of EqualTo(attr, attr) with IDENTICAL names on both
+    sides, the set of those names; None for anything else."""
+    c = _cls(expr)
+    if c == "And":
+        left = _equi_name_set(expr.left())
+        right = _equi_name_set(expr.right())
+        return None if left is None or right is None else left | right
+    if c == "EqualTo":
+        lhs, rhs = expr.left(), expr.right()
+        if (
+            _cls(lhs) == "AttributeReference"
+            and _cls(rhs) == "AttributeReference"
+            and lhs.name() == rhs.name()
+        ):
+            return {lhs.name()}
+    return None
+
+
+# the reference's own FROM shape: the sales fact joined to the time
+# dimension on its unique surrogate key (assignment-5.sql's NATURAL JOIN
+# formulations).  The attachment is 1:1 per fact row (timeid unique in
+# time, FK-complete from sales), so the join output IS the star subset
+# these views span -- the navigator's premises hold unchanged.
+_JOIN_LEAVES = frozenset({"sales", "time"})
+_JOIN_KEYS = frozenset({"timeid"})
+
+
+def _match_reference_join(node) -> bool:
+    if _cls(node) != "Join" or node.joinType().sql() != "INNER":
+        return False
+    cond = node.condition()
+    if not cond.isDefined():
+        return False
+    if _equi_name_set(cond.get()) != set(_JOIN_KEYS):
+        return False
+    leaves = []
+    for ch in _children(node):
+        if _cls(ch) != "SubqueryAlias":
+            return False
+        leaves.append(str(ch.alias()))
+    return set(leaves) == set(_JOIN_LEAVES) and len(leaves) == 2
+
+
+def _strip_quals(sql_text: str, quals: frozenset[str]) -> str:
+    """Drop `<leaf>.` qualifiers from rendered SQL so the predicate
+    re-resolves against the single rewritten relation -- but never inside
+    single-quoted literals (a WHERE comparing against the string
+    'time.xyz' must survive intact).  The views' unified column names are
+    unique across the join, so unqualified references are unambiguous."""
+    parts = _re.split(r"('(?:[^']|'')*')", sql_text)
+    pat = _re.compile(r"\b(" + "|".join(sorted(quals)) + r")\.")
+    for i in range(0, len(parts), 2):
+        parts[i] = pat.sub("", parts[i])
+    return "".join(parts)
+
+
 # out_specs entries: (out_name, kind, src_attr, out_dtype_sql, arg_dtype_sql)
 # kind in {'group', 'sum', 'count', 'avg'}; src/arg dtype None where n/a.
 def _match_aggregate(jplan, view_name: str):
@@ -210,11 +275,29 @@ def _match_aggregate(jplan, view_name: str):
                 return None
             out_specs.append((e.name(), "group", child.name(), None, None))
             continue
-        if _cls(child) != "AggregateExpression" or child.isDistinct():
+        if _cls(child) != "AggregateExpression":
             return None
         fn = child.aggregateFunction()
         fcls = _cls(fn)
         arg = fn.children().apply(0)
+        if child.isDistinct():
+            # COUNT(DISTINCT attr) is NOT additively re-aggregable in
+            # general, but when attr is part of an MV's GRAIN the MV holds
+            # every distinct (grain) combination exactly once, so the
+            # per-group distinct set -- and its count -- is preserved
+            # (navigator checks grain membership).  Everything else
+            # distinct falls through to direct execution.
+            if (
+                fcls == "Count"
+                and fn.children().size() == 1
+                and _cls(arg) == "AttributeReference"
+            ):
+                out_specs.append(
+                    (e.name(), "count_distinct", arg.name(), _dtype_sql(e), None)
+                )
+                n_measures += 1
+                continue
+            return None
         if _cls(arg) == "Cast" and fcls in ("Sum", "Average"):
             # Strip ONLY exactness-preserving numeric widening (the shape
             # the analyzer inserts): integral->wider-integral or
@@ -266,8 +349,24 @@ def _match_aggregate(jplan, view_name: str):
         filter_sql = node.condition().sql()
         filter_attrs = _attr_names(node.condition())
         node = _children(node)[0]
-    if _cls(node) != "SubqueryAlias" or node.alias() != view_name:
+    if _cls(node) == "SubqueryAlias" and node.alias() == view_name:
+        return groups, out_specs, filter_attrs, filter_sql
+    # the reference's join formulation (sales NATURAL JOIN time / explicit
+    # equi-join on timeid): an all-attribute Project (the natural join's
+    # column merge) may sit above the Join node
+    if _cls(node) == "Project":
+        if not all(
+            _cls(e) == "AttributeReference" for e in _seq(node.projectList())
+        ):
+            return None
+        node = _children(node)[0]
+    if not _match_reference_join(node):
         return None
+    if filter_sql is not None:
+        # WHERE predicates render leaf-qualified (time.year >= ...); the
+        # unified names are join-unambiguous, so strip the qualifiers for
+        # re-resolution against the rewritten relation
+        filter_sql = _strip_quals(filter_sql, _JOIN_LEAVES)
     return groups, out_specs, filter_attrs, filter_sql
 
 
@@ -539,6 +638,11 @@ def spark_sql(
             # coalesce pins nullable=False, matching Count's schema
             agg_exprs.append(
                 F.coalesce(F.sum(cnt_col), F.lit(0)).cast(out_dt).alias(out_name)
+            )
+        elif kind == "count_distinct":
+            # src is a grain attr of the chosen MV: distinct sets preserved
+            agg_exprs.append(
+                F.count_distinct(F.col(src)).cast(out_dt).alias(out_name)
             )
         else:  # avg
             total = F.sum(src)

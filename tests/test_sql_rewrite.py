@@ -179,6 +179,20 @@ _MATRIX = [
      "HAVING SUM(amnt) > 1000 ORDER BY n DESC, year LIMIT 3", True),
     ("SELECT name AS who, year AS y, AVG(amnt) AS a FROM sales_star "
      "GROUP BY name, year ORDER BY a DESC, who, y LIMIT 9", True),
+    # COUNT(DISTINCT grain-attr): the MV holds each grain combination once,
+    # so distinct sets of grain attrs are preserved exactly
+    ("SELECT year, COUNT(DISTINCT customerid) AS n FROM sales_star GROUP BY year",
+     True),
+    ("SELECT year, COUNT(DISTINCT name) AS n, SUM(amnt) AS s "
+     "FROM sales_star GROUP BY year", True),
+    # partkey is not in view2_stats's grain but IS in the sales MV's --
+    # the navigator routes to the (bigger but sufficient) sales fact
+    ("SELECT year, COUNT(DISTINCT partkey) AS n FROM sales_star GROUP BY year",
+     True),
+    # a MEASURE's distinct set is collapsed by the MV aggregation: no grain
+    # carries amnt, so this must fall through
+    ("SELECT year, COUNT(DISTINCT amnt) AS n FROM sales_star GROUP BY year",
+     False),
     # max-of-max / min-of-min re-aggregate from the extrema measures
     ("SELECT year, MAX(amnt) AS m FROM sales_star GROUP BY year", True),
     ("SELECT year, MIN(amnt) AS lo, MAX(amnt) AS hi, AVG(amnt) AS a, "
@@ -343,6 +357,57 @@ def test_swap_renamed_group_columns_stay_order_correct(spark, sf_dir, built_stat
         assert list(map(tuple, df.collect())) == list(map(tuple, direct.collect())), text
 
 
+@pytest.fixture(scope="module")
+def built_views(spark, sf_dir, built_stats):
+    """built_stats registry + the catalog views registered, enabling the
+    reference's own JOIN-shaped texts (FROM sales NATURAL JOIN time)."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return built_stats
+
+
+_JOIN_MATRIX = [
+    # the reference's NATURAL JOIN formulation and its explicit-ON twin
+    ("SELECT customerid, SUM(amnt) AS spending FROM sales NATURAL JOIN time "
+     "WHERE year = 1997 GROUP BY customerid", True),
+    ("SELECT year, SUM(amnt) AS s FROM sales JOIN time "
+     "ON sales.timeid = time.timeid WHERE year >= 1996 GROUP BY year "
+     "HAVING COUNT(*) > 2 ORDER BY s DESC LIMIT 5", True),
+    # FD-bridged groups over the join shape
+    ("SELECT dayofweek, SUM(amnt) AS s FROM sales NATURAL JOIN time "
+     "GROUP BY dayofweek", True),
+    ("SELECT year, COUNT(DISTINCT customerid) AS n FROM sales NATURAL JOIN time "
+     "GROUP BY year", True),
+    # a WHERE literal containing 'time.' must survive qualifier stripping
+    ("SELECT year, SUM(amnt) AS s FROM sales NATURAL JOIN time "
+     "WHERE dayofweek != 'time.x' GROUP BY year", True),
+    # cross-name equi condition is NOT the star attachment: fall through
+    ("SELECT year, SUM(amnt) AS s FROM sales JOIN time "
+     "ON sales.timeid = time.timeid AND sales.customerid = time.year "
+     "GROUP BY year", False),
+    # joins of other registered views are never matched
+    ("SELECT o_orderpriority, COUNT(*) AS n FROM orders JOIN lineitem "
+     "ON o_orderkey = l_orderkey GROUP BY o_orderpriority", False),
+]
+
+
+@pytest.mark.parametrize("text,expect_rewrite", _JOIN_MATRIX)
+def test_join_text_rewrite_matrix(spark, sf_dir, built_views, text, expect_rewrite):
+    """JOIN-shaped texts (the reference's own FROM sales NATURAL JOIN time
+    formulation) rewrite onto the MV stack; non-star join shapes fall
+    through value-identically."""
+    df, explain = _run(spark, sf_dir, built_views, text)
+    fired = any("rewriting onto MV" in e for e in explain)
+    assert fired == expect_rewrite, (text, explain)
+    direct = spark.sql(text)
+    assert df.schema == direct.schema, text
+    if "LIMIT" in text:
+        assert list(map(_norm_row, df.collect())) == list(map(_norm_row, direct.collect())), text
+    else:
+        assert sorted(map(_norm_row, df.collect())) == sorted(map(_norm_row, direct.collect())), text
+
+
 def test_avg_headroom_guard_falls_back_on_huge_sums(spark, sf_dir):
     """The AVG re-derivation's decimal(38, s_out+12) cast leaves ~18 integer
     digits; an MV whose sums approach that must fall back to direct
@@ -397,11 +462,21 @@ def test_avg_headroom_guard_falls_back_on_huge_sums(spark, sf_dir):
     assert any("rewriting onto MV" in e for e in small), small
 
 
+def test_count_distinct_grain_attr_rewrites_on_default_stack(spark, sf_dir, built):
+    """COUNT(DISTINCT partkey) GROUP BY name: partkey is part of the sales
+    MV's grain and name is FD-reachable, so even the reference-only stack
+    answers it (distinct grain sets survive the MV aggregation)."""
+    text = "SELECT name, COUNT(DISTINCT partkey) AS n FROM sales_star GROUP BY name"
+    df, explain = _run(spark, sf_dir, built, text)
+    assert any("rewriting onto MV" in e for e in explain), explain
+    _assert_equivalent(spark, df, text)
+
+
 def test_non_navigable_shapes_execute_as_written(spark, sf_dir, built):
-    """COUNT(DISTINCT) is not additively re-aggregable; a non-star FROM is
-    not matched at all -- both must fall through untouched."""
+    """COUNT(DISTINCT measure) has no grain to preserve its distinct set; a
+    non-star FROM is not matched at all -- both must fall through."""
     for text in (
-        "SELECT name, COUNT(DISTINCT partkey) AS n FROM sales_star GROUP BY name",
+        "SELECT name, COUNT(DISTINCT amnt) AS n FROM sales_star GROUP BY name",
         "SELECT r_name, COUNT(*) AS n FROM {} GROUP BY r_name",
     ):
         if "{}" in text:
