@@ -64,6 +64,7 @@ _TOUCHED_THIS_ROUND = (
     "q5a_window_report",
     "x_events_segment_hourly",
     # k-means IVF ANN (recall 0.0-0.4 -> 0.89) + limit-bounded query sides
+    "x_sim_semantic_dedup",         # new: SemDeDup-style embedding dedup
     "x_sim_ann_ivf",
     "x_sim_ann_recall",
     "x_sim_ann_lsh",

@@ -350,7 +350,7 @@ def _match_aggregate(jplan, view_name: str):
         filter_attrs = _attr_names(node.condition())
         node = _children(node)[0]
     if _cls(node) == "SubqueryAlias" and node.alias() == view_name:
-        return groups, out_specs, filter_attrs, filter_sql
+        return groups, out_specs, filter_attrs, filter_sql, "view"
     # the reference's join formulation (sales NATURAL JOIN time / explicit
     # equi-join on timeid): an all-attribute Project (the natural join's
     # column merge) may sit above the Join node
@@ -367,7 +367,7 @@ def _match_aggregate(jplan, view_name: str):
         # unified names are join-unambiguous, so strip the qualifiers for
         # re-resolution against the rewritten relation
         filter_sql = _strip_quals(filter_sql, _JOIN_LEAVES)
-    return groups, out_specs, filter_attrs, filter_sql
+    return groups, out_specs, filter_attrs, filter_sql, "join"
 
 
 def _match_star_query(jplan, view_name: str):
@@ -432,8 +432,9 @@ def _match_star_query(jplan, view_name: str):
     m = _match_aggregate(node, view_name)
     if m is None:
         return None
-    groups, out_specs, filter_attrs, filter_sql = m
-    return groups, out_specs, filter_attrs, filter_sql, having_sql, sort_orders, project, limit
+    groups, out_specs, filter_attrs, filter_sql, source = m
+    return (groups, out_specs, filter_attrs, filter_sql, having_sql,
+            sort_orders, project, limit, source)
 
 
 _CANON_CACHE: dict[tuple[str, str], str | None] = {}
@@ -507,10 +508,27 @@ def spark_sql(
         if explain is not None:
             explain.append("plan shape not navigable; executing as written")
         return df
-    groups, out_specs, filter_attrs, filter_sql, having_sql, sort_orders, project, limit = m
+    (groups, out_specs, filter_attrs, filter_sql, having_sql,
+     sort_orders, project, limit, source) = m
     needs = frozenset(
         (kind, src) for _, kind, src, _, _ in out_specs if kind != "group"
     )
+    # Row-domain guard: the LINE-grain star has FINER rows than the grain
+    # any MV's count column counts (multiple order lines collapse into one
+    # sales-grain row), so COUNT(*) / AVG over it must NEVER re-derive from
+    # a sales-grain cnt -- the denominator would be the wrong row count.
+    # SUM / MAX / MIN / COUNT(DISTINCT grain-attr) are grain-indifferent.
+    if (
+        source == "view"
+        and view_name == LINES_VIEW
+        and any(kind in ("count", "avg") for kind, _ in needs)
+    ):
+        if explain is not None:
+            explain.append(
+                "COUNT/AVG over the line-grain view cannot re-derive from "
+                "sales-grain counts; executing as written"
+            )
+        return df
     # expression-measure availability: canonicalize every declared
     # MVDef.measure_exprs text through the SAME analyzer/view the query
     # went through, yielding {mv: {canonical_sql: mv_column}}

@@ -505,6 +505,116 @@ LIMIT {k}
 """
 
 
+SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_K = 8
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = SEMDEDUP_K,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embeddings with
+    the exact integer-grid k-means (operators/clustering.py, 2 Lloyd
+    rounds), then WITHIN each cluster drop every vector that has a
+    lower-id near-duplicate (cosine >= threshold) -- the keep-lowest-id
+    rule that makes the survivor set deterministic on any engine.
+
+    Scale design: the pairwise comparison is confined to single clusters
+    (join key = cluster id), so the quadratic term is per-cluster
+    |cluster|^2, not corpus^2 -- at 100 TB k grows with N to keep clusters
+    bounded and every cluster dedups in parallel on its own partition; no
+    all-pairs join ever forms.  Output: (vec_id, cluster, kept)."""
+    from .clustering import kmeans_assignments
+
+    assigned = kmeans_assignments(embeddings, k=k, iters=2).select(
+        "vec_id", "cluster"
+    )
+    base = _norms(embeddings).join(assigned, "vec_id")
+    a = base.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("n").alias("an"),
+    )
+    b = base.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), F.col("n").alias("bn"),
+    )
+    cos = fround(dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6)
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return base.select("vec_id", "cluster").join(
+        dup_ids.withColumn("__dup", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster", F.col("__dup").isNull().alias("kept")
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = SEMDEDUP_THRESHOLD, k: int = SEMDEDUP_K
+) -> str:
+    # replay: quantized k-means (the x_sim_kmeans oracle arithmetic, k=8),
+    # then within-cluster pairwise cosine with the keep-lowest-id rule
+    return f"""
+WITH qz AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
+  FROM qz ORDER BY vec_id LIMIT {k}
+),
+comp AS (SELECT vec_id, r.i, qv[r.i] AS x FROM qz, range(1, 65) r(i)),
+ccomp1 AS (SELECT cid, r.i, cq[r.i] AS c FROM init, range(1, 65) r(i)),
+d1 AS (
+  SELECT comp.vec_id, ccomp1.cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist2
+  FROM comp JOIN ccomp1 ON comp.i = ccomp1.i GROUP BY 1, 2
+),
+m1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+sums AS (
+  SELECT m1.cid, comp.i, CAST(SUM(comp.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM m1 JOIN comp USING (vec_id) GROUP BY 1, 2
+),
+cent2 AS (
+  SELECT cid, i,
+         ((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n) AS c
+  FROM sums
+),
+d2 AS (
+  SELECT comp.vec_id, cent2.cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist2
+  FROM comp JOIN cent2 USING (i) GROUP BY 1, 2
+),
+assigned AS (
+  SELECT a.vec_id, qz.e, a.cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d2) a JOIN qz USING (vec_id) WHERE a.rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE FLOOR((list_cosine_similarity(a.e, b.e)) * 1000000.0 + 0.5) / 1000000.0
+        >= {threshold}
+)
+SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+       d.vec_id IS NULL AS kept
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
 def ann_recall(
     embeddings: DataFrame, n_queries: int = KNN_QUERIES, k: int = TOP_K
 ) -> DataFrame:

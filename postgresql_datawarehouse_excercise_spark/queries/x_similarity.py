@@ -68,6 +68,19 @@ def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(t.embeddings)
 
 
+@query("x_sim_semantic_dedup", oracle=similarity.semantic_dedup_sql())
+def x_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the embedding
+    space (exact integer-grid Lloyd rounds), then drop within-cluster
+    near-duplicates (cosine >= 0.35, keep-lowest-id).  The quadratic
+    comparison is confined to single clusters -- the shape that scales the
+    embedding-dedup step to 100 TB corpora (per-cluster parallel, no
+    all-pairs join) -- and the DuckDB oracle replays clustering AND the
+    dedup rule bit-for-bit."""
+    t = catalog.load(spark, sf_dir)
+    return similarity.semantic_dedup(t.embeddings)
+
+
 @query(
     "x_sim_vector_stats",
     oracle="""

@@ -30,11 +30,11 @@ Measured at K=10 on local[32] (vs the sf0.1 bench numbers):
   (the last three measured on a contended host -- same-day baseline ops ran
   ~2-3x their recorded times, so treat them as upper bounds)
 
-TPC-H shapes at K=10 (round 5, post de-hinting -- facts materialized to a
-temp sf-dir so AQE sees real file sizes; orders no longer carries a static
-broadcast hint, so this is the proof the family survives a scale-up):
-  q3 6.3 s | q5 3.0 s | q7 4.0 s | q8 3.4 s | q9 5.0 s | q21 7.9 s
-  (vs 0.4-1.7 s at 1x: sub-linear to linear in the 10x data; no OOM)
+TPC-H shapes at K=10 (round 6 -- facts AND the SF-scaling customer/part
+multiplied with FK-consistent re-keying, so AQE sees real file sizes for
+EVERY de-hinted side; no join carries a static broadcast hint anymore):
+  q3 4.8 s | q5 2.6 s | q7 2.8 s | q8 3.3 s | q9 4.9 s | q10 2.6 s |
+  q21 7.3 s  (vs 0.3-1.7 s at 1x: sub-linear to linear; no OOM)
 """
 
 from __future__ import annotations
@@ -54,17 +54,21 @@ from postgresql_datawarehouse_excercise_spark.queries.x_tpch import pricing_summ
 from postgresql_datawarehouse_excercise_spark.session import get_spark
 
 
-def multiply(df, key_col: str, k: int):
-    """K copies with re-keyed ids (copy i shifts ids by i * 10^9)."""
-    return (
-        df.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-        .withColumn(
+def multiply(df, key_cols, k: int):
+    """K copies with re-keyed ids (copy i shifts ids by i * 10^9).  Passing
+    several key columns shifts them all by the SAME copy offset, so foreign
+    keys between two tables multiplied with matching columns stay
+    referentially intact (copy i of orders references copy i of customer)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    out = df.withColumn("copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    for key_col in key_cols:
+        out = out.withColumn(
             key_col,
             F.col(key_col).cast("long")
             + F.col("copy").cast("long") * F.lit(1_000_000_000).cast("long"),
         )
-        .drop("copy")
-    )
+    return out.drop("copy")
 
 
 def timed(label: str, df) -> None:
@@ -155,18 +159,32 @@ def main() -> None:
         ),
     )
 
-    # TPC-H join shapes at Kx: materialize the multiplied facts as a real
-    # sf-dir (the registry entries read through catalog.load) with the dims
-    # symlinked, then run the join-heavy shapes end-to-end.  This validates
-    # the fact-side de-hinting: orders at Kx exceeds any broadcast
-    # threshold, so AQE must pick the join strategy from runtime sizes --
-    # the shape that used to OOM under a pinned F.broadcast(orders) hint.
+    # TPC-H join shapes at Kx: materialize the multiplied tables as a real
+    # sf-dir (the registry entries read through catalog.load), then run the
+    # join-heavy shapes end-to-end.  Facts AND the SF-scaling "dimensions"
+    # (customer, part) multiply -- matching-key shifts keep every FK intact
+    # per copy -- so this validates BOTH waves of de-hinting: orders at Kx
+    # exceeds any broadcast threshold, and customer/part grow with the data
+    # exactly as they do in real TPC-H, leaving every join-strategy call to
+    # AQE's runtime sizes (the shape that used to OOM under static hints).
+    # Only the genuinely CONSTANT relations (region, nation, supplier*)
+    # symlink at 1x.  (*supplier scales too in real TPC-H; its keys are
+    # referenced by the unmultiplied l_suppkey, so it stays 1x here -- its
+    # de-hinting is pinned by the plan tests instead.)
     import tempfile
 
     tpch_dir = tempfile.mkdtemp(prefix="pdwx-scale-tpch-")
-    line.write.mode("overwrite").parquet(f"{tpch_dir}/lineitem.parquet")
-    ords.write.mode("overwrite").parquet(f"{tpch_dir}/orders.parquet")
-    for tab in ("region", "nation", "customer", "supplier", "part",
+    line10 = multiply(t.lineitem, ["l_orderkey", "l_partkey"], k)
+    ords10 = multiply(t.orders, ["o_orderkey", "o_custkey"], k)
+    line10.write.mode("overwrite").parquet(f"{tpch_dir}/lineitem.parquet")
+    ords10.write.mode("overwrite").parquet(f"{tpch_dir}/orders.parquet")
+    multiply(t.customer, "c_custkey", k).write.mode("overwrite").parquet(
+        f"{tpch_dir}/customer.parquet"
+    )
+    multiply(t.part, "p_partkey", k).write.mode("overwrite").parquet(
+        f"{tpch_dir}/part.parquet"
+    )
+    for tab in ("region", "nation", "supplier",
                 "events", "documents", "embeddings"):
         os.symlink(f"{sf_dir}/{tab}.parquet", f"{tpch_dir}/{tab}.parquet")
     from postgresql_datawarehouse_excercise_spark.queries import load_all
@@ -179,6 +197,7 @@ def main() -> None:
         "x_tpch_q7_volume_shipping",
         "x_tpch_q8_market_share",
         "x_tpch_q9_product_profit",
+        "x_tpch_q10_returned_items",
         "x_tpch_q21_late_sole_supplier",
     ):
         timed(name, lambda name=name: regq[name].fn(spark, tpch_dir))

@@ -406,6 +406,17 @@ def test_gap_fill_broadcasts_spine_no_sortmerge(spark, sf_dir):
     assert "ExistingRDD" in p
 
 
+def test_semantic_dedup_pairs_stay_cluster_keyed(spark, sf_dir):
+    """SemDeDup's pairwise comparison must form only WITHIN clusters: the
+    self-join is keyed on cluster id (per-cluster parallel at scale), never
+    a cartesian/nested-loop over the corpus, and never a single-partition
+    gather."""
+    df = REG["x_sim_semantic_dedup"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_kmeans_centroids_broadcast_never_shuffled(spark, sf_dir):
     """The K-row centroid relation must reach the vector scan as a
     broadcast (nested-loop cross join); a shuffled/sort-merge centroid

@@ -289,6 +289,18 @@ _EXPR_MATRIX = [
     # FD-bridged group attr with an expression measure
     ("SELECT country, SUM(quantity * price) AS r "
      "FROM sales_lines GROUP BY country", True),
+    # ROW-DOMAIN GUARD: the line-grain view has finer rows than any MV's
+    # count column counts (order lines collapse into sales-grain rows), so
+    # COUNT(*) / AVG over it must fall through -- a SUM(cnt) re-derivation
+    # would divide by the WRONG row count
+    ("SELECT year, AVG(quantity * price) AS avg_rev "
+     "FROM sales_lines GROUP BY year", False),
+    ("SELECT year, COUNT(*) AS n FROM sales_lines GROUP BY year", False),
+    ("SELECT year, SUM(quantity * price) AS s, COUNT(*) AS n "
+     "FROM sales_lines GROUP BY year", False),
+    # grain-indifferent kinds stay navigable from the lines view
+    ("SELECT year, COUNT(DISTINCT customerid) AS n, SUM(quantity * price) AS s "
+     "FROM sales_lines GROUP BY year", True),
     # non-matching expressions MUST fall through, never mis-rewrite
     ("SELECT year, SUM(quantity * quantity) AS qq "
      "FROM sales_lines GROUP BY year", False),
