@@ -65,6 +65,10 @@ _TOUCHED_THIS_ROUND = (
     "x_events_segment_hourly",
     # k-means IVF ANN (recall 0.0-0.4 -> 0.89) + limit-bounded query sides
     "x_sim_semantic_dedup",         # new: SemDeDup-style embedding dedup
+    "x_sim_pca_power",              # new: int-exact covariance + power iter
+    "x_dedup_incremental",          # new: batch-vs-corpus ingest dedup
+    "x_pipeline_scd2_pointintime",  # new: as-of fact join on SCD2 history
+    "x_sql_recursive_cte",          # new: WITH RECURSIVE hierarchy walk
     "x_sim_ann_ivf",
     "x_sim_ann_recall",
     "x_sim_ann_lsh",

@@ -589,3 +589,116 @@ def dedup_clusters_sql(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD) -> str:
 WITH RECURSIVE {dedup_clusters_cte(min_jaccard)}
 SELECT doc_id, cluster_id, keep FROM clusters
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup: the ingest-time variant.
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 -> the incoming batch (~20% of docs)
+
+
+def incremental_dedup(
+    documents: DataFrame, threshold: float = DEDUP_CLUSTER_MIN_JACCARD
+) -> DataFrame:
+    """Ingest-time dedup: check an INCOMING BATCH of documents against the
+    existing corpus without ever comparing corpus docs to each other.
+
+    The batch's LSH band keys join the corpus's band keys on
+    (band, bucket); candidates are confirmed with exact Jaccard on the
+    shingle sets; a batch doc is kept iff no corpus near-dup exists
+    (near_dup_of = smallest matching corpus id, NULL when kept).
+
+    Scale design (100 TB): at production scale the corpus side of this
+    join is a PERSISTED signature/band-key index (written once at corpus
+    build, bucket-partitioned); each ingest batch shingles and hashes only
+    its own rows and probes the index, so per-batch cost tracks
+    |batch| x BANDS candidate rows -- never |corpus|^2 and never a corpus
+    rescan.  Here both sides derive inline from the one documents table
+    (the sf-dir is the only input); the split doc_id % INCR_BATCH_MOD == 0
+    stands in for the batch boundary.
+    """
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
+    keys = lsh_band_keys(minhash_signature_df(documents))
+    cand = (
+        keys.filter(is_batch).alias("b")
+        .join(keys.filter(~is_batch).alias("c"), on=["band", "bucket"])
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sets_ = shingled(documents)
+    confirmed = (
+        cand.join(
+            sets_.select(F.col("doc_id"), F.col("sh").alias("sha")), "doc_id"
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sh").alias("shb")
+            ),
+            "corpus_id",
+        )
+        .filter(
+            fround(
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / (
+                    F.size("sha")
+                    + F.size("shb")
+                    - F.size(F.array_intersect("sha", "shb"))
+                ).cast("double"),
+                4,
+            )
+            >= F.lit(threshold)
+        )
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("near_dup_of"))
+    )
+    batch_docs = documents.filter(is_batch).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return batch_docs.join(confirmed, "doc_id", "left").select(
+        "doc_id",
+        "near_dup_of",
+        F.col("near_dup_of").isNull().alias("kept"),
+    )
+
+
+def incremental_dedup_sql(
+    threshold: float = DEDUP_CLUSTER_MIN_JACCARD,
+) -> str:
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS s{j}"
+        for j, (a, b) in enumerate(PERMS)
+    )
+    jac = (
+        "FLOOR((CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)"
+        " / CAST(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)) AS DOUBLE))"
+        " * 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_SQL_H32.format(s='s')}) AS hs FROM sh),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hs),
+keys AS ({_sql_band_keys()}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS corpus_id
+  FROM keys b JOIN keys c ON b.band = c.band AND b.bucket = c.bucket
+  WHERE b.doc_id % {INCR_BATCH_MOD} = 0 AND c.doc_id % {INCR_BATCH_MOD} <> 0
+),
+confirmed AS (
+  SELECT cand.doc_id, MIN(cand.corpus_id) AS near_dup_of
+  FROM cand
+  JOIN hs a ON a.doc_id = cand.doc_id
+  JOIN hs b2 ON b2.doc_id = cand.corpus_id
+  WHERE {jac} >= {threshold}
+  GROUP BY cand.doc_id
+)
+SELECT d.doc_id, confirmed.near_dup_of,
+       confirmed.near_dup_of IS NULL AS kept
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} = 0) d
+LEFT JOIN confirmed USING (doc_id)
+"""

@@ -111,3 +111,15 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
     )
     return dedup.dedup_clusters(pairs)
+
+
+@query("x_dedup_incremental", oracle=dedup.incremental_dedup_sql())
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: an incoming batch (doc_id % 5 == 0) is checked
+    against the existing corpus via the LSH band-key index -- candidates
+    confirmed with exact Jaccard, batch doc kept iff no corpus near-dup.
+    Per-batch cost tracks |batch| x BANDS probe rows against a persisted
+    bucket-keyed corpus index, never |corpus|^2 (operators/dedup.py
+    incremental_dedup)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.incremental_dedup(t.documents)

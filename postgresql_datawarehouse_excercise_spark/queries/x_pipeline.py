@@ -811,3 +811,51 @@ def x_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (wbp.cast("double") / 10000.0).alias("weight"),
     )
+
+
+_SCD2_PIT_SQL = f"""WITH hist AS ({_SCD2_HISTORY_SQL})
+SELECT o.o_orderkey AS orderkey,
+       o.o_custkey AS customerid,
+       o.o_orderdate AS orderdate,
+       h.priority AS effective_priority,
+       h.valid_from
+FROM orders o
+JOIN hist h
+  ON h.customerid = o.o_custkey
+ AND h.valid_from <= o.o_orderdate
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+"""
+
+
+@query("x_pipeline_scd2_pointintime", oracle=_SCD2_PIT_SQL)
+def x_pipeline_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment against the SCD2 dimension: every
+    order joins the customer-history row in effect AT ITS ORDER DATE
+    (valid_from <= ts < valid_to, open row unbounded) -- the join that
+    makes SCD2 histories useful.  Plan shape: an EQUI hash join on the
+    dimension key with the interval predicate as a residual filter, so the
+    fact shuffles once on customerid and no range/theta join ever forms;
+    at 100 TB both sides hash-partition on the key and the per-key
+    interval scan is bounded by that customer's change count."""
+    from ..operators import scd
+
+    t = catalog.load(spark, sf_dir)
+    hist = scd.scd2_from_snapshots(
+        _scd2_snapshots(t), ["customerid"], ["priority"], "observed_at"
+    )
+    o = t.orders
+    return (
+        o.join(
+            hist,
+            (hist.customerid == o.o_custkey)
+            & (hist.valid_from <= o.o_orderdate)
+            & (hist.valid_to.isNull() | (o.o_orderdate < hist.valid_to)),
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("customerid"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("priority").alias("effective_priority"),
+            F.col("valid_from"),
+        )
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import catalog
 from ..functions import fround
-from ..operators import similarity
+from ..operators import pca, similarity
 from . import query
 
 QUERY_VEC_ID = 0
@@ -79,6 +79,18 @@ def x_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup rule bit-for-bit."""
     t = catalog.load(spark, sf_dir)
     return similarity.semantic_dedup(t.embeddings)
+
+
+@query("x_sim_pca_power", oracle=pca.pca_project_sql())
+def x_sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus (operators/pca.py):
+    covariance as per-partition int64 GEMM partials (one Arrow pass, driver
+    holds DIM^2 integers regardless of corpus size), 3 power iterations on
+    the constant-size matrix, then one broadcast-literal projection pass.
+    All integer-grid arithmetic -- the DuckDB oracle replays the moment
+    identity, every unrolled iteration, and each projection bit-for-bit."""
+    t = catalog.load(spark, sf_dir)
+    return pca.pca_project(t.embeddings)
 
 
 @query(

@@ -823,3 +823,51 @@ def x_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
       ) c
     """)
+
+
+@query(
+    "x_sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE chain(start_key, cur, depth, chain_cost) AS (
+  SELECT p_partkey, p_partkey, 0,
+         CAST(p_retailprice AS DECIMAL(18,2))
+  FROM part WHERE p_partkey < 256
+  UNION ALL
+  SELECT c.start_key, p.p_partkey, c.depth + 1,
+         CAST(c.chain_cost + CAST(p.p_retailprice AS DECIMAL(18,2))
+              AS DECIMAL(18,2))
+  FROM chain c JOIN part p ON p.p_partkey = (c.cur - 1) // 2
+  WHERE c.cur > 0
+)
+SELECT start_key, CAST(MAX(depth) AS INT) AS depth,
+       CAST(MAX(chain_cost) AS DOUBLE) AS chain_cost
+FROM chain GROUP BY start_key
+""",
+)
+def x_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE): bill-of-materials-style
+    hierarchy walk -- every part's assembly chain to the root under the
+    implicit parent = (key-1)/2 tree, accumulating exact-decimal cost along
+    the path.  Each recursion step is one equi-join against the parts
+    relation (depth <= log2(max key) rounds, no driver loop); the
+    monotone-depth accumulator keeps the recursion finite on both engines.
+    The same WITH RECURSIVE text (modulo integer-division spelling) runs on
+    DuckDB as the oracle."""
+    t = catalog.load(spark, sf_dir)
+    t.part.createOrReplaceTempView("rec_part")
+    return spark.sql("""
+      WITH RECURSIVE chain(start_key, cur, depth, chain_cost) AS (
+        SELECT p_partkey, p_partkey, 0,
+               CAST(p_retailprice AS DECIMAL(18,2))
+        FROM rec_part WHERE p_partkey < 256
+        UNION ALL
+        SELECT c.start_key, p.p_partkey, c.depth + 1,
+               CAST(c.chain_cost + CAST(p.p_retailprice AS DECIMAL(18,2))
+                    AS DECIMAL(18,2))
+        FROM chain c JOIN rec_part p ON p.p_partkey = (c.cur - 1) DIV 2
+        WHERE c.cur > 0
+      )
+      SELECT start_key, CAST(MAX(depth) AS INT) AS depth,
+             CAST(MAX(chain_cost) AS DOUBLE) AS chain_cost
+      FROM chain GROUP BY start_key
+    """)

@@ -471,3 +471,36 @@ def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
         import shutil
 
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_pca_projection_pass_is_shuffle_free(spark, sf_dir):
+    """The PCA entry's RETURNED plan is the final projection pass only
+    (covariance/power iteration resolve to literal constants at plan
+    time): one vector scan, the eigenvector inlined as a literal array,
+    no Exchange and no join -- the map-only shape that scales to any
+    corpus size."""
+    df = REG["x_sim_pca_power"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_incremental_dedup_probe_stays_bucket_keyed(spark, sf_dir):
+    """Ingest-time dedup must probe the corpus through the (band, bucket)
+    index join -- never a cartesian pairing of batch x corpus and never a
+    single-partition gather."""
+    df = REG["x_dedup_incremental"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_scd2_pointintime_rides_the_equi_join(spark, sf_dir):
+    """The point-in-time join's interval predicate must ride the EQUI hash
+    join on the dimension key as a residual filter; a
+    BroadcastNestedLoopJoin/CartesianProduct would mean Catalyst saw only
+    the range condition and the shape dies at scale."""
+    df = REG["x_pipeline_scd2_pointintime"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
