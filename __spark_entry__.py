@@ -69,6 +69,8 @@ _TOUCHED_THIS_ROUND = (
     "x_dedup_incremental",          # new: batch-vs-corpus ingest dedup
     "x_pipeline_scd2_pointintime",  # new: as-of fact join on SCD2 history
     "x_sql_recursive_cte",          # new: WITH RECURSIVE hierarchy walk
+    "x_source_python_datasource",   # new: Spark 4 Python DataSource API
+    "x_sql_variant_json",           # new: VARIANT parse_json/variant_get
     "x_sim_ann_ivf",
     "x_sim_ann_recall",
     "x_sim_ann_lsh",

@@ -231,6 +231,13 @@ def main() -> None:
         "x_sim_quantize_int8",
         "x_sim_kmeans",
         "x_sim_ann_recall",
+        "x_sim_semantic_dedup",
+        "x_sim_pca_power",
+        "x_dedup_incremental",
+        "x_pipeline_scd2_pointintime",
+        "x_sql_recursive_cte",
+        "x_source_python_datasource",
+        "x_sql_variant_json",
         "x_text_chunk_overlap",
         "x_asof_latest_order",
         "x_asof_latest_order_7d",

@@ -199,3 +199,47 @@ def x_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(dec("o_totalprice"))).alias("total_price"),
     )
+
+
+@query(
+    "x_source_python_datasource",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_hash
+FROM documents
+GROUP BY source
+""",
+)
+def x_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's PYTHON DataSource API
+    (sources/pyds.py): documents -> gzip JSONL -> re-read through a
+    pure-Python DataSource (one InputPartition per file, executor-side
+    line parsing, schema-explicit) -> per-source aggregate with an
+    order-canonical content hash.  Hash equality against the original
+    parquet proves the whole custom-source path is lossless -- the
+    pattern for attaching Spark to formats/systems that only have a
+    Python SDK."""
+    from ..sources import pyds
+
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-pyds-")
+    files.write_jsonl(t.documents, out)
+    spark.dataSource.register(pyds.JsonlDataSource)
+    back = (
+        spark.read.format("pdwx_jsonl")
+        .schema(t.documents.schema)
+        .load(out)
+    )
+    return (
+        back.select("source", "n_chars", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+                "content_hash"
+            ),
+        )
+    )

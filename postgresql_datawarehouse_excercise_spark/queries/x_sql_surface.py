@@ -871,3 +871,37 @@ def x_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(chain_cost) AS DOUBLE) AS chain_cost
       FROM chain GROUP BY start_key
     """)
+
+
+@query(
+    "x_sql_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def x_sql_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    parse_json once per row into the binary variant encoding, then typed
+    path extraction with variant_get -- the columnar-shredded path for
+    JSON event payloads (parse once, extract many, no per-extraction
+    re-parse of the text).  The DuckDB oracle extracts the same paths
+    with its JSON operators."""
+    t = catalog.load(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+        )
+    )
