@@ -247,15 +247,19 @@ def _ivf_train(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     q = base.select("vec_id", "qv")
     cents = clustering.init_centroids(q, IVF_CELLS)
     assigned_ids = clustering.assign(q, cents)
-    for _ in range(IVF_ROUNDS - 1):
+    for i in range(IVF_ROUNDS - 1):
         rows = clustering.recompute(q, assigned_ids).collect()
         cents = base.sparkSession.createDataFrame(
             [(int(r.cid), list(r.cq)) for r in sorted(rows, key=lambda r: r.cid)],
             "cid int, cq array<bigint>",
         )
-        assigned_ids = clustering.assign(q, cents)
-    # one argmin pass carrying the ranking payload (map-side combined MIN
-    # over (dist2, cid) structs -- the shuffle moves one row per vector)
+        if i < IVF_ROUNDS - 2:
+            assigned_ids = clustering.assign(q, cents)
+    # the FINAL Lloyd assignment is the payload argmin pass below -- one
+    # argmin pass carrying the ranking payload (map-side combined MIN over
+    # (dist2, cid) structs; the shuffle moves one row per vector).  Running
+    # clustering.assign once more first would compute the identical
+    # assignment and throw it away (a full extra shuffle job per entry).
     j = base.crossJoin(F.broadcast(cents)).select(
         "vec_id", "e", "n",
         F.struct(clustering._dist2(F.col("qv"), F.col("cq")).alias("dist2"),

@@ -374,3 +374,50 @@ def funnel_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_spend_tws(events: DataFrame) -> DataFrame:
+    """Per-user spend totals via transformWithStateInPandas -- Spark 4's
+    successor to applyInPandasWithState (named state variables, TTL,
+    timers, initial state).  A ValueState tuple (sum_cents, n) carries the
+    running totals across micro-batches; spend is accumulated in exact
+    integer cents (portable half-up on the double input), so the final
+    state reproduces the batch aggregate bit-for-bit on any engine.
+
+    Scale: state is one 16-byte tuple per user key, partitioned by the
+    stream's groupBy shuffle -- the same bounded-state story as the
+    applyInPandasWithState entry, on the API that adds lifecycle control."""
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "sum_cents long, n long")
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            got = self._totals.get()
+            s, n = got if got is not None else (0, 0)
+            for pdf in rows:
+                if len(pdf):
+                    cents = np.floor(
+                        pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+                    ).astype("int64")
+                    s += int(cents.sum())
+                    n += len(pdf)
+            self._totals.update((s, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "spend_cents": [s], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SpendProcessor(),
+        outputStructType="user_id bigint, spend_cents bigint, n_events bigint",
+        outputMode="update",
+        timeMode="none",
+    )
