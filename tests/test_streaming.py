@@ -385,3 +385,39 @@ def test_funnel_state_carries_across_time_ordered_batches(spark, sf_dir, tmp_pat
     s3 = {r[0] for r in fp.collect()}
     want = {u: (3 if u in s3 else 2 if u in s2 else 1 if u in s1 else 0) for u in users}
     assert got == want
+
+
+def test_tws_spend_equals_batch_when_protobuf_available(spark, sf_dir):
+    """transformWithStateInPandas (streaming/events.user_spend_tws): the
+    named-state running spend must reproduce the batch aggregate exactly.
+    The TWS driver worker imports google.protobuf at stream start; this
+    sandbox has no protobuf (and no pip), so the test SKIPS here and runs
+    on any standard Spark 4 install -- the reason the operator has no
+    driver-gate registry entry (queries/x_streaming.py)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in sandbox; TWS worker needs it")
+    stream = se.user_spend_tws(se.read_events_stream(spark, sf_dir))
+    sunk = se.run_finite_to_sink(stream)
+    got = (
+        se.latest_per_key(sunk, ["user_id"])
+        .select("user_id", "spend_cents", "n_events")
+        .orderBy("user_id")
+        .collect()
+    )
+    t = catalog.load(spark, sf_dir)
+    want = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("spend_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
