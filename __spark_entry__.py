@@ -71,6 +71,8 @@ _TOUCHED_THIS_ROUND = (
     "x_sql_recursive_cte",          # new: WITH RECURSIVE hierarchy walk
     "x_source_python_datasource",   # new: Spark 4 Python DataSource API
     "x_sql_variant_json",           # new: VARIANT parse_json/variant_get
+    "x_text_udtf_runs",             # new: Arrow UDTF token run-lengths
+    "x_events_interpolate",         # new: linear interpolation on the grid
     "x_sim_ann_ivf",
     "x_sim_ann_recall",
     "x_sim_ann_lsh",

@@ -219,6 +219,7 @@ def main() -> None:
         "x_events_retention_cohorts",
         "x_events_hourly_anomaly",
         "x_events_gap_fill",
+        "x_events_interpolate",
         "x_events_trailing_24h",
         "x_events_attribution",
         "x_text_pii_redact",
@@ -238,6 +239,7 @@ def main() -> None:
         "x_sql_recursive_cte",
         "x_source_python_datasource",
         "x_sql_variant_json",
+        "x_text_udtf_runs",
         "x_text_chunk_overlap",
         "x_asof_latest_order",
         "x_asof_latest_order_7d",

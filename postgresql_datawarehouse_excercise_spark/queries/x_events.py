@@ -610,3 +610,121 @@ def x_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_click_id")).alias("attributed_click_id"),
         F.when(fresh, F.col("last_click_ts")).alias("attributed_click_ts"),
     )
+
+
+@query(
+    "x_events_interpolate",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM hourly),
+j AS (
+  SELECT g.h, g.event_type, e.cents,
+         epoch_us(g.h) // 3600000000 AS hidx
+  FROM (SELECT h, event_type FROM hours CROSS JOIN types) g
+  LEFT JOIN hourly e ON g.h = e.h AND g.event_type = e.event_type
+),
+nb AS (
+  SELECT h, event_type, cents, hidx,
+         last_value(cents IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN cents IS NOT NULL THEN hidx END IGNORE NULLS)
+           OVER wp AS ph,
+         first_value(cents IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN cents IS NOT NULL THEN hidx END IGNORE NULLS)
+           OVER wn AS nh
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+ab AS (
+  SELECT h, event_type, cents,
+         2 * (pv * (nh - hidx) + nv * (hidx - ph)) + (nh - ph) AS a,
+         2 * (nh - ph) AS b
+  FROM nb
+)
+SELECT h AS window_start, event_type, cents IS NOT NULL AS observed,
+       CAST(CASE
+         WHEN cents IS NOT NULL THEN cents
+         WHEN a IS NOT NULL THEN (a - ((a % b + b) % b)) // b
+       END AS DOUBLE) / 100.0 AS interp_value
+FROM ab
+""",
+)
+def x_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over the gap-filled hourly grid
+    (the hypertable `interpolate()` analog, completing LOCF from
+    x_events_gap_fill): every absent (hour, type) cell between two
+    observations gets the exact linear blend of its neighbors; leading /
+    trailing gaps stay NULL.  Arithmetic runs in integer cents with the
+    half-up floored quotient, so both engines produce identical values.
+
+    Scale shape: identical to gap_fill -- one |events|-sized aggregate
+    shared via lazy localCheckpoint, a distributed hour spine, and two
+    window passes per type (prev/next observed neighbor), state bounded by
+    the spine length per type partition."""
+    from pyspark.sql.window import Window
+
+    from ..functions import c100
+
+    t = catalog.load(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.sum(c100("value")).alias("cents"))
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    j = grid.join(hourly, ["h", "event_type"], "left").withColumn(
+        "hidx", F.expr("unix_micros(h) DIV 3600000000")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("hidx"))
+    nb = j.select(
+        "h",
+        "event_type",
+        "cents",
+        "hidx",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    num = (
+        F.col("pv") * (F.col("nh") - F.col("hidx"))
+        + F.col("nv") * (F.col("hidx") - F.col("ph"))
+    )
+    den = F.col("nh") - F.col("ph")
+    interp = nb.withColumn("_a", 2 * num + den).withColumn("_b", 2 * den)
+    return interp.select(
+        F.col("h").alias("window_start"),
+        "event_type",
+        F.col("cents").isNotNull().alias("observed"),
+        (
+            F.when(F.col("cents").isNotNull(), F.col("cents"))
+            .when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                F.expr("(_a - ((_a % _b + _b) % _b)) div _b"),
+            )
+            .cast("double")
+            / 100.0
+        ).alias("interp_value"),
+    )

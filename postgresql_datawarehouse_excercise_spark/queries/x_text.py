@@ -514,3 +514,62 @@ def x_text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dupe_blocks"),
         ratio(keep, F.count(F.lit(1))).alias("keep_ratio"),
     )
+
+
+@query(
+    "x_text_udtf_runs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token FROM toks
+),
+isl AS (
+  SELECT doc_id, pos, token,
+         pos - row_number() OVER (PARTITION BY doc_id, token ORDER BY pos) AS grp
+  FROM pos
+),
+runs AS (
+  SELECT doc_id, MIN(pos) AS run_start, token, COUNT(*) AS run_len
+  FROM isl GROUP BY doc_id, token, grp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(run_start AS INT) AS run_start,
+       token, CAST(run_len AS INT) AS run_len
+FROM runs WHERE run_len >= 2
+""",
+)
+def x_text_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, Arrow-optimized): per-document run-length
+    extraction of consecutively repeated tokens -- the one imperative
+    row-generator in the engine, completing the SURVEY SSI UDF surface
+    (pandas UDFs cover the vectorized side).  The UDTF streams each doc
+    once executor-side and yields only len>=2 runs; the DuckDB oracle
+    derives identical runs declaratively (gaps-and-islands over token
+    positions).  Everything else text-side stays JVM expressions -- this
+    entry exists to pin the UDTF lane (LATERAL correlated table function),
+    not to replace codegen paths."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_start int, token string, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+            i, n = 0, len(toks)
+            while i < n:
+                j = i
+                while j < n and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield (i + 1, toks[i], j - i)
+                i = j
+
+    spark.udtf.register("pdwx_token_runs", TokenRuns)
+    t = catalog.load(spark, sf_dir)
+    t.documents.createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+      SELECT d.doc_id, s.run_start, s.token, s.run_len
+      FROM udtf_docs d, LATERAL pdwx_token_runs(d.text) s
+    """)

@@ -102,6 +102,9 @@ def main() -> None:
         F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
     )
     timed("dedup_clusters", lambda: dedup.dedup_clusters(strong))
+    # ingest-time dedup at Kx (copy shifts are multiples of 1e9 = 0 mod 5,
+    # so the batch fraction stays exactly 20% of the multiplied corpus)
+    timed("incremental_dedup", dedup.incremental_dedup(docs))
 
     # decontamination kernel at Kx: shingle the multiplied corpus once,
     # broadcast the eval gram set, probe map-side (x_pipeline_decontaminate)
@@ -133,6 +136,16 @@ def main() -> None:
     from postgresql_datawarehouse_excercise_spark.operators import clustering
 
     timed("kmeans_2rounds", clustering.kmeans_assignments(emb))
+    # semantic dedup at Kx: the pairwise term is per-cluster |c|^2 -- k
+    # scales with N in production; here the fixed k=8 makes this the WORST
+    # case (clusters grow linearly), so staying sub-quadratic in wall time
+    # is the conservative bound
+    timed("semantic_dedup", lambda: similarity.semantic_dedup(emb))
+    # PCA at Kx: two data passes (moment GEMM partials + mean), constant
+    # driver state (DIM^2), one projection map -- cost must track |V|
+    from postgresql_datawarehouse_excercise_spark.operators import pca
+
+    timed("pca_project", lambda: pca.pca_project(emb))
 
     line = multiply(t.lineitem, "l_orderkey", k)
     ords = multiply(t.orders, "o_orderkey", k)
