@@ -421,3 +421,58 @@ def test_tws_spend_equals_batch_when_protobuf_available(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
+    """Production resilience: a stateful streaming query stopped and
+    RESTARTED from its checkpoint must (a) not reprocess already-committed
+    files and (b) carry its aggregation state across the restart -- the
+    final per-user counts over two separately-ingested slices must equal
+    the batch aggregate over the union.  Double counts = files replayed;
+    undercounts = state lost; both are restart bugs this pins."""
+    t = catalog.load(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "user_id")
+    inp = str(tmp_path / "inp")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(inp)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(inp)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+        def sink(batch_df, epoch):
+            batch_df.withColumn("_epoch", F.lit(epoch)).write.mode(
+                "append"
+            ).parquet(sink_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(inp)
+    drain()
+
+    got = sorted(
+        tuple(r)
+        for r in se.latest_per_key(
+            spark.read.parquet(sink_dir), ["user_id"]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == want
