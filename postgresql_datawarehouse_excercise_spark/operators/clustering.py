@@ -127,3 +127,59 @@ def kmeans_assignments(
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist2").alias("dist2_q")
     )
+
+
+def assign_gemm(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """assign()'s large-k fast path: the same EXACT integer argmin
+    (squared L2 on the micro-unit grid, ties to the lowest cid), computed
+    as ||q||^2 - 2 qC^T + ||c||^2 with int64 numpy GEMM inside mapInPandas
+    instead of k per-row fold expressions.  Output is bit-identical to
+    assign(); per-vector cost drops from k interpreted 64-element folds to
+    one BLAS row.  The k-row centroid relation ships to executors as a
+    closure-captured array (k is a bounded hyperparameter).  Overflow
+    bound: |q| <= ~2^21 micro-units keeps every term under 2^63 for
+    dim 64."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(cents.collect(), key=lambda r: r.cid)
+    cent_mat = np.array([list(r.cq) for r in crows], dtype=np.int64)
+    cids = np.array([r.cid for r in crows], dtype=np.int64)
+    c2 = (cent_mat * cent_mat).sum(axis=1)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            q2 = (qm * qm).sum(axis=1)
+            d2 = q2[:, None] - 2 * (qm @ cent_mat.T) + c2[None, :]
+            # cids ascend, np.argmin returns the FIRST minimum -> ties break
+            # to the lowest cid, matching assign()'s MIN(struct(dist2, cid))
+            best = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[best].astype("int32"),
+                    "dist2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return q.select("vec_id", "qv").mapInPandas(kern, "vec_id long, cid int, dist2 long")
+
+
+def kmeans_assignments_gemm(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """kmeans_assignments with the GEMM assignment path -- identical
+    output; the form to use when k is large (SemDeDup-style clustering
+    where k scales with the corpus)."""
+    q = quantize(embeddings)
+    cents = init_centroids(q, k)
+    assigned = assign_gemm(q, cents)
+    for _ in range(iters - 1):
+        cents = recompute(q, assigned)
+        assigned = assign_gemm(q, cents)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist2").alias("dist2_q")
+    )

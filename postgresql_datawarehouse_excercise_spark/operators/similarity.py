@@ -524,33 +524,60 @@ def semantic_dedup(
     lower-id near-duplicate (cosine >= threshold) -- the keep-lowest-id
     rule that makes the survivor set deterministic on any engine.
 
-    Scale design: the pairwise comparison is confined to single clusters
-    (join key = cluster id), so the quadratic term is per-cluster
-    |cluster|^2, not corpus^2 -- at 100 TB k grows with N to keep clusters
-    bounded and every cluster dedups in parallel on its own partition; no
-    all-pairs join ever forms.  Output: (vec_id, cluster, kept)."""
-    from .clustering import kmeans_assignments
+    Scale design: the pairwise comparison is confined to single clusters,
+    and WITHIN a cluster it runs as the blocked numpy GEMM
+    (cosine_neardup_blocked's kernel, BLAS instead of a 64-element
+    interpreted fold per pair) over a (cluster, block-pair) grid -- only
+    small block-list rows move, every grid cell computes independently on
+    its own partition, and no all-pairs join ever forms.  The quadratic
+    term is per-cluster |cluster|^2; at 100 TB k grows with N to keep
+    clusters bounded (the SemDeDup recipe), which the 10x scale smoke
+    exercises with k scaled alongside the data.
+    Output: (vec_id, cluster, kept)."""
+    import numpy as np
+    import pandas as pd
 
-    assigned = kmeans_assignments(embeddings, k=k, iters=2).select(
+    from .clustering import kmeans_assignments_gemm
+
+    assigned = kmeans_assignments_gemm(embeddings, k=k, iters=2).select(
         "vec_id", "cluster"
     )
     base = _norms(embeddings).join(assigned, "vec_id")
-    a = base.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("n").alias("an"),
+    unit = base.select(
+        "cluster",
+        (F.col("vec_id") / BLOCK_SIZE).cast("long").alias("block"),
+        "vec_id",
+        F.zip_with("e", F.array_repeat(F.col("n"), 64), lambda x, nn: x / nn).alias("u"),
     )
-    b = base.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), F.col("n").alias("bn"),
+    blocks = unit.groupBy("cluster", "block").agg(
+        F.collect_list(F.struct("vec_id", "u")).alias("vs")
     )
-    cos = fround(dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6)
-    dup_ids = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cos >= threshold)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
+    ga = blocks.select(
+        F.col("cluster").alias("ca"), F.col("block").alias("ba"), F.col("vs").alias("va")
     )
+    gb = blocks.select(
+        F.col("cluster").alias("cb"), F.col("block").alias("bb"), F.col("vs").alias("vb")
+    )
+    grid = ga.join(gb, (F.col("ca") == F.col("cb")) & (F.col("ba") <= F.col("bb")))
+
+    def dup_gemm(batches):
+        for pdf in batches:
+            hits: list[np.ndarray] = []
+            for _, row in pdf.iterrows():
+                ia = np.array([v["vec_id"] for v in row["va"]])
+                ib = np.array([v["vec_id"] for v in row["vb"]])
+                ma = np.array([v["u"] for v in row["va"]])
+                mb = np.array([v["u"] for v in row["vb"]])
+                sims = np.round(ma @ mb.T, 6)
+                ai, bi = np.nonzero(sims >= threshold)
+                va, vb = ia[ai], ib[bi]
+                keep = va < vb
+                if keep.any():
+                    hits.append(vb[keep])
+            out = np.unique(np.concatenate(hits)) if hits else np.array([], dtype="int64")
+            yield pd.DataFrame({"vec_id": out.astype("int64")})
+
+    dup_ids = grid.mapInPandas(dup_gemm, "vec_id long").distinct()
     return base.select("vec_id", "cluster").join(
         dup_ids.withColumn("__dup", F.lit(1)), "vec_id", "left"
     ).select(

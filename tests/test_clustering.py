@@ -50,3 +50,17 @@ def test_init_centroids_are_lowest_vec_ids(spark, sf_dir):
     lowest = [r.qv for r in q.orderBy("vec_id").limit(4).collect()]
     got = [c.cq for c in sorted(cents, key=lambda c: c.cid)]
     assert [list(x) for x in got] == [list(x) for x in lowest]
+
+
+def test_assign_gemm_bit_identical_to_expression_assign(spark, sf_dir):
+    """The large-k GEMM assignment fast path must produce the exact rows of
+    the expression-based assign() -- same integer distances, same
+    lowest-cid tie-break -- at several k values (the contract that lets
+    semantic_dedup swap kernels without touching its oracle)."""
+    t = catalog.load(spark, sf_dir)
+    q = clustering.quantize(t.embeddings)
+    for k in (3, 8, 17):
+        cents = clustering.init_centroids(q, k)
+        a = sorted(map(tuple, clustering.assign(q, cents).collect()))
+        b = sorted(map(tuple, clustering.assign_gemm(q, cents).collect()))
+        assert a == b, f"k={k}"
