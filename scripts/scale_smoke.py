@@ -9,32 +9,38 @@ quadratically thanks to their DF cutoffs / banding / blocking.
 
 Usage: python scripts/scale_smoke.py [K]     (default K=10)
 
-Measured at K=10 on local[32] (vs the sf0.1 bench numbers):
-  minhash_signatures      50,000 docs   15.7 s   (1.5 s at 1x -> linear)
-  minhash_lsh_pairs      250,600 pairs  18.8 s   (output grew 1000x: copies
+Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
+  minhash_signatures      50,000 docs    6.6 s   (0.7 s at 1x -> linear)
+  minhash_lsh_pairs      250,600 pairs   8.6 s   (output grew 1000x: copies
                                                   are genuine duplicates)
-  ngram_jaccard_pairs    249,205 pairs  65.1 s   (same output blowup)
-  simhash                 50,000 docs    8.7 s   (linear)
-  cosine_neardup_blocked 503,700 pairs   6.8 s   (50k vecs = 2.5G candidate
+  ngram_jaccard_pairs    249,205 pairs  17.8 s   (same output blowup)
+  simhash                 50,000 docs    1.2 s   (linear)
+  dedup_clusters          50,000 docs    9.2 s   (dense K-copy components,
+                                                  the CC loop's worst case)
+  incremental_dedup       10,000 batch   2.8 s   (20% batch vs 80% corpus,
+                                                  bucket-keyed probe)
+  cosine_neardup_blocked 503,700 pairs   6.1 s   (50k vecs = 2.5G candidate
                                                   pairs through BLAS blocks)
-  sales_fact_build     6M line rows     11.0 s   (includes the in-memory
-                                                  10x multiplication; was
-                                                  21.8 s before the
-                                                  long-cents product)
-  knn_join_8q             50,000 corpus  4.4 s   (8 queries x 50k exact
+  knn_join_8q             50,000 corpus  3.1 s   (8 queries x 50k exact
                                                   cosine in one pass)
-  stats_moments_sums   6M line rows      6.0 s   (six exact integer power
+  kmeans_2rounds          20,000 vecs    8.5 s   (k=8 expression path)
+  semantic_dedup_scaledk  20,000 vecs    4.9 s   (k=8K: production config,
+                                                  GEMM assign + pair kernel;
+                                                  33 s at fixed k=8, 73 s
+                                                  before the GEMM kernels)
+  pca_project             20,000 vecs    2.4 s   (two passes + projection)
+  sales_fact_build     6M line rows     11.0 s   (incl. in-memory 10x
+                                                  multiplication)
+  stats_moments_sums   6M line rows      5.0 s   (six exact integer power
                                                   sums, one shuffle)
-  salted_hot_key_sum   2M events         1.1 s   (5 hot keys fanned over
+  salted_hot_key_sum   2M events         1.0 s   (5 hot keys fanned over
                                                   16 salt buckets)
-  (the last three measured on a contended host -- same-day baseline ops ran
-  ~2-3x their recorded times, so treat them as upper bounds)
 
 TPC-H shapes at K=10 (round 6 -- facts AND the SF-scaling customer/part
 multiplied with FK-consistent re-keying, so AQE sees real file sizes for
 EVERY de-hinted side; no join carries a static broadcast hint anymore):
-  q3 4.8 s | q5 2.6 s | q7 2.8 s | q8 3.3 s | q9 4.9 s | q10 2.6 s |
-  q21 7.3 s  (vs 0.3-1.7 s at 1x: sub-linear to linear; no OOM)
+  q3 4.5 s | q5 2.7 s | q7 2.8 s | q8 3.4 s | q9 5.1 s | q10 2.5 s |
+  q21 6.7 s  (vs 0.3-1.7 s at 1x: sub-linear to linear; no OOM)
 """
 
 from __future__ import annotations
