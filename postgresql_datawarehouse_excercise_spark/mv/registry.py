@@ -71,6 +71,13 @@ class MVRegistry:
     warehouse: str
     defs: dict[str, MVDef] = field(default_factory=dict)
     stats: dict[str, int] = field(default_factory=dict)
+    # session that _analyze registered catalog tables into: drop_all uses it
+    # so bare drop_all() cannot leak dead external-table entries pointing at
+    # deleted temp dirs (field excluded from equality/repr by being mutable
+    # state, not identity)
+    _analyze_spark: SparkSession | None = field(
+        default=None, repr=False, compare=False
+    )
 
     def register(self, mv: MVDef) -> MVDef:
         for col, kind in mv.measures.items():
@@ -110,6 +117,7 @@ class MVRegistry:
             return
         tbl = self.table_name(name)
         loc = os.path.abspath(self.path(name))
+        self._analyze_spark = spark
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{loc}'")
         if mv.grain:
@@ -397,13 +405,16 @@ class MVRegistry:
         return spark.read.parquet(self.path(name))
 
     def drop_all(self, spark: SparkSession | None = None) -> None:
-        """DROP ... CASCADE analog: remove in reverse dependency order (and,
-        when a session is supplied, the analyzed catalog tables over the
-        deleted paths; table names are warehouse-hashed, so a leftover entry
-        in a temp session can never collide with a new registry)."""
+        """DROP ... CASCADE analog: remove in reverse dependency order plus
+        the analyzed catalog tables over the deleted paths (the session
+        _analyze used is remembered, so a bare drop_all() cleans them too
+        instead of leaking dead external-table entries; table names are
+        warehouse-hashed, so a leftover entry in a temp session can never
+        collide with a new registry)."""
+        sess = spark if spark is not None else self._analyze_spark
         for name in reversed(self.topo_order()):
-            if spark is not None:
-                spark.sql(f"DROP TABLE IF EXISTS {self.table_name(name)}")
+            if sess is not None:
+                sess.sql(f"DROP TABLE IF EXISTS {self.table_name(name)}")
             shutil.rmtree(self.path(name), ignore_errors=True)
         self.stats.clear()
         # evict any catalog cache slots now pointing at deleted files

@@ -185,14 +185,18 @@ def _exact_widening(from_sql: str, to_sql: str) -> bool:
     return False
 
 
-def _equi_name_set(expr) -> set[str] | None:
+def _equi_pairs(expr) -> list | None:
     """For a conjunction of EqualTo(attr, attr) with IDENTICAL names on both
-    sides, the set of those names; None for anything else."""
+    sides, the list of (lhs, rhs) AttributeReference pairs; None for
+    anything else.  Callers must still verify the pair SPANS the join
+    (one side per child): a tautological `sales.timeid = sales.timeid`
+    passes the name test but is a filtered cross join, not the star
+    attachment."""
     c = _cls(expr)
     if c == "And":
-        left = _equi_name_set(expr.left())
-        right = _equi_name_set(expr.right())
-        return None if left is None or right is None else left | right
+        left = _equi_pairs(expr.left())
+        right = _equi_pairs(expr.right())
+        return None if left is None or right is None else left + right
     if c == "EqualTo":
         lhs, rhs = expr.left(), expr.right()
         if (
@@ -200,7 +204,7 @@ def _equi_name_set(expr) -> set[str] | None:
             and _cls(rhs) == "AttributeReference"
             and lhs.name() == rhs.name()
         ):
-            return {lhs.name()}
+            return [(lhs, rhs)]
     return None
 
 
@@ -219,14 +223,29 @@ def _match_reference_join(node) -> bool:
     cond = node.condition()
     if not cond.isDefined():
         return False
-    if _equi_name_set(cond.get()) != set(_JOIN_KEYS):
+    pairs = _equi_pairs(cond.get())
+    if pairs is None or {lhs.name() for lhs, _ in pairs} != set(_JOIN_KEYS):
         return False
-    leaves = []
+    leaves, child_ids = [], []
     for ch in _children(node):
         if _cls(ch) != "SubqueryAlias":
             return False
         leaves.append(str(ch.alias()))
-    return set(leaves) == set(_JOIN_LEAVES) and len(leaves) == 2
+        child_ids.append({a.exprId().id() for a in _seq(ch.output())})
+    if set(leaves) != set(_JOIN_LEAVES) or len(leaves) != 2:
+        return False
+    # every equality must SPAN the join -- one attribute from each child.
+    # A same-side equality (sales.timeid = sales.timeid) is a filtered
+    # cross join: rewriting it as the star attachment would silently
+    # change semantics, so it must fall through to direct execution.
+    for lhs, rhs in pairs:
+        li, ri = lhs.exprId().id(), rhs.exprId().id()
+        if not (
+            (li in child_ids[0] and ri in child_ids[1])
+            or (li in child_ids[1] and ri in child_ids[0])
+        ):
+            return False
+    return True
 
 
 def _strip_quals(sql_text: str, quals: frozenset[str]) -> str:
@@ -437,7 +456,7 @@ def _match_star_query(jplan, view_name: str):
             sort_orders, project, limit, source)
 
 
-_CANON_CACHE: dict[tuple[str, str], str | None] = {}
+_CANON_CACHE: dict[tuple[str, str, str], str | None] = {}
 
 
 def _canonical_measure_sql(
@@ -448,8 +467,18 @@ def _canonical_measure_sql(
     texts match iff Catalyst analyzes them to the same expression (name
     resolution, type coercion, literal casts all normalized).  None when
     the declared text does not analyze against the view (view absent or
-    schema drift): the expr measure is then simply not offered."""
-    key = (view_name, expr_text)
+    schema drift): the expr measure is then simply not offered.
+
+    The cache key includes the view's LIVE schema: a view re-registered
+    under the same name with different columns (or registered after a
+    first failed probe) must not read a stale render -- without the
+    schema in the key, the cache would cache the failure for the process
+    lifetime.  An absent view returns None UNCACHED for the same reason."""
+    try:
+        schema_key = spark.table(view_name).schema.simpleString()
+    except Exception:
+        return None
+    key = (view_name, expr_text, schema_key)
     if key not in _CANON_CACHE:
         try:
             probe = spark.sql(f"SELECT SUM({expr_text}) AS __m FROM {view_name}")
@@ -597,23 +626,22 @@ def spark_sql(
     # risking a NULL/last-digit-divergent average.
     avg_specs = [s for s in out_specs if s[1] == "avg"]
     if avg_specs and cnt_col is not None:
+        # enumerate the FILTERED list so the __s{i} aliases and the
+        # read-back below use the same numbering (a non-decimal AVG ahead
+        # of a decimal one must not shift the indices apart)
+        dec_specs = [s for s in avg_specs if _dec_scale(s[3]) is not None]
         checks = [
             F.sum(F.abs(F.col(src)).cast("decimal(38,0)")).alias(f"__s{i}")
-            for i, (_, _, src, out_dt, _) in enumerate(avg_specs)
-            if _dec_scale(out_dt) is not None
+            for i, (_, _, src, _, _) in enumerate(dec_specs)
         ]
         if checks:
             bound = out.agg(*checks, F.sum(cnt_col).alias("__n")).collect()[0]
             total_cnt = bound["__n"] or 0
             ok = total_cnt < 2 * 10**11
-            idx = 0
-            for _, _, src, out_dt, _ in avg_specs:
+            for idx, (_, _, src, out_dt, _) in enumerate(dec_specs):
                 s_out = _dec_scale(out_dt)
-                if s_out is None:
-                    continue
                 sq = _avg_quotient_scale(s_out)
                 s_abs = bound[f"__s{idx}"]
-                idx += 1
                 # SUM(m) per output group is bounded by SUM(abs(m)) over the
                 # whole MV; it must fit the 38-sq integer digits of the cast.
                 # A NULL bound with rows present means the bound aggregate

@@ -39,14 +39,20 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000
 
 
+def quantize_col(col):
+    """Micro-unit quantization of one array column -- THE formula every
+    integer-grid operator (k-means, IVF, PCA, SemDeDup) and its SQL twin
+    must share; change it here and in the f-string oracles via SCALE."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long")
+    )
+
+
 def quantize(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     """(vec_id, qv: array<long>) -- components in exact micro-units."""
     return embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.transform(
-            F.col(col),
-            lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long"),
-        ).alias("qv"),
+        quantize_col(F.col(col)).alias("qv"),
     )
 
 

@@ -322,13 +322,16 @@ class ManagedParquetTable:
         # physical computation of the source lineage
         source = source.select(*current.columns).localCheckpoint(eager=False)
         keys = [*key_cols]
-        # reserved alias, not .count(): a key column literally named 'count'
-        # would make the default count column ambiguous and raise instead of
-        # performing the merge
+        # collision-PROOF alias, not .count() and not a fixed reserved name:
+        # any fixed choice ('count', '__n') breaks for a key column of that
+        # literal name, so derive one absent from the source columns
+        cnt = "__n"
+        while cnt in source.columns:
+            cnt += "_"
         n_dup = (
             source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
+            .agg(F.count(F.lit(1)).alias(cnt))
+            .filter(F.col(cnt) > 1)
             .count()
         )
         if n_dup:

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import fround, ratio
+from .clustering import SCALE
 
 NEARDUP_THRESHOLD = 0.35
 ANN_PLANES = 4
@@ -163,7 +164,9 @@ def cosine_neardup_blocked(
                             {
                                 "vec_a": va[keep],
                                 "vec_b": vb[keep],
-                                "cos_sim": np.round(cs[keep], 6),
+                                # portable half-up (fround / the oracle's
+                                # FLOOR form), not np.round's half-to-even
+                                "cos_sim": np.floor(cs[keep] * 1e6 + 0.5) / 1e6,
                             }
                         )
                     )
@@ -222,11 +225,9 @@ def _ivf_base(embeddings: DataFrame) -> DataFrame:
     """(vec_id, e, n, qv): double array + L2 norm for exact ranking, plus the
     micro-unit quantization (operators/clustering.SCALE) the k-means index
     trains and probes on."""
-    from .clustering import SCALE
+    from .clustering import quantize_col
 
-    return _norms(embeddings).withColumn(
-        "qv", F.transform(F.col("e"), lambda x: F.floor(x * SCALE + F.lit(0.5)).cast("long"))
-    )
+    return _norms(embeddings).withColumn("qv", quantize_col(F.col("e")))
 
 
 def _ivf_train(base: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -443,7 +444,7 @@ qz AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE}.0 + 0.5) AS BIGINT)) AS qv
   FROM embeddings
 ),
 init AS (
@@ -568,7 +569,10 @@ def semantic_dedup(
                 ib = np.array([v["vec_id"] for v in row["vb"]])
                 ma = np.array([v["u"] for v in row["va"]])
                 mb = np.array([v["u"] for v in row["vb"]])
-                sims = np.round(ma @ mb.T, 6)
+                # the PORTABLE half-up form (functions.fround / the oracle's
+                # FLOOR(x*1e6+0.5)/1e6), not np.round (half-to-even) -- a
+                # banker's tie at the 6th dp would diverge from DuckDB
+                sims = np.floor((ma @ mb.T) * 1e6 + 0.5) / 1e6
                 ai, bi = np.nonzero(sims >= threshold)
                 va, vb = ia[ai], ib[bi]
                 keep = va < vb
@@ -595,7 +599,7 @@ WITH qz AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE}.0 + 0.5) AS BIGINT)) AS qv
   FROM embeddings
 ),
 init AS (

@@ -107,18 +107,25 @@ def _walk_executed(node, depth: int, out: list[tuple[int, str, dict[str, int]]])
         _walk_executed(s.apply(i), depth + 1, out)
 
 
+def _executed_rows(df: DataFrame) -> list[tuple[int, str, dict[str, int]]]:
+    """Execute the DataFrame's OWN plan (toRdd count: full distributed
+    execution, no rows to the driver -- a write would run a separate
+    QueryExecution whose metrics stay zero) and walk the FINAL (post-AQE)
+    executed tree.  The one shared execute-then-walk prelude for every
+    actuals API below."""
+    df._jdf.queryExecution().toRdd().count()
+    rows: list[tuple[int, str, dict[str, int]]] = []
+    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
+    return rows
+
+
 def explain_analyze(df: DataFrame) -> str:
     """Per-node ACTUALS -- the reference's EXPLAIN ANALYZE methodology
     (assignment-5.md:481-522 reads loops/rows per node; SURVEY D9).  Spark
     has no EXPLAIN ANALYZE statement, but every executed physical node
-    carries SQLMetrics; this executes the DataFrame's OWN plan (toRdd
-    count: full distributed execution, no rows to the driver -- a write
-    would run a separate QueryExecution whose metrics stay zero) and
-    renders the FINAL (post-AQE) tree with each node's actual output rows
-    / timings / data sizes."""
-    df._jdf.queryExecution().toRdd().count()
-    rows: list[tuple[int, str, dict[str, int]]] = []
-    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
+    carries SQLMetrics; this renders the FINAL (post-AQE) tree with each
+    node's actual output rows / timings / data sizes."""
+    rows = _executed_rows(df)
     lines = []
     for depth, name, metrics in rows:
         rendered = ", ".join(f"{k}={v:,}" for k, v in sorted(metrics.items()))
@@ -131,10 +138,7 @@ def final_node_names(df: DataFrame) -> list[str]:
     The initial plan can legitimately show a SortMergeJoin where static
     statistics are unknown (post-aggregate relations have no size estimate);
     what matters at runtime is the plan AQE actually executes."""
-    df._jdf.queryExecution().toRdd().count()
-    rows: list[tuple[int, str, dict[str, int]]] = []
-    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
-    return [name for _depth, name, _metrics in rows]
+    return [name for _depth, name, _metrics in _executed_rows(df)]
 
 
 def final_sortmerge_joins(df: DataFrame) -> int:
@@ -148,9 +152,7 @@ def final_broadcast_joins(df: DataFrame) -> int:
 def actual_output_rows(df: DataFrame, node_name: str) -> list[int]:
     """numOutputRows actuals for every executed node named node_name
     (assert-able analog of the reference's rows=N per plan node)."""
-    df._jdf.queryExecution().toRdd().count()
-    rows: list[tuple[int, str, dict[str, int]]] = []
-    _walk_executed(df._jdf.queryExecution().executedPlan(), 0, rows)
+    rows = _executed_rows(df)
     out = []
     for _depth, name, metrics in rows:
         if name == node_name:

@@ -74,9 +74,11 @@ def x_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     space (exact integer-grid Lloyd rounds), then drop within-cluster
     near-duplicates (cosine >= 0.35, keep-lowest-id).  The quadratic
     comparison is confined to single clusters -- the shape that scales the
-    embedding-dedup step to 100 TB corpora (per-cluster parallel, no
-    all-pairs join) -- and the DuckDB oracle replays clustering AND the
-    dedup rule bit-for-bit."""
+    embedding-dedup step to 100 TB corpora (per-cluster parallel blocked
+    GEMM, no all-pairs join).  The DuckDB oracle replays the clustering
+    bit-for-bit; the pairwise cosines share cosine_neardup_blocked's
+    tolerance (GEMM summation differs from the oracle's sequential fold
+    only below the shared half-up 6-dp rounding)."""
     t = catalog.load(spark, sf_dir)
     return similarity.semantic_dedup(t.embeddings)
 

@@ -401,6 +401,12 @@ _JOIN_MATRIX = [
     # joins of other registered views are never matched
     ("SELECT o_orderpriority, COUNT(*) AS n FROM orders JOIN lineitem "
      "ON o_orderkey = l_orderkey GROUP BY o_orderpriority", False),
+    # TAUTOLOGY GUARD: a same-side equality passes the name test but is a
+    # filtered cross join, not the star attachment -- rewriting it would
+    # silently change semantics, so it MUST fall through (and the
+    # value-equality assertion below proves the cross-join result)
+    ("SELECT year, SUM(amnt) AS s FROM sales JOIN time "
+     "ON sales.timeid = sales.timeid GROUP BY year", False),
 ]
 
 
