@@ -38,7 +38,11 @@ OPTIMIZER performs the substitution; extension rules must be compiled JVM
 classes, which this pure-Python repo cannot ship.  The match here runs on
 the same Catalyst analyzed plan, just applied by a wrapper before
 execution -- the plan test pins the observable property (the rewritten
-query scans the MV parquet, not the fact).
+query scans the MV parquet, not the fact).  :class:`RewritingSession`
+closes the remaining transparency gap from pure Python: a SparkSession
+proxy whose every ``.sql()`` call routes through the rewriter, so user
+code that only knows the SparkSession interface gets MV navigation
+without calling this module.
 
 The star view is the unified attribute namespace the reference queries
 against (customer x nation x region x time denormalized onto the sales
@@ -743,3 +747,53 @@ def spark_sql(
                 "rewritten wrappers failed to re-resolve; executing as written"
             )
         return df
+
+
+class RewritingSession:
+    """Transparent MV rewriting for arbitrary ``.sql()`` calls -- the
+    pure-Python stand-in for the ``spark.sql.extensions`` optimizer rule
+    the module docstring's divergence note describes (extension rules must
+    be compiled JVM classes, which this repo cannot ship).
+
+    Hand this object to code that expects a SparkSession: every
+    ``.sql(text)`` call routes through :func:`spark_sql` (navigable star
+    aggregates answered from the cheapest sufficient MV, everything else
+    executed as written -- either way column-for-column identical to the
+    direct result), and every other attribute delegates to the wrapped
+    session untouched.  ``last_explain`` records the most recent call's
+    rewrite decisions for EXPLAIN-style introspection.
+
+    Parameterized ``.sql(text, args=...)`` calls bypass the rewriter (the
+    matcher works on literal text) and execute directly."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        registry: MVRegistry,
+        navigator: AggregateNavigator,
+        view_name: str = STAR_VIEW,
+    ) -> None:
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._registry = registry
+        self._navigator = navigator
+        self._view_name = view_name
+        self.last_explain: list[str] = []
+
+    def sql(self, sqlQuery: str, *args, **kwargs) -> DataFrame:
+        if args or kwargs:
+            return self._spark.sql(sqlQuery, *args, **kwargs)
+        self.last_explain = []
+        return spark_sql(
+            self._spark,
+            self._sf_dir,
+            sqlQuery,
+            self._registry,
+            self._navigator,
+            view_name=self._view_name,
+            explain=self.last_explain,
+        )
+
+    def __getattr__(self, name: str):
+        return getattr(self._spark, name)

@@ -505,3 +505,31 @@ def test_non_navigable_shapes_execute_as_written(spark, sf_dir, built):
         df, explain = _run(spark, sf_dir, built, text)
         assert any("executing as written" in e for e in explain), explain
         _assert_equivalent(spark, df, text)
+
+
+def test_rewriting_session_is_transparent(spark, sf_dir, built_views):
+    """RewritingSession: .sql() on the proxy rewrites navigable texts onto
+    the MV stack (plan reads MV parquet, never the fact) and executes
+    everything else as written; all other SparkSession attributes
+    delegate.  This is the user-facing transparency the
+    spark.sql.extensions divergence note promises from pure Python."""
+    reg, nav = built_views
+    sess = sql_rewrite.RewritingSession(spark, sf_dir, reg, nav)
+
+    text = "SELECT year, SUM(amnt) AS s FROM sales_star GROUP BY year"
+    df = sess.sql(text)
+    assert any("rewriting onto MV" in e for e in sess.last_explain)
+    direct = spark.sql(text)
+    assert df.schema == direct.schema
+    assert sorted(map(_norm_row, df.collect())) == sorted(
+        map(_norm_row, direct.collect())
+    )
+
+    # non-navigable text executes as written, same proxy
+    other = sess.sql("SELECT COUNT(*) AS n FROM orders")
+    assert any("executing as written" in e for e in sess.last_explain)
+    assert other.collect() == spark.sql("SELECT COUNT(*) AS n FROM orders").collect()
+
+    # attribute delegation: the proxy quacks like the session
+    assert sess.createDataFrame([(1,)], "x int").count() == 1
+    assert sess.conf.get("spark.sql.adaptive.enabled") is not None
