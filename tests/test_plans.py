@@ -504,3 +504,47 @@ def test_scd2_pointintime_rides_the_equi_join(spark, sf_dir):
     p = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """The OTHER half of the skew story (x_pipeline_salted_hot_keys covers
+    aggregation): a hot JOIN key must be handled by AQE's runtime skew-join
+    split -- the executed plan carries SortMergeJoin(skew=true) over an
+    AQEShuffleRead skewed, proving the engine's session confs leave AQE
+    free to re-plan skew instead of a static hint pinning the strategy.
+    Thresholds are lowered test-locally (and restored) so the sf-free
+    synthetic hot key trips detection at test scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 4 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        j._jdf.queryExecution().toRdd().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
