@@ -236,6 +236,7 @@ def main() -> None:
         "x_sim_pca_power",
         "x_dedup_incremental",
         "x_pipeline_scd2_pointintime",
+        "x_pipeline_curriculum_shards",
         "x_sql_recursive_cte",
         "x_source_python_datasource",
         "x_sql_variant_json",

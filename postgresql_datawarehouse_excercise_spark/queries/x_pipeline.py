@@ -859,3 +859,59 @@ def x_pipeline_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from"),
         )
     )
+
+
+CURRICULUM_SHARDS = 8
+
+
+@query(
+    "x_pipeline_curriculum_shards",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+  FROM documents
+),
+t AS (SELECT COUNT(*) AS n FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(((rnk - 1) * {CURRICULUM_SHARDS}) // n AS INT) AS shard
+FROM r, t
+""",
+)
+def x_pipeline_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard assignment: every document's EXACT global
+    rank by (length, doc_id) and its equal-frequency shard -- the
+    "train short-to-long" data-ordering step -- computed WITHOUT a global
+    ranking window.  The scalable exact-ranking pattern: a per-length
+    histogram (one aggregate), prefix sums over that SMALL relation (its
+    size is the number of distinct lengths, bounded regardless of corpus
+    size -- the one single-partition window, on purpose), broadcast back
+    as per-length base ranks, then row_number only WITHIN each length
+    partition.  rank = base + within-length position reproduces the
+    global row_number exactly; shard = floor((rank-1)*S/N).  The DuckDB
+    oracle states the same thing with one global window."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wpre = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    base = hist.select(
+        "n_chars", F.coalesce(F.sum("c").over(wpre), F.lit(0)).alias("base")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("n_chars").orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(base), "n_chars")
+        .withColumn("rnk", F.col("base") + F.row_number().over(win))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_chars",
+            "rnk",
+            F.expr(f"CAST(((rnk - 1) * {CURRICULUM_SHARDS}) div n AS INT)").alias(
+                "shard"
+            ),
+        )
+    )
