@@ -217,3 +217,65 @@ def test_range_join_matches_python_model(spark, left, right, win):
         if lk == rk and ls <= rs < ls + win
     )
     assert got == want
+
+
+def test_semantic_dedup_matches_python_model(spark):
+    """Independent semantics check (NOT the identical-arithmetic oracle):
+    on synthetic embeddings built from well-separated duplicates --
+    exact copies (cosine 1.0) of lower-id vectors plus near-orthogonal
+    singletons (cosine far below threshold) -- semantic_dedup must drop
+    exactly the copies whose original shares their cluster, and keep
+    every cluster-lowest original.  Verified against a brute-force pure
+    Python evaluation of the keep-lowest-id rule over the operator's own
+    cluster assignment."""
+    import math
+
+    from postgresql_datawarehouse_excercise_spark.operators import similarity
+
+    # 10 base directions (near-orthogonal one-hot-ish, 64-dim), each with
+    # 0-3 exact copies at higher ids
+    rows = []
+    vid = 0
+    originals = {}
+    for b in range(10):
+        vec = [0.0] * 64
+        vec[b * 6] = 1.0
+        vec[b * 6 + 1] = 0.1 * (b % 3)
+        rows.append((vid, vec))
+        originals[vid] = vec
+        vid += 1
+    base_n = vid
+    for b in range(10):
+        for _ in range(b % 4):
+            rows.append((vid, list(originals[b])))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in similarity.semantic_dedup(emb).collect()
+    }
+    assert set(got) == {r[0] for r in rows}
+
+    # brute force: within each cluster (as assigned by the operator), a
+    # vector is kept iff no lower-id member has cosine >= threshold
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    vecs = dict(rows)
+    for v, (cl, kept) in got.items():
+        dup_exists = any(
+            u < v and got[u][0] == cl
+            and cos(vecs[u], vecs[v]) >= similarity.SEMDEDUP_THRESHOLD + 0.01
+            for u in got
+        )
+        safe_clear = all(
+            not (u < v and got[u][0] == cl)
+            or cos(vecs[u], vecs[v]) < similarity.SEMDEDUP_THRESHOLD - 0.01
+            or cos(vecs[u], vecs[v]) >= similarity.SEMDEDUP_THRESHOLD + 0.01
+            for u in got
+        )
+        assert safe_clear, "synthetic data landed near the threshold; rebuild it"
+        assert kept == (not dup_exists), (v, cl, kept)
