@@ -414,7 +414,12 @@ class MVRegistry:
         sess = spark if spark is not None else self._analyze_spark
         for name in reversed(self.topo_order()):
             if sess is not None:
-                sess.sql(f"DROP TABLE IF EXISTS {self.table_name(name)}")
+                try:
+                    sess.sql(f"DROP TABLE IF EXISTS {self.table_name(name)}")
+                except Exception:
+                    # a stopped session cannot DROP, but its in-memory
+                    # catalog died with it -- never abort the file cleanup
+                    sess = None
             shutil.rmtree(self.path(name), ignore_errors=True)
         self.stats.clear()
         # evict any catalog cache slots now pointing at deleted files

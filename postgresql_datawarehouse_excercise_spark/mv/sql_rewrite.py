@@ -463,8 +463,20 @@ def _match_star_query(jplan, view_name: str):
 _CANON_CACHE: dict[tuple[str, str, str], str | None] = {}
 
 
+def _view_schema_key(spark: SparkSession, view_name: str) -> str | None:
+    """The view's live-schema cache component; None when the view is
+    absent (callers then skip canonicalization entirely)."""
+    try:
+        return spark.table(view_name).schema.simpleString()
+    except Exception:
+        return None
+
+
 def _canonical_measure_sql(
-    spark: SparkSession, expr_text: str, view_name: str
+    spark: SparkSession,
+    expr_text: str,
+    view_name: str,
+    schema_key: str | None = None,
 ) -> str | None:
     """Canonical analyzed render of a declared measure expression over
     view_name -- the SAME pipeline that renders the query side, so two
@@ -477,10 +489,13 @@ def _canonical_measure_sql(
     under the same name with different columns (or registered after a
     first failed probe) must not read a stale render -- without the
     schema in the key, the cache would cache the failure for the process
-    lifetime.  An absent view returns None UNCACHED for the same reason."""
-    try:
-        schema_key = spark.table(view_name).schema.simpleString()
-    except Exception:
+    lifetime.  An absent view returns None UNCACHED for the same reason.
+    Callers looping over many declared exprs pass the schema_key they
+    resolved ONCE (one catalog lookup per spark_sql call, not one per
+    measure)."""
+    if schema_key is None:
+        schema_key = _view_schema_key(spark, view_name)
+    if schema_key is None:
         return None
     key = (view_name, expr_text, schema_key)
     if key not in _CANON_CACHE:
@@ -567,10 +582,13 @@ def spark_sql(
     # went through, yielding {mv: {canonical_sql: mv_column}}
     expr_measures: dict[str, dict[str, str]] = {}
     if any(kind == "sum_expr" for kind, _ in needs):
+        schema_key = _view_schema_key(spark, view_name)
         for mv_name, mvdef in registry.defs.items():
             canon_cols = {}
             for decl, col in getattr(mvdef, "measure_exprs", {}).items():
-                canon = _canonical_measure_sql(spark, decl, view_name)
+                canon = _canonical_measure_sql(
+                    spark, decl, view_name, schema_key=schema_key
+                )
                 if canon is not None:
                     canon_cols[canon] = col
             if canon_cols:
@@ -764,7 +782,14 @@ class RewritingSession:
     rewrite decisions for EXPLAIN-style introspection.
 
     Parameterized ``.sql(text, args=...)`` calls bypass the rewriter (the
-    matcher works on literal text) and execute directly."""
+    matcher works on literal text) and execute directly.
+
+    Known limits of the duck-typed proxy (vs a real subclass, which
+    SparkSession's constructor contract makes fragile): ``isinstance(sess,
+    SparkSession)`` is False, and type-level dunder protocols (context
+    manager, pickling) resolve on the class, not through ``__getattr__``
+    -- code relying on those should use the wrapped ``.spark`` session
+    directly."""
 
     def __init__(
         self,
@@ -781,7 +806,14 @@ class RewritingSession:
         self._view_name = view_name
         self.last_explain: list[str] = []
 
+    @property
+    def spark(self) -> SparkSession:
+        """The wrapped real session (for isinstance checks / protocols)."""
+        return self._spark
+
     def sql(self, sqlQuery: str, *args, **kwargs) -> DataFrame:
+        # ANY parameterization -- positional or keyword, even explicit
+        # None -- executes directly: the matcher works on literal text
         if args or kwargs:
             return self._spark.sql(sqlQuery, *args, **kwargs)
         self.last_explain = []

@@ -322,12 +322,18 @@ class ManagedParquetTable:
         # physical computation of the source lineage
         source = source.select(*current.columns).localCheckpoint(eager=False)
         keys = [*key_cols]
-        # collision-PROOF alias, not .count() and not a fixed reserved name:
-        # any fixed choice ('count', '__n') breaks for a key column of that
-        # literal name, so derive one absent from the source columns
-        cnt = "__n"
-        while cnt in source.columns:
-            cnt += "_"
+
+        # collision-PROOF aliases, not .count() and not fixed reserved
+        # names: any fixed choice ('count', '__n', '__m') breaks for a
+        # column of that literal name, so derive names absent from the
+        # source columns
+        def _fresh(base: str) -> str:
+            name = base
+            while name in source.columns:
+                name += "_"
+            return name
+
+        cnt = _fresh("__n")
         n_dup = (
             source.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias(cnt))
@@ -350,14 +356,15 @@ class ManagedParquetTable:
         # target and take the source's value column-wise where a match
         # exists (presence flag, not coalesce -- a legitimately-NULL source
         # value must overwrite).  Target cardinality is preserved.
+        src_struct, m_flag = _fresh("__src"), _fresh("__m")
         tagged = source.select(
             *keys,
-            F.struct(*[F.col(c).alias(c) for c in current.columns]).alias("__src"),
-            F.lit(1).alias("__m"),
+            F.struct(*[F.col(c).alias(c) for c in current.columns]).alias(src_struct),
+            F.lit(1).alias(m_flag),
         )
         updated = current.join(tagged, keys, "left").select(
             *[
-                F.when(F.col("__m") == 1, F.col(f"__src.{c}"))
+                F.when(F.col(m_flag) == 1, F.col(f"{src_struct}.{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
                 for c in current.columns

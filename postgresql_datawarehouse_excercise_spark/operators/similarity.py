@@ -155,7 +155,10 @@ def cosine_neardup_blocked(
                 ma = np.array([v["u"] for v in row["va"]])
                 mb = np.array([v["u"] for v in row["vb"]])
                 sims = ma @ mb.T
-                ai, bi = np.nonzero(sims >= threshold - 1e-9)
+                # prefilter slack must cover the half-up window: a raw
+                # value threshold-5e-7 rounds UP to the threshold, so a
+                # tighter cutoff would drop pairs the oracle emits
+                ai, bi = np.nonzero(sims >= threshold - 6e-7)
                 va, vb, cs = ia[ai], ib[bi], sims[ai, bi]
                 keep = va < vb
                 if keep.any():

@@ -761,7 +761,6 @@ def x_pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row (rank-1 retention), regardless of how many ops a key received.
     Ops are derived deterministically from the events table (every 10th
     event id is a tombstone) so both engines fold the identical log."""
-    from pyspark.sql.window import Window
 
     t = catalog.load(spark, sf_dir)
     log = t.events.select(
@@ -891,7 +890,6 @@ def x_pipeline_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition.  rank = base + within-length position reproduces the
     global row_number exactly; shard = floor((rank-1)*S/N).  The DuckDB
     oracle states the same thing with one global window."""
-    from pyspark.sql.window import Window
 
     t = catalog.load(spark, sf_dir)
     docs = t.documents.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
