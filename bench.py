@@ -260,6 +260,7 @@ def main() -> None:
         "x_mv_sketch_rollup",
         "x_source_bucketed_join",
         "x_source_schema_evolution",
+        "x_source_dynamic_partition_overwrite",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
         "x_sql_approx_percentile",

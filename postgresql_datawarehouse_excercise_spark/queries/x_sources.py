@@ -243,3 +243,65 @@ def x_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x_source_dynamic_partition_overwrite",
+    oracle="""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, user_id, value
+  FROM events
+),
+swapped AS (
+  SELECT day, event_type, user_id,
+         CASE WHEN day = DATE '2024-01-04'
+              THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) * 2
+              ELSE CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+         END AS cents
+  FROM base
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM swapped GROUP BY day
+""",
+)
+def x_source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE of a SINGLE partition (dynamic partitionOverwriteMode):
+    events land day-partitioned, then one day's slice is rewritten (values
+    doubled, in exact cents) with mode('overwrite') under
+    partitionOverwriteMode=dynamic -- only the partitions present in the
+    written frame are replaced, every other day's files are untouched.
+    That selective-replace is THE backfill/restatement primitive of a
+    partitioned warehouse (a static overwrite would wipe the table).  The
+    re-read per-day aggregate must match the oracle's relational statement
+    of the same restatement; the untouched days double-check that nothing
+    else was clobbered."""
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-dynpart-")
+    cents = F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5)).cast("long")
+    base = t.events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+        "user_id",
+        cents.alias("cents"),
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    restated = (
+        spark.read.parquet(out)
+        .filter(F.col("day") == F.lit("2024-01-04").cast("date"))
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
