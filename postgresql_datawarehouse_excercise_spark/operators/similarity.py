@@ -543,13 +543,21 @@ def semantic_dedup(
 
     from .clustering import kmeans_assignments_gemm
 
+    from pyspark.sql.window import Window
+
     assigned = kmeans_assignments_gemm(embeddings, k=k, iters=2).select(
         "vec_id", "cluster"
     )
     base = _norms(embeddings).join(assigned, "vec_id")
+    # blocks are RANK-within-cluster, not global vec_id ranges: cluster
+    # members have scattered ids, so global blocks would hold ~1 vector
+    # each and the block-pair grid would degenerate to an all-pairs row
+    # explosion (measured 110 s at 100x before this; a cluster <= 512
+    # members is exactly ONE dense block after the change)
+    wrank = Window.partitionBy("cluster").orderBy("vec_id")
     unit = base.select(
         "cluster",
-        (F.col("vec_id") / BLOCK_SIZE).cast("long").alias("block"),
+        F.floor((F.row_number().over(wrank) - 1) / BLOCK_SIZE).alias("block"),
         "vec_id",
         F.zip_with("e", F.array_repeat(F.col("n"), 64), lambda x, nn: x / nn).alias("u"),
     )
