@@ -27,7 +27,9 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
   semantic_dedup_scaledk  20,000 vecs    4.9 s   (k=8K: production config,
                                                   GEMM assign + pair kernel;
                                                   33 s at fixed k=8, 73 s
-                                                  before the GEMM kernels)
+                                                  before the GEMM kernels;
+                                                  45 s at 100x/k=800 after
+                                                  rank-within-cluster blocks)
   pca_project             20,000 vecs    2.4 s   (two passes + projection)
   sales_fact_build     6M line rows     11.0 s   (incl. in-memory 10x
                                                   multiplication)
