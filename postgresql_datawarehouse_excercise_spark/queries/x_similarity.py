@@ -48,11 +48,14 @@ def x_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x_sim_ann_ivf", oracle=similarity.ann_ivf_topk_sql(QUERY_VEC_ID))
 def x_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with k-means-trained centroids (16 cells, 2 exact Lloyd
-    rounds, operators/clustering.py): probe the query's 4 nearest cells,
-    rank exactly inside (the cell column is the partition key at scale --
-    scan prunes to ~nprobe/ncells of the corpus).  Recall@10 measured at
-    0.85-1.0 by x_sim_ann_recall (vs 0.0-0.4 for the round-5 pivot
+    """IVF ANN with k-means-trained centroids (cells = max(16, floor
+    sqrt(N)) derived from the corpus size, 2 exact Lloyd rounds,
+    operators/clustering.py): probe the query's nprobe = max(5, floor
+    sqrt(cells)) nearest cells, rank exactly inside (the cell column is
+    the partition key at scale -- scan prunes to nprobe/cells of the
+    corpus, a fraction that shrinks as N^(-1/4); candidates ~ N^(3/4) =
+    o(N), pinned by tests/test_clustering.py).  Recall@10 >= 0.8 on every
+    query by x_sim_ann_recall (vs 0.0-0.4 for the round-5 pivot
     quantizer / single-bucket LSH on this data)."""
     t = catalog.load(spark, sf_dir)
     return similarity.ann_ivf_topk(t.embeddings, QUERY_VEC_ID)
@@ -257,10 +260,14 @@ def x_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index-quality measurement that decides whether an approximate path
     is shippable.  Both arms share the rounded score + deterministic
     tie-break, so recall is bit-exact cross-engine (the oracle replays the
-    Lloyd rounds and both searches).  This evaluator is WHY the index is
-    k-means IVF: it measured the round-5 single-bucket sign-LSH at 0.0-0.4
-    on these near-orthogonal embeddings (a >=0.8-recall LSH config needs
-    >60% of the corpus as candidates here), and measures the IVF at
-    0.85-1.0 with ~25% candidates (operators/similarity.ann_recall)."""
+    Lloyd rounds and both searches, re-deriving the N-scaled cells/nprobe
+    from COUNT(*)).  This evaluator is WHY the index is k-means IVF: it
+    measured the round-5 single-bucket sign-LSH at 0.0-0.4 on these
+    near-orthogonal embeddings (a >=0.8-recall LSH config needs >60% of
+    the corpus as candidates here), and measures the IVF at >= 0.8 on
+    every query at the derived gate configuration (22 cells / 5 probes
+    at N=500) -- a configuration whose candidate fraction now SHRINKS
+    with N instead of re-ranking a fixed quarter of the corpus
+    (operators/similarity.ann_recall)."""
     t = catalog.load(spark, sf_dir)
     return similarity.ann_recall(t.embeddings)
