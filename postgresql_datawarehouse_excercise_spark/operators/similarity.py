@@ -562,13 +562,26 @@ LIMIT {k}
 
 
 SEMDEDUP_THRESHOLD = 0.35
-SEMDEDUP_K = 8
+SEMDEDUP_MIN_K = 8
+SEMDEDUP_VECS_PER_CLUSTER = 250
+
+
+def semdedup_k(n: int) -> int:
+    """Cluster count for an N-vector corpus: max(8, N // 250) — the SemDeDup
+    recipe's k-with-N scaling that keeps the expected cluster size (and the
+    per-cluster |c|^2 pairwise GEMM term) CONSTANT as the corpus grows.
+    This is the formula the 10x/30x/100x scale smokes measured (k = 8K at
+    K-fold sf0.1: 4.9 s / 14.9 s / 45.1 s, linear); deriving it inside the
+    gated entry (and re-deriving it in the oracle from COUNT(*)) puts the
+    production configuration on the hard gate instead of a fixed literal.
+    Integer floor division matches DuckDB's `//` for non-negative N."""
+    return max(SEMDEDUP_MIN_K, n // SEMDEDUP_VECS_PER_CLUSTER)
 
 
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
-    k: int = SEMDEDUP_K,
+    k: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embeddings with
     the exact integer-grid k-means (operators/clustering.py, 2 Lloyd
@@ -582,9 +595,10 @@ def semantic_dedup(
     interpreted fold per pair) over a (cluster, block-pair) grid -- only
     small block-list rows move, every grid cell computes independently on
     its own partition, and no all-pairs join ever forms.  The quadratic
-    term is per-cluster |cluster|^2; at 100 TB k grows with N to keep
-    clusters bounded (the SemDeDup recipe), which the 10x scale smoke
-    exercises with k scaled alongside the data.
+    term is per-cluster |cluster|^2; k DERIVES from the corpus size by
+    default (semdedup_k: max(8, N // 250), the SemDeDup recipe's k-with-N
+    scaling that keeps clusters bounded), so the gated entry runs the same
+    configuration the 100x smoke measured.  Pass k explicitly to override.
     Output: (vec_id, cluster, kept)."""
     import numpy as np
     import pandas as pd
@@ -593,6 +607,8 @@ def semantic_dedup(
 
     from pyspark.sql.window import Window
 
+    if k is None:
+        k = semdedup_k(embeddings.count())
     assigned = kmeans_assignments_gemm(embeddings, k=k, iters=2).select(
         "vec_id", "cluster"
     )
@@ -648,13 +664,18 @@ def semantic_dedup(
     )
 
 
-def semantic_dedup_sql(
-    threshold: float = SEMDEDUP_THRESHOLD, k: int = SEMDEDUP_K
-) -> str:
-    # replay: quantized k-means (the x_sim_kmeans oracle arithmetic, k=8),
-    # then within-cluster pairwise cosine with the keep-lowest-id rule
+def semantic_dedup_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    # replay: quantized k-means (the x_sim_kmeans oracle arithmetic) with k
+    # RE-DERIVED from COUNT(*) exactly as semdedup_k does (DuckDB's // is
+    # floor division for non-negative operands), then within-cluster
+    # pairwise cosine with the keep-lowest-id rule
     return f"""
-WITH qz AS (
+WITH p AS (
+  SELECT GREATEST({SEMDEDUP_MIN_K},
+                  CAST(COUNT(*) // {SEMDEDUP_VECS_PER_CLUSTER} AS INT)) AS k
+  FROM embeddings
+),
+qz AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          list_transform(embedding,
@@ -662,8 +683,10 @@ WITH qz AS (
   FROM embeddings
 ),
 init AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
-  FROM qz ORDER BY vec_id LIMIT {k}
+  SELECT cid, cq FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
+    FROM qz
+  ) s, p WHERE s.cid < p.k
 ),
 comp AS (SELECT vec_id, r.i, qv[r.i] AS x FROM qz, range(1, 65) r(i)),
 ccomp1 AS (SELECT cid, r.i, cq[r.i] AS c FROM init, range(1, 65) r(i)),

@@ -78,7 +78,10 @@ def x_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates (cosine >= 0.35, keep-lowest-id).  The quadratic
     comparison is confined to single clusters -- the shape that scales the
     embedding-dedup step to 100 TB corpora (per-cluster parallel blocked
-    GEMM, no all-pairs join).  The DuckDB oracle replays the clustering
+    GEMM, no all-pairs join).  k derives from the corpus size
+    (semdedup_k: max(8, N // 250) -- the PRODUCTION k-with-N configuration
+    the 100x smoke measured, now on the hard gate; the oracle re-derives
+    the same k from COUNT(*)).  The DuckDB oracle replays the clustering
     bit-for-bit; the pairwise cosines share cosine_neardup_blocked's
     tolerance (GEMM summation differs from the oracle's sequential fold
     only below the shared half-up 6-dp rounding)."""

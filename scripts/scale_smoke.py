@@ -149,7 +149,9 @@ def main() -> None:
     # |c|^2 pairwise GEMM term -- constant.  Measured K=10: 4.9 s with
     # k=8K vs 33 s at fixed k=8 (clusters 10x larger -> pairs 100x) and
     # 73 s before the GEMM assignment/pairwise kernels.
-    timed("semantic_dedup_scaledk", lambda: similarity.semantic_dedup(emb, k=8 * k))
+    # the DEFAULT k derivation (semdedup_k: N // 250 = 8K at Kx of sf0.1)
+    # is exactly the production scaling this smoke always measured
+    timed("semantic_dedup_scaledk", lambda: similarity.semantic_dedup(emb))
     # PCA at Kx: two data passes (moment GEMM partials + mean), constant
     # driver state (DIM^2), one projection map -- cost must track |V|
     from postgresql_datawarehouse_excercise_spark.operators import pca

@@ -64,3 +64,24 @@ def test_assign_gemm_bit_identical_to_expression_assign(spark, sf_dir):
         a = sorted(map(tuple, clustering.assign(q, cents).collect()))
         b = sorted(map(tuple, clustering.assign_gemm(q, cents).collect()))
         assert a == b, f"k={k}"
+
+
+def test_semdedup_k_scales_with_corpus():
+    """The gated entry's k derivation IS the production k-with-N shape the
+    scale smokes measure (round-6 verdict #3): floor 8 at gate scale, then
+    one cluster per 250 vectors; the DuckDB twin's GREATEST/COUNT(*) //
+    derivation agrees at every size."""
+    import duckdb
+
+    from postgresql_datawarehouse_excercise_spark.operators import similarity as sim
+
+    assert sim.semdedup_k(500) == 8        # gate (sf0.01) keeps k=8
+    assert sim.semdedup_k(20_000) == 80    # 10x-of-sf0.1 smoke config
+    assert sim.semdedup_k(60_000) == 240   # 30x
+    assert sim.semdedup_k(200_000) == 800  # 100x
+    for n in (1, 499, 500, 2000, 2001, 250 * 8, 250 * 8 + 1, 10**6):
+        sql_k = duckdb.sql(
+            f"SELECT GREATEST({sim.SEMDEDUP_MIN_K}, "
+            f"CAST({n} // {sim.SEMDEDUP_VECS_PER_CLUSTER} AS INT))"
+        ).fetchone()[0]
+        assert sim.semdedup_k(n) == sql_k, n
