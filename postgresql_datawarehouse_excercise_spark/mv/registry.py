@@ -66,11 +66,44 @@ class MVDef:
     measure_exprs: dict[str, str] = field(default_factory=dict)
 
 
+def base_fingerprint(sf_dir: str) -> tuple:
+    """Content fingerprint of the BASE tables under sf_dir: every parquet
+    file's (relative path, size, mtime_ns), sorted.  Pure os.stat metadata —
+    NO Spark job, no file reads — so the rewriter can check it on the hot
+    path (pinned by tests/test_sql_rewrite.py).  Parquet files are
+    immutable-by-convention (every writer here replaces files, never
+    appends in place), so path+size+mtime_ns changes iff the table's
+    content snapshot changed."""
+    out = []
+    for entry in sorted(os.listdir(sf_dir)):
+        if not entry.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, entry)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            out.append((entry, st.st_size, st.st_mtime_ns))
+            continue
+        for root, dirs, files in os.walk(p):
+            dirs.sort()
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out.append((os.path.relpath(fp, sf_dir), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
+
+
 @dataclass
 class MVRegistry:
     warehouse: str
     defs: dict[str, MVDef] = field(default_factory=dict)
     stats: dict[str, int] = field(default_factory=dict)
+    # base-table fingerprint captured when each MV was last built/refreshed:
+    # the staleness signal the SQL rewriter checks before answering from a
+    # materialization (a base mutation after the build must NOT be silently
+    # ignored -- the reference sidesteps this by rebuilding MVs in-script,
+    # assignment-5.sql:17-27, but RewritingSession users get transparent
+    # answers and deserve a freshness guarantee)
+    versions: dict[str, tuple] = field(default_factory=dict)
     # session that _analyze registered catalog tables into: drop_all uses it
     # so bare drop_all() cannot leak dead external-table entries pointing at
     # deleted temp dirs (field excluded from equality/repr by being mutable
@@ -152,8 +185,21 @@ class MVRegistry:
             visit(n)
         return order
 
+    def is_fresh(self, sf_dir: str, name: str) -> bool:
+        """True iff this MV was built/refreshed by THIS registry from the
+        base tables exactly as they are on disk now.  os.stat-only (no
+        Spark job); an MV with no recorded version (never built here) is
+        never fresh -- the rewriter then executes directly, which is
+        always correct, just unaccelerated."""
+        fp = self.versions.get(name)
+        return fp is not None and fp == base_fingerprint(sf_dir)
+
     def build(self, spark: SparkSession, sf_dir: str, name: str) -> None:
         mv = self.defs[name]
+        # capture the base snapshot BEFORE reading it: if a mutation lands
+        # while the build runs, the recorded version mismatches the new
+        # files and the MV correctly reads as stale
+        fp = base_fingerprint(sf_dir)
         if mv.cache_key:
             # an MV must not be (re)built from its own persisted output:
             # evict so the builder recomputes from base lineage
@@ -172,6 +218,7 @@ class MVRegistry:
             self._analyze(spark, name)
             if mv.cache_key:
                 catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
+            self.versions[name] = fp
             return
         # row-count stats ride along with the write via the Observation API
         # (one job per MV instead of write + count read-back)
@@ -188,6 +235,7 @@ class MVRegistry:
         self._analyze(spark, name)
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
+        self.versions[name] = fp
 
     def topo_levels(self) -> list[list[str]]:
         """Dependency levels: every MV in a level depends only on earlier
@@ -322,6 +370,7 @@ class MVRegistry:
         from pyspark.sql import functions as F
 
         mv = self.defs[name]
+        fp = base_fingerprint(sf_dir)
         if name == "time":
             from ..etl.time_dim import empty_time_dim, extend_time_dim
 
@@ -389,6 +438,7 @@ class MVRegistry:
         # periodic full builds is exactly autovacuum's behavior too
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
+        self.versions[name] = fp
 
     def refresh(self, spark: SparkSession, sf_dir: str, name: str) -> None:
         """REFRESH MATERIALIZED VIEW analog: rebuild this MV and everything
@@ -422,6 +472,7 @@ class MVRegistry:
                     sess = None
             shutil.rmtree(self.path(name), ignore_errors=True)
         self.stats.clear()
+        self.versions.clear()
         # evict any catalog cache slots now pointing at deleted files
         keys = {mv.cache_key for mv in self.defs.values() if mv.cache_key}
         for tables in catalog._TABLES_CACHE.values():

@@ -603,6 +603,20 @@ def spark_sql(
                 f"measures={sorted(needs)}; executing as written"
             )
         return df
+    # Freshness gate: answering from an MV whose base tables changed since
+    # its build would be SILENTLY WRONG (the reference never hits this --
+    # it rebuilds MVs in-script, assignment-5.sql:17-27 -- but a
+    # RewritingSession user mutating a base table must not get stale
+    # aggregates).  The check is an os.stat fingerprint comparison
+    # (mv/registry.base_fingerprint): zero Spark jobs on the hot path,
+    # pinned by test_sql_rewrite.test_freshness_check_runs_no_spark_job.
+    if not registry.is_fresh(sf_dir, cand.mv_name):
+        if explain is not None:
+            explain.append(
+                f"MV '{cand.mv_name}' is stale (base tables changed since "
+                "its build); executing as written -- refresh() to re-enable"
+            )
+        return df
     mv = registry.defs[cand.mv_name]
     out = registry.read(spark, cand.mv_name)
     cnt_col = next((c for c, k in mv.measures.items() if k == "count"), None)
