@@ -35,60 +35,24 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND = (
-    # round 6: SF-scaling broadcast de-hinting (customer/part/supplier sides)
-    "x_tpch_q2_min_cost_supplier",
-    "x_tpch_q3_shipping_priority",
-    "x_tpch_q5_local_supplier",
-    "x_tpch_q7_volume_shipping",
-    "x_tpch_q8_market_share",
-    "x_tpch_q9_product_profit",
-    "x_tpch_q10_returned_items",
-    "x_tpch_q11_important_parts",
-    "x_tpch_q14_promo_revenue",
-    "x_tpch_q15_top_supplier",
-    "x_tpch_q16_supplier_part_counts",
-    "x_tpch_q17_small_quantity",
-    "x_tpch_q18_large_orders",
-    "x_tpch_q19_disjunctive_bands",
-    "x_tpch_q20_dominant_suppliers",
-    "x_tpch_q21_late_sole_supplier",
-    # de-hinted sales-fact ETL + reference family derived from it
-    "q1_sales_fact",
-    "q3a_best_buyers",
-    "q3b_amount_per_order",
-    "q4a_best_buyers_raw",
-    "q4b_top_country_raw",
-    "q4_view1",
-    "q4_view2",
-    "q4_view3",
-    "q5a_window_report",
-    "x_events_segment_hourly",
-    # k-means IVF ANN (recall 0.0-0.4 -> 0.89) + limit-bounded query sides
-    "x_sim_semantic_dedup",         # new: SemDeDup-style embedding dedup
-    "x_sim_pca_power",              # new: int-exact covariance + power iter
-    "x_dedup_incremental",          # new: batch-vs-corpus ingest dedup
-    "x_pipeline_scd2_pointintime",  # new: as-of fact join on SCD2 history
-    "x_sql_recursive_cte",          # new: WITH RECURSIVE hierarchy walk
-    "x_source_python_datasource",   # new: Spark 4 Python DataSource API
-    "x_sql_variant_json",           # new: VARIANT parse_json/variant_get
-    "x_text_udtf_runs",             # new: Arrow UDTF token run-lengths
-    "x_events_interpolate",         # new: linear interpolation on the grid
+    # round 7 priority #1 (verdict): the only 2 entries with ZERO driver-gate
+    # rows ever (implemented+oracled in r6, missed the full 50-slot window).
+    # They are also count-0, so they sort first within this group.
+    "x_pipeline_curriculum_shards",
+    "x_source_dynamic_partition_overwrite",
+    # N-scaled IVF configuration (cells ~ sqrt(N), nprobe ~ N^(1/4))
     "x_sim_ann_ivf",
     "x_sim_ann_recall",
-    "x_sim_ann_lsh",
-    "x_sim_topk_bruteforce",
-    "x_sim_knn_join",
-    # expression-measure / COUNT(DISTINCT) / join-text SQL rewrite +
-    # AVG headroom guard + catalog ANALYZE
+    # SemDeDup production k-with-N shape now on the gate (k = max(8, N//250))
+    "x_sim_semantic_dedup",
+    # MV freshness gate rides the spark_sql rewrite path of all 5 entries
+    "x_mv_sql_rewrite",
+    "x_mv_sql_rewrite_multi",
     "x_mv_sql_rewrite_expr",
     "x_mv_sql_rewrite_distinct",
     "x_mv_sql_rewrite_join",
-    "x_mv_sql_rewrite",
-    "x_mv_sql_rewrite_multi",
-    "x_stream_incremental_mv",      # 2 micro-batches
-    # merge duplicate-check reserved alias; bloom tree-OR fold
-    "x_mutation_merge_upsert",
-    "x_pipeline_decontaminate_bloom",
+    # refresh_incremental records base fingerprints now
+    "x_stream_incremental_mv",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

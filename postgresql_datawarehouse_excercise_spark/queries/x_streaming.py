@@ -311,7 +311,45 @@ def x_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transformWithStateInPandas (Spark 4's named-state stateful API) is
 # implemented in streaming/events.user_spend_tws, but its driver worker
 # requires google.protobuf, which this sandbox lacks (no pip installs) --
-# the query runs on any standard Spark 4 install.  It is therefore NOT a
-# registry entry (the driver gate would fail on the missing dependency);
-# tests/test_streaming.py carries an availability-gated correctness test
-# that runs wherever protobuf exists.
+# the query runs on any standard Spark 4 install.  The registry entry is
+# therefore FEATURE-DETECTED: it registers (and joins the driver gate)
+# the moment an environment provides protobuf, with zero diff; where
+# protobuf is absent, tests/test_streaming.py still carries the
+# availability-gated correctness test and the operator stays out of the
+# gate instead of failing it.
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_available():
+
+    @query(
+        "x_stream_user_spend_tws",
+        oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    )
+    def x_stream_user_spend_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running spend via transformWithStateInPandas (named
+        ValueState, exact integer cents — streaming/events.user_spend_tws):
+        the drained last-update-per-key state must hash-match the batch
+        aggregate's relational statement.  State is one 16-byte tuple per
+        user, partitioned by the groupBy shuffle — bounded at any scale."""
+        stream = se.user_spend_tws(se.read_events_stream(spark, sf_dir))
+        sunk = se.run_finite_to_sink(stream)
+        return se.latest_per_key(sunk, ["user_id"]).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "spend_cents",
+            "n_events",
+        )

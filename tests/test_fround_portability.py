@@ -69,3 +69,59 @@ def test_plain_round_is_not_portable_on_ties(spark):
     ).first()
     assert spark_round == 67.4913  # shortest-string HALF_UP rounds the tie up
     assert _py_floor_round(tie, 4) == 67.4912  # the binary value is below it
+
+
+def test_gemm_rounding_margin_floors(sf_dir):
+    """The GEMM kernels (semantic-dedup pairs, cosine_neardup_blocked) round
+    BLAS sums at 6 dp where the DuckDB oracle rounds a SEQUENTIAL left-fold;
+    the two only agree because every cosine sits far from both a 6-dp
+    rounding boundary and the 0.35 dup threshold.  Round-6 measured those
+    margins once (closest boundary 1.6e-12 in cosine units vs ~1e-16
+    GEMM-vs-fold divergence; closest rounded cosine 2.9e-5 from the
+    threshold); this recomputes BOTH over all gate-scale pairs and asserts
+    floors, so a data or kernel change that erodes the safety margin fails
+    loudly instead of surfacing as a one-in-a-round hash flake."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from postgresql_datawarehouse_excercise_spark.operators import similarity as sim
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    n = emb.shape[0]
+    assert n == 500  # C(500,2) = 124,750 pairs, the round-6 measurement set
+
+    # GEMM path: normalize then one matmul (the production kernel's shape)
+    norms_g = np.sqrt((emb * emb).sum(axis=1))
+    gemm = (emb / norms_g[:, None]) @ (emb / norms_g[:, None]).T
+
+    # fold path: strict sequential left-fold via cumsum (numpy's sum is
+    # pairwise; cumsum is the sequential order Spark/DuckDB folds use)
+    norms_f = np.sqrt(np.cumsum(emb * emb, axis=1)[:, -1])
+    prods = emb[:, None, :] * emb[None, :, :]
+    fold = np.cumsum(prods, axis=2)[:, :, -1] / (norms_f[:, None] * norms_f[None, :])
+
+    iu = np.triu_indices(n, k=1)
+    g, f = gemm[iu], fold[iu]
+
+    divergence = np.abs(g - f).max()
+    d = g * 1e6 + 0.5
+    frac = d - np.floor(d)
+    boundary_margin = np.minimum(frac, 1.0 - frac).min() / 1e6
+    rounded = np.floor(d) / 1e6
+    threshold_margin = np.abs(rounded - sim.SEMDEDUP_THRESHOLD).min()
+
+    # the safety property: the closest rounding boundary is ORDERS further
+    # than the kernels can disagree, and no rounded cosine sits close
+    # enough to the dup threshold for a last-digit flip to change dup/keep
+    assert divergence < 1e-14, divergence
+    assert boundary_margin > 100 * divergence, (boundary_margin, divergence)
+    assert boundary_margin > 1e-13, boundary_margin
+    assert threshold_margin > 1e-5, threshold_margin
+    # and the two engines' dup decisions are identical outright
+    assert np.array_equal(
+        np.floor(f * 1e6 + 0.5) / 1e6 >= sim.SEMDEDUP_THRESHOLD,
+        rounded >= sim.SEMDEDUP_THRESHOLD,
+    )
