@@ -278,29 +278,24 @@ def _ivf_train(base: DataFrame, cells: int) -> tuple[DataFrame, DataFrame]:
 
     q = base.select("vec_id", "qv")
     cents = clustering.init_centroids(q, cells)
-    assigned_ids = clustering.assign(q, cents)
+    # assignments run through the int64 GEMM kernel (assign_gemm): with the
+    # N-DERIVED cell count (~sqrt(N), dozens-to-thousands of cells) the
+    # expression-fold path pays cells interpreted 64-element folds per
+    # vector; the BLAS row is bit-identical (pinned by
+    # test_assign_gemm_bit_identical_to_expression_assign) and flat in the
+    # cell count
+    assigned_ids = clustering.assign_gemm(q, cents)
     for i in range(IVF_ROUNDS - 1):
         rows = clustering.recompute(q, assigned_ids).collect()
         cents = base.sparkSession.createDataFrame(
             [(int(r.cid), list(r.cq)) for r in sorted(rows, key=lambda r: r.cid)],
             "cid int, cq array<bigint>",
         )
-        if i < IVF_ROUNDS - 2:
-            assigned_ids = clustering.assign(q, cents)
-    # the FINAL Lloyd assignment is the payload argmin pass below -- one
-    # argmin pass carrying the ranking payload (map-side combined MIN over
-    # (dist2, cid) structs; the shuffle moves one row per vector).  Running
-    # clustering.assign once more first would compute the identical
-    # assignment and throw it away (a full extra shuffle job per entry).
-    j = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "e", "n",
-        F.struct(clustering._dist2(F.col("qv"), F.col("cq")).alias("dist2"),
-                 F.col("cid").alias("cid")).alias("_dc"),
-    )
-    assigned = (
-        j.groupBy("vec_id")
-        .agg(F.first("e").alias("e"), F.first("n").alias("n"), F.min("_dc").alias("_m"))
-        .select("vec_id", "e", "n", F.col("_m.cid").alias("cell"))
+        assigned_ids = clustering.assign_gemm(q, cents)
+    # attach the ranking payload to the final assignment: one vec_id
+    # equi-join of skinny (vec_id, cell) rows against the payload relation
+    assigned = base.select("vec_id", "e", "n").join(
+        assigned_ids.select("vec_id", F.col("cid").alias("cell")), "vec_id"
     )
     return cents, assigned
 

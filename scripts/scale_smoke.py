@@ -7,7 +7,12 @@ K-fold scale-up?" with measurements instead of assertions — the per-row
 paths should scale ~linearly and the pair-generating paths must not blow up
 quadratically thanks to their DF cutoffs / banding / blocking.
 
-Usage: python scripts/scale_smoke.py [K]     (default K=10)
+Usage: python scripts/scale_smoke.py [K] [--sections=a,b,...]
+  K default 10.  Sections (default all): docs emb line tpch events mutation
+  stream.  High-K probes pick subsets — the doc-pair sections are
+  deliberately quadratic-OUTPUT at high K (100 exact copies per doc make
+  LSH emit every genuine pair), so the 100x sweeps run the linear-path and
+  join-shape sections.
 
 Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
   minhash_signatures      50,000 docs    6.6 s   (0.7 s at 1x -> linear)
@@ -90,12 +95,7 @@ def timed(label: str, df) -> None:
     print(f"  {label}: {n} rows in {time.perf_counter() - t0:.1f}s", flush=True)
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("scale-smoke")
-    t = catalog.load(spark, sf_dir)
-
+def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     docs = multiply(t.documents, "doc_id", k)
     print(f"documents x{k} = {5000 * k} docs:", flush=True)
     timed("minhash_signatures", dedup.minhash_signature_df(docs))
@@ -134,23 +134,28 @@ def main() -> None:
              F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated")),
     )
 
+
+def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     emb = multiply(t.embeddings, "vec_id", k)
     print(f"embeddings x{k}:", flush=True)
     timed("cosine_neardup_blocked", similarity.cosine_neardup_blocked(emb))
     timed("knn_join_8q", similarity.knn_join(emb))
+    # IVF ANN at Kx in the N-DERIVED configuration (cells ~ sqrt(N),
+    # nprobe ~ N^(1/4)): training cost tracks N * cells; the query's
+    # candidate set is ~N^(3/4) of the corpus, so the search itself must
+    # stay near-flat while the corpus grows
+    timed("ann_ivf_derived", lambda: similarity.ann_ivf_topk(emb, 0))
     # k-means at Kx: the centroid relation stays K_CLUSTERS rows (broadcast),
     # assign is a map over vector splits, recompute shuffles skinny
     # (cluster, pos, component) rows -- cost must track |V|, nothing worse
     from postgresql_datawarehouse_excercise_spark.operators import clustering
 
     timed("kmeans_2rounds", clustering.kmeans_assignments(emb))
-    # semantic dedup at Kx IN ITS PRODUCTION CONFIGURATION: k scales with
-    # N (the SemDeDup recipe), keeping cluster sizes -- and the per-cluster
-    # |c|^2 pairwise GEMM term -- constant.  Measured K=10: 4.9 s with
-    # k=8K vs 33 s at fixed k=8 (clusters 10x larger -> pairs 100x) and
-    # 73 s before the GEMM assignment/pairwise kernels.
-    # the DEFAULT k derivation (semdedup_k: N // 250 = 8K at Kx of sf0.1)
-    # is exactly the production scaling this smoke always measured
+    # semantic dedup at Kx IN ITS PRODUCTION CONFIGURATION: the DEFAULT k
+    # derivation (semdedup_k: N // 250 = 8K at Kx of sf0.1) keeps cluster
+    # sizes -- and the per-cluster |c|^2 pairwise GEMM term -- constant.
+    # Measured K=10: 4.9 s with k=80 vs 33 s at fixed k=8 (clusters 10x
+    # larger -> pairs 100x) and 73 s before the GEMM kernels.
     timed("semantic_dedup_scaledk", lambda: similarity.semantic_dedup(emb))
     # PCA at Kx: two data passes (moment GEMM partials + mean), constant
     # driver state (DIM^2), one projection map -- cost must track |V|
@@ -158,6 +163,8 @@ def main() -> None:
 
     timed("pca_project", lambda: pca.pca_project(emb))
 
+
+def sec_line(spark, t, k: int, sf_dir: str) -> None:
     line = multiply(t.lineitem, "l_orderkey", k)
     ords = multiply(t.orders, "o_orderkey", k)
     print(f"lineitem x{k} = {600_000 * k} rows:", flush=True)
@@ -183,25 +190,26 @@ def main() -> None:
         ),
     )
 
-    # TPC-H join shapes at Kx: materialize the multiplied tables as a real
-    # sf-dir (the registry entries read through catalog.load), then run the
-    # join-heavy shapes end-to-end.  Facts AND the SF-scaling "dimensions"
-    # (customer, part) multiply -- matching-key shifts keep every FK intact
-    # per copy -- so this validates BOTH waves of de-hinting: orders at Kx
-    # exceeds any broadcast threshold, and customer/part grow with the data
-    # exactly as they do in real TPC-H, leaving every join-strategy call to
-    # AQE's runtime sizes (the shape that used to OOM under static hints).
-    # Only the genuinely CONSTANT relations (region, nation, supplier*)
-    # symlink at 1x.  (*supplier scales too in real TPC-H; its keys are
-    # referenced by the unmultiplied l_suppkey, so it stays 1x here -- its
-    # de-hinting is pinned by the plan tests instead.)
+
+def _materialize_tpch_dir(spark, t, k: int, sf_dir: str) -> str:
+    """Multiplied tables as a real sf-dir (the registry entries read through
+    catalog.load).  Facts AND the SF-scaling "dimensions" (customer, part)
+    multiply -- matching-key shifts keep every FK intact per copy -- so this
+    validates BOTH waves of de-hinting: orders at Kx exceeds any broadcast
+    threshold, and customer/part grow with the data exactly as they do in
+    real TPC-H, leaving every join-strategy call to AQE's runtime sizes (the
+    shape that used to OOM under static hints).  Only the genuinely CONSTANT
+    relations (region, nation, supplier*) symlink at 1x.  (*supplier scales
+    too in real TPC-H; its keys are referenced by the unmultiplied
+    l_suppkey, so it stays 1x here -- its de-hinting is pinned by the plan
+    tests instead.)"""
     import tempfile
 
     tpch_dir = tempfile.mkdtemp(prefix="pdwx-scale-tpch-")
-    line10 = multiply(t.lineitem, ["l_orderkey", "l_partkey"], k)
-    ords10 = multiply(t.orders, ["o_orderkey", "o_custkey"], k)
-    line10.write.mode("overwrite").parquet(f"{tpch_dir}/lineitem.parquet")
-    ords10.write.mode("overwrite").parquet(f"{tpch_dir}/orders.parquet")
+    lineK = multiply(t.lineitem, ["l_orderkey", "l_partkey"], k)
+    ordsK = multiply(t.orders, ["o_orderkey", "o_custkey"], k)
+    lineK.write.mode("overwrite").parquet(f"{tpch_dir}/lineitem.parquet")
+    ordsK.write.mode("overwrite").parquet(f"{tpch_dir}/orders.parquet")
     multiply(t.customer, "c_custkey", k).write.mode("overwrite").parquet(
         f"{tpch_dir}/customer.parquet"
     )
@@ -211,6 +219,11 @@ def main() -> None:
     for tab in ("region", "nation", "supplier",
                 "events", "documents", "embeddings"):
         os.symlink(f"{sf_dir}/{tab}.parquet", f"{tpch_dir}/{tab}.parquet")
+    return tpch_dir
+
+
+def sec_tpch(spark, t, k: int, sf_dir: str) -> None:
+    tpch_dir = _materialize_tpch_dir(spark, t, k, sf_dir)
     from postgresql_datawarehouse_excercise_spark.queries import load_all
 
     regq = load_all()
@@ -222,10 +235,13 @@ def main() -> None:
         "x_tpch_q8_market_share",
         "x_tpch_q9_product_profit",
         "x_tpch_q10_returned_items",
+        "x_tpch_q18_large_orders",
         "x_tpch_q21_late_sole_supplier",
     ):
         timed(name, lambda name=name: regq[name].fn(spark, tpch_dir))
 
+
+def sec_events(spark, t, k: int, sf_dir: str) -> None:
     from postgresql_datawarehouse_excercise_spark.functions import dec
     from postgresql_datawarehouse_excercise_spark.operators.skew import salted_sum
 
@@ -270,6 +286,8 @@ def main() -> None:
         ),
     )
 
+
+def sec_mutation(spark, t, k: int, sf_dir: str) -> None:
     # partition-pruned COW UPDATE at Kx: only the one touched partition of
     # the Kx customer table is rewritten, so the cost tracks partition size,
     # not table size
@@ -286,6 +304,64 @@ def main() -> None:
         return tbl.read().groupBy("c_mktsegment").count()
 
     timed("cow_update_one_partition", mutate)
+
+
+def sec_stream(spark, t, k: int, sf_dir: str) -> None:
+    # incremental MV maintenance at a Kx DELTA rate: bootstrap the sales MV
+    # from the 1x base, then apply ONE K-multiplied delta batch through
+    # refresh_incremental (the foreachBatch code path of
+    # streaming/mv_maintenance.py).  Per-batch cost must track |delta|
+    # joined + |MV| rewritten -- never a rescan of accumulated history; the
+    # time dimension extends append-only under it.
+    import tempfile
+
+    from postgresql_datawarehouse_excercise_spark.mv.definitions import default_registry
+
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-scale-mvinc-"))
+    print(f"incremental MV, delta x{k}:", flush=True)
+    try:
+        for name in ("time", "sales"):
+            reg.build(spark, sf_dir, name)
+        delta_orders = multiply(t.orders, ["o_orderkey", "o_custkey"], k)
+        delta_line = multiply(t.lineitem, ["l_orderkey", "l_partkey"], k)
+        delta = catalog.delta_tables(
+            spark, sf_dir, orders=delta_orders, lineitem=delta_line
+        )
+
+        def refresh():
+            reg.refresh_incremental(spark, sf_dir, "sales", delta)
+            return reg.read(spark, "sales")
+
+        timed("incremental_mv_refresh", refresh)
+    finally:
+        reg.drop_all(spark)
+        catalog._TABLES_CACHE.clear()
+
+
+SECTIONS = {
+    "docs": sec_docs,
+    "emb": sec_emb,
+    "line": sec_line,
+    "tpch": sec_tpch,
+    "events": sec_events,
+    "mutation": sec_mutation,
+    "stream": sec_stream,
+}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 10
+    wanted = list(SECTIONS)
+    for a in sys.argv[1:]:
+        if a.startswith("--sections="):
+            wanted = [s for s in a.split("=", 1)[1].split(",") if s in SECTIONS]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-smoke")
+    t = catalog.load(spark, sf_dir)
+
+    for s in wanted:
+        SECTIONS[s](spark, t, k, sf_dir)
 
     spark.stop()
 

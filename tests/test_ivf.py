@@ -80,12 +80,15 @@ def _multiplied(emb, k: int):
 
 
 def _candidate_rows(df) -> int:
-    """Executed-plan actuals of the single cell-key BroadcastHashJoin — the
-    rows the index actually re-ranks for the query (verdict r6: assert
-    candidates from actuals, not from the formula)."""
+    """Executed-plan actuals of the cell-key BroadcastHashJoin — the rows
+    the index actually re-ranks for the query (verdict r6: assert
+    candidates from actuals, not from the formula).  The plan carries two
+    hash joins: the payload attach on vec_id (outputs the whole corpus)
+    and the qcells probe on cell (outputs the candidate set, always the
+    smaller: nprobe < cells)."""
     rows = plans.actual_output_rows(df, "BroadcastHashJoin")
-    assert len(rows) == 1, rows
-    return rows[0]
+    assert len(rows) == 2, rows
+    return min(rows)
 
 
 def test_ivf_candidates_sublinear_in_n(spark, sf_dir):
