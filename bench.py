@@ -320,6 +320,14 @@ def main() -> None:
     from postgresql_datawarehouse_excercise_spark.queries.x_mv import _TEXT, _TEXT_MULTI
 
     with_count_stats(reg)
+    # Earlier bench entries may mutate sf_dir in place (the lakehouse
+    # mutation family swaps parquet files); the freshness gate then makes
+    # the rewriter (correctly) decline.  Rebuild once so the timing still
+    # measures the steady-state rewrite, and treat a residual decline as a
+    # skipped datapoint instead of a run-killing assertion (ADVICE r7).
+    if not all(reg.is_fresh(sf_dir, n) for n in ("sales", "time", "view2")):
+        print("fam_mv: registry stale after earlier entries; rebuilding", file=sys.stderr)
+        reg.build_all(spark, sf_dir)
     reg.build(spark, sf_dir, "view2_stats")
     nav_mv = default_navigator(reg)
     sql_rewrite.register_star_view(spark, sf_dir)
@@ -331,8 +339,11 @@ def main() -> None:
             raise AssertionError(f"MV rewrite did not fire: {explain}")
         return df
 
-    results["x_mv_sql_rewrite"] = timed(lambda: rewritten(_TEXT))
-    results["x_mv_sql_rewrite_multi"] = timed(lambda: rewritten(_TEXT_MULTI))
+    for key, text in (("x_mv_sql_rewrite", _TEXT), ("x_mv_sql_rewrite_multi", _TEXT_MULTI)):
+        try:
+            results[key] = timed(lambda text=text: rewritten(text))
+        except AssertionError as exc:
+            print(f"{key}: rewrite declined, datapoint skipped: {exc}", file=sys.stderr)
 
     # streaming datapoints (single run: stream startup dominates and
     # best-of-N would triple the ~seconds-long fixed cost for no signal);

@@ -218,7 +218,7 @@ class MVRegistry:
             self._analyze(spark, name)
             if mv.cache_key:
                 catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
-            self.versions[name] = fp
+            self._stamp_version(sf_dir, name, fp)
             return
         # row-count stats ride along with the write via the Observation API
         # (one job per MV instead of write + count read-back)
@@ -235,7 +235,23 @@ class MVRegistry:
         self._analyze(spark, name)
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
-        self.versions[name] = fp
+        self._stamp_version(sf_dir, name, fp)
+
+    def _stamp_version(self, sf_dir: str, name: str, fp: tuple) -> None:
+        """Record the built-from snapshot ONLY when every dependency is
+        itself fresh.  A build reads its upstream MVs' parquet/cache, not
+        base lineage — so rebuilding view2 after a base mutation (without
+        rebuilding view1) produces pre-mutation aggregates; stamping the
+        NEW base fingerprint there would make is_fresh lie and the rewriter
+        serve silently-stale answers (the exact hole the staleness gate
+        exists to close).  Stale-dep builds stay unstamped: correct data
+        flow resumes only through a dependency-ordered rebuild (build_all /
+        refresh of the stale root), after which the stamp lands."""
+        mv = self.defs[name]
+        if all(self.versions.get(d) == fp for d in mv.deps):
+            self.versions[name] = fp
+        else:
+            self.versions.pop(name, None)
 
     def topo_levels(self) -> list[list[str]]:
         """Dependency levels: every MV in a level depends only on earlier
@@ -370,7 +386,6 @@ class MVRegistry:
         from pyspark.sql import functions as F
 
         mv = self.defs[name]
-        fp = base_fingerprint(sf_dir)
         if name == "time":
             from ..etl.time_dim import empty_time_dim, extend_time_dim
 
@@ -438,7 +453,15 @@ class MVRegistry:
         # periodic full builds is exactly autovacuum's behavior too
         if mv.cache_key:
             catalog.load(spark, sf_dir)._cache[mv.cache_key] = self.read(spark, name)
-        self.versions[name] = fp
+        # NO freshness stamp: the merged MV now contains delta rows passed
+        # in-memory (e.g. a foreachBatch micro-batch) that are NOT in the
+        # base parquet, so a rewrite onto it would return rows a direct
+        # execution of the same SQL cannot see — transparency would break
+        # in the opposite direction from staleness.  Incrementally
+        # maintained MVs stay direct-read (reg.read / the maintenance
+        # pipeline's own consumers) and decline SQL rewrites until the next
+        # full build records a consistent base snapshot.
+        self.versions.pop(name, None)
 
     def refresh(self, spark: SparkSession, sf_dir: str, name: str) -> None:
         """REFRESH MATERIALIZED VIEW analog: rebuild this MV and everything

@@ -355,7 +355,13 @@ def main() -> None:
     wanted = list(SECTIONS)
     for a in sys.argv[1:]:
         if a.startswith("--sections="):
-            wanted = [s for s in a.split("=", 1)[1].split(",") if s in SECTIONS]
+            wanted = [s for s in a.split("=", 1)[1].split(",") if s]
+            unknown = [s for s in wanted if s not in SECTIONS]
+            if unknown or not wanted:
+                sys.exit(
+                    f"unknown section(s) {unknown or '(none requested)'}; "
+                    f"valid: {', '.join(SECTIONS)}"
+                )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-smoke")
     t = catalog.load(spark, sf_dir)

@@ -225,6 +225,70 @@ def test_incremental_view2_equals_full_rebuild(spark, sf_dir):
         full.drop_all()
 
 
+def test_rebuild_with_stale_dep_stays_unfresh(spark, sf_dir):
+    """Freshness hole via MV deps (ADVICE r7 medium): after a base mutation,
+    refresh() of a downstream MV rebuilds it from the STALE upstream MV
+    parquet/cache — the registry must NOT stamp it fresh, or the rewriter
+    would serve pre-mutation aggregates while is_fresh lies True.  Only a
+    dependency-ordered rebuild (build_all / refresh of the stale root)
+    restores the stamp."""
+    import os
+    import shutil
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    tmp_sf = tempfile.mkdtemp(prefix="pdwx-depfresh-sf-")
+    shutil.rmtree(tmp_sf)
+    shutil.copytree(sf_dir, tmp_sf)
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-depfresh-wh-"))
+    try:
+        reg.build_all(spark, tmp_sf)
+        assert reg.is_fresh(tmp_sf, "view2")
+        # base mutation: COW-delete one order's lines, swap files in place
+        lp = os.path.join(tmp_sf, "lineitem.parquet")
+        line = spark.read.parquet(lp)
+        victim = line.select("l_orderkey").first()[0]
+        line.filter(f"l_orderkey <> {victim}").write.parquet(lp + "__new")
+        (os.remove if os.path.isfile(lp) else shutil.rmtree)(lp)
+        os.rename(lp + "__new", lp)
+        catalog._TABLES_CACHE.clear()
+        # refresh ONLY the downstream MV: its dep (the sales MV) is still
+        # stale, so view2's new contents derive from pre-mutation data
+        reg.refresh(spark, tmp_sf, "view2")
+        assert not reg.is_fresh(tmp_sf, "view2")
+        # refresh from the stale ROOT rebuilds the closure downstream of
+        # sales — but time (also a view2 dep) is stale too, so still no lie
+        reg.refresh(spark, tmp_sf, "sales")
+        assert not reg.is_fresh(tmp_sf, "view2")
+        # dependency-ordered full rebuild restores freshness end-to-end
+        reg.build_all(spark, tmp_sf)
+        assert reg.is_fresh(tmp_sf, "view2")
+        assert reg.is_fresh(tmp_sf, "view3")
+    finally:
+        reg.drop_all(spark)
+        shutil.rmtree(tmp_sf, ignore_errors=True)
+        catalog._TABLES_CACHE.clear()
+
+
+def test_incremental_refresh_never_stamps_fresh(spark, sf_dir):
+    """ADVICE r7 low: refresh_incremental merges delta rows passed
+    IN-MEMORY — not necessarily present in the base parquet — so the MV
+    must not read as fresh afterwards (a rewrite onto it could return rows
+    a direct execution of the same SQL cannot see)."""
+    _, delta = _date_split(spark, sf_dir)
+    reg = default_registry(tempfile.mkdtemp(prefix="pdwx-incr-f-"))
+    try:
+        for n in ("time", "sales", "view2"):
+            reg.build(spark, sf_dir, n)
+        assert reg.is_fresh(sf_dir, "view2")
+        reg.refresh_incremental(spark, sf_dir, "sales", delta)
+        reg.refresh_incremental(spark, sf_dir, "view2", delta)
+        assert not reg.is_fresh(sf_dir, "sales")
+        assert not reg.is_fresh(sf_dir, "view2")
+    finally:
+        reg.drop_all()
+
+
 def test_incremental_rejects_non_additive(spark, sf_dir):
     """avg-bearing / report MVs must refuse incremental maintenance."""
     _, delta = _date_split(spark, sf_dir)

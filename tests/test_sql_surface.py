@@ -104,16 +104,19 @@ def test_ann_ivf_recall_and_candidate_bound(spark, sf_dir):
     assert len(rec) == similarity.KNN_QUERIES
     mean_recall = sum(float(r.recall) for r in rec) / len(rec)
     assert mean_recall >= 0.8, [(r.query_id, float(r.recall)) for r in rec]
-    # candidate bound: pairs surviving the probed-cell join, per query
+    # candidate bound: pairs surviving the probed-cell join, per query.
+    # The index configuration is N-derived (ivf_cells/ivf_nprobe), so the
+    # test derives it the same way the operator does.
     base = similarity._ivf_base(t.embeddings)
-    cents, assigned = similarity._ivf_train(base)
+    n = t.embeddings.count()
+    cells = similarity.ivf_cells(n)
+    cents, assigned = similarity._ivf_train(base, cells)
     from pyspark.sql import functions as F
 
-    n = t.embeddings.count()
     q = base.filter(F.col("vec_id") < similarity.KNN_QUERIES).limit(
         similarity.KNN_QUERIES
     ).select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
-    qcells = similarity._probe_cells(q, cents)
+    qcells = similarity._probe_cells(q, cents, similarity.ivf_nprobe(cells))
     cand_pairs = assigned.join(qcells, "cell").count()
     frac = cand_pairs / (similarity.KNN_QUERIES * n)
     assert frac <= 0.5, f"candidate fraction {frac:.2%} -- index degenerated to a scan"
