@@ -35,23 +35,16 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND = (
-    # round 7 priority #1 (verdict): the only 2 entries with ZERO driver-gate
-    # rows ever (implemented+oracled in r6, missed the full 50-slot window).
-    # They are also count-0, so they sort first within this group.
-    "x_pipeline_curriculum_shards",
-    "x_source_dynamic_partition_overwrite",
-    # N-scaled IVF configuration (cells ~ sqrt(N), nprobe ~ N^(1/4))
-    "x_sim_ann_ivf",
-    "x_sim_ann_recall",
-    # SemDeDup production k-with-N shape now on the gate (k = max(8, N//250))
-    "x_sim_semantic_dedup",
-    # MV freshness gate rides the spark_sql rewrite path of all 5 entries
+    # round 8: 4 brand-new entries with zero driver-gate rows (count-0, so
+    # they sort first within this group)
+    "x_dedup_substring_spans",       # ExactSubstr-style duplicated spans
+    "x_text_unigram_logprob",        # corpus-LM perplexity-proxy scoring
+    "x_pipeline_decontaminate_semantic",  # embedding-space decontamination
+    "x_source_orc_roundtrip",        # second columnar format end-to-end
+    # freshness-stamp semantics changed under these (dep-aware stamping in
+    # registry.build; refresh_incremental no longer stamps at all)
     "x_mv_sql_rewrite",
     "x_mv_sql_rewrite_multi",
-    "x_mv_sql_rewrite_expr",
-    "x_mv_sql_rewrite_distinct",
-    "x_mv_sql_rewrite_join",
-    # refresh_incremental records base fingerprints now
     "x_stream_incremental_mv",
 )
 

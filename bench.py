@@ -235,6 +235,10 @@ def main() -> None:
         "x_sim_semantic_dedup",
         "x_sim_pca_power",
         "x_dedup_incremental",
+        "x_dedup_substring_spans",
+        "x_text_unigram_logprob",
+        "x_pipeline_decontaminate_semantic",
+        "x_source_orc_roundtrip",
         "x_pipeline_scd2_pointintime",
         "x_pipeline_curriculum_shards",
         "x_sql_recursive_cte",

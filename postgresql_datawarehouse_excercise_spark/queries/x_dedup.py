@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..functions import ratio, sql_ratio
 from ..operators import dedup
 from . import query
 
@@ -123,3 +124,126 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_dedup)."""
     t = catalog.load(spark, sf_dir)
     return dedup.incremental_dedup(t.documents)
+
+
+SPAN_TOKENS = 8  # rolling-window width (tokens); production ExactSubstr uses ~50
+
+
+@query(
+    "x_dedup_substring_spans",
+    oracle="""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(trim(text), ' ') AS tk
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk
+  FROM toks WHERE len(tk) >= {K}
+),
+wins AS (
+  SELECT doc_id, u.pos,
+         md5(array_to_string(tk[(u.pos + 1):(u.pos + {K})], ' ')) AS h
+  FROM docs, unnest(generate_series(0, len(tk) - {K})) AS u(pos)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(LAG(pos) OVER w, -{K}) >= {K}
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM marked
+),
+spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) AS e FROM grp GROUP BY 1, 2),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + {K}) AS BIGINT) AS n_dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id, d.n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+       {ratio} AS dup_fraction
+FROM docs d LEFT JOIN perdoc p USING (doc_id)
+""".format(
+        K=SPAN_TOKENS,
+        ratio=sql_ratio("COALESCE(p.n_dup_tokens, 0)", "d.n_tokens"),
+    ),
+)
+def x_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the suffix-array ExactSubstr
+    dedup of Lee et al. 2022, re-expressed relationally): every OVERLAPPING
+    K-token window is hashed (stride 1 -- unlike x_text_block_dedup's
+    disjoint blocks, this catches alignment-shifted copies), a window is
+    duplicated iff its hash occurs in >= 2 DISTINCT documents, and per doc
+    the hit positions merge into maximal duplicated spans (interval union:
+    windows all have length K, so sorted hits start a new span exactly when
+    pos - lag(pos) >= K).  Output per qualifying doc: span count, duplicated
+    token coverage, coverage fraction.
+
+    Scale shape: windows explode to ~|tokens| skinny (h, doc, pos) rows;
+    cross-doc detection is ONE groupBy on h with min/max partial aggregates
+    (map-side combine collapses within-partition repeats); the hit join
+    shuffles on h; span merging is a per-doc sort window (state = one lag
+    row).  No token strings cross the wire after hashing, and nothing is
+    quadratic in corpus size -- the property that lets ExactSubstr run at
+    100 TB where a literal suffix array cannot."""
+    t = catalog.load(spark, sf_dir)
+    return substring_spans(t.documents)
+
+
+def substring_spans(documents: DataFrame, K: int = SPAN_TOKENS) -> DataFrame:
+    """Core of x_dedup_substring_spans over any (doc_id, text) relation
+    (parameterized window width for the Python-model property test)."""
+    from pyspark.sql import Window
+
+    tk = F.split(F.trim(F.col("text")), " ")
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        tk.alias("tk"),
+    ).filter(F.col("n_tokens") >= K)
+    wins = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - K).cast("int")),
+                lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), p + 1, K))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = hits.withColumn(
+        "new_span",
+        (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-K)) >= K).cast("int"),
+    )
+    grp = marked.withColumn(
+        "g", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + K).alias("n_dup_tokens"),
+    )
+    return docs.drop("tk").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        ratio(
+            F.coalesce("n_dup_tokens", F.lit(0)), F.col("n_tokens")
+        ).alias("dup_fraction"),
+    )

@@ -913,3 +913,64 @@ def x_pipeline_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DECON_SEM_THRESHOLD = 0.30  # max-cosine-vs-eval cut (NEARDUP_THRESHOLD - margin)
+
+
+@query(
+    "x_pipeline_decontaminate_semantic",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM embeddings
+),
+ev AS (SELECT e FROM base WHERE bucket >= {TRAIN_PCT})
+SELECT tr.vec_id,
+       MAX(FLOOR((list_cosine_similarity(tr.e, ev.e)) * 1000000.0 + 0.5) / 1000000.0) AS max_cos_eval,
+       MAX(FLOOR((list_cosine_similarity(tr.e, ev.e)) * 1000000.0 + 0.5) / 1000000.0)
+         >= {DECON_SEM_THRESHOLD} AS contaminated
+FROM base tr CROSS JOIN ev
+WHERE tr.bucket < {TRAIN_PCT}
+GROUP BY tr.vec_id
+""",
+)
+def x_pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag every TRAIN vector whose cosine
+    against ANY EVAL vector reaches the near-dup band (paraphrased benchmark
+    answers that the n-gram decontaminator, x_pipeline_decontaminate, cannot
+    see).  Same deterministic id-hash split as the n-gram twin (bucket >=
+    TRAIN_PCT = eval).
+
+    Scale shape: a production eval suite is fixed-size, so the eval side
+    (vectors + norms) broadcasts and the train side is one embarrassingly-
+    parallel scan -- per-row cost |eval| x dim, no shuffle until the
+    per-vector max (map-side combined).  NO static broadcast hint, though:
+    this entry's id-hash split makes the eval slice a constant FRACTION of
+    a scaling relation, so strategy is left to AQE's runtime sizing (the
+    registry-wide fact_broadcast_hints guard enforces exactly this
+    discipline); cosines ride the engine-portable sequential-fold dot
+    product (operators/similarity.dot), 6-dp quantized BEFORE the max so
+    the aggregate compares equal across engines."""
+    from ..operators.similarity import _norms, dot
+
+    t = catalog.load(spark, sf_dir)
+    base = _norms(t.embeddings).withColumn("bucket", _bucket(F.col("vec_id")))
+    ev = base.filter(F.col("bucket") >= TRAIN_PCT).select(
+        F.col("e").alias("ev_e"), F.col("n").alias("ev_n")
+    )
+    cos = dot(F.col("e"), F.col("ev_e")) / (F.col("n") * F.col("ev_n"))
+    return (
+        base.filter(F.col("bucket") < TRAIN_PCT)
+        .crossJoin(ev)
+        .select("vec_id", fround(cos, 6).alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("max_cos_eval"))
+        .select(
+            "vec_id",
+            "max_cos_eval",
+            (F.col("max_cos_eval") >= F.lit(DECON_SEM_THRESHOLD)).alias("contaminated"),
+        )
+    )

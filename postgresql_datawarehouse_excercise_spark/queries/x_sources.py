@@ -305,3 +305,37 @@ def x_source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Da
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "x_source_orc_roundtrip",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_money(f"SUM({sql_dec('l_quantity')})")} AS sum_qty,
+       {sql_money(f"SUM({sql_dec('l_extendedprice')})")} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def x_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem measure columns -> columnar ORC (zlib) -> schema-explicit
+    re-read -> flag/status aggregate in exact decimal.  Value-hash equality
+    pins Spark's SECOND columnar format end-to-end (the interchange path to
+    Hive/Trino estates that standardized on ORC before parquet): writer,
+    reader, predicate-capable types, and numeric fidelity through the
+    format's own double encoding.  Scale shape: identical to the parquet
+    path -- splittable stripes parallelize the re-read, and the aggregate
+    is one map-side-combined shuffle on the 6-value key."""
+    t = catalog.load(spark, sf_dir)
+    slim = t.lineitem.select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"
+    )
+    out = tempfile.mkdtemp(prefix="pdwx-orc-")
+    slim.write.mode("overwrite").option("compression", "zlib").orc(out)
+    back = spark.read.schema(slim.schema).orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money(sum_c100("l_quantity")).alias("sum_qty"),
+        money(sum_c100("l_extendedprice")).alias("sum_price"),
+    )

@@ -573,3 +573,81 @@ def x_text_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, s.run_start, s.token, s.run_len
       FROM udtf_docs d, LATERAL pdwx_token_runs(d.text) s
     """)
+
+
+@query(
+    "x_text_unigram_logprob",
+    oracle=r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM tc),
+lp AS (
+  SELECT term,
+         CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+  FROM tc CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp.lp_micro) AS BIGINT) AS sum_logprob_micro,
+       FLOOR((CAST(-SUM(lp.lp_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logprob
+FROM toks t JOIN lp USING (term)
+GROUP BY t.doc_id
+""",
+)
+def x_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity-proxy quality score (the CCNet filter shape:
+    there a KenLM 5-gram, here the corpus's own unigram model): p(term) =
+    count/total over the whole corpus, each document scored by its mean
+    negative log-likelihood -- low = head-heavy boilerplate, high = rare-
+    token noise; pipelines keep the middle band.
+
+    Float discipline: the ONE cross-engine float op per term is
+    ln(cnt/total), immediately quantized to integer MICRO-NATS (floor
+    half-up at 1e-6) -- per-doc summation then runs in exact int64, so the
+    result is independent of Spark's partition-order summation (a raw
+    double SUM would hash-mismatch the oracle).  Scale shape: the term
+    model is one groupBy (map-side combined) over the token explosion; the
+    scalar total broadcasts; docs re-join the model on term (shuffle keyed
+    by term, never by doc pair) and aggregate once per doc."""
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tc.agg(F.sum("cnt").alias("total"))
+    lp = tc.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").cast("long").alias("sum_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logprob_micro",
+            fround(
+                (-F.col("sum_logprob_micro")).cast("double")
+                / 1000000.0
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -279,3 +279,66 @@ def test_semantic_dedup_matches_python_model(spark):
         )
         assert safe_clear, "synthetic data landed near the threshold; rebuild it"
         assert kept == (not dup_exists), (v, cl, kept)
+
+
+def test_substring_spans_matches_python_model(spark):
+    """Independent semantics check for x_dedup_substring_spans: on
+    constructed documents -- one shared 12-token run embedded at DIFFERENT
+    offsets in two docs (the alignment-shifted case disjoint block dedup
+    misses), plus overlapping-but-not-consecutive hits and a unique doc --
+    the operator's maximal-span merge must equal a brute-force pure-Python
+    interval union of duplicated K-windows."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        substring_spans,
+    )
+
+    K = 4
+    shared = [f"s{i}" for i in range(12)]
+
+    def words(doc, n):
+        return [f"d{doc}w{i}" for i in range(n)]
+
+    texts = {
+        0: words(0, 5) + shared + words(0, 5),          # run at offset 5
+        1: shared + [f"d1w{i}" for i in range(9)],      # same run at offset 0
+        2: words(2, 16),                                # unique
+        # doc 3 repeats the FIRST half of the run later -> second, separate
+        # span within the same doc after the merge
+        3: words(3, 4) + shared[:6] + words(3, 4)[::-1] + shared[:6],
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    # pure-Python model: window -> docs holding it; merge hit intervals
+    windows = {}
+    for d, t in texts.items():
+        for p in range(len(t) - K + 1):
+            windows.setdefault(tuple(t[p : p + K]), set()).add(d)
+    expect = {}
+    for d, t in texts.items():
+        hits = [
+            p
+            for p in range(len(t) - K + 1)
+            if len(windows[tuple(t[p : p + K])]) >= 2
+        ]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] - K + 1 + K - 1:  # p <= prev_end
+                spans[-1][1] = max(spans[-1][1], p + K - 1)
+            else:
+                spans.append([p, p + K - 1])
+        expect[d] = (
+            len(t),
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_dup_tokens"])
+        for r in substring_spans(docs, K=K).collect()
+    }
+    assert got == expect, (got, expect)
+    # the shifted copy is SEEN (nonzero coverage in both carriers) -- the
+    # property disjoint 16-token blocks cannot deliver
+    assert got[0][2] >= 12 and got[1][2] >= 12
