@@ -41,6 +41,8 @@ _TOUCHED_THIS_ROUND = (
     "x_text_unigram_logprob",        # corpus-LM perplexity-proxy scoring
     "x_pipeline_decontaminate_semantic",  # embedding-space decontamination
     "x_source_orc_roundtrip",        # second columnar format end-to-end
+    "x_sim_ann_pq",                  # product-quantized ADC ranking
+    "x_sim_ann_pq_recall",           # PQ compression-cost measurement
     # freshness-stamp semantics changed under these (dep-aware stamping in
     # registry.build; refresh_incremental no longer stamps at all)
     "x_mv_sql_rewrite",

@@ -234,6 +234,8 @@ def main() -> None:
         "x_sim_ann_recall",
         "x_sim_semantic_dedup",
         "x_sim_pca_power",
+        "x_sim_ann_pq",
+        "x_sim_ann_pq_recall",
         "x_dedup_incremental",
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",

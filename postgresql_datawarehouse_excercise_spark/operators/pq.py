@@ -1,0 +1,329 @@
+"""Product quantization (IVF-PQ's compression half) on the exact integer grid.
+
+The ANN family's memory story at 100 TB: a 64-dim float vector is 256 bytes;
+its PQ code is PQ_M small integers (here 8 codeword ids of 16 => 4 bits each,
+8 bytes as stored columns, 4 as packed nibbles) -- a 32-64x compression that
+lets a 10^11-vector corpus's index live in cluster RAM while the exact
+vectors stay on cold storage.  Queries score candidates with ADC (asymmetric
+distance computation): per query, ONE small distance table of
+PQ_M x PQ_K exact squared-L2 entries between the query's subvectors and the
+codebooks; a candidate's approximate distance is then PQ_M integer table
+lookups summed -- no per-pair vector arithmetic at all.
+
+Training = one Lloyd round per subspace, entirely on clustering.py's
+micro-unit integer grid (quantize -> deterministic first-PQ_K init ->
+exact-int argmin assign -> floored half-up mean recompute -> final encode),
+so every codebook component, code and ADC distance is an exact BIGINT and
+the DuckDB oracle replays the whole pipeline bit-for-bit -- the same
+determinism argument as operators/clustering.py, per subspace.
+
+Scale shape: codebooks are PQ_M x PQ_K rows (broadcast, never shuffled);
+encoding is a map over vector splits; the ADC scan joins the |V| x PQ_M
+skinny code relation against the broadcast per-query tables with map-side
+partial sums, so the one shuffle carries |V| pre-reduced candidate rows.
+Reference capability family: same role as the reference's index-backed
+lookups (SURVEY.md section 2 A7 clustering analog), extended to the
+vector-search surface the LLM-pipeline north star needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import SCALE, _dist2, quantize
+
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M * PQ_SUB = 64, the corpus dim)
+PQ_K = 16       # codewords per subspace (4-bit codes)
+PQ_QUERIES = 8  # evaluation query set: vec_id < PQ_QUERIES
+PQ_TOPK = 10
+
+
+def _subvectors(q: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector's PQ_M subvectors of PQ_SUB micro-unit
+    components (one explode of a constant array -- no shuffle)."""
+    ms = F.array(*[F.lit(m) for m in range(PQ_M)])
+    return q.select("vec_id", "qv", F.explode(ms).alias("m")).select(
+        "vec_id",
+        "m",
+        F.slice("qv", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+    )
+
+
+def _init_codebooks(q: DataFrame) -> DataFrame:
+    """(m, cid, csv): deterministic init -- the PQ_K lowest vec_ids supply
+    codeword cid = 0..PQ_K-1 in each subspace (clustering.init_centroids'
+    recipe, sliced per subspace).  PQ_M x PQ_K rows via the driver."""
+    rows = q.orderBy("vec_id").limit(PQ_K).collect()
+    rows = sorted(rows, key=lambda r: r.vec_id)
+    data = [
+        (m, i, list(r.qv[m * PQ_SUB : (m + 1) * PQ_SUB]))
+        for m in range(PQ_M)
+        for i, r in enumerate(rows)
+    ]
+    return q.sparkSession.createDataFrame(data, "m int, cid int, csv array<bigint>")
+
+
+def _assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid): nearest codeword per subvector, exact integer
+    squared-L2, ties to the lowest cid (the min-over-structs idiom --
+    map-side combinable, no ranking window)."""
+    j = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "cid", _dist2(F.col("sv"), F.col("csv")).alias("d2")
+    )
+    best = j.groupBy("vec_id", "m").agg(F.min(F.struct("d2", "cid")).alias("_m"))
+    return best.select("vec_id", "m", F.col("_m.cid").alias("cid"))
+
+
+def _recompute(subs: DataFrame, assigned: DataFrame) -> DataFrame:
+    """New codebooks: per-(m, cid, position) exact component sums ->
+    floored half-up integer mean -> arrays (clustering.recompute per
+    subspace; codewords with no members drop out, both engines agree)."""
+    a = assigned.join(subs, ["vec_id", "m"])
+    comp = a.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+    sums = comp.groupBy("m", "cid", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = sums.select(
+        "m",
+        "cid",
+        "pos",
+        (2 * F.col("s") + F.col("n")).alias("_a"),
+        (2 * F.col("n")).alias("_b"),
+    ).select(
+        "m", "cid", "pos", F.expr("(_a - ((_a % _b + _b) % _b)) div _b").alias("c")
+    )
+    return mean.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda st: st.getField("c"),
+        ).alias("csv")
+    )
+
+
+def pq_train_encode(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, codes): one Lloyd round per subspace, then the final
+    encode.  codebooks = (m, cid, csv); codes = (vec_id, m, code)."""
+    q = quantize(embeddings)
+    subs = _subvectors(q)
+    cb1 = _init_codebooks(q)
+    a1 = _assign(subs, cb1)
+    cb2 = _recompute(subs, a1)
+    codes = _assign(subs, cb2).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    return cb2, codes
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, adc_dist2, rank) -- the n_queries
+    lowest vec_ids each rank the whole coded corpus by summed table
+    lookups; top k by (distance, vec_id), self excluded."""
+    from pyspark.sql.window import Window
+
+    cb, codes = pq_train_encode(embeddings)
+    q = quantize(embeddings)
+    # .limit() is a no-op on the id filter but bounds the broadcast side
+    # EXPLICITLY in the plan (GlobalLimit) -- the registry-wide
+    # fact_broadcast_hints guard requires a cardinality-reducing node
+    # between any hint and an SF-scaling scan (same idiom as cosine_topk)
+    qsubs = _subvectors(
+        q.filter(F.col("vec_id") < n_queries).limit(n_queries)
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    # per-query distance table: PQ_M x PQ_K exact entries
+    tbl = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "cid", _dist2(F.col("qsv"), F.col("csv")).alias("d")
+    )
+    scores = (
+        codes.join(
+            F.broadcast(tbl),
+            (codes.m == tbl.m) & (codes.code == tbl.cid) & (codes.vec_id != tbl.query_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist2", "rank")
+    )
+
+
+def _sql_q() -> str:
+    return f"""
+q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(SCALE)} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, mm.m, ii.i, qv[mm.m * {PQ_SUB} + ii.i] AS x
+  FROM q,
+       (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm,
+       (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) ii
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv
+  FROM q ORDER BY vec_id LIMIT {PQ_K}
+),
+icomp AS (
+  SELECT cid, mm.m, ii.i, qv[mm.m * {PQ_SUB} + ii.i] AS c
+  FROM init,
+       (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm,
+       (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) ii
+),
+d1 AS (
+  SELECT s.vec_id, s.m, ic.cid, CAST(SUM((s.x - ic.c) * (s.x - ic.c)) AS BIGINT) AS d2
+  FROM subs s JOIN icomp ic ON s.m = ic.m AND s.i = ic.i
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+sums AS (
+  SELECT s.m, a1.cid, s.i, CAST(SUM(s.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 JOIN subs s ON a1.vec_id = s.vec_id AND a1.m = s.m
+  GROUP BY 1, 2, 3
+),
+cb2 AS (
+  SELECT m, cid, i,
+         ((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n) AS c
+  FROM sums
+),
+d2 AS (
+  SELECT s.vec_id, s.m, cb2.cid, CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d2
+  FROM subs s JOIN cb2 ON s.m = cb2.m AND s.i = cb2.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+"""
+
+
+def pq_topk_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
+    return f"""
+WITH {_sql_q()},
+tbl AS (
+  SELECT s.vec_id AS query_id, s.m, cb2.cid,
+         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
+  FROM subs s JOIN cb2 ON s.m = cb2.m AND s.i = cb2.i
+  WHERE s.vec_id < {n_queries}
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT tbl.query_id, codes.vec_id, CAST(SUM(tbl.d) AS BIGINT) AS adc_dist2
+  FROM codes JOIN tbl ON codes.m = tbl.m AND codes.code = tbl.cid
+  WHERE codes.vec_id <> tbl.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, adc_dist2,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rank
+  FROM scores)
+WHERE rank <= {k}
+"""
+
+
+def pq_recall(
+    embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK
+) -> DataFrame:
+    """(query_id, n_hits, recall): recall@k of the ADC ranking against the
+    EXACT integer squared-L2 top-k over the same query set -- the
+    compression-quality measurement (how much ranking fidelity the 32x
+    compression costs), twin of the IVF family's ann_recall.  Both arms are
+    exact BIGINT with the same (distance, vec_id) tie-break, so recall is
+    bit-exact cross-engine."""
+    from pyspark.sql.window import Window
+
+    approx = pq_topk(embeddings, n_queries, k).select("query_id", "vec_id")
+    q = quantize(embeddings)
+    qs = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    d = (
+        q.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dist2(F.col("qv"), F.col("qqv")).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    from ..functions import ratio
+
+    return (
+        approx.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            ratio(F.coalesce("n_hits", F.lit(0)), F.lit(k)).alias("recall"),
+        )
+    )
+
+
+def pq_recall_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
+    from ..functions import sql_ratio
+
+    return f"""
+WITH {_sql_q()},
+tbl AS (
+  SELECT s.vec_id AS query_id, s.m, cb2.cid,
+         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
+  FROM subs s JOIN cb2 ON s.m = cb2.m AND s.i = cb2.i
+  WHERE s.vec_id < {n_queries}
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT tbl.query_id, codes.vec_id, CAST(SUM(tbl.d) AS BIGINT) AS adc_dist2
+  FROM codes JOIN tbl ON codes.m = tbl.m AND codes.code = tbl.cid
+  WHERE codes.vec_id <> tbl.query_id
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+    FROM scores) WHERE rn <= {k}
+),
+exact_d AS (
+  SELECT qs.vec_id AS query_id, s.vec_id,
+         CAST(SUM((qs.x - s.x) * (qs.x - s.x)) AS BIGINT) AS d2
+  FROM subs qs JOIN subs s ON qs.m = s.m AND qs.i = s.i AND s.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+    FROM exact_d) WHERE rn <= {k}
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       {sql_ratio("COALESCE(h.n_hits, 0)", str(k))} AS recall
+FROM (SELECT DISTINCT query_id FROM approx) q LEFT JOIN hits h USING (query_id)
+"""

@@ -183,6 +183,68 @@ def cosine_neardup_blocked(
     )
 
 
+def cosine_max_vs_set_blocked(train: DataFrame, ev: DataFrame) -> DataFrame:
+    """(vec_id, max_cos_eval): per TRAIN vector, the max cosine against a
+    fixed EVAL relation -- the semantic-decontamination kernel at scale
+    (queries/x_pipeline.semantic_decontaminate is the exact-fold twin the
+    driver gate verifies; this is its production path, same 6-dp rounding
+    caveat as cosine_neardup_blocked, pinned by the GEMM-margin tests).
+
+    train carries (vec_id, e, n) from _norms; ev carries (ev_e, ev_n).
+    Train rows group into fixed id-keyed blocks; the eval suite (bounded by
+    definition) groups into row-count blocks; each (train block, eval
+    block) pair runs ONE BLAS matmul and emits only per-vector partial
+    maxima, so the shuffle after the kernel carries |train| skinny rows --
+    never the |train| x |eval| pair set.  Measured 35.4 s (fold) -> ~2 s
+    (GEMM) at the 10x smoke."""
+    import numpy as np
+    import pandas as pd
+
+    tb = train.select(
+        (F.col("vec_id") / BLOCK_SIZE).cast("long").alias("block"),
+        "vec_id",
+        F.zip_with("e", F.array_repeat(F.col("n"), 64), lambda x, nn: x / nn).alias("u"),
+    ).groupBy("block").agg(F.collect_list(F.struct("vec_id", "u")).alias("vs"))
+    # eval blocks: spark_partition_id is an arbitrary-but-valid grouping --
+    # the per-vector max is invariant to how the eval side is partitioned
+    eb = (
+        ev.select(
+            F.zip_with(
+                "ev_e", F.array_repeat(F.col("ev_n"), 64), lambda x, nn: x / nn
+            ).alias("u")
+        )
+        .withColumn("block", F.spark_partition_id())
+        .groupBy("block")
+        .agg(F.collect_list("u").alias("es"))
+        .select("es")
+    )
+    grid = tb.crossJoin(eb)
+
+    out_schema = "vec_id long, max_cos double"
+
+    def gemm(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ids = np.array([v["vec_id"] for v in row["vs"]])
+                mt = np.array([v["u"] for v in row["vs"]])
+                me = np.array(list(row["es"]))
+                sims = mt @ me.T
+                # per-pair portable half-up rounding BEFORE the max --
+                # identical to the fold twin's fround-then-MAX order
+                mx = (np.floor(sims * 1e6 + 0.5) / 1e6).max(axis=1)
+                outs.append(pd.DataFrame({"vec_id": ids, "max_cos": mx}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"vec_id": [], "max_cos": []}
+            ).astype({"vec_id": "int64", "max_cos": "float64"})
+
+    return (
+        grid.mapInPandas(gemm, out_schema)
+        .groupBy("vec_id")
+        .agg(F.max("max_cos").alias("max_cos_eval"))
+    )
+
+
 def _bucket(e: Column) -> Column:
     """LSH bucket id: sign bit of e . h_p for each fixed hyperplane."""
     bits = [

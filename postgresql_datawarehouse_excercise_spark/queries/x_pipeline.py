@@ -954,17 +954,28 @@ def x_pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataF
     discipline); cosines ride the engine-portable sequential-fold dot
     product (operators/similarity.dot), 6-dp quantized BEFORE the max so
     the aggregate compares equal across engines."""
-    from ..operators.similarity import _norms, dot
+    from ..operators.similarity import _norms
 
     t = catalog.load(spark, sf_dir)
     base = _norms(t.embeddings).withColumn("bucket", _bucket(F.col("vec_id")))
     ev = base.filter(F.col("bucket") >= TRAIN_PCT).select(
         F.col("e").alias("ev_e"), F.col("n").alias("ev_n")
     )
+    return semantic_decontaminate(base.filter(F.col("bucket") < TRAIN_PCT), ev)
+
+
+def semantic_decontaminate(train: DataFrame, ev: DataFrame) -> DataFrame:
+    """Core of x_pipeline_decontaminate_semantic: `train` carries
+    (vec_id, e, n) from operators/similarity._norms, `ev` carries the eval
+    suite as (ev_e, ev_n).  scripts/scale_smoke.py drives this with a FIXED
+    eval side against a K-fold train side -- the production shape, where
+    cost is |train| x |eval| x dim with |eval| constant (linear in the
+    corpus)."""
+    from ..operators.similarity import dot
+
     cos = dot(F.col("e"), F.col("ev_e")) / (F.col("n") * F.col("ev_n"))
     return (
-        base.filter(F.col("bucket") < TRAIN_PCT)
-        .crossJoin(ev)
+        train.crossJoin(ev)
         .select("vec_id", fround(cos, 6).alias("c"))
         .groupBy("vec_id")
         .agg(F.max("c").alias("max_cos_eval"))

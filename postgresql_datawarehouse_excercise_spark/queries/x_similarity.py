@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import catalog
 from ..functions import fround
-from ..operators import pca, similarity
+from ..operators import pca, pq, similarity
 from . import query
 
 QUERY_VEC_ID = 0
@@ -274,3 +274,25 @@ def x_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.ann_recall)."""
     t = catalog.load(spark, sf_dir)
     return similarity.ann_recall(t.embeddings)
+
+
+@query("x_sim_ann_pq", oracle=pq.pq_topk_sql())
+def x_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-10 (operators/pq.py): vectors compress to
+    PQ_M=8 codeword ids (16 codewords/subspace, one integer-grid Lloyd
+    round each) and queries rank the whole coded corpus by summed
+    distance-table lookups -- IVF-PQ's compression half, the index shape
+    that fits a 10^11-vector corpus in cluster RAM.  Exact BIGINT
+    end-to-end; the oracle replays training, encoding and the ADC scan."""
+    t = catalog.load(spark, sf_dir)
+    return pq.pq_topk(t.embeddings)
+
+
+@query("x_sim_ann_pq_recall", oracle=pq.pq_recall_sql())
+def x_sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC ranking vs the exact integer-L2 top-10 on
+    the same 8-query evaluation set -- quantifies what the 32x compression
+    costs in ranking fidelity, exactly as x_sim_ann_recall does for the
+    IVF index's candidate pruning."""
+    t = catalog.load(spark, sf_dir)
+    return pq.pq_recall(t.embeddings)

@@ -614,7 +614,13 @@ def x_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar total broadcasts; docs re-join the model on term (shuffle keyed
     by term, never by doc pair) and aggregate once per doc."""
     t = catalog.load(spark, sf_dir)
-    toks = t.documents.select(
+    return unigram_logprob(t.documents)
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Core of x_text_unigram_logprob over any (doc_id, text) relation
+    (also driven by scripts/scale_smoke.py on K-fold multiplied data)."""
+    toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)

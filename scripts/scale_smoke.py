@@ -36,6 +36,17 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
                                                   45 s at 100x/k=800 after
                                                   rank-within-cluster blocks)
   pca_project             20,000 vecs    2.4 s   (two passes + projection)
+  substring_spans         50,000 docs   12.9 s   (max-selectivity worst case:
+                                                  every window cross-doc
+                                                  duplicated; 105.8 s at 100x
+                                                  = linear in tokens)
+  unigram_logprob         50,000 docs    6.1 s   (32.8 s at 100x: sub-linear,
+                                                  fixed-vocab term model)
+  decontaminate_semantic  20,000 vecs    1.4 s   (fixed eval suite x Kx train
+                                                  via blocked GEMM; 35.4 s on
+                                                  the interpreted fold before
+                                                  cosine_max_vs_set_blocked;
+                                                  8.6 s at 100x = linear)
   sales_fact_build     6M line rows     11.0 s   (incl. in-memory 10x
                                                   multiplication)
   stats_moments_sums   6M line rows      5.0 s   (six exact integer power
@@ -134,6 +145,25 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
              F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated")),
     )
 
+    # duplicated-span detection at Kx: window rows grow ~|tokens| (linear);
+    # K exact copies per doc make EVERY window cross-doc duplicated, so the
+    # hit join and span merge run at their max selectivity -- worst case
+    # for the per-doc window, still nothing quadratic
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        substring_spans,
+    )
+
+    timed("substring_spans", substring_spans(docs))
+
+    # corpus-LM scoring at Kx: token explosion -> term-model groupBy
+    # (map-side combined; vocab is fixed, so the model relation stays
+    # constant-size as K grows) -> re-join on term -> per-doc aggregate
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        unigram_logprob,
+    )
+
+    timed("unigram_logprob", unigram_logprob(docs))
+
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     emb = multiply(t.embeddings, "vec_id", k)
@@ -162,6 +192,28 @@ def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     from postgresql_datawarehouse_excercise_spark.operators import pca
 
     timed("pca_project", lambda: pca.pca_project(emb))
+
+    # semantic decontamination in its PRODUCTION shape: the eval suite is
+    # FIXED (the 1x hash-split slice, ~500 vectors) while the train side
+    # multiplies -- cost |train| x |eval| x dim stays linear in the corpus.
+    # (The gated entry's split makes eval a constant FRACTION, fine at gate
+    # scale; a growing eval suite is not the production scenario.)
+    from postgresql_datawarehouse_excercise_spark.operators.similarity import _norms
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        TRAIN_PCT,
+        _bucket,
+    )
+
+    ev_fixed = (
+        _norms(t.embeddings)
+        .withColumn("bucket", _bucket(F.col("vec_id")))
+        .filter(F.col("bucket") >= TRAIN_PCT)
+        .select(F.col("e").alias("ev_e"), F.col("n").alias("ev_n"))
+    )
+    timed(
+        "decontaminate_semantic",
+        similarity.cosine_max_vs_set_blocked(_norms(emb), ev_fixed),
+    )
 
 
 def sec_line(spark, t, k: int, sf_dir: str) -> None:
