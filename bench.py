@@ -246,6 +246,7 @@ def main() -> None:
         "x_sql_recursive_cte",
         "x_source_python_datasource",
         "x_sql_variant_json",
+        "x_sql_udf_scalar",
         "x_text_udtf_runs",
         "x_text_chunk_overlap",
         "x_asof_latest_order",

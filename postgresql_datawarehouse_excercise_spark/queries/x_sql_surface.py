@@ -905,3 +905,55 @@ def x_sql_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("k")).alias("distinct_k"),
         )
     )
+
+
+@query(
+    "x_sql_udf_scalar",
+    oracle="""
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice >= 200000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'mid'
+            ELSE 'small' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def x_sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL user-defined functions (CREATE FUNCTION ... RETURN
+    <expr>): the banding rule is declared ONCE as a catalog function and
+    every query calls it by name -- the reusable-business-logic surface a
+    warehouse user expects from CREATE FUNCTION in the reference engine.
+    Unlike a Python UDF, the body INLINES into the plan at analysis time
+    (pure Catalyst expression, whole-stage codegen, zero serialization
+    boundary), so this is free at 100 TB.  The oracle states the same
+    expression inline -- which is exactly what the analyzer sees."""
+    t = catalog.load(spark, sf_dir)
+    t.orders.createOrReplaceTempView("udf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pdwx_price_band(x DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN x >= 200000 THEN 'large'
+                    WHEN x >= 50000 THEN 'mid'
+                    ELSE 'small' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pdwx_money(x DECIMAL(28,2))
+        RETURNS DOUBLE
+        RETURN CAST(round(x, 2) AS DOUBLE)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               pdwx_price_band(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               pdwx_money(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS total_price
+        FROM udf_orders
+        GROUP BY o_orderstatus, pdwx_price_band(o_totalprice)
+        """
+    )

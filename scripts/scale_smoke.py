@@ -192,6 +192,11 @@ def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     from postgresql_datawarehouse_excercise_spark.operators import pca
 
     timed("pca_project", lambda: pca.pca_project(emb))
+    # PQ/ADC at Kx: codebooks stay PQ_M x PQ_K rows (broadcast); training,
+    # encoding and the ADC scan must all track |V|
+    from postgresql_datawarehouse_excercise_spark.operators import pq as pq_ops
+
+    timed("ann_pq_topk", lambda: pq_ops.pq_topk(emb))
 
     # semantic decontamination in its PRODUCTION shape: the eval suite is
     # FIXED (the 1x hash-split slice, ~500 vectors) while the train side
