@@ -961,7 +961,19 @@ def x_pipeline_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataF
     ev = base.filter(F.col("bucket") >= TRAIN_PCT).select(
         F.col("e").alias("ev_e"), F.col("n").alias("ev_n")
     )
-    return semantic_decontaminate(base.filter(F.col("bucket") < TRAIN_PCT), ev)
+    train = base.filter(F.col("bucket") < TRAIN_PCT)
+    # production kernel on the gate (the x_sim_cosine_neardup precedent:
+    # blocked GEMM vs the fold-replay oracle, equal under the 6-dp rounding
+    # -- pinned pairwise vs semantic_decontaminate at sf0.01/sf0.1 and by
+    # the GEMM-margin tests); semantic_decontaminate below stays the
+    # engine-portable exact-fold reference
+    from ..operators.similarity import cosine_max_vs_set_blocked
+
+    return cosine_max_vs_set_blocked(train, ev).select(
+        "vec_id",
+        "max_cos_eval",
+        (F.col("max_cos_eval") >= F.lit(DECON_SEM_THRESHOLD)).alias("contaminated"),
+    )
 
 
 def semantic_decontaminate(train: DataFrame, ev: DataFrame) -> DataFrame:

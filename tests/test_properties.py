@@ -342,3 +342,39 @@ def test_substring_spans_matches_python_model(spark):
     # the shifted copy is SEEN (nonzero coverage in both carriers) -- the
     # property disjoint 16-token blocks cannot deliver
     assert got[0][2] >= 12 and got[1][2] >= 12
+
+
+def test_semantic_decontaminate_gemm_matches_fold(spark, sf_dir):
+    """The gated x_pipeline_decontaminate_semantic rides the blocked-GEMM
+    kernel (cosine_max_vs_set_blocked); the engine-portable exact-fold form
+    (semantic_decontaminate) is the oracle's twin.  Pin row-for-row equality
+    of the two kernels on the driver data so a BLAS/rounding change that
+    erodes the 6-dp agreement fails loudly (the cosine_neardup precedent)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators.similarity import (
+        _norms,
+        cosine_max_vs_set_blocked,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        TRAIN_PCT,
+        _bucket,
+        semantic_decontaminate,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    base = _norms(t.embeddings).withColumn("bucket", _bucket(F.col("vec_id")))
+    ev = base.filter(F.col("bucket") >= TRAIN_PCT).select(
+        F.col("e").alias("ev_e"), F.col("n").alias("ev_n")
+    )
+    train = base.filter(F.col("bucket") < TRAIN_PCT)
+    fold = {
+        r["vec_id"]: r["max_cos_eval"]
+        for r in semantic_decontaminate(train, ev).collect()
+    }
+    gemm = {
+        r["vec_id"]: r["max_cos_eval"]
+        for r in cosine_max_vs_set_blocked(train, ev).collect()
+    }
+    assert fold == gemm
