@@ -209,6 +209,7 @@ def main() -> None:
         "x_dedup_minhash_lsh_pairs",
         "x_dedup_simhash",
         "x_dedup_ngram_jaccard",
+        "x_dedup_containment",
         "x_text_token_stats",
         "x_text_quality",
         "x_text_lang_id",

@@ -489,6 +489,84 @@ WHERE FLOOR((CAST(inter AS DOUBLE) / CAST((pa % {PACK}) + (pb % {PACK}) - inter 
 """
 
 
+MIN_CONTAINMENT = 0.5
+
+
+def containment_pairs(
+    documents: DataFrame, min_containment: float = MIN_CONTAINMENT
+) -> DataFrame:
+    """Exact all-pairs shingle CONTAINMENT: inter / min(|A|, |B|) -- the
+    asymmetric near-dup signal.  A short document quoted whole inside a
+    long one scores containment ~1.0 while its Jaccard (inter / union) is
+    tiny, so symmetric dedup never sees it; containment is how pipelines
+    catch quote-inclusion / boilerplate-wrapping duplication (Broder's
+    resemblance-vs-containment distinction).
+
+    Same engineered shape as ngram_jaccard_pairs: 60-bit hashed grams,
+    packed (doc, |sh|) postings, in-bucket pair expansion under the MAX_DF
+    cutoff -- only the final scoring differs, so the scale argument carries
+    over unchanged."""
+    sets_ = shingled(documents)
+    inv = sets_.select(
+        F.explode(
+            F.expr("transform(sh, g -> cast(conv(substring(md5(g),1,15),16,10) as bigint))")
+        ).alias("g"),
+        (F.col("doc_id") * F.lit(PACK) + F.size("sh")).alias("packed"),
+    )
+    buckets = (
+        inv.groupBy("g")
+        .agg(F.sort_array(F.collect_list("packed")).alias("docs"))
+        .filter(F.size("docs").between(2, MAX_DF))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(docs) - 2), i -> "
+                "transform(sequence(i + 1, size(docs) - 1), j -> "
+                "struct(docs[i] AS pa, docs[j] AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb").filter(F.col("pa") < F.col("pb"))
+    pair_inter = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("inter"))
+    return (
+        pair_inter.select(
+            F.expr(f"pa div {PACK}").alias("doc_a"),
+            F.expr(f"pb div {PACK}").alias("doc_b"),
+            F.col("inter").cast("long").alias("inter"),
+            fround(
+                F.col("inter").cast("double")
+                / F.least(F.col("pa") % PACK, F.col("pb") % PACK).cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def containment_pairs_sql(min_containment: float = MIN_CONTAINMENT) -> str:
+    return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+inv AS (
+  SELECT doc_id * {PACK} + len(sh) AS packed,
+         unnest(list_transform(sh, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS g
+  FROM sh
+),
+rare AS (SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= {MAX_DF}),
+inv2 AS (SELECT inv.* FROM inv JOIN rare USING (g)),
+pair_inter AS (
+  SELECT x.packed AS pa, y.packed AS pb, COUNT(*) AS inter
+  FROM inv2 x JOIN inv2 y ON x.g = y.g AND x.packed < y.packed
+  GROUP BY 1, 2
+)
+SELECT pa // {PACK} AS doc_a, pb // {PACK} AS doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       FLOOR((CAST(inter AS DOUBLE) / CAST(least(pa % {PACK}, pb % {PACK}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS containment
+FROM pair_inter
+WHERE FLOOR((CAST(inter AS DOUBLE) / CAST(least(pa % {PACK}, pb % {PACK}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= {min_containment}
+"""
+
+
 DEDUP_CLUSTER_MIN_JACCARD = 0.5
 
 

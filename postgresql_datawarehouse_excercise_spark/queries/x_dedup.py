@@ -247,3 +247,14 @@ def substring_spans(documents: DataFrame, K: int = SPAN_TOKENS) -> DataFrame:
             F.coalesce("n_dup_tokens", F.lit(0)), F.col("n_tokens")
         ).alias("dup_fraction"),
     )
+
+
+@query("x_dedup_containment", oracle=dedup.containment_pairs_sql())
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT inter/min(|A|,|B|) over the
+    same hashed inverted index as x_dedup_ngram_jaccard -- catches a short
+    document quoted whole inside a long one (containment ~1.0) that
+    symmetric Jaccard scores near zero (Broder's resemblance vs
+    containment)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.containment_pairs(t.documents)
