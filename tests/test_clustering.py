@@ -85,3 +85,28 @@ def test_semdedup_k_scales_with_corpus():
             f"CAST({n} // {sim.SEMDEDUP_VECS_PER_CLUSTER} AS INT))"
         ).fetchone()[0]
         assert sim.semdedup_k(n) == sql_k, n
+
+
+def test_pq_assign_gemm_bit_identical_to_expression_assign(spark, sf_dir):
+    """operators/pq._assign_gemm must produce the EXACT same (vec_id, m,
+    cid) assignment as the expression-fold _assign on the driver data --
+    the per-subspace twin of the k-means assign_gemm pin."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators import pq
+    from postgresql_datawarehouse_excercise_spark.operators.clustering import quantize
+
+    t = catalog.load(spark, sf_dir)
+    q = quantize(t.embeddings)
+    subs = pq._subvectors(q)
+    cb1 = pq._init_codebooks(q)
+    # round-1 assignment AND the final encode off the recomputed books
+    cb2 = pq._recompute(subs, pq._assign_gemm(subs, cb1))
+    for cb in (cb1, cb2):
+        expr = {
+            (r["vec_id"], r["m"]): r["cid"] for r in pq._assign(subs, cb).collect()
+        }
+        gemm = {
+            (r["vec_id"], r["m"]): r["cid"]
+            for r in pq._assign_gemm(subs, cb).collect()
+        }
+        assert expr == gemm
