@@ -198,61 +198,64 @@ def pq_topk(embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK
     )
 
 
-def _sql_q() -> str:
+def _sql_q(P: str = "") -> str:
+    """The PQ train/encode CTE chain; ``P`` prefixes every CTE name so the
+    chain composes with the IVF index chain (similarity._SQL_IVF_INDEX)
+    without collisions in the ivfpq oracle."""
     return f"""
-q AS (
+{P}q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(SCALE)} + 0.5) AS BIGINT)) AS qv
   FROM embeddings
 ),
-subs AS (
+{P}subs AS (
   SELECT vec_id, mm.m, ii.i, qv[mm.m * {PQ_SUB} + ii.i] AS x
-  FROM q,
+  FROM {P}q,
        (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm,
        (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) ii
 ),
-init AS (
+{P}init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv
-  FROM q ORDER BY vec_id LIMIT {PQ_K}
+  FROM {P}q ORDER BY vec_id LIMIT {PQ_K}
 ),
-icomp AS (
+{P}icomp AS (
   SELECT cid, mm.m, ii.i, qv[mm.m * {PQ_SUB} + ii.i] AS c
-  FROM init,
+  FROM {P}init,
        (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm,
        (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) ii
 ),
-d1 AS (
+{P}d1 AS (
   SELECT s.vec_id, s.m, ic.cid, CAST(SUM((s.x - ic.c) * (s.x - ic.c)) AS BIGINT) AS d2
-  FROM subs s JOIN icomp ic ON s.m = ic.m AND s.i = ic.i
+  FROM {P}subs s JOIN {P}icomp ic ON s.m = ic.m AND s.i = ic.i
   GROUP BY 1, 2, 3
 ),
-a1 AS (
+{P}a1 AS (
   SELECT vec_id, m, cid FROM (
     SELECT vec_id, m, cid,
            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-    FROM d1) WHERE rn = 1
+    FROM {P}d1) WHERE rn = 1
 ),
-sums AS (
+{P}sums AS (
   SELECT s.m, a1.cid, s.i, CAST(SUM(s.x) AS BIGINT) AS s, COUNT(*) AS n
-  FROM a1 JOIN subs s ON a1.vec_id = s.vec_id AND a1.m = s.m
+  FROM {P}a1 a1 JOIN {P}subs s ON a1.vec_id = s.vec_id AND a1.m = s.m
   GROUP BY 1, 2, 3
 ),
-cb2 AS (
+{P}cb2 AS (
   SELECT m, cid, i,
          ((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n) AS c
-  FROM sums
+  FROM {P}sums
 ),
-d2 AS (
+{P}d2 AS (
   SELECT s.vec_id, s.m, cb2.cid, CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d2
-  FROM subs s JOIN cb2 ON s.m = cb2.m AND s.i = cb2.i
+  FROM {P}subs s JOIN {P}cb2 cb2 ON s.m = cb2.m AND s.i = cb2.i
   GROUP BY 1, 2, 3
 ),
-codes AS (
+{P}codes AS (
   SELECT vec_id, m, cid AS code FROM (
     SELECT vec_id, m, cid,
            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-    FROM d2) WHERE rn = 1
+    FROM {P}d2) WHERE rn = 1
 )
 """
 
@@ -371,4 +374,109 @@ SELECT q.query_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        {sql_ratio("COALESCE(h.n_hits, 0)", str(k))} AS recall
 FROM (SELECT DISTINCT query_id FROM approx) q LEFT JOIN hits h USING (query_id)
+"""
+
+
+def ivfpq_topk(
+    embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK
+) -> DataFrame:
+    """The composed FAISS-shape index -- IVF coarse pruning x PQ/ADC fine
+    ranking: each query probes its nprobe nearest IVF cells (the N-derived
+    similarity.py configuration, candidates ~ N^(3/4)), and ONLY those
+    candidates are scored, by PQ table lookups instead of full-vector
+    arithmetic.  At 100 TB this is the shape that serves vector search from
+    RAM: the IVF assignment prunes the scan to o(N) candidates and the PQ
+    codes make each candidate 8 bytes + PQ_M integer adds.
+
+    Output (query_id, vec_id, adc_dist2, rank): top-k of the probed-cell
+    candidate set by exact-BIGINT ADC distance, ties to the lowest vec_id,
+    self excluded.  Both index trainings, the probe, the encode and the
+    scan replay bit-for-bit in the DuckDB oracle (ivfpq_topk_sql)."""
+    from pyspark.sql.window import Window
+
+    from . import similarity
+
+    base = similarity._ivf_base(embeddings)
+    cells = similarity.ivf_cells(embeddings.count())
+    cents, assigned = similarity._ivf_train(base, cells)
+    qset = (
+        base.filter(F.col("vec_id") < n_queries)
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    )
+    qcells = similarity._probe_cells(qset, cents, similarity.ivf_nprobe(cells))
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(qcells, "cell")
+        .select("query_id", "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cb, codes = pq_train_encode(embeddings)
+    q = quantize(embeddings)
+    qsubs = _subvectors(
+        q.filter(F.col("vec_id") < n_queries).limit(n_queries)
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    tbl = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("cid").alias("code"),
+        _dist2(F.col("qsv"), F.col("csv")).alias("d"),
+    )
+    scores = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(tbl), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist2", "rank")
+    )
+
+
+def ivfpq_topk_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
+    from .similarity import _SQL_IVF_INDEX
+
+    return f"""
+WITH {_SQL_IVF_INDEX},
+qset AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT query_id, cell FROM (
+    SELECT qset.query_id, cent2.cid AS cell,
+           row_number() OVER (
+             PARTITION BY qset.query_id
+             ORDER BY CAST(SUM((qset.qqv[cent2.i] - cent2.c) * (qset.qqv[cent2.i] - cent2.c)) AS BIGINT) ASC,
+                      cent2.cid ASC) AS rn
+    FROM qset, cent2 GROUP BY qset.query_id, cent2.cid
+  ) r, p WHERE r.rn <= p.nprobe
+),
+cand AS (
+  SELECT qc.query_id, a.vec_id
+  FROM assigned a JOIN qcells qc USING (cell)
+  WHERE a.vec_id <> qc.query_id
+),
+{_sql_q("pq_")},
+tbl AS (
+  SELECT s.vec_id AS query_id, s.m, cb2.cid AS code,
+         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
+  FROM pq_subs s JOIN pq_cb2 cb2 ON s.m = cb2.m AND s.i = cb2.i
+  WHERE s.vec_id < {n_queries}
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT cand.query_id, cand.vec_id, CAST(SUM(tbl.d) AS BIGINT) AS adc_dist2
+  FROM cand
+  JOIN pq_codes c ON cand.vec_id = c.vec_id
+  JOIN tbl ON tbl.query_id = cand.query_id AND tbl.m = c.m AND tbl.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, adc_dist2,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rank
+  FROM scores)
+WHERE rank <= {k}
 """

@@ -296,3 +296,16 @@ def x_sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF index's candidate pruning."""
     t = catalog.load(spark, sf_dir)
     return pq.pq_recall(t.embeddings)
+
+
+@query("x_sim_ann_ivfpq", oracle=pq.ivfpq_topk_sql())
+def x_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-shape index (IVF x PQ): coarse k-means cells prune
+    each query's scan to ~N^(3/4) candidates (the N-derived cells/nprobe of
+    x_sim_ann_ivf), and the survivors are ranked by PQ/ADC table lookups
+    (x_sim_ann_pq's codes) instead of full-vector arithmetic -- the
+    serve-from-RAM shape for a 10^11-vector corpus.  Every stage (both
+    trainings, probe, encode, scan) is exact BIGINT and replayed by the
+    oracle."""
+    t = catalog.load(spark, sf_dir)
+    return pq.ivfpq_topk(t.embeddings)
