@@ -47,6 +47,10 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
                                                   24.1 s at 100x -- 162.6 s
                                                   on the expression-fold
                                                   assign before _assign_gemm)
+  ann_ivfpq_topk          20,000 vecs    ~6 s    (composed IVF x PQ:
+                                                  29.7 s at 100x -- both
+                                                  trainings + probe + encode
+                                                  + candidate-only ADC scan)
   decontaminate_semantic  20,000 vecs    1.4 s   (fixed eval suite x Kx train
                                                   via blocked GEMM; 35.4 s on
                                                   the interpreted fold before
@@ -202,6 +206,7 @@ def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     from postgresql_datawarehouse_excercise_spark.operators import pq as pq_ops
 
     timed("ann_pq_topk", lambda: pq_ops.pq_topk(emb))
+    timed("ann_ivfpq_topk", lambda: pq_ops.ivfpq_topk(emb))
 
     # semantic decontamination in its PRODUCTION shape: the eval suite is
     # FIXED (the 1x hash-split slice, ~500 vectors) while the train side
