@@ -238,6 +238,7 @@ def main() -> None:
         "x_sim_ann_pq",
         "x_sim_ann_pq_recall",
         "x_sim_ann_ivfpq",
+        "x_sim_ann_ivfpq_recall",
         "x_dedup_incremental",
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",

@@ -480,3 +480,115 @@ SELECT query_id, vec_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
   FROM scores)
 WHERE rank <= {k}
 """
+
+
+def ivfpq_recall(
+    embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK
+) -> DataFrame:
+    """(query_id, n_hits, recall): recall@k of the composed IVF x PQ index
+    vs the exact integer-L2 top-k -- the end-to-end answer-quality number
+    (cell pruning loss + code distortion together), completing the
+    evaluator trio with ann_recall (pruning only) and pq_recall
+    (distortion only)."""
+    from pyspark.sql.window import Window
+
+    approx = ivfpq_topk(embeddings, n_queries, k).select("query_id", "vec_id")
+    q = quantize(embeddings)
+    qs = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    d = (
+        q.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _dist2(F.col("qv"), F.col("qqv")).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    from ..functions import ratio
+
+    return (
+        approx.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            ratio(F.coalesce("n_hits", F.lit(0)), F.lit(k)).alias("recall"),
+        )
+    )
+
+
+def ivfpq_recall_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
+    from ..functions import sql_ratio
+
+    from .similarity import _SQL_IVF_INDEX
+
+    return f"""
+WITH {_SQL_IVF_INDEX},
+qset AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT query_id, cell FROM (
+    SELECT qset.query_id, cent2.cid AS cell,
+           row_number() OVER (
+             PARTITION BY qset.query_id
+             ORDER BY CAST(SUM((qset.qqv[cent2.i] - cent2.c) * (qset.qqv[cent2.i] - cent2.c)) AS BIGINT) ASC,
+                      cent2.cid ASC) AS rn
+    FROM qset, cent2 GROUP BY qset.query_id, cent2.cid
+  ) r, p WHERE r.rn <= p.nprobe
+),
+cand AS (
+  SELECT qc.query_id, a.vec_id
+  FROM assigned a JOIN qcells qc USING (cell)
+  WHERE a.vec_id <> qc.query_id
+),
+{_sql_q("pq_")},
+tbl AS (
+  SELECT s.vec_id AS query_id, s.m, cb2.cid AS code,
+         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
+  FROM pq_subs s JOIN pq_cb2 cb2 ON s.m = cb2.m AND s.i = cb2.i
+  WHERE s.vec_id < {n_queries}
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT cand.query_id, cand.vec_id, CAST(SUM(tbl.d) AS BIGINT) AS adc_dist2
+  FROM cand
+  JOIN pq_codes c ON cand.vec_id = c.vec_id
+  JOIN tbl ON tbl.query_id = cand.query_id AND tbl.m = c.m AND tbl.code = c.code
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+    FROM scores) WHERE rn <= {k}
+),
+exact_d AS (
+  SELECT qs.vec_id AS query_id, s.vec_id,
+         CAST(SUM((qs.x - s.x) * (qs.x - s.x)) AS BIGINT) AS d2
+  FROM pq_subs qs JOIN pq_subs s ON qs.m = s.m AND qs.i = s.i AND s.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+    FROM exact_d) WHERE rn <= {k}
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       {sql_ratio("COALESCE(h.n_hits, 0)", str(k))} AS recall
+FROM (SELECT DISTINCT query_id FROM approx) q LEFT JOIN hits h USING (query_id)
+"""

@@ -309,3 +309,13 @@ def x_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     t = catalog.load(spark, sf_dir)
     return pq.ivfpq_topk(t.embeddings)
+
+
+@query("x_sim_ann_ivfpq_recall", oracle=pq.ivfpq_recall_sql())
+def x_sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVF x PQ index vs exact integer L2 -- the
+    end-to-end answer-quality number (pruning loss + code distortion
+    together), completing the evaluator trio with x_sim_ann_recall and
+    x_sim_ann_pq_recall."""
+    t = catalog.load(spark, sf_dir)
+    return pq.ivfpq_recall(t.embeddings)
