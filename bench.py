@@ -251,6 +251,7 @@ def main() -> None:
         "x_sql_variant_json",
         "x_sql_udf_scalar",
         "x_text_udtf_runs",
+        "x_text_bpe_merges",
         "x_text_chunk_overlap",
         "x_asof_latest_order",
         "x_asof_latest_order_7d",

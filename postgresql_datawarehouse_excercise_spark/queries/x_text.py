@@ -657,3 +657,124 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """DuckDB replay of the full BPE training loop (every round's pair
+    counts, argmax and merge re-derived in SQL -- the kmeans-oracle
+    discipline for the third iterative algorithm in the repo)."""
+    ctes = [
+        """words0 AS (
+  SELECT '|' || array_to_string(list_transform(range(1, len(w) + 1),
+                                               i -> substr(w, CAST(i AS INT), 1)), '||') || '|' AS sym,
+         freq
+  FROM (SELECT w, COUNT(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+        GROUP BY w)
+)"""
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        prev = f"words{r - 1}"
+        ctes.append(f"""arr{r} AS (
+  SELECT freq, string_split(substr(sym, 2, len(sym) - 2), '||') AS s FROM {prev}
+),
+pairs{r} AS (
+  SELECT p.a, p.b, SUM(freq) AS cnt FROM (
+    SELECT freq, s[i] AS a, s[i + 1] AS b
+    FROM arr{r}, unnest(range(1, len(s))) AS u(i)
+  ) p GROUP BY 1, 2
+),
+best{r} AS (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+words{r} AS (
+  SELECT replace(sym, '|' || a || '||' || b || '|', '|' || a || b || '|') AS sym, freq
+  FROM {prev}, best{r}
+),
+stat{r} AS (
+  SELECT CAST(SUM(freq * len(string_split(substr(sym, 2, len(sym) - 2), '||'))) AS BIGINT)
+         AS symbols_after
+  FROM words{r}
+)""")
+        selects.append(
+            f"SELECT {r} AS round, a || ' ' || b AS pair, a || b AS merged,"
+            f" CAST(cnt AS BIGINT) AS cnt, symbols_after FROM best{r}, stat{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("x_text_bpe_merges", oracle=_bpe_oracle())
+def x_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (the merge loop itself, not just the
+    pre-tokenization of x_text_bpe_pretokens): BPE_ROUNDS rounds of
+    count-adjacent-symbol-pairs -> merge the argmax pair corpus-wide --
+    the repo's third iterative algorithm after Lloyd's (clustering.py) and
+    label propagation (dedup_clusters), with the same full-replay oracle
+    discipline (every round's counts, argmax and merge re-derived in SQL).
+
+    Determinism: ties break (count DESC, a ASC, b ASC); the merge is
+    greedy leftmost non-overlapping via string replace() on a
+    DOUBLE-DELIMITED symbol encoding ('|h||e||l||l||o|', pair search
+    '|a||b|' -> '|ab|') -- each symbol carries both its own delimiters, so
+    consecutive matches share no characters (replace() gets them all) and
+    a pair can never false-match across a merged symbol's interior.
+
+    Scale shape: training runs on the DISTINCT-word frequency table (the
+    classic BPE trainer input -- vocabulary-sized, not corpus-sized, and
+    it only shrinks as merges apply); each round is one explode + one
+    map-side-combined groupBy + a 1-row argmax to the driver (bounded,
+    like init_centroids) + one map over the word table.  Output: one row
+    per round (pair, merged symbol, count, corpus symbols after)."""
+    t = catalog.load(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "concat('|', array_join(transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1)), '||'), '|')"
+            ).alias("sym"),
+            "freq",
+        )
+    )
+    out = []
+    for r in range(1, BPE_ROUNDS + 1):
+        arr = F.split(F.expr("substring(sym, 2, length(sym) - 2)"), r"\|\|")
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, cnt = best["a"], best["b"], int(best["cnt"])
+        words = words.select(
+            F.expr(f"replace(sym, '|{a}||{b}|', '|{a}{b}|')").alias("sym"), "freq"
+        )
+        arr2 = F.split(F.expr("substring(sym, 2, length(sym) - 2)"), r"\|\|")
+        symbols_after = int(
+            words.agg(F.sum(F.col("freq") * F.size(arr2)).alias("s")).collect()[0]["s"]
+        )
+        out.append((r, f"{a} {b}", f"{a}{b}", cnt, symbols_after))
+    return spark.createDataFrame(
+        out, "round int, pair string, merged string, cnt long, symbols_after long"
+    )
