@@ -168,10 +168,15 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     # (map-side combined; vocab is fixed, so the model relation stays
     # constant-size as K grows) -> re-join on term -> per-doc aggregate
     from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        bpe_merge_rounds,
         unigram_logprob,
     )
 
     timed("unigram_logprob", unigram_logprob(docs))
+    # BPE training at Kx: the trainer input is the DISTINCT-word frequency
+    # table, so K exact copies only scale the frequencies -- cost should be
+    # near-flat in K (vocabulary-bound, the classic trainer property)
+    timed("bpe_merges", lambda: bpe_merge_rounds(docs))
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
