@@ -42,6 +42,10 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
                                                   = linear in tokens)
   unigram_logprob         50,000 docs    6.1 s   (32.8 s at 100x: sub-linear,
                                                   fixed-vocab term model)
+  bpe_merges              50,000 docs   11.9 s   (38.6 s at 100x: strongly
+                                                  sub-linear -- the trainer
+                                                  input is the DISTINCT-word
+                                                  table, vocabulary-bound)
   ann_pq_topk             20,000 vecs    ~4 s    (PQ/ADC: GEMM assign +
                                                   broadcast distance tables;
                                                   24.1 s at 100x -- 162.6 s
