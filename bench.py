@@ -210,6 +210,7 @@ def main() -> None:
         "x_dedup_simhash",
         "x_dedup_ngram_jaccard",
         "x_dedup_containment",
+        "x_dedup_pagerank",
         "x_text_token_stats",
         "x_text_quality",
         "x_text_lang_id",

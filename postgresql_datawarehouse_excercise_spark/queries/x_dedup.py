@@ -258,3 +258,103 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment)."""
     t = catalog.load(spark, sf_dir)
     return dedup.containment_pairs(t.documents)
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000          # rank unit (micro-ranks)
+PR_TELEPORT = 150_000         # floor(0.15 * PR_SCALE)
+
+
+@query(
+    "x_dedup_pagerank",
+    oracle="""
+WITH strong AS (
+  SELECT doc_a, doc_b FROM ({LSH}) WHERE jaccard >= 0.5
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM strong
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM strong
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+n AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+r0 AS (SELECT doc_id, CAST({S} AS BIGINT) AS r FROM n),
+msg1 AS (
+  SELECT e.dst, CAST(SUM(r0.r // d.deg) AS BIGINT) AS s
+  FROM e JOIN r0 ON e.src = r0.doc_id JOIN deg d ON e.src = d.src GROUP BY 1
+),
+r1 AS (SELECT n.doc_id, {T} + (85 * COALESCE(m.s, 0)) // 100 AS r
+       FROM n LEFT JOIN msg1 m ON n.doc_id = m.dst),
+msg2 AS (
+  SELECT e.dst, CAST(SUM(r1.r // d.deg) AS BIGINT) AS s
+  FROM e JOIN r1 ON e.src = r1.doc_id JOIN deg d ON e.src = d.src GROUP BY 1
+),
+r2 AS (SELECT n.doc_id, {T} + (85 * COALESCE(m.s, 0)) // 100 AS r
+       FROM n LEFT JOIN msg2 m ON n.doc_id = m.dst),
+msg3 AS (
+  SELECT e.dst, CAST(SUM(r2.r // d.deg) AS BIGINT) AS s
+  FROM e JOIN r2 ON e.src = r2.doc_id JOIN deg d ON e.src = d.src GROUP BY 1
+),
+r3 AS (SELECT n.doc_id, {T} + (85 * COALESCE(m.s, 0)) // 100 AS r
+       FROM n LEFT JOIN msg3 m ON n.doc_id = m.dst)
+SELECT r3.doc_id, CAST(r3.r AS BIGINT) AS rank,
+       CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree
+FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src
+""".format(LSH=dedup.minhash_lsh_pairs_sql(), S=PR_SCALE, T=PR_TELEPORT),
+)
+def x_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (PR_ITERS damped power iterations,
+    edges = strong MinHash-LSH pairs, both directions): the link-analysis
+    signal web-corpus curation uses to rank duplication mass / centrality
+    -- the repo's FOURTH iterative algorithm (after Lloyd's, label
+    propagation and BPE merges), same full-replay oracle discipline.
+
+    Exact integer arithmetic end-to-end so both engines agree bit-for-bit:
+    ranks live in micro-rank units (start PR_SCALE), each edge message is
+    the floored quotient rank div degree, and the damped update is
+    teleport + (85 * msg_sum) div 100 -- every operand non-negative, so
+    integer division IS floor in both engines.
+
+    Scale shape: the edge list persists once and each iteration is ONE
+    equi-join plus a map-side-combined groupBy on dst (the dedup_clusters
+    loop's shape); ranks are a skinny (doc_id, long) relation; isolated
+    docs short-circuit to the teleport constant via the left join."""
+    t_docs = catalog.load(spark, sf_dir).documents
+    pairs = dedup.minhash_lsh_pairs(t_docs)
+    strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    # the loop references the edge list PR_ITERS times (x2: messages + deg);
+    # eager localCheckpoint materializes the LSH pipeline ONCE and cuts the
+    # lineage so each iteration plans one equi-join over stored blocks
+    # (dedup_clusters' persisted-edges discipline, sized for a no-action
+    # builder: blocks are freed when the plan is garbage-collected)
+    edges = (
+        strong.union(
+            strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = t_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        msgs = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("m"))
+        )
+        s = msgs.groupBy("dst").agg(F.sum("m").alias("s"))
+        ranks = nodes.join(s, nodes.doc_id == s.dst, "left").select(
+            "doc_id",
+            (
+                F.lit(PR_TELEPORT) + F.expr("(85 * coalesce(s, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+    return (
+        ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("r").alias("rank"),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+        )
+    )
