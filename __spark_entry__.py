@@ -41,6 +41,7 @@ _TOUCHED_THIS_ROUND = (
     "x_text_unigram_logprob",        # corpus-LM perplexity-proxy scoring
     "x_pipeline_decontaminate_semantic",  # embedding-space decontamination
     "x_source_orc_roundtrip",        # second columnar format end-to-end
+    "x_source_csv_permissive",       # corrupt-record quarantine ingest
     "x_sim_ann_pq",                  # product-quantized ADC ranking
     "x_sim_ann_pq_recall",           # PQ compression-cost measurement
     "x_sql_udf_scalar",              # Spark 4 SQL UDF (CREATE FUNCTION...RETURN)

@@ -273,6 +273,7 @@ def main() -> None:
         "x_source_dynamic_partition_overwrite",
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
+        "x_source_csv_permissive",
         "x_sql_approx_percentile",
         "x_pipeline_quality_gate",
         "x_pipeline_decontaminate",

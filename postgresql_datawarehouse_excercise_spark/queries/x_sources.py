@@ -339,3 +339,59 @@ def x_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(sum_c100("l_quantity")).alias("sum_qty"),
         money(sum_c100("l_extendedprice")).alias("sum_price"),
     )
+
+
+@query(
+    "x_source_csv_permissive",
+    oracle="""
+SELECT
+  CAST(COUNT(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+  CAST(COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT) AS good_chars
+FROM documents
+""",
+)
+def x_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema enforcement with corrupt-record quarantine (the PERMISSIVE
+    ingest mode a warehouse loader runs on untrusted feeds): a CSV feed
+    where every 10th record is malformed (non-numeric key) is read with an
+    explicit schema + columnNameOfCorruptRecord; malformed rows land with
+    NULL typed columns and the raw line captured in the quarantine column
+    instead of failing the job (or silently vanishing, DROPMALFORMED's
+    trap).  The aggregate pins BOTH populations: good rows keep exact
+    values, corrupt rows are counted via the quarantine column.  Scale
+    shape: parsing and the corrupt test are per-split map work; the only
+    shuffle is the 1-row aggregate."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-permissive-")
+    lines = t.documents.select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("corrupt#"), F.col("doc_id").cast("string"), F.lit(",x")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("doc_id").cast("string"), F.col("n_chars").cast("string"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("_bad", StringType(), True),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias("good_chars"),
+    )
