@@ -548,3 +548,32 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_udf_scalar_inlines_no_python_boundary(spark, sf_dir):
+    """The SQL UDF entry must show the EXPANDED expression in the plan --
+    no BatchEvalPython, one aggregate exchange, and a 2-column pruned
+    scan (the analysis-time inlining that makes CREATE FUNCTION free)."""
+    df = REG["x_sql_udf_scalar"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BatchEvalPython" not in p
+    assert plans.num_shuffles(df) == 1
+    assert "o_orderstatus" in p and "o_totalprice" in p
+
+
+def test_substring_spans_all_jvm_partitioned_windows(spark, sf_dir):
+    """Span dedup is pure DataFrame ops: no Python nodes anywhere, and the
+    per-doc span-merge windows hash on doc_id -- never a single-partition
+    global sort (the shape that would serialize 100 TB through one task)."""
+    df = REG["x_dedup_substring_spans"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BatchEvalPython" not in p
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_unigram_logprob_all_jvm(spark, sf_dir):
+    """Corpus-LM scoring stays JVM-side end-to-end (the only float op is
+    ln, quantized to integer micro-nats before any aggregation)."""
+    df = REG["x_text_unigram_logprob"].fn(spark, sf_dir)
+    assert "BatchEvalPython" not in plans.formatted_plan(df)
