@@ -736,7 +736,16 @@ def x_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merge_rounds(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     """Core of x_text_bpe_merges over any (doc_id, text) relation
     (parameterized rounds for the greedy-merge property test)."""
-    spark = documents.sparkSession
+    return documents.sparkSession.createDataFrame(
+        _bpe_train(documents, rounds),
+        "round int, pair string, merged string, cnt long, symbols_after long",
+    )
+
+
+def _bpe_train(documents: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple]:
+    """Run the merge loop; return [(round, pair, merged, cnt,
+    symbols_after)] -- the learned merge table, in application order (the
+    encoder, x_text_bpe_encode, replays it verbatim)."""
     words = (
         documents.select(
             F.explode(
@@ -782,6 +791,84 @@ def bpe_merge_rounds(documents: DataFrame, rounds: int = BPE_ROUNDS) -> DataFram
             words.agg(F.sum(F.col("freq") * F.size(arr2)).alias("s")).collect()[0]["s"]
         )
         out.append((r, f"{a} {b}", f"{a}{b}", cnt, symbols_after))
-    return spark.createDataFrame(
-        out, "round int, pair string, merged string, cnt long, symbols_after long"
+    return out
+
+
+def _bpe_encode_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Encode oracle: replay the training chain (shared CTE builder), then
+    apply the learned merges IN ORDER to every document via nested
+    replace() on the double-delimited encoding."""
+    train = _bpe_oracle(rounds)
+    # _bpe_oracle is "WITH <ctes>\n<selects>"; keep only the CTE block
+    ctes = train[len("WITH "):train.index("\nSELECT 1 AS round")]
+    sym = "sym0"
+    for r in range(1, rounds + 1):
+        sym = (
+            f"replace({sym}, '|' || b{r}.a || '||' || b{r}.b || '|',"
+            f" '|' || b{r}.a || b{r}.b || '|')"
+        )
+    bests = ", ".join(f"best{r} b{r}" for r in range(1, rounds + 1))
+    return f"""WITH {ctes},
+docw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+docsym AS (
+  SELECT doc_id, len(w) AS n_chars,
+         '|' || array_to_string(list_transform(range(1, len(w) + 1),
+                                               i -> substr(w, CAST(i AS INT), 1)), '||') || '|' AS sym0
+  FROM docw
+),
+enc AS (
+  SELECT doc_id, n_chars,
+         len(string_split(substr(s2, 2, len(s2) - 2), '||')) AS n_sym
+  FROM (SELECT doc_id, n_chars, {sym} AS s2 FROM docsym, {bests})
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       FLOOR((CAST(SUM(n_sym) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS compression
+FROM enc GROUP BY doc_id
+"""
+
+
+@query("x_text_bpe_encode", oracle=_bpe_encode_oracle())
+def x_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED BPE merge table to every document (the encode half
+    of the tokenizer: train on the word-frequency table, then tokenize the
+    corpus).  The learned merges apply IN TRAINING ORDER as chained
+    replace() over the double-delimited symbol encoding -- after the
+    driver-side training collect (bounded: one row per merge round), the
+    corpus encode is a pure JVM map, no shuffle until the per-doc rollup.
+    Output per doc: word/char counts, BPE token count, compression ratio
+    (= tokens/chars, the fertility metric tokenizer teams track)."""
+    t = catalog.load(spark, sf_dir)
+    merges = _bpe_train(t.documents)
+    docw = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    sym = (
+        "concat('|', array_join(transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), '||'), '|')"
+    )
+    for _, pair, merged, _, _ in merges:
+        a, b = pair.split(" ")
+        sym = f"replace({sym}, '|{a}||{b}|', '|{merged}|')"
+    enc = docw.select(
+        "doc_id",
+        F.length("w").cast("long").alias("n_chars"),
+        F.size(F.split(F.expr(f"substring({sym}, 2, length({sym}) - 2)"), r"\|\|"))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+        ratio(F.sum("n_sym"), F.sum("n_chars")).alias("compression"),
     )
