@@ -319,7 +319,12 @@ def x_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join plus a map-side-combined groupBy on dst (the dedup_clusters
     loop's shape); ranks are a skinny (doc_id, long) relation; isolated
     docs short-circuit to the teleport constant via the left join."""
-    t_docs = catalog.load(spark, sf_dir).documents
+    return pagerank(catalog.load(spark, sf_dir).documents)
+
+
+def pagerank(t_docs: DataFrame) -> DataFrame:
+    """Core of x_dedup_pagerank over any (doc_id, text) relation (also
+    driven by scripts/scale_smoke.py on K-fold multiplied data)."""
     pairs = dedup.minhash_lsh_pairs(t_docs)
     strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
     # the loop references the edge list PR_ITERS times (x2: messages + deg);

@@ -42,6 +42,9 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
                                                   = linear in tokens)
   unigram_logprob         50,000 docs    6.1 s   (32.8 s at 100x: sub-linear,
                                                   fixed-vocab term model)
+  pagerank                50,000 docs   14.8 s   (dense K-copy dup graph --
+                                                  3 power iterations over the
+                                                  checkpointed edge list)
   bpe_merges              50,000 docs   11.9 s   (38.6 s at 100x: strongly
                                                   sub-linear -- the trainer
                                                   input is the DISTINCT-word
@@ -177,6 +180,12 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     )
 
     timed("unigram_logprob", unigram_logprob(docs))
+    # PageRank at Kx: K exact copies per doc make the near-dup graph the
+    # dense worst case (every copy links to every copy); each iteration
+    # stays one equi-join over the checkpointed edge list + a groupBy
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import pagerank
+
+    timed("pagerank", lambda: pagerank(docs))
     # BPE training at Kx: the trainer input is the DISTINCT-word frequency
     # table, so K exact copies only scale the frequencies -- cost should be
     # near-flat in K (vocabulary-bound, the classic trainer property)
