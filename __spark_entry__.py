@@ -50,6 +50,7 @@ _TOUCHED_THIS_ROUND = (
     "x_sim_ann_ivfpq_recall",        # end-to-end index answer quality
     "x_text_bpe_merges",             # BPE tokenizer training loop
     "x_text_bpe_encode",             # apply the trained merges corpus-wide
+    "x_text_nb_langid",              # trained NB classifier (train+infer)
     "x_dedup_pagerank",              # damped power iteration on the dup graph
     # freshness-stamp semantics changed under these (dep-aware stamping in
     # registry.build; refresh_incremental no longer stamps at all)

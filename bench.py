@@ -254,6 +254,7 @@ def main() -> None:
         "x_text_udtf_runs",
         "x_text_bpe_merges",
         "x_text_bpe_encode",
+        "x_text_nb_langid",
         "x_text_chunk_overlap",
         "x_asof_latest_order",
         "x_asof_latest_order_7d",

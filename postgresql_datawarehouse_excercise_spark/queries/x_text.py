@@ -872,3 +872,171 @@ def x_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sym").alias("n_bpe_tokens"),
         ratio(F.sum("n_sym"), F.sum("n_chars")).alias("compression"),
     )
+
+
+NB_TRAIN_PCT = 90  # same md5 id-hash split as the other train/eval entries
+
+
+@query(
+    "x_text_nb_langid",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tr AS (SELECT lang, unnest(toks) AS term FROM d WHERE bucket < {NB_TRAIN_PCT}),
+cnts AS (SELECT lang, term, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM cnts GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT term) AS v FROM tr),
+lp AS (
+  SELECT c.lang, c.term,
+         CAST(FLOOR(ln(CAST(c.cnt + 1 AS DOUBLE) / CAST(t.total + voc.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+  FROM cnts c JOIN tot t USING (lang) CROSS JOIN voc
+),
+dflt AS (
+  SELECT t.lang,
+         CAST(FLOOR(ln(1.0 / CAST(t.total + voc.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp0
+  FROM tot t CROSS JOIN voc
+),
+prior AS (
+  SELECT lang,
+         CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE)
+                       / CAST((SELECT COUNT(*) FROM d WHERE bucket < {NB_TRAIN_PCT}) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS pr
+  FROM d WHERE bucket < {NB_TRAIN_PCT} GROUP BY lang
+),
+evtok AS (
+  SELECT doc_id, lang AS actual_lang, unnest(toks) AS term
+  FROM d WHERE bucket >= {NB_TRAIN_PCT}
+),
+scored AS (
+  SELECT e.doc_id, e.actual_lang, p.lang,
+         p.pr + CAST(SUM(COALESESCE_PLACEHOLDER) AS BIGINT) AS score
+  FROM evtok e
+  CROSS JOIN prior p
+  JOIN dflt ON dflt.lang = p.lang
+  LEFT JOIN lp ON lp.lang = p.lang AND lp.term = e.term
+  GROUP BY e.doc_id, e.actual_lang, p.lang, p.pr
+)
+SELECT doc_id, actual_lang, lang AS predicted_lang,
+       actual_lang = lang AS correct
+FROM (
+  SELECT doc_id, actual_lang, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""".replace("COALESESCE_PLACEHOLDER", "COALESCE(lp.lp_micro, dflt.lp0)"),
+)
+def x_text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification: multinomial Naive Bayes fit on the
+    id-hash train split's own (lang, text) labels and evaluated on the
+    held-out eval split (the fastText-style classifier every corpus
+    pipeline runs, next to x_text_lang_id's zero-shot n-gram heuristic).
+
+    Exactness: counts/vocab/priors are exact integers; the one float op
+    per (term, lang) -- the add-one-smoothed ln probability -- quantizes
+    to integer micro-nats BEFORE the per-doc sum (the unigram_logprob
+    discipline), so scores and the (score DESC, lang ASC) argmax agree
+    bit-for-bit across engines.
+
+    Honesty note: the driver's synthetic corpus draws every document from
+    ONE shared vocabulary regardless of its lang label, so held-out
+    accuracy sits near chance (~0.3) -- the entry verifies the
+    train/infer machinery and its bit-exact replay, not linguistic
+    signal (exactly as the PQ recall entries verify the index machinery
+    on near-orthogonal synthetic vectors).
+
+    Scale shape: the model is a (vocab x langs) relation -- bounded by the
+    vocabulary, broadcastable at any corpus size; training is one
+    map-side-combined groupBy over the train token explosion; inference
+    joins eval tokens against the model on term (shuffle keyed by term,
+    never by doc pair) and folds one aggregate per (doc, lang)."""
+    t = catalog.load(spark, sf_dir)
+    from .x_pipeline import _bucket
+
+    d = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        _bucket(F.col("doc_id")).alias("bucket"),
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
+    )
+    tr = d.filter(F.col("bucket") < NB_TRAIN_PCT).select(
+        "lang", F.explode("toks").alias("term")
+    )
+    cnts = tr.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    voc = tr.agg(F.count_distinct("term").alias("v"))
+    lp = (
+        cnts.join(tot, "lang")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "lang",
+            "term",
+            F.floor(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("total") + F.col("v")).cast("double")
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    dflt = tot.crossJoin(F.broadcast(voc)).select(
+        "lang",
+        F.floor(
+            F.log(F.lit(1.0) / (F.col("total") + F.col("v")).cast("double"))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("lp0"),
+    )
+    n_train = d.filter(F.col("bucket") < NB_TRAIN_PCT).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    prior = (
+        d.filter(F.col("bucket") < NB_TRAIN_PCT)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    )
+    evtok = d.filter(F.col("bucket") >= NB_TRAIN_PCT).select(
+        "doc_id", F.col("lang").alias("actual_lang"), F.explode("toks").alias("term")
+    )
+    model = prior.join(dflt, "lang")
+    scored = (
+        evtok.crossJoin(F.broadcast(model))
+        .join(F.broadcast(lp), ["lang", "term"], "left")
+        .groupBy("doc_id", "actual_lang", "lang", "pr")
+        .agg(F.sum(F.coalesce("lp_micro", "lp0")).alias("s"))
+        .select(
+            "doc_id", "actual_lang", "lang", (F.col("pr") + F.col("s")).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("lang").alias("predicted_lang"),
+            (F.col("actual_lang") == F.col("lang")).alias("correct"),
+        )
+    )
