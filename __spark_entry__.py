@@ -51,6 +51,7 @@ _TOUCHED_THIS_ROUND = (
     "x_text_bpe_merges",             # BPE tokenizer training loop
     "x_text_bpe_encode",             # apply the trained merges corpus-wide
     "x_text_nb_langid",              # trained NB classifier (train+infer)
+    "x_pipeline_dataset_card",       # one-pass per-cell corpus summary
     "x_dedup_pagerank",              # damped power iteration on the dup graph
     # freshness-stamp semantics changed under these (dep-aware stamping in
     # registry.build; refresh_incremental no longer stamps at all)

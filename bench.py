@@ -244,6 +244,7 @@ def main() -> None:
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",
         "x_pipeline_decontaminate_semantic",
+        "x_pipeline_dataset_card",
         "x_source_orc_roundtrip",
         "x_pipeline_scd2_pointintime",
         "x_pipeline_curriculum_shards",

@@ -997,3 +997,56 @@ def semantic_decontaminate(train: DataFrame, ev: DataFrame) -> DataFrame:
             (F.col("max_cos_eval") >= F.lit(DECON_SEM_THRESHOLD)).alias("contaminated"),
         )
     )
+
+
+@query(
+    "x_pipeline_dataset_card",
+    oracle=r"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       FLOOR((CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_rate,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM d GROUP BY source, lang
+""",
+)
+def x_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup every released corpus ships: per (source,
+    lang) cell -- doc/token/char totals, unique-content count and
+    within-cell duplicate rate (normalized fingerprint), token-length
+    extremes.  ONE scan computes every signal (all measures are
+    expressions of a single aggregate over a pruned 3-column projection);
+    the only shuffle is the group-cell aggregate with map-side partials --
+    the shape that summarizes a 100 TB corpus in one pass."""
+    t = catalog.load(spark, sf_dir)
+    d = t.documents.select(
+        "source",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        ).alias("fp"),
+    )
+    cnt = F.count(F.lit(1))
+    return d.groupBy("source", "lang").agg(
+        cnt.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("fp").alias("n_unique"),
+        fround(
+            (cnt - F.count_distinct("fp")).cast("double") / cnt.cast("double"), 4
+        ).alias("dup_rate"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -953,9 +953,15 @@ def x_text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins eval tokens against the model on term (shuffle keyed by term,
     never by doc pair) and folds one aggregate per (doc, lang)."""
     t = catalog.load(spark, sf_dir)
+    return nb_langid(t.documents)
+
+
+def nb_langid(documents: DataFrame) -> DataFrame:
+    """Core of x_text_nb_langid over any (doc_id, lang, text) relation
+    (also driven by scripts/scale_smoke.py on K-fold multiplied data)."""
     from .x_pipeline import _bucket
 
-    d = t.documents.select(
+    d = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
         _bucket(F.col("doc_id")).alias("bucket"),

@@ -42,6 +42,8 @@ Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
                                                   = linear in tokens)
   unigram_logprob         50,000 docs    6.1 s   (32.8 s at 100x: sub-linear,
                                                   fixed-vocab term model)
+  nb_langid               50,000 docs    7.0 s   (~flat vs 1x: vocab x langs
+                                                  model bound, not corpus)
   pagerank                50,000 docs   14.8 s   (dense K-copy dup graph --
                                                   3 power iterations over the
                                                   checkpointed edge list)
@@ -176,6 +178,7 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     # constant-size as K grows) -> re-join on term -> per-doc aggregate
     from postgresql_datawarehouse_excercise_spark.queries.x_text import (
         bpe_merge_rounds,
+        nb_langid,
         unigram_logprob,
     )
 
@@ -190,6 +193,9 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     # table, so K exact copies only scale the frequencies -- cost should be
     # near-flat in K (vocabulary-bound, the classic trainer property)
     timed("bpe_merges", lambda: bpe_merge_rounds(docs))
+    # NB classifier at Kx: the model stays vocab x langs (bounded); train
+    # is one map-side-combined groupBy, inference a term-keyed join
+    timed("nb_langid", nb_langid(docs))
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
