@@ -211,6 +211,9 @@ def main() -> None:
         "x_dedup_ngram_jaccard",
         "x_dedup_containment",
         "x_dedup_pagerank",
+        "x_dedup_triangles",
+        "x_dedup_winnowing",
+        "x_dedup_winnowing_pairs",
         "x_text_token_stats",
         "x_text_quality",
         "x_text_lang_id",

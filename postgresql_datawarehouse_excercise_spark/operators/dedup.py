@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import fround
+from ..functions import fround, ratio, sql_ratio
 
 # ---------------------------------------------------------------------------
 # Shared parameters (Spark fns and SQL twins must agree on these literals).
@@ -779,4 +779,179 @@ SELECT d.doc_id, confirmed.near_dup_of,
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
       WHERE doc_id % {INCR_BATCH_MOD} = 0) d
 LEFT JOIN confirmed USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 -- the MOSS
+# plagiarism fingerprinter): hash every overlapping K-token gram, then keep
+# only each W-gram window's MINIMUM hash.  Guarantees any shared run of
+# W + K - 1 tokens contributes at least one COMMON fingerprint while storing
+# ~2/(W+1) of the gram hashes -- a fixed-density sketch that, unlike MinHash,
+# localizes WHERE the overlap is and scales its fingerprint count with
+# document length.
+#
+# Cross-engine determinism: gram hash = 36-bit md5 prefix, packed with the
+# gram position as  pack = h36 * 2^WINNOW_POS_BITS + pos  (60 bits, signed-64
+# safe), so a single integer MIN over the window frame IS "min hash, leftmost
+# position on ties" in both engines.  The classic algorithm breaks ties
+# RIGHTMOST to thin the sketch; leftmost keeps the same detection guarantee
+# and needs no negation trick -- documented deviation.  pos caps at 2^24
+# grams/doc (~a 100 MB document) before pack overflow; far beyond any real
+# web document.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4             # k-gram width (tokens)
+WINNOW_W = 4             # winnowing window (grams per window)
+WINNOW_POS_BITS = 24     # pack = h36 << 24 | pos
+WINNOW_MAX_DF = 100      # postings document-frequency cutoff for the pair join
+WINNOW_MIN_OVERLAP = 0.5
+
+
+def h36(s: Column) -> Column:
+    """36-bit hash (9 md5 hex chars) -- wide enough that within-window hash
+    ties are ~never, small enough to pack with a 24-bit position."""
+    return F.conv(F.substring(F.md5(s), 1, 9), 16, 10).cast("long")
+
+
+def _winnow_selected(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, pack) rows: every doc's DISTINCT selected
+    fingerprints (pack = h36*2^24 + pos of the chosen gram).
+
+    Scale shape: the gram hashing is a row-local projection (tokens
+    materialized FIRST -- the CollapseProject re-evaluation trap); the only
+    shuffle is the per-doc sort for the window min, which carries skinny
+    (doc_id, pos, long) rows and holds W rows of frame state.  Window
+    starts at the document tail clip to fewer than W grams (identical frame
+    semantics in both engines): selection there is denser, never absent."""
+    from pyspark.sql import Window
+
+    tk = tokens(F.col("text"))
+    docs = spread(documents, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), tk.alias("tk")
+    ).withColumn("n", F.size("tk")).filter(F.col("n") >= WINNOW_K)
+    wins = docs.select(
+        "doc_id",
+        (F.col("n") - WINNOW_K + 1).cast("long").alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n") - WINNOW_K).cast("int")),
+                lambda p: h36(F.concat_ws(" ", F.slice(F.col("tk"), p + 1, WINNOW_K))),
+            )
+        ).alias("pos", "h"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (F.col("h") * F.lit(1 << WINNOW_POS_BITS) + F.col("pos")).alias("pack"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        wins.withColumn("sel", F.min("pack").over(w))
+        .select("doc_id", "n_grams", F.col("sel").alias("pack"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per-doc fingerprint summary: gram count, selected-fingerprint count,
+    sketch density (~2/(W+1) by the winnowing theorem; higher on short docs
+    where tail windows clip)."""
+    sel = _winnow_selected(documents)
+    return (
+        sel.groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_fp").cast("long").alias("n_fp"),
+            ratio(F.col("n_fp"), F.col("n_grams")).alias("fp_density"),
+        )
+    )
+
+
+def winnow_overlap_pairs(documents: DataFrame) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints: postings = distinct
+    (h36, doc), document-frequency cutoff (boilerplate grams selected in
+    > WINNOW_MAX_DF docs are dropped BEFORE the self-join -- the same
+    quadratic-blowup guard as the n-gram inverted index), overlap =
+    |shared| / min(|A|, |B|) (containment form: a short doc pasted into a
+    long one still scores ~1)."""
+    sel = _winnow_selected(documents)
+    postings = sel.select(
+        "doc_id", (F.col("pack") / F.lit(1 << WINNOW_POS_BITS)).cast("long").alias("h")
+    ).distinct()
+    df_ok = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    kept = postings.join(df_ok, "h")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        kept.alias("x")
+        .join(kept.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "fp_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "fp_b"), "doc_b")
+        .withColumn(
+            "overlap", ratio(F.col("shared_fp"), F.least("fp_a", "fp_b"))
+        )
+        .filter(F.col("overlap") >= WINNOW_MIN_OVERLAP)
+        .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b", "overlap")
+    )
+
+
+_SQL_WINNOW_SEL = f"""
+toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_TOKENS} AS tk FROM documents),
+docs AS (SELECT doc_id, len(tk) AS n, tk FROM toks WHERE len(tk) >= {WINNOW_K}),
+wins AS (
+  SELECT doc_id, CAST(n - {WINNOW_K} + 1 AS BIGINT) AS n_grams, u.pos,
+         CAST(concat('0x', substr(md5(array_to_string(tk[(u.pos + 1):(u.pos + {WINNOW_K})], ' ')), 1, 9)) AS BIGINT)
+           * {1 << WINNOW_POS_BITS} + u.pos AS pack
+  FROM docs, unnest(generate_series(0, n - {WINNOW_K})) AS u(pos)
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams,
+         MIN(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS pack
+  FROM wins
+)"""
+
+
+def winnow_fingerprints_sql() -> str:
+    return f"""
+WITH {_SQL_WINNOW_SEL}
+SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_fp,
+       {sql_ratio("COUNT(*)", "n_grams")} AS fp_density
+FROM sel GROUP BY doc_id, n_grams
+"""
+
+
+def winnow_overlap_pairs_sql() -> str:
+    return f"""
+WITH {_SQL_WINNOW_SEL},
+postings AS (SELECT DISTINCT doc_id, pack // {1 << WINNOW_POS_BITS} AS h FROM sel),
+df_ok AS (SELECT h FROM postings GROUP BY h HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+kept AS (SELECT p.doc_id, p.h FROM postings p JOIN df_ok USING (h)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_fp
+  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, CAST(s.shared_fp AS BIGINT) AS shared_fp,
+       CAST(a.n_fp AS BIGINT) AS fp_a, CAST(b.n_fp AS BIGINT) AS fp_b,
+       {sql_ratio("s.shared_fp", "least(a.n_fp, b.n_fp)")} AS overlap
+FROM shared s
+JOIN sizes a ON s.doc_a = a.doc_id
+JOIN sizes b ON s.doc_b = b.doc_id
+WHERE {sql_ratio("s.shared_fp", "least(a.n_fp, b.n_fp)")} >= {WINNOW_MIN_OVERLAP}
 """

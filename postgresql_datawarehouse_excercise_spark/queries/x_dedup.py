@@ -363,3 +363,129 @@ def pagerank(t_docs: DataFrame) -> DataFrame:
             F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
         )
     )
+
+
+@query("x_dedup_winnowing", oracle=dedup.winnow_fingerprints_sql())
+def x_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch (Schleimer et al. 2003, the MOSS
+    algorithm): per-window minimum of K-token gram hashes -- a fixed-density
+    (~2/(W+1)) position-aware sketch that, unlike MinHash, localizes where
+    overlap occurs.  Per-doc summary: gram count, selected fingerprints,
+    density.  Hash+position pack into one BIGINT so the window MIN is the
+    whole selection rule (operators/dedup.py)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.winnow_fingerprints(t.documents)
+
+
+@query("x_dedup_winnowing_pairs", oracle=dedup.winnow_overlap_pairs_sql())
+def x_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap via shared winnowed fingerprints: postings
+    inverted index with a document-frequency cutoff (the quadratic-blowup
+    guard), containment-form score |shared| / min(|A|,|B|) >= 0.5.  The
+    MOSS report shape, at corpus scale: the self-join is keyed on the
+    36-bit fingerprint hash and sees only the ~2/(W+1)-density sketch,
+    never the corpus text."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.winnow_overlap_pairs(t.documents)
+
+
+@query(
+    "x_dedup_triangles",
+    oracle="""
+WITH strong AS (
+  SELECT doc_a, doc_b FROM ({LSH}) WHERE jaccard >= 0.5
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM strong
+),
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM und GROUP BY 1),
+o AS (
+  SELECT u.a AS src, u.b AS dst
+  FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v
+  WHERE da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM o e1
+  JOIN o e2 ON e1.dst = e2.src
+  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pernode AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y AS v FROM tri
+    UNION ALL SELECT z AS v FROM tri
+  ) GROUP BY 1
+)
+SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+       FLOOR((CAST(2 * COALESCE(p.t, 0) AS DOUBLE)
+             / CAST(d.deg * (d.deg - 1) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS clustering_coeff
+FROM deg d LEFT JOIN pernode p ON d.v = p.v
+WHERE d.deg >= 2
+""".format(LSH=dedup.minhash_lsh_pairs_sql()),
+)
+def x_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the strong
+    near-dup graph (the duplication-community density signal: high
+    coefficient = mirror farms / template families, low = chains of
+    borderline matches).
+
+    The scale-canonical degree-orientation algorithm: orient every edge
+    from the (degree, id)-smaller endpoint to the larger, so each triangle
+    is enumerated EXACTLY once and the wedge join's fanout per node is
+    bounded by its oriented out-degree, O(sqrt(m)) -- the property that
+    keeps the two equi-joins feasible on a power-law dup graph at 100 TB
+    where a naive neighbor self-join explodes on hub nodes.  The oriented
+    edge list is localCheckpoint'd once (three joins reference it)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup_triangles(t.documents)
+
+
+def dedup_triangles(t_docs: DataFrame) -> DataFrame:
+    """Core of x_dedup_triangles over any (doc_id, text) relation (also
+    driven by scripts/scale_smoke.py on K-fold multiplied data)."""
+    from ..functions import ratio as _ratio
+
+    pairs = dedup.minhash_lsh_pairs(t_docs)
+    strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    und = strong.union(
+        strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    o = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint()
+    )
+    e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pernode = (
+        tri.select(F.col("x").alias("v"))
+        .union(tri.select(F.col("y").alias("v")))
+        .union(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(pernode, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            _ratio(
+                2 * F.coalesce("t", F.lit(0)),
+                F.col("deg") * (F.col("deg") - 1),
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Winnowing fingerprints + dup-graph triangle counting: independent
+semantics checks against pure-Python models / constructed graphs (the
+DuckDB oracle parity for these entries lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark.operators import dedup
+from postgresql_datawarehouse_excercise_spark.queries.x_dedup import dedup_triangles
+
+
+def _model_selected(tokens: list[str]) -> set[int]:
+    """Pure-Python winnowing: pack = h36 * 2^24 + pos, min per W-window
+    (window starts at every gram, frames clip at the tail — the operator's
+    documented semantics)."""
+    K, W = dedup.WINNOW_K, dedup.WINNOW_W
+    grams = [" ".join(tokens[i : i + K]) for i in range(len(tokens) - K + 1)]
+    packs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:9], 16) * (1 << dedup.WINNOW_POS_BITS) + i
+        for i, g in enumerate(grams)
+    ]
+    return {min(packs[s : s + W]) for s in range(len(packs))}
+
+
+def _docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnowing_matches_python_model(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(dedup.WINNOW_K, 60)))
+        for _ in range(12)
+    ]
+    got = {
+        (r.doc_id, r.pack)
+        for r in dedup._winnow_selected(_docs_df(spark, texts)).collect()
+    }
+    want = {
+        (i, p)
+        for i, t in enumerate(texts)
+        if len(t.split()) >= dedup.WINNOW_K
+        for p in _model_selected(t.split())
+    }
+    assert got == want
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The winnowing theorem: a shared token run of length >= W + K - 1
+    yields at least one COMMON fingerprint hash, whatever surrounds it."""
+    rng = random.Random(11)
+    shared = [f"s{i}" for i in range(dedup.WINNOW_W + dedup.WINNOW_K - 1)]
+    va, vb = [f"a{i}" for i in range(30)], [f"b{i}" for i in range(30)]
+    doc_a = " ".join([rng.choice(va) for _ in range(25)] + shared + [rng.choice(va) for _ in range(25)])
+    doc_b = " ".join([rng.choice(vb) for _ in range(17)] + shared + [rng.choice(vb) for _ in range(33)])
+    sel = dedup._winnow_selected(_docs_df(spark, [doc_a, doc_b]))
+    hashes = sel.select(
+        "doc_id",
+        (F.col("pack") / F.lit(1 << dedup.WINNOW_POS_BITS)).cast("long").alias("h"),
+    )
+    common = (
+        hashes.filter(F.col("doc_id") == 0)
+        .select("h")
+        .intersect(hashes.filter(F.col("doc_id") == 1).select("h"))
+        .count()
+    )
+    assert common >= 1
+
+
+def test_winnowing_every_window_covered(spark):
+    """Sketch density property: every window of W consecutive grams
+    contains at least one selected position (what makes the sketch a
+    coverage guarantee, not a sample)."""
+    rng = random.Random(3)
+    vocab = [f"v{i}" for i in range(25)]
+    toks = [rng.choice(vocab) for _ in range(80)]
+    sel_pos = {
+        p % (1 << dedup.WINNOW_POS_BITS) for p in _model_selected(toks)
+    }
+    n_grams = len(toks) - dedup.WINNOW_K + 1
+    for s in range(n_grams - dedup.WINNOW_W + 1):
+        assert any(s <= p < s + dedup.WINNOW_W for p in sel_pos)
+
+
+def test_triangles_on_constructed_cliques(spark):
+    """4 identical docs -> K4 (each node: degree 3, 3 triangles, cc 1.0);
+    a 2-doc pair -> degree-1 nodes excluded; an isolated doc -> absent."""
+    clique = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    pair = "one two three four five six seven eight nine ten " * 3
+    lone = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    docs = spark.createDataFrame(
+        [(i, clique) for i in range(4)] + [(10, pair), (11, pair), (20, lone)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_triangles(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r.degree == 3
+        assert r.n_triangles == 3
+        assert r.clustering_coeff == 1.0
