@@ -243,6 +243,10 @@ def main() -> None:
         "x_sim_ann_pq_recall",
         "x_sim_ann_ivfpq",
         "x_sim_ann_ivfpq_recall",
+        "x_sim_kcenter_coreset",
+        "x_pipeline_cluster_balanced",
+        "x_text_pmi_bigrams",
+        "x_text_moore_lewis",
         "x_dedup_incremental",
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",

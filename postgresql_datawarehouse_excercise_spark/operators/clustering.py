@@ -189,3 +189,144 @@ def kmeans_assignments_gemm(
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist2").alias("dist2_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez 1985 farthest-point traversal): the
+# 2-approximation for minimax facility placement, and the diversity-
+# maximizing selection rule coreset/data-pruning pipelines use (pick the
+# point farthest from everything already picked).  KCENTER_K fixed rounds;
+# every round is ONE broadcast map (distance to the single new center) +
+# ONE 1-row argmax aggregate, so driver traffic is one row per round and
+# the per-vector state is a single running min -- the loop shape that holds
+# at 10^11 vectors.  Exact micro-unit grid throughout => the DuckDB oracle
+# replays every selection bit-for-bit (argmax ties to the lowest vec_id).
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = KCENTER_K) -> DataFrame:
+    """(vec_id, center_id, center_rank, dist2): every vector assigned to
+    its nearest of the k greedily-selected centers (ties to the earlier-
+    selected center).  Selection: seed = lowest vec_id, then k-1 rounds of
+    argmax over the running min-distance (ties to lowest vec_id).
+
+    localCheckpoint after each round's `least` update keeps the plan one
+    map deep instead of k maps deep AND materializes the state the 1-row
+    argmax and the next round both read (without it every round re-derives
+    the whole prefix chain)."""
+    q = quantize(embeddings)
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(seed.vec_id), [int(v) for v in seed.qv])]
+    lit0 = F.array(*[F.lit(v) for v in centers[0][2]])
+    mind = q.select(
+        "vec_id", "qv", _dist2(F.col("qv"), lit0).alias("mind")
+    ).localCheckpoint()
+    for r in range(1, k):
+        top = mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        centers.append((r, int(top.vec_id), [int(v) for v in top.qv]))
+        litr = F.array(*[F.lit(v) for v in centers[r][2]])
+        mind = mind.select(
+            "vec_id",
+            "qv",
+            F.least(F.col("mind"), _dist2(F.col("qv"), litr)).alias("mind"),
+        ).localCheckpoint()
+    cents = q.sparkSession.createDataFrame(
+        [(r, vid, qv) for r, vid, qv in centers],
+        "center_rank int, center_id long, cq array<bigint>",
+    )
+    d = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "center_id",
+        "center_rank",
+        _dist2(F.col("qv"), F.col("cq")).alias("dist2"),
+    )
+    best = d.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "center_rank", "center_id")).alias("_m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("_m.center_id").alias("center_id"),
+        F.col("_m.center_rank").alias("center_rank"),
+        F.col("_m.dist2").alias("dist2"),
+    )
+
+
+def kcenter_coreset_sql(k: int = KCENTER_K) -> str:
+    """DuckDB replay of the full greedy traversal: every round's argmax
+    and running-min update re-derived as chained CTEs (the kmeans/BPE
+    full-replay oracle discipline)."""
+    rounds = []
+    for r in range(1, k):
+        rounds.append(f"""
+s{r} AS (SELECT vec_id FROM d{r - 1} ORDER BY mind DESC, vec_id ASC LIMIT 1),
+cc{r} AS (SELECT comp.i, comp.x AS c FROM comp JOIN s{r} USING (vec_id)),
+nd{r} AS (
+  SELECT comp.vec_id, CAST(SUM((comp.x - cc{r}.c) * (comp.x - cc{r}.c)) AS BIGINT) AS nd
+  FROM comp JOIN cc{r} USING (i) GROUP BY 1
+),
+d{r} AS (
+  SELECT d{r - 1}.vec_id, LEAST(d{r - 1}.mind, nd{r}.nd) AS mind
+  FROM d{r - 1} JOIN nd{r} USING (vec_id)
+)""")
+    centers = "\nUNION ALL\n".join(
+        f"SELECT {r} AS center_rank, vec_id FROM s{r}" for r in range(k)
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+comp AS (SELECT vec_id, r.i, qv[r.i] AS x FROM q, range(1, 65) r(i)),
+s0 AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 1),
+cc0 AS (SELECT comp.i, comp.x AS c FROM comp JOIN s0 USING (vec_id)),
+d0 AS (
+  SELECT comp.vec_id, CAST(SUM((comp.x - cc0.c) * (comp.x - cc0.c)) AS BIGINT) AS mind
+  FROM comp JOIN cc0 USING (i) GROUP BY 1
+),{",".join(rounds)},
+centers AS ({centers}),
+ccomp AS (
+  SELECT centers.center_rank, centers.vec_id AS center_id, comp.i, comp.x AS c
+  FROM centers JOIN comp USING (vec_id)
+),
+alld AS (
+  SELECT comp.vec_id, ccomp.center_rank, ccomp.center_id,
+         CAST(SUM((comp.x - ccomp.c) * (comp.x - ccomp.c)) AS BIGINT) AS dist2
+  FROM comp JOIN ccomp USING (i) GROUP BY 1, 2, 3
+)
+SELECT vec_id, center_id, CAST(center_rank AS INT) AS center_rank, dist2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist2, center_rank, center_id) AS rn
+  FROM alld
+) WHERE rn = 1
+"""
+
+
+# Cluster-balanced prototype sampling: equal per-cluster quota of the
+# closest-to-centroid members -- the density-equalizing selection
+# (SemDeDup/SSL-prototype style) that stops web-scale head clusters from
+# dominating a curated sample.
+BALANCED_CAP = 40
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame, k: int = 8, cap: int = BALANCED_CAP
+) -> DataFrame:
+    """(vec_id, cluster, dist2_q, rn): up to `cap` members per k-means
+    cluster, closest to the exact-grid centroid first (tie to lowest
+    vec_id).  Per-cluster top-k is a partitioned row_number window -- the
+    distributed idiom that never global-sorts."""
+    from pyspark.sql import Window
+
+    a = kmeans_assignments(embeddings, k=k, iters=2)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist2_q").asc(), F.col("vec_id").asc()
+    )
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("vec_id", "cluster", "dist2_q", F.col("rn").cast("int").alias("rn"))
+    )

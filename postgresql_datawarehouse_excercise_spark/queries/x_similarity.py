@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import catalog
 from ..functions import fround
-from ..operators import pca, pq, similarity
+from ..operators import clustering, pca, pq, similarity
 from . import query
 
 QUERY_VEC_ID = 0
@@ -319,3 +319,40 @@ def x_sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_sim_ann_pq_recall."""
     t = catalog.load(spark, sf_dir)
     return pq.ivfpq_recall(t.embeddings)
+
+
+@query("x_sim_kcenter_coreset", oracle=clustering.kcenter_coreset_sql())
+def x_sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point traversal, the
+    diversity-maximizing 2-approximation data-pruning pipelines use):
+    seed at the lowest vec_id, then 7 rounds of "pick the vector farthest
+    from everything picked so far", all on the exact micro-unit grid; the
+    output assigns every vector to its nearest selected center.  Each
+    round is one broadcast map + a 1-row argmax, so driver traffic is one
+    row per round at any corpus size (operators/clustering.py); the
+    oracle replays every selection bit-for-bit."""
+    t = catalog.load(spark, sf_dir)
+    return clustering.kcenter_coreset(t.embeddings)
+
+
+@query(
+    "x_pipeline_cluster_balanced",
+    oracle="""
+SELECT vec_id, cluster, dist2_q, CAST(rn AS INT) AS rn FROM (
+  SELECT vec_id, cluster, dist2_q,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist2_q ASC, vec_id ASC) AS rn
+  FROM ({KM})
+) WHERE rn <= {CAP}
+""".format(KM=_KMEANS_ORACLE, CAP=clustering.BALANCED_CAP),
+)
+def x_pipeline_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced prototype sampling: k-means the embedding space
+    (the x_sim_kmeans exact-grid training), then keep an EQUAL quota of
+    the closest-to-centroid members per cluster -- the density-equalizing
+    curation step (SemDeDup / SSL-prototype selection) that stops head
+    clusters of near-identical web text from dominating a sample drawn
+    uniformly.  Per-cluster top-k is a partitioned row_number window over
+    skinny (vec_id, cluster, dist2) rows -- no global sort at any N."""
+    t = catalog.load(spark, sf_dir)
+    return clustering.cluster_balanced_sample(t.embeddings)

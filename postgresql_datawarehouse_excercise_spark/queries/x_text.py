@@ -1046,3 +1046,221 @@ def nb_langid(documents: DataFrame) -> DataFrame:
             (F.col("actual_lang") == F.col("lang")).alias("correct"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+@query(
+    "x_text_pmi_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens FROM documents
+),
+uni AS (
+  SELECT unnest(tokens) AS term FROM toks
+),
+c1 AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+tot1 AS (SELECT SUM(c) AS t FROM c1),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tokens), 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+  FROM toks
+),
+c2 AS (SELECT bigram, COUNT(*) AS c_xy FROM bi GROUP BY 1 HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+tot2 AS (SELECT CAST(SUM(len(tokens) - 1) AS BIGINT) AS b FROM toks WHERE len(tokens) >= 2),
+scored AS (
+  SELECT c2.bigram, c2.c_xy, ca.c AS n_x, cb.c AS n_y,
+         CAST(FLOOR(ln(((CAST(c2.c_xy AS DOUBLE) * t) * t)
+                       / ((CAST(b AS DOUBLE) * ca.c) * cb.c)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+  FROM c2
+  JOIN c1 ca ON ca.term = string_split(c2.bigram, ' ')[1]
+  JOIN c1 cb ON cb.term = string_split(c2.bigram, ' ')[2]
+  CROSS JOIN tot1 CROSS JOIN tot2
+)
+SELECT bigram, CAST(c_xy AS BIGINT) AS n_xy, CAST(n_x AS BIGINT) AS n_x,
+       CAST(n_y AS BIGINT) AS n_y, pmi_micro
+FROM scored ORDER BY pmi_micro DESC, bigram LIMIT {PMI_TOP}
+""",
+)
+def x_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the top-50
+    bigrams whose joint frequency most exceeds the independence baseline
+    (multi-word expressions -- 'new york', 'machine learning' -- the classic
+    phrase-mining signal; a count floor kills the rare-pair PMI bias).
+
+    PMI = ln(p(x,y) / (p(x)p(y))) with p(x,y) = c_xy/B over adjacent pairs
+    and p(x) = c_x/T over tokens.  Counts and totals are exact integers;
+    the ONE float op is the ln of an identically-parenthesized double
+    ratio, quantized to micro-nats -- so both engines produce the same
+    BIGINT score.  Scale shape: two counting aggregates (map-side
+    combined, vocabulary-bound), two broadcast scalars, a join keyed on
+    term, and a top-50 TakeOrderedAndProject -- nothing touches corpus
+    text after tokenization."""
+    t = catalog.load(spark, sf_dir)
+    toks_col = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    docs = t.documents.select(toks_col.alias("tokens"))
+    uni = docs.select(F.explode("tokens").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot1 = c1.agg(F.sum("c").alias("t"))
+    n1 = F.greatest(F.size("tokens") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("tokens", 1, n1),
+        F.slice(F.col("tokens"), 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    c2 = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    tot2 = (
+        docs.filter(F.size("tokens") >= 2)
+        .agg(F.sum(F.size("tokens") - 1).cast("long").alias("b"))
+    )
+    ca = c1.select(F.col("term").alias("ta"), F.col("c").alias("n_x"))
+    cb = c1.select(F.col("term").alias("tb"), F.col("c").alias("n_y"))
+    scored = (
+        c2.withColumn("ta", F.split("bigram", " ")[0])
+        .withColumn("tb", F.split("bigram", " ")[1])
+        .join(ca, "ta")
+        .join(cb, "tb")
+        .crossJoin(F.broadcast(tot1))
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "bigram",
+            F.col("c_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            F.floor(
+                F.log(
+                    ((F.col("c_xy").cast("double") * F.col("t")) * F.col("t"))
+                    / ((F.col("b").cast("double") * F.col("n_x")) * F.col("n_y"))
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), F.col("bigram").asc()).limit(PMI_TOP)
+
+
+ML_IN_LANG = "en"
+
+
+@query(
+    "x_text_moore_lewis",
+    oracle=f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+model AS (
+  SELECT term,
+         SUM(CASE WHEN lang = '{ML_IN_LANG}' THEN 1 ELSE 0 END) AS c_in,
+         SUM(CASE WHEN lang <> '{ML_IN_LANG}' THEN 1 ELSE 0 END) AS c_out
+  FROM toks GROUP BY 1
+),
+scal AS (
+  SELECT SUM(c_in) AS t_in, SUM(c_out) AS t_out, COUNT(*) AS v FROM model
+),
+lp AS (
+  SELECT term,
+         CAST(FLOOR((ln(CAST(c_in + 1 AS DOUBLE) / CAST(t_in + v AS DOUBLE))
+                    - ln(CAST(c_out + 1 AS DOUBLE) / CAST(t_out + v AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS delta_micro
+  FROM model CROSS JOIN scal
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp.delta_micro) AS BIGINT) AS sum_delta_micro,
+       FLOOR((CAST(SUM(lp.delta_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_delta,
+       SUM(lp.delta_micro) > 0 AS selected
+FROM toks t JOIN lp USING (term)
+GROUP BY t.doc_id
+""",
+)
+def x_text_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis contrastive data selection (ACL 2010; the
+    intelligent-selection step of domain-targeted training pipelines):
+    score every document by its per-token in-domain vs out-domain
+    log-likelihood difference, here with the 'en'-labelled slice as the
+    in-domain model and everything else as the general model.  Documents
+    with positive cross-entropy difference are the ones worth keeping for
+    the target domain.
+
+    Both unigram models are add-one smoothed over the SHARED corpus
+    vocabulary; the per-term delta = ln p_in - ln p_out quantizes to
+    integer micro-nats BEFORE the per-doc sum (the unigram_logprob float
+    discipline), so scores are partition-order independent and bit-equal
+    across engines.  Scale shape: ONE grouped aggregate builds both
+    models (conditional sums, map-side combined, vocabulary-bound), the
+    three scalars broadcast, and scoring is a term-keyed join + per-doc
+    aggregate -- no per-pair or per-doc-squared work anywhere."""
+    t = catalog.load(spark, sf_dir)
+    return moore_lewis(t.documents)
+
+
+def moore_lewis(documents: DataFrame) -> DataFrame:
+    """Core of x_text_moore_lewis over any (doc_id, text, lang) relation
+    (also driven by the domain-separation property test)."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    model = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == ML_IN_LANG, 1).otherwise(0)).alias("c_in"),
+        F.sum(F.when(F.col("lang") != ML_IN_LANG, 1).otherwise(0)).alias("c_out"),
+    )
+    scal = model.agg(
+        F.sum("c_in").alias("t_in"),
+        F.sum("c_out").alias("t_out"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lp = model.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_in") + 1).cast("double")
+                    / (F.col("t_in") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("c_out") + 1).cast("double")
+                    / (F.col("t_out") + F.col("v")).cast("double")
+                )
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("delta_micro"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("delta_micro").cast("long").alias("sum_delta_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_delta_micro",
+            fround(
+                F.col("sum_delta_micro").cast("double")
+                / 1000000.0
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("avg_delta"),
+            (F.col("sum_delta_micro") > 0).alias("selected"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""k-center coreset, cluster-balanced sampling, PMI and Moore-Lewis:
+independent semantics checks (oracle parity lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark.operators import clustering
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def _model_kcenter(vecs, k):
+    """Pure-Python greedy farthest-point on the micro-unit grid.  The
+    embedding column is array<float>, so quantization sees the float32-
+    rounded value — mirror that."""
+    import math
+
+    import numpy as np
+
+    q = [
+        [int(math.floor(float(np.float32(x)) * 1e6 + 0.5)) for x in v]
+        for v in vecs
+    ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sel = [0]
+    mind = [d2(v, q[0]) for v in q]
+    for _ in range(1, k):
+        nxt = max(range(len(q)), key=lambda i: (mind[i], -i))
+        sel.append(nxt)
+        mind = [min(m, d2(v, q[nxt])) for m, v in zip(mind, q)]
+    assign = {}
+    for i, v in enumerate(q):
+        best = min(
+            ((d2(v, q[c]), r, c) for r, c in enumerate(sel)),
+        )
+        assign[i] = (best[2], best[1], best[0])
+    return sel, assign
+
+
+def test_kcenter_matches_python_model(spark):
+    rng = random.Random(5)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(60)]
+    k = 5
+    sel, assign = _model_kcenter(vecs, k)
+    rows = {r.vec_id: r for r in clustering.kcenter_coreset(_emb_df(spark, vecs), k=k).collect()}
+    assert len(rows) == len(vecs)
+    for i, (cid, rank, dist2) in assign.items():
+        r = rows[i]
+        assert (r.center_id, r.center_rank, r.dist2) == (cid, rank, dist2), i
+
+
+def test_kcenter_centers_are_diverse(spark):
+    """The farthest-point property: each selected center is at least as far
+    from the previously selected set as every later assignment radius (the
+    Gonzalez monotone-radius invariant)."""
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    sel, assign = _model_kcenter(vecs, 6)
+    assert len(set(sel)) == 6
+    # radius at selection time is non-increasing in rank
+    radii = []
+    q = [[int(__import__("math").floor(x * 1e6 + 0.5)) for x in v] for v in vecs]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for r in range(1, 6):
+        prev = sel[:r]
+        radii.append(max(min(d2(v, q[c]) for c in prev) for v in q))
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_cluster_balanced_sample_caps_and_orders(spark, sf_dir):
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    t = catalog.load(spark, sf_dir)
+    cap = 10
+    out = clustering.cluster_balanced_sample(t.embeddings, k=8, cap=cap)
+    per = {r.cluster: r for r in out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx")
+    ).collect()}
+    full = {r.cluster: r.n for r in clustering.kmeans_assignments(t.embeddings, 8, 2)
+            .groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for c, r in per.items():
+        assert r.n <= cap and r.mx <= cap
+        assert r.n == min(cap, full[c])
+
+
+def test_moore_lewis_separates_domains(spark):
+    """Constructed corpora with disjoint head vocabulary: in-domain docs
+    must score positive, out-domain docs negative."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import ML_IN_LANG
+
+    rng = random.Random(3)
+    vin = [f"in{i}" for i in range(20)]
+    vout = [f"out{i}" for i in range(20)]
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(rng.choice(vin) for _ in range(30)), ML_IN_LANG, "s", 0))
+    for i in range(10, 20):
+        rows.append((i, " ".join(rng.choice(vout) for _ in range(30)), "de", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import moore_lewis
+
+    out = {r.doc_id: r for r in moore_lewis(docs).collect()}
+    for i in range(10):
+        assert out[i].sum_delta_micro > 0 and out[i].selected, (i, out[i])
+    for i in range(10, 20):
+        assert out[i].sum_delta_micro < 0 and not out[i].selected, (i, out[i])
