@@ -247,6 +247,7 @@ def main() -> None:
         "x_pipeline_cluster_balanced",
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
+        "x_text_countmin_hh",
         "x_dedup_incremental",
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",

@@ -1264,3 +1264,107 @@ def moore_lewis(documents: DataFrame) -> DataFrame:
             (F.col("sum_delta_micro") > 0).alias("selected"),
         )
     )
+
+
+CMS_D = 4        # count-min depth (independent hash rows)
+# Width deliberately NARROWER than the synthetic corpus's 31-term vocabulary
+# so bucket collisions -- the sketch's defining epsilon*N overestimate --
+# actually occur at gate scale; production sizing is W ~ e/epsilon.
+CMS_W = 16       # count-min width (buckets per row)
+CMS_TOP = 20
+
+
+def _cms_oracle() -> str:
+    from ..operators.dedup import P, PERMS
+
+    h32 = "CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)"
+    bucket_rows = "\nUNION ALL\n".join(
+        f"SELECT (({a} * h + {b}) % {P}) % {CMS_W} AS bucket, {d} AS d, c FROM th"
+        for d, (a, b) in enumerate(PERMS[:CMS_D])
+    )
+    probe_buckets = "\nUNION ALL\n".join(
+        f"SELECT term, c AS exact, {d} AS d, (({a} * h + {b}) % {P}) % {CMS_W} AS bucket FROM top"
+        for d, (a, b) in enumerate(PERMS[:CMS_D])
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+th AS (SELECT term, c, {h32} AS h FROM tc),
+sketch AS (
+  SELECT d, bucket, CAST(SUM(c) AS BIGINT) AS cell FROM ({bucket_rows}) GROUP BY 1, 2
+),
+top AS (SELECT term, c, h FROM th ORDER BY c DESC, term ASC LIMIT {CMS_TOP}),
+probes AS ({probe_buckets}),
+est AS (
+  SELECT p.term, p.exact, MIN(s.cell) AS cms_est
+  FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+  GROUP BY 1, 2
+)
+SELECT term, CAST(exact AS BIGINT) AS exact, cms_est,
+       CAST(cms_est - exact AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+@query("x_text_countmin_hh", oracle=_cms_oracle())
+def x_text_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a {CMS_D}x{CMS_W} counter sketch of
+    the corpus term stream, then the exact top-{CMS_TOP} terms probed back
+    through it -- reporting the sketch estimate and its (always
+    non-negative) collision overestimate.  The streaming-sketch shape for
+    frequency tracking when the vocabulary itself is too big to hold: the
+    sketch is FIXED-SIZE state, updates are commutative sums (so partial
+    sketches merge map-side and across executors/days -- the mergeability
+    that makes it a lakehouse rollup primitive), and estimates are a
+    d-way min of bucket counts.
+
+    Everything is exact integer arithmetic over md5-derived hashes (the
+    minhash permutation family's first {CMS_D} rows), so the DuckDB twin
+    replays the sketch bit-for-bit.  Scale shape: ONE vocabulary-bound
+    aggregate feeds {CMS_D} bucket projections into a 2048-row sketch;
+    the probe side is a broadcast join against that tiny relation."""
+    from ..operators.dedup import P, PERMS, h32
+
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    # vocabulary-bound pre-aggregation: the sketch feed and the exact top-k
+    # share one term-count relation (map-side combined)
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    th = tc.withColumn("h", h32(F.col("term")))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)) % F.lit(CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+            for d, (a, b) in enumerate(PERMS[:CMS_D])
+        ]
+    )
+    sketch = (
+        th.select(F.explode(buckets).alias("bk"), "c")
+        .groupBy(F.col("bk.d").alias("d"), F.col("bk.bucket").alias("bucket"))
+        .agg(F.sum("c").cast("long").alias("cell"))
+    )
+    top = th.orderBy(F.col("c").desc(), F.col("term").asc()).limit(CMS_TOP)
+    probes = top.select(
+        "term", F.col("c").alias("exact"), F.explode(buckets).alias("bk")
+    ).select("term", "exact", F.col("bk.d").alias("d"), F.col("bk.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term", "exact")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        F.col("exact").cast("long").alias("exact"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact")).cast("long").alias("overestimate"),
+    )

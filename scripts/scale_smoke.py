@@ -196,6 +196,28 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     # NB classifier at Kx: the model stays vocab x langs (bounded); train
     # is one map-side-combined groupBy, inference a term-keyed join
     timed("nb_langid", nb_langid(docs))
+    # Winnowing at Kx: gram hashing is row-local, the window min shuffles
+    # skinny (doc, pos, long) rows -- must track |tokens| exactly like
+    # substring_spans; the PAIR join output grows ~K^2 per dup group (K
+    # exact copies share every fingerprint) -- the DF cutoff is what keeps
+    # the join itself from exploding on boilerplate grams
+    timed("winnow_fingerprints", dedup.winnow_fingerprints(docs))
+    timed("winnow_overlap_pairs", dedup.winnow_overlap_pairs(docs))
+    # Moore-Lewis at Kx: both domain models stay vocabulary-bound (one
+    # conditional-sum groupBy); scoring is the unigram_logprob join shape
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import moore_lewis
+
+    timed("moore_lewis", moore_lewis(docs))
+    # Triangle counting at Kx: K exact copies per doc turn every dup group
+    # into a clique, so triangle COUNT grows ~(gK)^3 per group -- the
+    # degree-orientation bound (out-degree <= O(sqrt(m))) is what keeps the
+    # wedge join linear in the OUTPUT rather than in corpus^2; probe at
+    # moderate K only (the output itself is cubic in the copy factor)
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        dedup_triangles,
+    )
+
+    timed("dedup_triangles", lambda: dedup_triangles(docs))
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
@@ -231,6 +253,10 @@ def sec_emb(spark, t, k: int, sf_dir: str) -> None:
 
     timed("ann_pq_topk", lambda: pq_ops.pq_topk(emb))
     timed("ann_ivfpq_topk", lambda: pq_ops.ivfpq_topk(emb))
+    # k-center at Kx: 8 rounds, each ONE broadcast map + a 1-row argmax
+    # over the checkpointed running-min state -- cost must track |V| with a
+    # fixed round count and one-row driver traffic per round
+    timed("kcenter_coreset", lambda: clustering.kcenter_coreset(emb))
 
     # semantic decontamination in its PRODUCTION shape: the eval suite is
     # FIXED (the 1x hash-split slice, ~500 vectors) while the train side

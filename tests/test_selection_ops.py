@@ -120,3 +120,14 @@ def test_moore_lewis_separates_domains(spark):
         assert out[i].sum_delta_micro > 0 and out[i].selected, (i, out[i])
     for i in range(10, 20):
         assert out[i].sum_delta_micro < 0 and not out[i].selected, (i, out[i])
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: est >= exact for every probed term (min of
+    non-negative-collision sums), with at least one real collision at the
+    narrow gate width."""
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    rows = load_all()["x_text_countmin_hh"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.cms_est >= r.exact and r.overestimate == r.cms_est - r.exact for r in rows)
