@@ -955,3 +955,127 @@ JOIN sizes a ON s.doc_a = a.doc_id
 JOIN sizes b ON s.doc_b = b.doc_id
 WHERE {sql_ratio("s.shared_fp", "least(a.n_fp, b.n_fp)")} >= {WINNOW_MIN_OVERLAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (Chaudhuri/Ganti/Kaushik ICDE'06 /
+# PPJoin): the EXACT-result alternative to the MAX_DF candidate guard.  Order
+# every document's shingles by ascending global document frequency; for
+# Jaccard >= t two sets MUST share a token among their first
+# |d| - ceil(t*|d|) + 1 rarest tokens, so only that prefix enters the
+# inverted-index join -- hot (high-DF) shingles land at the END of the order
+# and mostly stay out of the index entirely.  Where the MAX_DF cutoff trades
+# recall for the quadratic-blowup guard, prefix filtering keeps EVERY
+# qualifying pair and still bounds the join: candidate volume tracks the
+# rare-token postings, not the hot-token squares.
+# ---------------------------------------------------------------------------
+
+PREFIX_MIN_JACCARD = 0.5
+
+
+def prefix_join_pairs(
+    documents: DataFrame, min_jaccard: float = PREFIX_MIN_JACCARD
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): ALL pairs with exact shingle Jaccard >=
+    min_jaccard, found via prefix filtering + size filtering and verified
+    on the full shingle sets.
+
+    For t = 0.5 the prefix length is |d| - ceil(|d|/2) + 1 = |d| div 2 + 1.
+    The size filter (max <= min/t) prunes candidates before verification.
+    Scale shape: one DF aggregate (map-side combined), a per-doc ranking
+    window over skinny (doc, hash, df) rows, a self-join on the PREFIX
+    postings only, then the bounded exact-verify join -- same stages as the
+    inverted-index entry, with the hot-key protection coming from ordering
+    instead of dropping."""
+    from pyspark.sql import Window
+
+    sh = shingled(documents)
+    post = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", h32(F.col("s")).alias("h"))
+        .distinct()
+    )
+    dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    pref = (
+        post.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.expr("sz div 2 + 1"))
+        .select("doc_id", "h", "sz")
+    )
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        # size filter: jaccard >= 0.5 forces max(|a|,|b|) <= 2 * min(|a|,|b|)
+        .filter(
+            F.greatest(F.col("x.sz"), F.col("y.sz"))
+            <= 2 * F.least(F.col("x.sz"), F.col("y.sz"))
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            fround(
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / (
+                    F.size("sha")
+                    + F.size("shb")
+                    - F.size(F.array_intersect("sha", "shb"))
+                ).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def prefix_join_pairs_sql(min_jaccard: float = PREFIX_MIN_JACCARD) -> str:
+    jac = (
+        "FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
+        " * 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+post AS (
+  SELECT DISTINCT doc_id, {_SQL_H32.format(s='u.s')} AS h
+  FROM sh, unnest(sh.sh) AS u(s)
+),
+dfreq AS (SELECT h, COUNT(*) AS df FROM post GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY 1),
+pref AS (
+  SELECT doc_id, h, sz FROM (
+    SELECT post.doc_id, post.h, sizes.sz,
+           row_number() OVER (PARTITION BY post.doc_id
+                              ORDER BY dfreq.df, post.h) AS rn
+    FROM post JOIN dfreq USING (h) JOIN sizes USING (doc_id)
+  ) WHERE rn <= sz // 2 + 1
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id
+  WHERE greatest(x.sz, y.sz) <= 2 * least(x.sz, y.sz)
+)
+SELECT cand.doc_a, cand.doc_b, {jac} AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = cand.doc_a
+JOIN sh b ON b.doc_id = cand.doc_b
+WHERE {jac} >= {min_jaccard}
+"""

@@ -489,3 +489,16 @@ def dedup_triangles(t_docs: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query("x_dedup_prefix_join", oracle=dedup.prefix_join_pairs_sql())
+def x_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (PPJoin family): the EXACT
+    Jaccard >= 0.5 pair set, with candidate generation bounded by ordering
+    every document's shingles by ascending global document frequency and
+    indexing only the |d| div 2 + 1 rarest -- plus the size filter
+    max <= 2*min.  The exact-result alternative to x_dedup_ngram_jaccard's
+    MAX_DF recall cutoff: hot shingles sort to the suffix and stay out of
+    the inverted index instead of being dropped (operators/dedup.py)."""
+    t = catalog.load(spark, sf_dir)
+    return dedup.prefix_join_pairs(t.documents)

@@ -203,6 +203,10 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     # the join itself from exploding on boilerplate grams
     timed("winnow_fingerprints", dedup.winnow_fingerprints(docs))
     timed("winnow_overlap_pairs", dedup.winnow_overlap_pairs(docs))
+    # Prefix-filtering exact-Jaccard join at Kx: the EXACT pair set (output
+    # grows ~K^2 per dup group, like the LSH pairs) with candidates bounded
+    # by rarest-prefix indexing instead of the MAX_DF recall cutoff
+    timed("prefix_join_pairs", dedup.prefix_join_pairs(docs))
     # Moore-Lewis at Kx: both domain models stay vocabulary-bound (one
     # conditional-sum groupBy); scoring is the unigram_logprob join shape
     from postgresql_datawarehouse_excercise_spark.queries.x_text import moore_lewis

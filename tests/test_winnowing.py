@@ -105,3 +105,41 @@ def test_triangles_on_constructed_cliques(spark):
         assert r.degree == 3
         assert r.n_triangles == 3
         assert r.clustering_coeff == 1.0
+
+
+def test_prefix_join_complete_vs_bruteforce(spark):
+    """Prefix filtering is EXACT: on a corpus with duplicated + mutated +
+    unrelated docs (including a deliberately hot shared phrase), the pair
+    set equals the brute-force all-pairs Jaccard >= 0.5."""
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    hot = "common boiler plate phrase shared across documents every time"
+    base = [" ".join(rng.choice(vocab) for _ in range(24)) for _ in range(8)]
+    texts = []
+    for b in base:
+        texts.append(b + " " + hot)                       # original
+        texts.append(b + " " + hot)                       # exact dup
+        toks = (b + " " + hot).split()
+        toks[rng.randrange(len(toks))] = "mutated"
+        texts.append(" ".join(toks))                      # near dup
+    docs = _docs_df(spark, texts)
+
+    def shingles(t):
+        tk = t.lower().split()
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)} or {" ".join(tk)}
+
+    # fround is floor(x*1e4+0.5)/1e4 — apply the same rounding before the
+    # threshold so the model matches the operator's boundary behavior
+    import math
+
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = shingles(texts[i]), shingles(texts[j])
+            jac = math.floor(len(a & b) / len(a | b) * 10000 + 0.5) / 10000
+            if jac >= 0.5:
+                want.add((i, j))
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup.prefix_join_pairs(docs).collect()
+    }
+    assert got == want
