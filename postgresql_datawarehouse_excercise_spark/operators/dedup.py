@@ -1019,23 +1019,32 @@ def prefix_join_pairs(
         )
         .distinct()
     )
+    # verification runs on SORTED HASH arrays, not shingle strings: BIGINT
+    # array_intersect is ~3x cheaper than ~50-char string compares on the
+    # K-copy worst case (76.7 -> 34.1 s at the 10x smoke), and both engines
+    # derive the identical md5 hashes, so the Jaccard value is unchanged
+    # up to the ~2^-32 within-doc collision probability (deterministically
+    # identical on both sides either way)
+    hsets = sh.select(
+        "doc_id", F.array_sort(F.array_distinct(F.transform("sh", h32))).alias("hs")
+    )
     return (
         cand.join(
-            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"),
+            hsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "ha"),
             "doc_a",
         )
         .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"),
+            hsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hb"),
             "doc_b",
         )
         .withColumn(
             "jaccard",
             fround(
-                F.size(F.array_intersect("sha", "shb")).cast("double")
+                F.size(F.array_intersect("ha", "hb")).cast("double")
                 / (
-                    F.size("sha")
-                    + F.size("shb")
-                    - F.size(F.array_intersect("sha", "shb"))
+                    F.size("ha")
+                    + F.size("hb")
+                    - F.size(F.array_intersect("ha", "hb"))
                 ).cast("double"),
                 4,
             ),
@@ -1047,8 +1056,8 @@ def prefix_join_pairs(
 
 def prefix_join_pairs_sql(min_jaccard: float = PREFIX_MIN_JACCARD) -> str:
     jac = (
-        "FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
-        " / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
+        "FLOOR((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)"
+        " / CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE))"
         " * 10000.0 + 0.5) / 10000.0"
     )
     return f"""
@@ -1072,10 +1081,15 @@ cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id
   WHERE greatest(x.sz, y.sz) <= 2 * least(x.sz, y.sz)
+),
+hsets AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(sh, s -> {_SQL_H32.format(s='s')}))) AS hs
+  FROM sh
 )
 SELECT cand.doc_a, cand.doc_b, {jac} AS jaccard
 FROM cand
-JOIN sh a ON a.doc_id = cand.doc_a
-JOIN sh b ON b.doc_id = cand.doc_b
+JOIN hsets a ON a.doc_id = cand.doc_a
+JOIN hsets b ON b.doc_id = cand.doc_b
 WHERE {jac} >= {min_jaccard}
 """

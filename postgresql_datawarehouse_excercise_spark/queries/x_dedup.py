@@ -502,3 +502,84 @@ def x_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted index instead of being dropped (operators/dedup.py)."""
     t = catalog.load(spark, sf_dir)
     return dedup.prefix_join_pairs(t.documents)
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+deg{r} AS (SELECT src, COUNT(*) AS deg FROM e{r - 1} GROUP BY 1),
+keep{r} AS (SELECT src AS v FROM deg{r} WHERE deg >= {KCORE_K}),
+e{r} AS (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN keep{r} a ON e.src = a.v JOIN keep{r} b ON e.dst = b.v
+)""")
+    return f"""
+WITH strong AS (
+  SELECT doc_a, doc_b FROM ({{LSH}}) WHERE jaccard >= 0.5
+),
+e0 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM strong
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM strong
+),
+deg0 AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),{",".join(rounds)},
+final AS (SELECT src, COUNT(*) AS deg FROM e{KCORE_ROUNDS} GROUP BY 1)
+SELECT f.src AS doc_id,
+       CAST(d0.deg AS BIGINT) AS degree_full,
+       CAST(f.deg AS BIGINT) AS degree_core
+FROM final f JOIN deg0 d0 ON f.src = d0.src
+""".format(LSH=dedup.minhash_lsh_pairs_sql())
+
+
+@query("x_dedup_kcore", oracle=_kcore_oracle())
+def x_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the strong near-dup graph via 3 peeling rounds
+    (iteratively drop nodes with degree < KCORE_K and their edges): the
+    dense-community extractor -- k-core membership separates genuine
+    mirror/template FAMILIES from incidental pairwise matches, the signal
+    curation uses to prioritize cluster-level review.  Fixed round count
+    keeps the oracle a full replay (chained CTEs, the pagerank
+    discipline); on the gate data 3 rounds reach the peeling fixpoint
+    (test-pinned), and each round is one degree aggregate + two semi-join
+    shaped edge filters over the checkpointed skinny edge list -- the
+    dedup_clusters loop shape, O(|E|) per round at any corpus size."""
+    t = catalog.load(spark, sf_dir)
+    return dedup_kcore(t.documents)
+
+
+def dedup_kcore(t_docs: DataFrame, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Core of x_dedup_kcore over any (doc_id, text) relation."""
+    pairs = dedup.minhash_lsh_pairs(t_docs)
+    strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    edges = (
+        strong.union(
+            strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree_full"))
+    e = edges
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select(F.col("src").alias("v"))
+        e = (
+            e.join(keep.withColumnRenamed("v", "src"), "src")
+            .join(keep.withColumnRenamed("v", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    final = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree_core"))
+    return (
+        final.join(deg0, "src")
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("degree_full").cast("long").alias("degree_full"),
+            F.col("degree_core").cast("long").alias("degree_core"),
+        )
+    )

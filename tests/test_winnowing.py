@@ -143,3 +143,24 @@ def test_prefix_join_complete_vs_bruteforce(spark):
         (r.doc_a, r.doc_b) for r in dedup.prefix_join_pairs(docs).collect()
     }
     assert got == want
+
+
+def test_kcore_peeling_reaches_fixpoint_and_excludes_tails(spark):
+    """A 4-clique with a pendant chain: the 2-core is exactly the clique
+    (chain nodes peel off), and 3 rounds reach the fixpoint (a 4th changes
+    nothing)."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import dedup_kcore
+
+    clique = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    chain = "one two three four five six seven eight nine ten " * 3
+    docs = spark.createDataFrame(
+        [(i, clique) for i in range(4)] + [(10, chain), (11, chain)],
+        "doc_id long, text string",
+    )
+    r3 = {r.doc_id: r for r in dedup_kcore(docs).collect()}
+    assert set(r3) == {0, 1, 2, 3}
+    for r in r3.values():
+        assert r.degree_full == 3 and r.degree_core == 3
+    r4 = {r.doc_id: (r.degree_full, r.degree_core)
+          for r in dedup_kcore(docs, rounds=4).collect()}
+    assert r4 == {k: (v.degree_full, v.degree_core) for k, v in r3.items()}
