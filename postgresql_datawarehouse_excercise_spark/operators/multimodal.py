@@ -234,3 +234,39 @@ WITH {_SQL_MEDIA}
 SELECT doc_id, media_type, array_to_string([{feats}], ',') AS features_csv
 FROM media
 """
+
+
+def binary_dedup(media: DataFrame) -> DataFrame:
+    """Exact binary dedup over the opaque content column: md5 the PAYLOAD
+    BYTES (F.md5 accepts binary directly -- no decode, no Python), keep the
+    lowest doc_id per (hash, media_type).  The first curation step of any
+    multimodal pipeline: identical images/audio re-crawled under different
+    ids collapse before any expensive decode runs.  Map-side partial
+    aggregation collapses duplicates before the shuffle, so network volume
+    is O(distinct payloads) -- the x_dedup_exact shape on bytes.
+
+    The oracle hashes the source TEXT: the media adapter's payload is
+    encode(text, 'UTF-8'), so md5(bytes) == md5(string) by construction
+    (DuckDB's md5 is VARCHAR-only), while the Spark side exercises the real
+    binary-column path."""
+    return (
+        media.groupBy(
+            F.md5(F.col("content")).alias("content_hash"), "media_type"
+        )
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.length("content")).cast("long").alias("n_bytes"),
+        )
+    )
+
+
+def binary_dedup_sql() -> str:
+    return f"""
+WITH {_SQL_MEDIA}
+SELECT md5(text) AS content_hash, media_type,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(MIN(strlen(text)) AS BIGINT) AS n_bytes
+FROM media GROUP BY 1, 2
+"""

@@ -42,3 +42,13 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features_serialized(
         multimodal.media_from_documents(t.documents)
     )
+
+
+@query("x_media_binary_dedup", oracle=multimodal.binary_dedup_sql())
+def x_media_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque BINARY media column (md5 of the payload
+    bytes, JVM-side, zero decode): identical re-crawled media collapse
+    before any decoder runs -- the multimodal twin of x_dedup_exact
+    (operators/multimodal.py binary_dedup)."""
+    t = catalog.load(spark, sf_dir)
+    return multimodal.binary_dedup(multimodal.media_from_documents(t.documents))
