@@ -270,6 +270,7 @@ def main() -> None:
         "x_asof_latest_order",
         "x_asof_latest_order_7d",
         "x_range_join_click_followups",
+        "x_range_interval_overlap",
         "x_text_tfidf_top5",
         "x_text_vocab_top50",
         "x_text_bigram_top50",

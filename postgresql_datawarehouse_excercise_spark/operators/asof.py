@@ -129,3 +129,52 @@ def asof_join_tolerance(
             for c in payload
         ],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs whose HALF-OPEN epoch-second intervals
+    [start, end) overlap, via bucket decomposition -- the pattern that
+    turns an interval theta join (a nested-loop cross product at scale)
+    into an equi join: every interval explodes to the fixed-size buckets
+    it covers, the join keys on bucket, and a pair is kept only in the
+    FIRST bucket both intervals share (bucket == floor(max(starts)/B)) --
+    the standard dedup trick that avoids a DISTINCT shuffle over the
+    multi-bucket double matches.  Explode fanout is bounded by
+    interval_length/bucket_seconds + 1, so pick the bucket near the
+    typical interval length; the residual overlap predicate keeps
+    correctness independent of that tuning."""
+    b = bucket_seconds
+
+    def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    (F.col(s) / b).cast("long"),
+                    # end is exclusive: an interval ending exactly on a
+                    # boundary does not reach into the next bucket
+                    ((F.col(e) - 1) / b).cast("long"),
+                )
+            ),
+        )
+
+    lt = burst(left, left_start, left_end)
+    rt = burst(right, right_start, right_end)
+    joined = lt.join(rt, "_bk")
+    first_shared = (
+        F.greatest(F.col(left_start), F.col(right_start)) / b
+    ).cast("long")
+    keep = (
+        (F.col("_bk") == first_shared)
+        & (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+    )
+    return joined.filter(keep).drop("_bk")

@@ -131,3 +131,91 @@ def x_asof_latest_order_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["orderkey", "odate"],
         tolerance_seconds=TOLERANCE_SECONDS,
     )
+
+
+PEAK_HOURS = 20
+
+
+@query(
+    "x_range_interval_overlap",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id,
+         CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS ls,
+         CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) // 1000000 AS BIGINT) AS le,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+peaks AS (
+  SELECT CAST(epoch_us(h) // 1000000 AS BIGINT) AS rs, n FROM (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+    FROM events GROUP BY 1
+    ORDER BY n DESC, h ASC LIMIT {PEAK_HOURS}
+  )
+)
+SELECT sess.user_id, sess.ls AS session_start_s, sess.le AS session_end_s,
+       CAST(sess.n_events AS BIGINT) AS n_events,
+       peaks.rs AS peak_hour_s, CAST(peaks.n AS BIGINT) AS peak_events,
+       CAST(least(sess.le, peaks.rs + 3600) - greatest(sess.ls, peaks.rs) AS BIGINT) AS overlap_seconds
+FROM sess JOIN peaks
+  ON sess.ls < peaks.rs + 3600 AND peaks.rs < sess.le
+""",
+)
+def x_range_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval x interval, not point-in-window):
+    per-user session windows against the corpus's top-{PEAK_HOURS} peak
+    traffic hours -- which sessions rode a load spike, and for how long.
+
+    The Spark side runs operators/asof.interval_overlap_join: both interval
+    sets decompose into hour buckets, the join is an EQUI join on bucket,
+    and the first-shared-bucket rule dedups multi-bucket matches without a
+    DISTINCT shuffle -- the standard rewrite that keeps interval joins off
+    the nested-loop path at 100 TB.  The DuckDB oracle is the plain theta
+    join (the semantics); the bucket decomposition must reproduce it
+    exactly, boundary cases included (half-open [start, end) intervals)."""
+    t = catalog.load(spark, sf_dir)
+    sess = (
+        t.events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("ls"),
+            F.unix_timestamp(F.col("w.end")).alias("le"),
+            "n_events",
+        )
+    )
+    peaks = (
+        t.events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("peak_events"))
+        .orderBy(F.col("peak_events").desc(), F.col("h").asc())
+        .limit(PEAK_HOURS)
+        .select(
+            F.unix_timestamp("h").alias("rs"),
+            (F.unix_timestamp("h") + 3600).alias("re"),
+            "peak_events",
+        )
+    )
+    return asof.interval_overlap_join(
+        sess, peaks, "ls", "le", "rs", "re", bucket_seconds=3600
+    ).select(
+        "user_id",
+        F.col("ls").alias("session_start_s"),
+        F.col("le").alias("session_end_s"),
+        "n_events",
+        F.col("rs").alias("peak_hour_s"),
+        F.col("peak_events").cast("long").alias("peak_events"),
+        (F.least("le", "re") - F.greatest("ls", "rs")).cast("long").alias("overlap_seconds"),
+    )

@@ -131,3 +131,42 @@ def test_countmin_never_underestimates(spark, sf_dir):
     rows = load_all()["x_text_countmin_hh"].fn(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r.cms_est >= r.exact and r.overestimate == r.cms_est - r.exact for r in rows)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucket decomposition reproduces the plain theta join exactly,
+    boundary cases included: touching half-open intervals do NOT overlap,
+    ends exactly on a bucket boundary do not leak into the next bucket,
+    and long intervals spanning many buckets match once each."""
+    import itertools
+    import random
+
+    from postgresql_datawarehouse_excercise_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(21)
+    B = 100
+    lefts, rights = [], []
+    for i in range(40):
+        s = rng.randrange(0, 2000)
+        lefts.append((i, s, s + rng.choice([1, 5, B, B + 1, 3 * B, 350])))
+    for j in range(30):
+        s = rng.choice([rng.randrange(0, 2000), (rng.randrange(0, 20)) * B])
+        rights.append((j, s, s + rng.choice([1, B, 2 * B, 77])))
+    # hand-placed boundary cases: touching at a point, identical, nested
+    lefts += [(100, 0, 100), (101, 200, 300), (102, 500, 700)]
+    rights += [(200, 100, 200), (201, 200, 300), (202, 550, 560)]
+    ldf = spark.createDataFrame(lefts, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(rights, "rid long, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", B).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lid, ls, le), (rid, rs, re) in itertools.product(lefts, rights)
+        if ls < re and rs < le
+    }
+    assert got == want
+    assert (100, 200) not in got and (101, 201) in got and (102, 202) in got
