@@ -250,6 +250,7 @@ def main() -> None:
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
         "x_text_countmin_hh",
+        "x_text_zipf_fit",
         "x_dedup_incremental",
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",

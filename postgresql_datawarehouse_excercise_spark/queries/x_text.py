@@ -1368,3 +1368,87 @@ def x_text_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact")).cast("long").alias("overestimate"),
     )
+
+
+ZIPF_TOP = 1000   # fit over the top-N ranks (vocab-bound; guards the int64 sums)
+
+
+@query(
+    "x_text_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+ranked AS (
+  SELECT CAST(FLOOR(ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+  FROM tc
+  QUALIFY row_number() OVER (ORDER BY c DESC, term ASC) <= {ZIPF_TOP}
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+       FLOOR(((CAST(sy AS DOUBLE) / n - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * (CAST(sx AS DOUBLE) / n)) / 1000.0) * 10000.0 + 0.5) / 10000.0 AS ln_c0
+FROM s
+""",
+)
+def x_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the term frequency distribution (corpus
+    diagnostics: natural text has a log-log rank/frequency slope near -1;
+    a flat slope flags synthetic/templated corpora, a cliff flags
+    boilerplate): least-squares over (ln rank, ln count) for the top
+    ranks.
+
+    Float discipline: the two lns quantize to integer MILLI-nats first, so
+    every regression sum (n, Sx, Sy, Sxy, Sxx) is an exact int64
+    (milli-scale keeps n*Sxy under 2^63 at the rank cap) and the slope is
+    one identically-written double division -- bit-equal across engines.
+    Scale shape: one vocabulary-bound counting aggregate; the rank window
+    runs over the VOCAB relation (not the corpus) and the cap bounds it;
+    the five sums reduce map-side to a single row."""
+    from pyspark.sql import Window
+
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ZIPF_TOP)
+        .select(
+            F.floor(F.log(F.col("rn").cast("double")) * 1000.0 + 0.5)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 1000.0 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        fround(slope, 4).alias("zipf_slope"),
+        fround(
+            (F.col("sy").cast("double") / F.col("n")
+             - slope * (F.col("sx").cast("double") / F.col("n"))) / 1000.0,
+            4,
+        ).alias("ln_c0"),
+    )
