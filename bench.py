@@ -214,6 +214,7 @@ def main() -> None:
         "x_dedup_triangles",
         "x_dedup_prefix_join",
         "x_dedup_kcore",
+        "x_dedup_lsh_recall",
         "x_dedup_winnowing",
         "x_dedup_winnowing_pairs",
         "x_text_token_stats",

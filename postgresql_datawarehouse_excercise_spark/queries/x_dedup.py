@@ -583,3 +583,66 @@ def dedup_kcore(t_docs: DataFrame, rounds: int = KCORE_ROUNDS) -> DataFrame:
             F.col("degree_core").cast("long").alias("degree_core"),
         )
     )
+
+
+@query(
+    "x_dedup_lsh_recall",
+    oracle="""
+WITH exact AS (
+  SELECT doc_a, doc_b, jaccard FROM ({EXACT})
+),
+lsh AS (
+  SELECT doc_a, doc_b FROM ({LSH}) WHERE jaccard >= 0.5
+),
+joined AS (
+  SELECT exact.doc_a, exact.doc_b, exact.jaccard,
+         lsh.doc_a IS NOT NULL AS found
+  FROM exact LEFT JOIN lsh USING (doc_a, doc_b)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(SUM(CASE WHEN found THEN 0 ELSE 1 END) AS BIGINT) AS n_missed,
+       FLOOR((CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS recall,
+       FLOOR(COALESCE(AVG(CASE WHEN NOT found THEN jaccard END), 0.0) * 10000.0 + 0.5) / 10000.0 AS avg_missed_jaccard
+FROM joined
+""".format(EXACT=dedup.prefix_join_pairs_sql(), LSH=dedup.minhash_lsh_pairs_sql()),
+)
+def x_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH banding against the EXACT Jaccard >= 0.5 pair
+    set (which x_dedup_prefix_join makes computable): the index-quality
+    measurement for the dedup family, exactly as x_sim_ann_recall measures
+    the ANN index -- is the 8x4 banding s-curve (threshold ~0.59) actually
+    catching the pairs the pipeline's 0.5 policy wants?  Reports the miss
+    count and the mean Jaccard of missed pairs: misses concentrating just
+    above 0.5 is the expected s-curve shape; misses at high Jaccard would
+    flag a banding bug.  Both arms are exact and already oracled, so the
+    evaluator is bit-exact by composition."""
+    t = catalog.load(spark, sf_dir)
+    exact = dedup.prefix_join_pairs(t.documents)
+    lsh = (
+        dedup.minhash_lsh_pairs(t.documents)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.lit(True).alias("found"))
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("found", F.lit(False)).alias("found")
+    )
+    from ..functions import fround as _fr
+
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("found"), 1).otherwise(0)).cast("long").alias("n_found"),
+        F.sum(F.when(F.col("found"), 0).otherwise(1)).cast("long").alias("n_missed"),
+        _fr(
+            F.sum(F.when(F.col("found"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("recall"),
+        _fr(
+            F.coalesce(
+                F.avg(F.when(~F.col("found"), F.col("jaccard"))), F.lit(0.0)
+            ),
+            4,
+        ).alias("avg_missed_jaccard"),
+    )

@@ -164,3 +164,50 @@ def test_kcore_peeling_reaches_fixpoint_and_excludes_tails(spark):
     r4 = {r.doc_id: (r.degree_full, r.degree_core)
           for r in dedup_kcore(docs, rounds=4).collect()}
     assert r4 == {k: (v.degree_full, v.degree_core) for k, v in r3.items()}
+
+
+def test_lsh_recall_evaluator_detects_scurve_misses(spark):
+    """Pairs engineered just above Jaccard 0.5 sit under the 8x4 banding
+    s-curve threshold (~0.59), so LSH must miss SOME of them -- the
+    evaluator's miss count and avg_missed_jaccard must reflect that
+    (i.e. the metric is not vacuously 1.0)."""
+    import math
+
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    rng = random.Random(17)
+    texts = []
+    for p in range(12):
+        vocab = [f"p{p}w{i}" for i in range(60)]
+        base = [rng.choice(vocab) for _ in range(60)]
+        mut = list(base)
+        # replace a 15-token block: kills ~17 of ~58 shingles per side ->
+        # Jaccard ~ (58-17)/(58+17) ~ 0.55 -- above policy, below s-curve
+        for i in range(18, 33):
+            mut[i] = f"p{p}x{i}"
+        texts.append(" ".join(base))
+        texts.append(" ".join(mut))
+    docs = _docs_df(spark, texts)
+
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.prefix_join_pairs(docs).collect()}
+    assert exact, "constructed pairs must qualify at >= 0.5"
+    assert all(v < 0.59 for v in exact.values()), exact
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    missed = set(exact) - lsh
+    assert missed, "at least one sub-s-curve pair must be missed by banding"
+
+    # the evaluator entry reports exactly these numbers
+    ev = spark.createDataFrame(
+        [(k[0], k[1], v, k in lsh) for k, v in exact.items()],
+        "doc_a long, doc_b long, jaccard double, found boolean",
+    )
+    n_exact, n_found = len(exact), len(exact) - len(missed)
+    want_recall = math.floor(n_found / n_exact * 10000 + 0.5) / 10000
+    got = ev.agg(
+        F.sum(F.when(F.col("found"), 1).otherwise(0)).alias("f"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (got.f, got.n) == (n_found, n_exact) and 0 < want_recall < 1
