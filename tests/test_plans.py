@@ -577,3 +577,60 @@ def test_unigram_logprob_all_jvm(spark, sf_dir):
     ln, quantized to integer micro-nats before any aggregation)."""
     df = REG["x_text_unigram_logprob"].fn(spark, sf_dir)
     assert "BatchEvalPython" not in plans.formatted_plan(df)
+
+
+def test_winnowing_all_jvm_partitioned_window(spark, sf_dir):
+    """Winnowing is pure DataFrame ops: no Python nodes, and the selection
+    window hashes on doc_id -- never a single-partition global sort."""
+    df = REG["x_dedup_winnowing"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BatchEvalPython" not in p
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_triangles_no_cartesian_or_nested_loop(spark, sf_dir):
+    """The oriented wedge joins stay hash equi joins -- a nested-loop or
+    cartesian node here means the orientation filter fell out of the
+    join condition."""
+    df = REG["x_dedup_triangles"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_interval_overlap_is_equi_join_on_bucket(spark, sf_dir):
+    """The interval x interval join must ride the bucket EQUI join with the
+    overlap predicate as a residual filter -- the whole point of the
+    decomposition is keeping theta semantics off the nested-loop path."""
+    df = REG["x_range_interval_overlap"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "_bk" in p
+
+
+def test_prefix_join_and_lsh_recall_all_jvm(spark, sf_dir):
+    """Exact similarity join + its recall evaluator: hash joins and JVM
+    expressions only."""
+    for name in ("x_dedup_prefix_join", "x_dedup_lsh_recall"):
+        p = plans.formatted_plan(REG[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_selection_and_sketch_entries_all_jvm(spark, sf_dir):
+    """PMI / Moore-Lewis / count-min / Zipf / balanced sample / media
+    dedup: vocabulary- or sketch-bound aggregates, zero Python boundary."""
+    for name in (
+        "x_text_pmi_bigrams",
+        "x_text_moore_lewis",
+        "x_text_countmin_hh",
+        "x_text_zipf_fit",
+        "x_pipeline_cluster_balanced",
+        "x_media_binary_dedup",
+        "x_dedup_kcore",
+    ):
+        p = plans.formatted_plan(REG[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, name
