@@ -222,6 +222,35 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     )
 
     timed("dedup_triangles", lambda: dedup_triangles(docs))
+    # 2-core peeling at Kx: 3 rounds over the checkpointed edge list
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import dedup_kcore
+
+    timed("dedup_kcore", lambda: dedup_kcore(docs))
+    # count-min sketch feed at Kx: the sketch stays CMS_D x CMS_W cells
+    # whatever K is -- the fixed-size-state property that makes it a
+    # mergeable rollup primitive; the probe measures the sketch build +
+    # top-20 probe over the multiplied corpus
+    from postgresql_datawarehouse_excercise_spark.operators.dedup import (
+        P as _P, PERMS as _PERMS, h32 as _h32,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import CMS_D, CMS_W
+
+    cms_toks = docs.select(
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("term")
+    )
+    cms_tc = cms_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    cms_th = cms_tc.withColumn("h", _h32(F.col("term")))
+    cms_buckets = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 (((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)) % F.lit(CMS_W)).alias("bucket"))
+        for d, (a, b) in enumerate(_PERMS[:CMS_D])
+    ])
+    timed(
+        "countmin_sketch_build",
+        cms_th.select(F.explode(cms_buckets).alias("bk"), "c")
+        .groupBy(F.col("bk.d"), F.col("bk.bucket"))
+        .agg(F.sum("c").alias("cell")),
+    )
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
@@ -261,6 +290,9 @@ def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     # over the checkpointed running-min state -- cost must track |V| with a
     # fixed round count and one-row driver traffic per round
     timed("kcenter_coreset", lambda: clustering.kcenter_coreset(emb))
+    # cluster-balanced sampling at Kx: k-means + a partitioned top-cap
+    # window over skinny rows
+    timed("cluster_balanced", clustering.cluster_balanced_sample(emb))
 
     # semantic decontamination in its PRODUCTION shape: the eval suite is
     # FIXED (the 1x hash-split slice, ~500 vectors) while the train side
