@@ -307,6 +307,7 @@ def main() -> None:
         "x_media_metadata",
         "x_media_features",
         "x_media_binary_dedup",
+        "x_stream_countmin",
         "x_sql_rollup",
         "x_sql_ranking",
         "x_sql_left_join_zero_counts",

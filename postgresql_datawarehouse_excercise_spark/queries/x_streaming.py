@@ -353,3 +353,33 @@ GROUP BY user_id
             "spend_cents",
             "n_events",
         )
+
+
+def _stream_cms_oracle() -> str:
+    from ..operators.dedup import P, PERMS
+
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, ((({a} * h + {b}) % {P}) % 16) AS bucket FROM uh"
+        for d, (a, b) in enumerate(PERMS[:4])
+    )
+    return f"""
+WITH uh AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+cells AS ({rows})
+SELECT CAST(d AS INT) AS d, bucket, COUNT(*) AS cell
+FROM cells GROUP BY 1, 2
+"""
+
+
+@query("x_stream_countmin", oracle=_stream_cms_oracle())
+def x_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: per-user frequency tracking as FIXED
+    4x16-cell streaming state (streaming/events.countmin_cells) -- the
+    sketch-as-streaming-state pattern that answers "which users are hot"
+    over an unbounded stream without per-user state.  The drained cells
+    must equal the batch sketch over the same events bit-for-bit."""
+    stream = se.countmin_cells(se.read_events_stream(spark, sf_dir))
+    sunk = se.run_finite_to_sink(stream)
+    return se.latest_per_key(sunk, ["d", "bucket"]).select("d", "bucket", "cell")

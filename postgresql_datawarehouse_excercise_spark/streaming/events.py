@@ -421,3 +421,34 @@ def user_spend_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def countmin_cells(events: DataFrame, depth: int = 4, width: int = 16) -> DataFrame:
+    """Streaming count-min sketch over the user_id stream: every event
+    explodes to `depth` (row, bucket) cells (md5-derived universal hashes,
+    operators/dedup.PERMS) and ONE unwindowed streaming aggregation keeps
+    the cell counters.  Total state = depth x width counters -- FIXED
+    whatever the stream volume, which is the whole point of a sketch as
+    streaming state: per-key frequency tracking without per-key state.
+    Update-mode emissions are monotone per cell, so latest_per_key yields
+    the final sketch; partial sketches from different streams/days merge by
+    cell-wise addition (the mergeability the batch twin documents)."""
+    from ..operators.dedup import P, PERMS, h32
+
+    h = h32(F.col("user_id").cast("string"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (((F.lit(a) * h + F.lit(b)) % F.lit(P)) % F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for d, (a, b) in enumerate(PERMS[:depth])
+        ]
+    )
+    return (
+        events.select(F.explode(buckets).alias("bk"))
+        .groupBy(F.col("bk.d").alias("d"), F.col("bk.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
