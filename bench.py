@@ -230,6 +230,7 @@ def main() -> None:
         "x_events_interpolate",
         "x_events_trailing_24h",
         "x_events_attribution",
+        "x_events_markov_transitions",
         "x_text_pii_redact",
         "x_text_block_dedup",
         "x_sim_topk_bruteforce",
@@ -252,6 +253,7 @@ def main() -> None:
         "x_text_moore_lewis",
         "x_text_countmin_hh",
         "x_text_zipf_fit",
+        "x_text_rake_phrases",
         "x_dedup_incremental",
         "x_dedup_substring_spans",
         "x_text_unigram_logprob",

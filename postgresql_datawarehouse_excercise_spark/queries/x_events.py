@@ -728,3 +728,51 @@ def x_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("interp_value"),
     )
+
+
+@query(
+    "x_events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+       FLOOR((CAST(p.n AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS prob
+FROM pairs p JOIN tot USING (prev_type)
+""",
+)
+def x_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    P(next event type | current type) -- the behavioral-model input
+    (next-action prediction, anomaly scoring by transition likelihood)
+    that funnel counts don't capture.  One per-user lag window (ordered by
+    ts with the event_id tie-break -- deterministic under equal
+    timestamps) feeds a pair-count aggregate; the matrix is
+    |types|^2 rows whatever the event volume."""
+    from pyspark.sql import Window
+
+    t = catalog.load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    from ..functions import ratio as _ratio
+
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        _ratio(F.col("n"), F.col("t")).alias("prob"),
+    )

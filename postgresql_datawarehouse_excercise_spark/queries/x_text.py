@@ -1452,3 +1452,104 @@ def x_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ln_c0"),
     )
+
+
+RAKE_STOPWORDS = r"\b(the|of|and|to|in|is|that|it|was|for)\b"
+RAKE_TOP = 30
+
+
+@query(
+    "x_text_rake_phrases",
+    oracle=f"""
+WITH marked AS (
+  SELECT regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           '{RAKE_STOPWORDS}', '|', 'g') AS m
+  FROM documents
+),
+phrases AS (
+  SELECT trim(regexp_replace(u.p, ' +', ' ', 'g')) AS phrase
+  FROM marked, unnest(string_split(m, '|')) AS u(p)
+  WHERE trim(regexp_replace(u.p, ' +', ' ', 'g')) <> ''
+),
+pw AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM phrases
+),
+ws AS (
+  SELECT w,
+         CAST(FLOOR(CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS wscore
+  FROM pw GROUP BY 1
+),
+ps AS (
+  SELECT pw.phrase, CAST(SUM(ws.wscore) AS BIGINT) AS score_milli
+  FROM (SELECT DISTINCT phrase, w FROM pw) pw JOIN ws USING (w)
+  GROUP BY 1
+),
+occ AS (SELECT phrase, COUNT(*) AS n_occurrences FROM phrases GROUP BY 1)
+SELECT ps.phrase,
+       CAST(len(string_split(ps.phrase, ' ')) AS BIGINT) AS n_words,
+       CAST(occ.n_occurrences AS BIGINT) AS n_occurrences,
+       ps.score_milli
+FROM ps JOIN occ USING (phrase)
+ORDER BY ps.score_milli DESC, ps.phrase ASC LIMIT {RAKE_TOP}
+""",
+)
+def x_text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-free token runs, each scored by the sum of its
+    member words' degree/frequency ratios (degree = total length of
+    phrases the word appears in -- rewards words that co-occur in long
+    multi-word expressions).  The unsupervised keyword extractor of
+    document-tagging pipelines; top-{RAKE_TOP} phrases corpus-wide.
+
+    Word scores quantize to integer MILLI units before the per-phrase sum
+    (the micro-nat discipline), so both engines agree exactly.  Scale
+    shape: phrase splitting is row-local regex work; word stats and
+    phrase scores are two vocabulary-bound aggregates; the top-k is
+    TakeOrderedAndProject."""
+    t = catalog.load(spark, sf_dir)
+    marked = t.documents.select(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "),
+            RAKE_STOPWORDS,
+            "|",
+        ).alias("m")
+    )
+    raw = marked.select(F.explode(F.split("m", r"\|")).alias("p"))
+    phrases = raw.select(
+        F.trim(F.regexp_replace("p", " +", " ")).alias("phrase")
+    ).filter(F.col("phrase") != "")
+    pw = phrases.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.floor(
+            F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double") * 1000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("wscore")
+    )
+    ps = (
+        pw.select("phrase", "w")
+        .distinct()
+        .join(ws, "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").cast("long").alias("score_milli"))
+    )
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        ps.join(occ, "phrase")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "score_milli",
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOP)
+    )
