@@ -231,6 +231,7 @@ def main() -> None:
         "x_events_trailing_24h",
         "x_events_attribution",
         "x_events_markov_transitions",
+        "x_events_rfm",
         "x_text_pii_redact",
         "x_text_block_dedup",
         "x_sim_topk_bruteforce",
@@ -248,6 +249,7 @@ def main() -> None:
         "x_sim_ann_ivfpq",
         "x_sim_ann_ivfpq_recall",
         "x_sim_kcenter_coreset",
+        "x_sim_mmr_select",
         "x_pipeline_cluster_balanced",
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",

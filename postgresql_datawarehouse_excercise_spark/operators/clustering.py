@@ -330,3 +330,120 @@ def cluster_balanced_sample(
         .filter(F.col("rn") <= cap)
         .select("vec_id", "cluster", "dist2_q", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy selection
+# balancing relevance to a query against redundancy with what's already
+# selected -- the diversity-aware retrieval/context-packing rule (RAG
+# context assembly, dataset showcase picks).  Same loop shape as the
+# k-center traversal: one broadcast map + a 1-row argmax per round, exact
+# int64 inner products on the micro-unit grid (lambda = 1/2 folds into
+# score = dot(c, q) - max_sim without any division), so the DuckDB oracle
+# replays every pick bit-for-bit.  Inner-product form (MIPS), not
+# normalized cosine: one less float op, same selection on ~unit-norm
+# embeddings.
+# ---------------------------------------------------------------------------
+
+MMR_K = 8
+MMR_QUERY_VEC_ID = 0
+
+
+def _dot(a, b):
+    """Exact int64 inner product of two micro-unit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def mmr_select(
+    embeddings: DataFrame, query_vec_id: int = MMR_QUERY_VEC_ID, k: int = MMR_K
+) -> DataFrame:
+    """(mmr_rank, vec_id, relevance, max_sim): the k picks in selection
+    order, each with its query relevance and its redundancy (max inner
+    product against the previously selected) at selection time.  Rank 0 is
+    the pure-relevance argmax; later ranks maximize relevance - max_sim
+    (ties to the lowest vec_id).  The query vector itself is excluded."""
+    q = quantize(embeddings)
+    qrow = q.filter(F.col("vec_id") == query_vec_id).collect()[0]
+    qlit = F.array(*[F.lit(int(v)) for v in qrow.qv])
+    cands = q.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "qv", _dot(F.col("qv"), qlit).alias("rel")
+    ).withColumn("ms", F.lit(None).cast("long")).localCheckpoint()
+    out = []
+    for r in range(k):
+        score = F.col("rel") - F.coalesce(F.col("ms"), F.lit(0))
+        top = (
+            cands.orderBy(score.desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((r, int(top.vec_id), int(top.rel), int(top.ms or 0)))
+        slit = F.array(*[F.lit(int(v)) for v in top.qv])
+        cands = (
+            cands.filter(F.col("vec_id") != int(top.vec_id))
+            .select(
+                "vec_id",
+                "qv",
+                "rel",
+                F.greatest(
+                    F.coalesce(F.col("ms"), F.lit(-(1 << 62))),
+                    _dot(F.col("qv"), slit),
+                ).alias("ms"),
+            )
+            .localCheckpoint()
+        )
+    return q.sparkSession.createDataFrame(
+        out, "mmr_rank int, vec_id long, relevance long, max_sim long"
+    )
+
+
+def mmr_select_sql(query_vec_id: int = MMR_QUERY_VEC_ID, k: int = MMR_K) -> str:
+    """DuckDB full replay of every MMR round (kcenter oracle discipline).
+    max_sim for rank 0 reports 0 (no prior picks), matching the Spark
+    side's coalesce.  Every chained CTE is MATERIALIZED: DuckDB otherwise
+    inlines each reference, and the round chain references its
+    predecessor 2-3x -- exponential re-evaluation that turned an 8-round
+    replay over 500 vectors into minutes."""
+    rounds = []
+    for r in range(1, k):
+        rounds.append(f"""
+sel{r - 1} AS MATERIALIZED (SELECT vec_id, rel, COALESCE(ms, 0) AS ms FROM c{r - 1}
+               ORDER BY rel - COALESCE(ms, 0) DESC, vec_id ASC LIMIT 1),
+sc{r - 1} AS MATERIALIZED (SELECT comp.i, comp.x AS s FROM comp JOIN sel{r - 1} USING (vec_id)),
+nd{r} AS MATERIALIZED (
+  SELECT comp.vec_id, CAST(SUM(comp.x * sc{r - 1}.s) AS BIGINT) AS d
+  FROM comp JOIN sc{r - 1} USING (i) GROUP BY 1
+),
+c{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, GREATEST(COALESCE(c.ms, {-(1 << 62)}), nd{r}.d) AS ms
+  FROM c{r - 1} c JOIN nd{r} ON c.vec_id = nd{r}.vec_id
+  WHERE c.vec_id <> (SELECT vec_id FROM sel{r - 1})
+)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {r} AS mmr_rank, vec_id, rel, ms FROM sel{r}" for r in range(k)
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+comp AS MATERIALIZED (SELECT vec_id, r.i, qv[r.i] AS x FROM q, range(1, 65) r(i)),
+qc AS MATERIALIZED (SELECT comp.i, comp.x AS s FROM comp WHERE vec_id = {query_vec_id}),
+c0 AS MATERIALIZED (
+  SELECT comp.vec_id, CAST(SUM(comp.x * qc.s) AS BIGINT) AS rel,
+         CAST(NULL AS BIGINT) AS ms
+  FROM comp JOIN qc USING (i)
+  WHERE comp.vec_id <> {query_vec_id}
+  GROUP BY 1
+),{",".join(rounds)},
+sel{k - 1} AS MATERIALIZED (SELECT vec_id, rel, COALESCE(ms, 0) AS ms FROM c{k - 1}
+               ORDER BY rel - COALESCE(ms, 0) DESC, vec_id ASC LIMIT 1)
+SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id,
+       rel AS relevance, ms AS max_sim
+FROM ({picks})
+"""

@@ -776,3 +776,71 @@ def x_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         _ratio(F.col("n"), F.col("t")).alias("prob"),
     )
+
+
+@query(
+    "x_events_rfm",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS recency_s,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT quantile_cont(CAST(recency_s AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(CAST(monetary_cents AS DOUBLE), [0.25, 0.5, 0.75]) AS mq
+  FROM base
+)
+SELECT user_id, recency_s, CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+       CAST(CASE WHEN recency_s > rq[3] THEN 4 WHEN recency_s > rq[2] THEN 3
+                 WHEN recency_s > rq[1] THEN 2 ELSE 1 END AS INT) AS r_score,
+       CAST(CASE WHEN frequency > fq[3] THEN 4 WHEN frequency > fq[2] THEN 3
+                 WHEN frequency > fq[1] THEN 2 ELSE 1 END AS INT) AS f_score,
+       CAST(CASE WHEN monetary_cents > mq[3] THEN 4 WHEN monetary_cents > mq[2] THEN 3
+                 WHEN monetary_cents > mq[1] THEN 2 ELSE 1 END AS INT) AS m_score
+FROM base CROSS JOIN b
+""",
+)
+def x_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile scores):
+    the classic customer-value banding, built WITHOUT a global ranking
+    window -- ntile(4) would serialize every user through one task at
+    100 TB.  Instead the three quartile boundaries come from ONE exact
+    interpolated-percentile aggregate (a 1-row relation that broadcasts),
+    and each user bands by comparison -- the scale-right rewrite of any
+    global ntile.  All inputs are exact integers (epoch seconds, counts,
+    cents), so the interpolated boundaries and every comparison agree
+    across engines."""
+    t = catalog.load(spark, sf_dir)
+    base = t.events.groupBy("user_id").agg(
+        F.unix_timestamp(F.max("ts")).alias("recency_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(dec("value")) * 100).cast("long").alias("monetary_cents"),
+    )
+    b = base.agg(
+        F.percentile(F.col("recency_s").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("rq"),
+        F.percentile(F.col("frequency").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("fq"),
+        F.percentile(F.col("monetary_cents").cast("double"), F.lit([0.25, 0.5, 0.75])).alias("mq"),
+    )
+
+    def band(col, q):
+        return (
+            F.when(F.col(col) > F.col(q)[2], 4)
+            .when(F.col(col) > F.col(q)[1], 3)
+            .when(F.col(col) > F.col(q)[0], 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    return base.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "recency_s",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+        band("recency_s", "rq").alias("r_score"),
+        band("frequency", "fq").alias("f_score"),
+        band("monetary_cents", "mq").alias("m_score"),
+    )

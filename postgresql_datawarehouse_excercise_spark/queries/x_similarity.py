@@ -356,3 +356,16 @@ def x_pipeline_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     skinny (vec_id, cluster, dist2) rows -- no global sort at any N."""
     t = catalog.load(spark, sf_dir)
     return clustering.cluster_balanced_sample(t.embeddings)
+
+
+@query("x_sim_mmr_select", oracle=clustering.mmr_select_sql())
+def x_sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    the 8 picks that maximize query relevance minus redundancy with what's
+    already picked -- the diversity-aware retrieval rule RAG context
+    assembly uses where plain top-k returns near-duplicates.  Exact int64
+    inner products on the micro-unit grid, one broadcast map + 1-row
+    argmax per round (operators/clustering.mmr_select); the oracle
+    replays every pick."""
+    t = catalog.load(spark, sf_dir)
+    return clustering.mmr_select(t.embeddings)

@@ -170,3 +170,41 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     }
     assert got == want
     assert (100, 200) not in got and (101, 201) in got and (102, 202) in got
+
+
+def test_mmr_rank0_is_relevance_argmax_and_picks_are_diverse(spark, sf_dir):
+    """Rank 0 must be the pure-relevance argmax, and the MMR set must be
+    no MORE redundant than plain top-k by relevance (its whole purpose):
+    max pairwise inner product among MMR picks <= that among the top-k
+    relevance picks."""
+    import itertools
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators.clustering import (
+        MMR_QUERY_VEC_ID,
+        mmr_select,
+        quantize,
+    )
+
+    t = catalog.load(spark, sf_dir)
+    picks = {r.mmr_rank: r for r in mmr_select(t.embeddings).collect()}
+    qv = {r.vec_id: list(r.qv) for r in quantize(t.embeddings).collect()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    rels = {
+        vid: dot(v, qv[MMR_QUERY_VEC_ID])
+        for vid, v in qv.items()
+        if vid != MMR_QUERY_VEC_ID
+    }
+    argmax = max(rels, key=lambda v: (rels[v], -v))
+    assert picks[0].vec_id == argmax and picks[0].relevance == rels[argmax]
+
+    mmr_ids = [picks[r].vec_id for r in sorted(picks)]
+    topk_ids = sorted(rels, key=lambda v: (-rels[v], v))[: len(mmr_ids)]
+
+    def max_pair(ids):
+        return max(dot(qv[a], qv[b]) for a, b in itertools.combinations(ids, 2))
+
+    assert max_pair(mmr_ids) <= max_pair(topk_ids)
