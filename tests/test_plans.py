@@ -634,3 +634,15 @@ def test_selection_and_sketch_entries_all_jvm(spark, sf_dir):
     ):
         p = plans.formatted_plan(REG[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in p, name
+
+
+def test_markov_rfm_rake_streamcms_all_jvm(spark, sf_dir):
+    """The newest analytics entries stay JVM-side with partitioned windows
+    (markov) or broadcast one-row boundary relations (rfm)."""
+    for name in ("x_events_markov_transitions", "x_events_rfm",
+                 "x_text_rake_phrases"):
+        p = plans.formatted_plan(REG[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plans.formatted_plan(REG["x_events_markov_transitions"].fn(spark, sf_dir))
+    assert "SinglePartition" not in p
