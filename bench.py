@@ -251,6 +251,7 @@ def main() -> None:
         "x_sim_kcenter_coreset",
         "x_sim_mmr_select",
         "x_pipeline_cluster_balanced",
+        "x_pipeline_curation_funnel",
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
         "x_text_countmin_hh",

@@ -398,13 +398,15 @@ def _sql_band_keys() -> str:
     return bands
 
 
-def minhash_lsh_pairs_sql() -> str:
+def minhash_lsh_pairs_sql(src: str = "documents") -> str:
+    """SQL twin; `src` names the (doc_id, text) relation to index --
+    composed oracles (the curation funnel) run it over a filtered CTE."""
     sig_exprs = ",\n       ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS s{j}"
         for j, (a, b) in enumerate(PERMS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM {src}),
 sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_SHINGLES} AS sh FROM toks),
 hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_SQL_H32.format(s='s')}) AS hs FROM sh),
 sigs AS (SELECT doc_id, {sig_exprs} FROM hs),
@@ -636,12 +638,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     )
 
 
-def dedup_clusters_cte(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD) -> str:
+def dedup_clusters_cte(min_jaccard: float = DEDUP_CLUSTER_MIN_JACCARD, src: str = "documents") -> str:
     """CTE list computing `clusters(doc_id, cluster_id, keep)` (recursive
     transitive closure, label = min reachable id); composable after a
     `WITH RECURSIVE` prefix so downstream oracles can build on the dedup
     decision (x_pipeline_canonical_docs)."""
-    return f"""pairs AS ({minhash_lsh_pairs_sql()}),
+    return f"""pairs AS ({minhash_lsh_pairs_sql(src)}),
 strong AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {min_jaccard}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM strong

@@ -1050,3 +1050,140 @@ def x_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+def _curation_funnel_oracle() -> str:
+    from ..operators.dedup import _SQL_SHINGLES, _SQL_TOKENS, dedup_clusters_cte
+
+    return rf"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+         {_BUCKET_SQL} AS bucket
+  FROM documents
+),
+s1 AS (SELECT doc_id, text, bucket FROM base WHERE lang = 'en'),
+q AS (
+  SELECT doc_id, text, bucket,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM s1
+),
+s2 AS (SELECT doc_id, text, bucket FROM q WHERE n_tokens >= 20 AND n_punct * 20 <= n_chars),
+fp AS (
+  SELECT doc_id, text, bucket,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM s2
+),
+canon AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+s3 AS (SELECT fp.doc_id, fp.text, fp.bucket FROM fp JOIN canon ON fp.doc_id = canon.keep_id),
+{dedup_clusters_cte(src="s3")},
+s4 AS (
+  SELECT s3.doc_id, s3.text, s3.bucket FROM s3
+  LEFT JOIN clusters USING (doc_id)
+  WHERE clusters.doc_id IS NULL OR clusters.keep
+),
+ev_toks AS (SELECT doc_id, {{TOKENS}} AS t FROM base WHERE bucket >= {TRAIN_PCT}),
+ev_grams AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT {{SHINGLES}} AS sh FROM ev_toks) s, unnest(s.sh) AS u(g)
+),
+tr_toks AS (SELECT doc_id, {{TOKENS}} AS t FROM s4 WHERE bucket < {TRAIN_PCT}),
+tr_grams AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, {{SHINGLES}} AS sh FROM tr_toks) s, unnest(s.sh) AS u(g)
+),
+contaminated AS (SELECT DISTINCT doc_id FROM tr_grams JOIN ev_grams USING (h)),
+s5 AS (
+  SELECT t.doc_id FROM tr_toks t
+  LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+)
+SELECT * FROM (
+  SELECT '1_lang' AS stage,
+         (SELECT COUNT(*) FROM base) AS docs_in,
+         (SELECT COUNT(*) FROM s1) AS docs_out
+  UNION ALL
+  SELECT '2_quality', (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT '3_exact_dedup', (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+  UNION ALL
+  SELECT '4_near_dedup', (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+  UNION ALL
+  SELECT '5_decontaminate', (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)
+)
+""".replace("{TOKENS}", _SQL_TOKENS).replace("{SHINGLES}", _SQL_SHINGLES)
+
+
+@query("x_pipeline_curation_funnel", oracle=_curation_funnel_oracle())
+def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pass as one plan: language filter ->
+    quality gate -> exact dedup -> LSH near-dedup (connected components,
+    keep lowest id) -> eval-split decontamination, reporting per-stage
+    attrition (stage, docs_in, docs_out) -- the funnel report every
+    dataset release publishes next to its dataset card.  Every stage is
+    the SAME operator the standalone entries gate (quality thresholds of
+    x_pipeline_quality_gate, the LSH + label-propagation machinery of
+    x_dedup_clusters over the stage-3 survivors, the gram-probe of
+    x_pipeline_decontaminate), so the composition is bit-exact by
+    construction; the five counts assemble as a union of 1-row aggregates
+    -- in-plan, nothing through the driver.  On the synthetic corpus the
+    decontamination stage saturates (a 31-word vocabulary means nearly
+    every train doc shares a 3-gram with the eval split) -- the honest
+    output of that data, and exactly what the funnel report exists to
+    surface before a release."""
+    from ..operators import dedup as dd
+
+    t = catalog.load(spark, sf_dir)
+    base = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", _bucket(F.col("doc_id")).alias("bucket")
+    )
+    s1 = base.filter(F.col("lang") == "en").select("doc_id", "text", "bucket")
+    n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).cast("long")
+    s2 = s1.filter((n_tokens >= 20) & (n_punct * 20 <= F.length("text"))).select(
+        "doc_id", "text", "bucket"
+    )
+    fp = s2.withColumn(
+        "f", F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    )
+    canon = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    s3 = fp.join(canon.select("doc_id"), "doc_id").select("doc_id", "text", "bucket")
+    pairs = dd.minhash_lsh_pairs(s3.select("doc_id", "text"))
+    strong = pairs.filter(F.col("jaccard") >= dd.DEDUP_CLUSTER_MIN_JACCARD)
+    clusters = dd.dedup_clusters(strong)
+    s4 = s3.join(
+        clusters.filter(~F.col("keep")).select("doc_id"), "doc_id", "left_anti"
+    )
+    sh = dd.shingled(s4.select("doc_id", "text")).join(
+        s4.select("doc_id", "bucket"), "doc_id"
+    )
+    ev_sh = dd.shingled(base.filter(F.col("bucket") >= TRAIN_PCT).select("doc_id", "text"))
+    ev_grams = (
+        ev_sh.select(F.explode("sh").alias("g"))
+        .select(dd.h60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    tr_grams = (
+        sh.filter(F.col("bucket") < TRAIN_PCT)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .select("doc_id", dd.h60(F.col("g")).alias("h"))
+    )
+    contaminated = tr_grams.join(ev_grams, "h").select("doc_id").distinct()
+    tr = s4.filter(F.col("bucket") < TRAIN_PCT).select("doc_id")
+    s5 = tr.join(contaminated, "doc_id", "left_anti")
+
+    def stage(name: str, df_in: DataFrame, df_out: DataFrame) -> DataFrame:
+        a = df_in.agg(F.count(F.lit(1)).alias("docs_in"))
+        b = df_out.agg(F.count(F.lit(1)).alias("docs_out"))
+        return a.crossJoin(b).select(
+            F.lit(name).alias("stage"), "docs_in", "docs_out"
+        )
+
+    return (
+        stage("1_lang", base, s1)
+        .unionByName(stage("2_quality", s1, s2))
+        .unionByName(stage("3_exact_dedup", s2, s3))
+        .unionByName(stage("4_near_dedup", s3, s4))
+        .unionByName(stage("5_decontaminate", s4, s5))
+    )
