@@ -338,6 +338,7 @@ def main() -> None:
         "x_tpch_q20_dominant_suppliers",
         "x_tpch_q21_late_sole_supplier",
         "x_tpch_q22_inactive_customers",
+        "x_tpch_rf_roundtrip",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir))
 

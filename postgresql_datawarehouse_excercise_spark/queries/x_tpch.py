@@ -1117,3 +1117,81 @@ def x_tpch_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_nationkey")
     )
+
+
+RF_MOD = 97  # ~1% of order keys form the refresh batch
+RF_SHIFT = 3_000_000_000
+
+
+@query(
+    "x_tpch_rf_roundtrip",
+    oracle=f"""
+WITH ob AS (SELECT COUNT(*) AS n FROM orders),
+lb AS (SELECT COUNT(*) AS n FROM lineitem),
+rb AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % {RF_MOD} = 0),
+rl AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_orderkey % {RF_MOD} = 0)
+SELECT CAST(ob.n AS BIGINT) AS n_orders_base,
+       CAST(rb.n AS BIGINT) AS n_rf1_orders,
+       CAST(ob.n + rb.n AS BIGINT) AS n_orders_after_rf1,
+       CAST(lb.n AS BIGINT) AS n_line_base,
+       CAST(rl.n AS BIGINT) AS n_rf1_lines,
+       CAST(lb.n + rl.n AS BIGINT) AS n_line_after_rf1,
+       CAST(ob.n AS BIGINT) AS n_orders_after_rf2,
+       CAST(lb.n AS BIGINT) AS n_line_after_rf2,
+       TRUE AS roundtrip_ok
+FROM ob, lb, rb, rl
+""",
+)
+def x_tpch_rf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions RF1/RF2 on the COW lakehouse machinery --
+    the update half of the benchmark kit the 22 query shapes leave out.
+    RF1 merge-inserts a ~1% re-keyed order/lineitem batch (merge_upsert:
+    all keys new, so (0, n) inserts, one snapshot commit); RF2 deletes
+    exactly that batch (partition-pruned COW delete_where).  The entry
+    returns the counts at every step and asserts the round trip restores
+    the base cardinality -- the ACID-ish maintenance-stream story
+    (operators/mutations.ManagedParquetTable: versioned snapshots, atomic
+    pointer commit).  The oracle derives every expected count from the
+    base tables; the Spark side earns them by doing the actual writes."""
+    from ..operators import mutations
+
+    t = catalog.load(spark, sf_dir)
+    n_ob = t.orders.count()
+    n_lb = t.lineitem.count()
+    rf_orders = t.orders.filter(F.col("o_orderkey") % RF_MOD == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + RF_SHIFT
+    )
+    # the synthetic lineitem carries duplicate (orderkey, linenumber)
+    # pairs, so the RF1 batch renumbers its lines deterministically --
+    # merge_upsert requires UNIQUE source keys (Delta's
+    # multiple-source-rows-matched rule); batch size is unchanged
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    rf_lines = (
+        t.lineitem.filter(F.col("l_orderkey") % RF_MOD == 0)
+        .withColumn("l_linenumber", F.row_number().over(_w))
+        .withColumn("l_orderkey", F.col("l_orderkey") + RF_SHIFT)
+    )
+    to = mutations.temp_table(spark, t.orders)
+    tl = mutations.temp_table(spark, t.lineitem)
+    up_o, ins_o = to.merge_upsert(rf_orders, ("o_orderkey",))
+    up_l, ins_l = tl.merge_upsert(rf_lines, ("l_orderkey", "l_linenumber"))
+    assert up_o == 0 and up_l == 0, "RF1 keys must all be new"
+    n_o1 = to.read().count()
+    n_l1 = tl.read().count()
+    del_o = to.delete_where(F.col("o_orderkey") >= RF_SHIFT)
+    del_l = tl.delete_where(F.col("l_orderkey") >= RF_SHIFT)
+    n_o2 = to.read().count()
+    n_l2 = tl.read().count()
+    ok = (
+        del_o == ins_o and del_l == ins_l and n_o2 == n_ob and n_l2 == n_lb
+    )
+    return spark.createDataFrame(
+        [(n_ob, ins_o, n_o1, n_lb, ins_l, n_l1, n_o2, n_l2, bool(ok))],
+        "n_orders_base long, n_rf1_orders long, n_orders_after_rf1 long, "
+        "n_line_base long, n_rf1_lines long, n_line_after_rf1 long, "
+        "n_orders_after_rf2 long, n_line_after_rf2 long, roundtrip_ok boolean",
+    )
