@@ -296,6 +296,7 @@ def main() -> None:
         "x_source_csv_roundtrip",
         "x_source_csv_permissive",
         "x_sql_approx_percentile",
+        "x_sql_try_arithmetic",
         "x_pipeline_quality_gate",
         "x_pipeline_decontaminate",
         "x_pipeline_decontaminate_bloom",

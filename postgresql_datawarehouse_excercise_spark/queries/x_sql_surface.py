@@ -957,3 +957,41 @@ def x_sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus, pdwx_price_band(o_totalprice)
         """
     )
+
+
+@query(
+    "x_sql_try_arithmetic",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         regexp_extract(text, '([0-9]+)', 1) AS first_num,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       TRY_CAST(first_num AS BIGINT) AS first_num,
+       TRY_CAST(first_num AS BIGINT) / nullif(n_chars - n_chars, 0) AS div_by_zero,
+       TRY_CAST('9999999999999999999999' AS BIGINT) AS overflow_cast,
+       TRY_CAST(concat('x', first_num) AS BIGINT) AS malformed_cast
+FROM raw
+""",
+)
+def x_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant expression surface: TRY_CAST of extracted /
+    malformed / overflowing strings and try_divide-by-zero all yield NULL
+    instead of failing the job -- the ingestion-safety semantics (ANSI
+    mode with graceful degradation) a permissive pipeline needs beyond
+    PERMISSIVE-mode parsing.  Pure JVM expressions over one pruned scan;
+    DuckDB's TRY_CAST + NULLIF division mirror each case exactly."""
+    t = catalog.load(spark, sf_dir)
+    first_num = F.regexp_extract("text", r"([0-9]+)", 1)
+    return t.documents.select(
+        "doc_id",
+        first_num.try_cast("bigint").alias("first_num"),
+        F.try_divide(
+            first_num.try_cast("bigint"),
+            F.col("n_chars") - F.col("n_chars"),
+        ).alias("div_by_zero"),
+        F.lit("9999999999999999999999").try_cast("bigint").alias("overflow_cast"),
+        F.concat(F.lit("x"), first_num).try_cast("bigint").alias("malformed_cast"),
+    )
