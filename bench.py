@@ -295,6 +295,7 @@ def main() -> None:
         "x_source_jsonl_roundtrip",
         "x_source_csv_roundtrip",
         "x_source_csv_permissive",
+        "x_source_binaryfile",
         "x_sql_approx_percentile",
         "x_sql_try_arithmetic",
         "x_pipeline_quality_gate",

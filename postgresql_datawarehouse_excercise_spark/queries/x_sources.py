@@ -9,6 +9,7 @@ therefore proves the round-trip is lossless (values, types, row multiplicity)
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -394,4 +395,45 @@ def x_source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
         F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
         F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias("good_chars"),
+    )
+
+
+BINFILE_MOD = 50  # every 50th doc becomes a standalone binary object (~2%)
+
+
+@query(
+    "x_source_binaryfile",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % {BINFILE_MOD} = 0
+""",
+)
+def x_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source -- Spark's whole-object ingest lane for
+    media/model blobs: a sample of documents is written out as standalone
+    binary objects (one file per doc, utf-8 payload), re-read via
+    spark.read.format('binaryFile') (path + modificationTime + length +
+    content columns), and verified byte-for-byte against the base table by
+    md5.  The doc id round-trips through the FILENAME (the object-store
+    layout pattern: identity in the key, payload opaque), parsed back with
+    regexp_extract on the path metadata column.  Each file is one task at
+    scale -- exactly how image/audio corpora enter a multimodal pipeline
+    before operators/multimodal.py takes over."""
+    t = catalog.load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pdwx-binfile-")
+    sample = t.documents.filter(F.col("doc_id") % BINFILE_MOD == 0).select(
+        "doc_id", "text"
+    )
+    for r in sample.collect():  # bounded: ~2% of 500 gate docs = 10 files
+        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
     )
