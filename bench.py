@@ -298,6 +298,7 @@ def main() -> None:
         "x_source_binaryfile",
         "x_sql_approx_percentile",
         "x_sql_try_arithmetic",
+        "x_sql_observe_metrics",
         "x_pipeline_quality_gate",
         "x_pipeline_decontaminate",
         "x_pipeline_decontaminate_bloom",

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import c100, dec, fround, money, ratio
+from ..functions import c100, dec, fround, money, ratio, sql_dec, sql_money
 from . import query
 
 
@@ -994,4 +994,45 @@ def x_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("div_by_zero"),
         F.lit("9999999999999999999999").try_cast("bigint").alias("overflow_cast"),
         F.concat(F.lit("x"), first_num).try_cast("bigint").alias("malformed_cast"),
+    )
+
+
+@query(
+    "x_sql_observe_metrics",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       {sql_money(f"SUM({sql_dec('o_totalprice')})")} AS total_price
+FROM orders
+""",
+)
+def x_sql_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (df.observe): accumulator-backed metrics
+    collected DURING a pass -- the data-quality/row-count telemetry a
+    production pipeline attaches to its writes (count every batch without
+    a second scan).  The entry observes count / conditional count / exact
+    decimal sum over one orders pass, then re-emits the observed values as
+    its result, so the oracle verifies the accumulator arithmetic itself
+    against plain SQL aggregates."""
+    from decimal import Decimal
+
+    from pyspark.sql import Observation
+
+    t = catalog.load(spark, sf_dir)
+    obs = Observation("order_stats")
+    observed = t.orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+        F.sum(dec("o_totalprice")).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    total = m["total_price"]
+    total = float(round(total if isinstance(total, Decimal) else Decimal(str(total)), 2))
+    return spark.createDataFrame(
+        [(int(m["n_orders"]), int(m["n_finished"]), total)],
+        "n_orders long, n_finished long, total_price double",
     )
