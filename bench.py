@@ -215,6 +215,7 @@ def main() -> None:
         "x_dedup_prefix_join",
         "x_dedup_kcore",
         "x_dedup_lsh_recall",
+        "x_dedup_threshold_sweep",
         "x_dedup_winnowing",
         "x_dedup_winnowing_pairs",
         "x_text_token_stats",

@@ -646,3 +646,68 @@ def x_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_missed_jaccard"),
     )
+
+
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "x_dedup_threshold_sweep",
+    oracle="""
+WITH pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM ({LSH})
+),
+t AS (SELECT CAST(v.thr AS DOUBLE) AS thr FROM (VALUES {VALS}) v(thr)),
+flagged AS (
+  SELECT t.thr, p.doc_a, p.doc_b
+  FROM pairs p JOIN t ON p.jaccard >= t.thr
+),
+docs AS (
+  SELECT thr, doc_a AS doc_id FROM flagged
+  UNION
+  SELECT thr, doc_b AS doc_id FROM flagged
+)
+SELECT t.thr AS threshold,
+       CAST(COALESCE(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs_flagged
+FROM t
+LEFT JOIN (SELECT thr, COUNT(*) AS n_pairs FROM flagged GROUP BY 1) f USING (thr)
+LEFT JOIN (SELECT thr, COUNT(*) AS n_docs FROM docs GROUP BY 1) d USING (thr)
+""".format(
+        LSH=dedup.minhash_lsh_pairs_sql(),
+        VALS=", ".join(f"({t})" for t in SWEEP_THRESHOLDS),
+    ),
+)
+def x_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy sensitivity sweep: pair count and flagged-doc count at
+    each candidate Jaccard threshold, from ONE pair relation -- the report
+    a data team reads before fixing the near-dup policy (how much data
+    does 0.6 vs 0.8 actually remove?).  The pair relation computes once
+    (the LSH machinery); the sweep is a small broadcast threshold relation
+    joined on an inequality against skinny (pair, jaccard) rows -- cost is
+    |pairs| x |thresholds|, never a recompute per threshold."""
+    t = catalog.load(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(t.documents).localCheckpoint()
+    thr = spark.createDataFrame(
+        [(float(x),) for x in SWEEP_THRESHOLDS], "thr double"
+    )
+    flagged = pairs.join(
+        F.broadcast(thr), pairs.jaccard >= thr.thr
+    ).select("thr", "doc_a", "doc_b")
+    np = flagged.groupBy("thr").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        flagged.select("thr", F.col("doc_a").alias("doc_id"))
+        .union(flagged.select("thr", F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        thr.join(np, "thr", "left")
+        .join(nd, "thr", "left")
+        .select(
+            F.col("thr").alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_flagged"),
+        )
+    )
