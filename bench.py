@@ -257,6 +257,7 @@ def main() -> None:
         "x_text_moore_lewis",
         "x_text_countmin_hh",
         "x_text_zipf_fit",
+        "x_text_domain_divergence",
         "x_text_rake_phrases",
         "x_dedup_incremental",
         "x_dedup_substring_spans",

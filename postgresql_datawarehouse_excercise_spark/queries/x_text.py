@@ -1563,3 +1563,101 @@ def x_text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
         .limit(RAKE_TOP)
     )
+
+
+@query(
+    "x_text_domain_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+c AS (SELECT source, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS t FROM c GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM toks),
+v AS (SELECT COUNT(*) AS nv FROM vocab),
+grid AS (
+  SELECT s.source, vocab.term,
+         CAST(COALESCE(c.n, 0) + 1 AS DOUBLE) / CAST(tot.t + v.nv AS DOUBLE) AS p
+  FROM (SELECT DISTINCT source FROM toks) s
+  CROSS JOIN vocab CROSS JOIN v
+  JOIN tot ON tot.source = s.source
+  LEFT JOIN c ON c.source = s.source AND c.term = vocab.term
+),
+contrib AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(FLOOR((0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                   + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))) * 1000000000.0 + 0.5) AS BIGINT) AS d
+  FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(SUM(d) AS BIGINT) AS js_nano,
+       FLOOR((CAST(SUM(d) AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS js_divergence
+FROM contrib GROUP BY 1, 2
+""",
+)
+def x_text_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every source domain's
+    unigram distribution -- the domain-similarity matrix mixture design
+    reads (which sources are near-duplicates of each other, which add
+    genuinely new text; DoReMi-style weighting starts here).  Add-one
+    smoothing over the shared vocabulary; each term's JS contribution
+    quantizes to integer NANO-nats before the per-pair sum (total JS is
+    bounded by ln 2, so nano resolution costs nothing and the sum is
+    partition-order independent).  Scale shape: the model is one
+    vocabulary-bound aggregate; the pair join runs over |sources|^2 x
+    |vocab| skinny probability rows -- domain-count-bound, never
+    corpus-bound."""
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    c = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("t"))
+    vocab = toks.select("term").distinct()
+    nv = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    grid = (
+        tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(nv))
+        .join(c, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (
+                (F.coalesce("n", F.lit(0)) + 1).cast("double")
+                / (F.col("t") + F.col("nv")).cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(
+                (
+                    0.5 * F.col("pa") * F.log(F.col("pa") / m)
+                    + 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    return contrib.groupBy("source_a", "source_b").agg(
+        F.sum("d").cast("long").alias("js_nano"),
+        fround(F.sum("d").cast("double") / 1000000000.0, 6).alias("js_divergence"),
+    )
