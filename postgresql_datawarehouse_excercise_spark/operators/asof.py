@@ -154,14 +154,17 @@ def interval_overlap_join(
     b = bucket_seconds
 
     def burst(df: DataFrame, s: str, e: str) -> DataFrame:
+        # floor division, NOT cast-truncation: epochs before 1970 are
+        # negative, and truncate-toward-zero would shift their buckets up
+        # one and break coverage
         return df.withColumn(
             "_bk",
             F.explode(
                 F.sequence(
-                    (F.col(s) / b).cast("long"),
+                    F.floor(F.col(s) / b).cast("long"),
                     # end is exclusive: an interval ending exactly on a
                     # boundary does not reach into the next bucket
-                    ((F.col(e) - 1) / b).cast("long"),
+                    F.floor((F.col(e) - 1) / b).cast("long"),
                 )
             ),
         )
@@ -169,7 +172,7 @@ def interval_overlap_join(
     lt = burst(left, left_start, left_end)
     rt = burst(right, right_start, right_end)
     joined = lt.join(rt, "_bk")
-    first_shared = (
+    first_shared = F.floor(
         F.greatest(F.col(left_start), F.col(right_start)) / b
     ).cast("long")
     keep = (

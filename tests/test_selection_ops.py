@@ -154,9 +154,12 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     for j in range(30):
         s = rng.choice([rng.randrange(0, 2000), (rng.randrange(0, 20)) * B])
         rights.append((j, s, s + rng.choice([1, B, 2 * B, 77])))
-    # hand-placed boundary cases: touching at a point, identical, nested
-    lefts += [(100, 0, 100), (101, 200, 300), (102, 500, 700)]
-    rights += [(200, 100, 200), (201, 200, 300), (202, 550, 560)]
+    # hand-placed boundary cases: touching at a point, identical, nested,
+    # and NEGATIVE epochs (floor-division bucket coverage, not truncation)
+    lefts += [(100, 0, 100), (101, 200, 300), (102, 500, 700),
+              (103, -250, -50), (104, -30, 40)]
+    rights += [(200, 100, 200), (201, 200, 300), (202, 550, 560),
+               (203, -120, -80), (204, -10, 5)]
     ldf = spark.createDataFrame(lefts, "lid long, ls long, le long")
     rdf = spark.createDataFrame(rights, "rid long, rs long, re long")
     got = {
