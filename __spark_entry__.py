@@ -34,30 +34,21 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # Entries whose IMPLEMENTATION changed this round (verified green locally
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
-_TOUCHED_THIS_ROUND = (
-    # round 8: 4 brand-new entries with zero driver-gate rows (count-0, so
-    # they sort first within this group)
-    "x_dedup_substring_spans",       # ExactSubstr-style duplicated spans
-    "x_text_unigram_logprob",        # corpus-LM perplexity-proxy scoring
-    "x_pipeline_decontaminate_semantic",  # embedding-space decontamination
-    "x_source_orc_roundtrip",        # second columnar format end-to-end
-    "x_source_csv_permissive",       # corrupt-record quarantine ingest
-    "x_sim_ann_pq",                  # product-quantized ADC ranking
-    "x_sim_ann_pq_recall",           # PQ compression-cost measurement
-    "x_sql_udf_scalar",              # Spark 4 SQL UDF (CREATE FUNCTION...RETURN)
-    "x_dedup_containment",           # asymmetric (quote-inclusion) near-dup
-    "x_sim_ann_ivfpq",               # composed IVF x PQ index
-    "x_sim_ann_ivfpq_recall",        # end-to-end index answer quality
-    "x_text_bpe_merges",             # BPE tokenizer training loop
-    "x_text_bpe_encode",             # apply the trained merges corpus-wide
-    "x_text_nb_langid",              # trained NB classifier (train+infer)
-    "x_pipeline_dataset_card",       # one-pass per-cell corpus summary
-    "x_dedup_pagerank",              # damped power iteration on the dup graph
-    # freshness-stamp semantics changed under these (dep-aware stamping in
-    # registry.build; refresh_incremental no longer stamps at all)
-    "x_mv_sql_rewrite",
-    "x_mv_sql_rewrite_multi",
-    "x_stream_incremental_mv",
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    # round 9: PQ codebook quality rework (2 Lloyd rounds, 8-bit codebooks,
+    # exact re-rank) changed the ranking machinery under these four
+    "x_sim_ann_pq",
+    "x_sim_ann_pq_recall",
+    "x_sim_ann_ivfpq",
+    "x_sim_ann_ivfpq_recall",
+    # tokenizer unified with the shared [a-z0-9]+ tokens() (ADVICE r8)
+    "x_dedup_substring_spans",
+    # integer micro-cosine grid replaces float rounding (ADVICE r8)
+    "x_pipeline_decontaminate_semantic",
+    # distributed fixture writer (foreachPartition) replaces driver loop
+    "x_source_binaryfile",
+    # non-degenerate decontamination stage (wider synthetic vocabulary)
+    "x_pipeline_curation_funnel",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget
@@ -77,15 +68,21 @@ def _family_rank(name: str) -> int:
     return len(_FAMILY_ORDER)
 
 
-def _verified_counts() -> dict[str, int]:
-    """How many committed CORRECTNESS_r*.json rounds verified each entry green.
+def _verified_history() -> dict[str, tuple[int, int]]:
+    """Per entry: (last green round index, count of green rounds) from the
+    committed CORRECTNESS_r*.json files.
 
     The driver checks a bounded prefix of ``queries()`` per round; sorting by
-    ascending verified-count rotates that window across rounds so every entry
-    eventually gets a hard correctness row.
+    ascending LAST-GREEN round (staleness) rotates that window so the entries
+    whose most recent hard correctness row is oldest get re-gated first --
+    sorting by count alone starves entries that went green early and then
+    never rotated back while the code under them kept evolving (round-8
+    VERDICT item #1: 22 reference-family entries had no green row since r1).
     """
-    counts: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+    history: dict[str, tuple[int, int]] = {}
+    for round_idx, path in enumerate(
+        sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -99,8 +96,9 @@ def _verified_counts() -> dict[str, int]:
                 and row.get("schema_match", True)
                 and row.get("hash_match", True)
             ):
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+                _, count = history.get(name, (0, 0))
+                history[name] = (round_idx, count + 1)
+    return history
 
 
 def _erred_last_round() -> set[str]:
@@ -130,17 +128,19 @@ def _erred_last_round() -> set[str]:
 
 def _ordered_names() -> list[str]:
     registry = load_all()
-    counts = _verified_counts()
+    history = _verified_history()
     erred = _erred_last_round()
 
     def key(name: str):
         sentinel = 0 if name in _SENTINELS else 1
         touched = 0 if name in _TOUCHED_THIS_ROUND else 1
+        last_green, count = history.get(name, (0, 0))
         return (
             sentinel,
             0 if name in erred else 1,
             touched,
-            counts.get(name, 0),
+            last_green,   # stalest hard signal first (never-green = 0)
+            count,
             _family_rank(name),
             name,
         )
