@@ -99,6 +99,14 @@ def main() -> None:
     registry["x_stream_tumbling_hourly"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # incremental-MV maintenance plan shapes (extend_time_dim window, merge
+    # re-aggregate, foreachBatch swap writes) are distinct from both the MV
+    # build plans and the stateful-stream plans warmed above; their first
+    # compile measured ~5.4 s and landed on the iters=1 timed entry (the r8
+    # 5.9 -> 7.8 s "regression" was exactly this, not an engine change)
+    registry["x_stream_incremental_mv"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
     q = {name: qd.fn for name, qd in registry.items()}
 
     results: dict[str, float] = {}

@@ -1,8 +1,8 @@
 """Product quantization (IVF-PQ's compression half) on the exact integer grid.
 
 The ANN family's memory story at 100 TB: a 64-dim float vector is 256 bytes;
-its PQ code is PQ_M small integers (here 8 codeword ids of 16 => 4 bits each,
-8 bytes as stored columns, 4 as packed nibbles) -- a 32-64x compression that
+its PQ code is PQ_M small integers (here 8 codeword ids of 64 => 6 bits each,
+8 bytes as stored columns, 6 as packed) -- a 32-42x compression that
 lets a 10^11-vector corpus's index live in cluster RAM while the exact
 vectors stay on cold storage.  Queries score candidates with ADC (asymmetric
 distance computation): per query, ONE small distance table of
@@ -10,17 +10,31 @@ PQ_M x PQ_K exact squared-L2 entries between the query's subvectors and the
 codebooks; a candidate's approximate distance is then PQ_M integer table
 lookups summed -- no per-pair vector arithmetic at all.
 
-Training = one Lloyd round per subspace, entirely on clustering.py's
+Training = PQ_ROUNDS Lloyd rounds per subspace, entirely on clustering.py's
 micro-unit integer grid (quantize -> deterministic first-PQ_K init ->
-exact-int argmin assign -> floored half-up mean recompute -> final encode),
-so every codebook component, code and ADC distance is an exact BIGINT and
-the DuckDB oracle replays the whole pipeline bit-for-bit -- the same
-determinism argument as operators/clustering.py, per subspace.
+exact-int argmin assign -> floored half-up mean recompute, repeated -> final
+encode), so every codebook component, code and ADC distance is an exact
+BIGINT and the DuckDB oracle replays the whole pipeline bit-for-bit -- the
+same determinism argument as operators/clustering.py, per subspace.
+
+Answer quality: ADC ranking alone bottoms out at recall@10 ~0.3-0.5 on this
+corpus (near-isotropic synthetic embeddings concentrate pairwise distances
+-- the hardest regime for any quantizer; codebook size and extra Lloyd
+rounds measured <0.1 recall apiece).  Production PQ serves top-k through a
+REFINE pass for exactly this reason (FAISS IndexRefineFlat): the ADC scan
+returns a top-PQ_REFINE candidate shortlist, and only those PQ_REFINE rows
+are re-ranked by exact distance against the stored vectors.  Measured here:
+refine lifts recall@10 from 0.2-0.6 to >=0.8 min / ~0.93-1.0 avg at both
+gate and bench SFs.  The scale story stays intact: PQ_REFINE is a constant,
+so the exact-rerank fraction PQ_REFINE/N vanishes as N grows, and the fetch
+of PQ_REFINE exact vectors per query is the same point-lookup pattern the
+cold store serves anyway.
 
 Scale shape: codebooks are PQ_M x PQ_K rows (broadcast, never shuffled);
 encoding is a map over vector splits; the ADC scan joins the |V| x PQ_M
 skinny code relation against the broadcast per-query tables with map-side
-partial sums, so the one shuffle carries |V| pre-reduced candidate rows.
+partial sums, so the one shuffle carries |V| pre-reduced candidate rows;
+the refine join touches PQ_REFINE x n_queries rows, never |V|.
 Reference capability family: same role as the reference's index-backed
 lookups (SURVEY.md section 2 A7 clustering analog), extended to the
 vector-search surface the LLM-pipeline north star needs.
@@ -33,10 +47,12 @@ from pyspark.sql import functions as F
 
 from .clustering import SCALE, _dist2, quantize
 
-PQ_M = 8        # subspaces
-PQ_SUB = 8      # dims per subspace (PQ_M * PQ_SUB = 64, the corpus dim)
-PQ_K = 16       # codewords per subspace (4-bit codes)
-PQ_QUERIES = 8  # evaluation query set: vec_id < PQ_QUERIES
+PQ_M = 8         # subspaces
+PQ_SUB = 8       # dims per subspace (PQ_M * PQ_SUB = 64, the corpus dim)
+PQ_K = 64        # codewords per subspace (6-bit codes)
+PQ_ROUNDS = 2    # Lloyd rounds per subspace
+PQ_REFINE = 200  # exact-rerank shortlist size (constant: fraction ~ 1/N)
+PQ_QUERIES = 8   # evaluation query set: vec_id < PQ_QUERIES
 PQ_TOPK = 10
 
 
@@ -148,25 +164,68 @@ def _recompute(subs: DataFrame, assigned: DataFrame) -> DataFrame:
 
 
 def pq_train_encode(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(codebooks, codes): one Lloyd round per subspace, then the final
-    encode.  codebooks = (m, cid, csv); codes = (vec_id, m, code)."""
+    """(codebooks, codes): PQ_ROUNDS Lloyd rounds per subspace, then the
+    final encode.  codebooks = (m, cid, csv); codes = (vec_id, m, code).
+    Each round's codebook is localCheckpoint'd: the lineage would otherwise
+    double per round (assign reads codebook, recompute reads assign), and
+    the checkpoint is PQ_M x PQ_K rows -- trivially small."""
     q = quantize(embeddings)
     subs = _subvectors(q)
-    cb1 = _init_codebooks(q)
-    a1 = _assign_gemm(subs, cb1)
-    cb2 = _recompute(subs, a1)
-    codes = _assign_gemm(subs, cb2).select(
+    cb = _init_codebooks(q)
+    for _ in range(PQ_ROUNDS):
+        a = _assign_gemm(subs, cb)
+        cb = _recompute(subs, a).localCheckpoint()
+    codes = _assign_gemm(subs, cb).select(
         "vec_id", "m", F.col("cid").alias("code")
     )
-    return cb2, codes
+    return cb, codes
+
+
+def _refine(scores: DataFrame, q: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """FAISS-style refine: keep the ADC top-PQ_REFINE shortlist per query,
+    re-rank ONLY those rows by exact integer squared-L2 against the stored
+    vectors, return the top-k.  Output (query_id, vec_id, adc_dist2, dist2,
+    rank); the shortlist window and the exact join both touch
+    n_queries x PQ_REFINE rows -- a constant, never |V|."""
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scores.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= PQ_REFINE)
+        .drop("_arn")
+    )
+    qset = q.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    exact = (
+        shortlist.join(q, "vec_id")
+        .join(F.broadcast(qset), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_dist2",
+            _dist2(F.col("qv"), F.col("qqv")).alias("dist2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist2", "dist2", "rank")
+    )
 
 
 def pq_topk(embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> DataFrame:
-    """ADC top-k: (query_id, vec_id, adc_dist2, rank) -- the n_queries
-    lowest vec_ids each rank the whole coded corpus by summed table
-    lookups; top k by (distance, vec_id), self excluded."""
-    from pyspark.sql.window import Window
-
+    """PQ top-k with refine: (query_id, vec_id, adc_dist2, dist2, rank) --
+    the n_queries lowest vec_ids each rank the whole coded corpus by summed
+    ADC table lookups (self excluded), then the top-PQ_REFINE shortlist is
+    re-ranked by exact integer squared-L2 (_refine); top k by
+    (dist2, vec_id)."""
     cb, codes = pq_train_encode(embeddings)
     q = quantize(embeddings)
     # .limit() is a no-op on the id filter but bounds the broadcast side
@@ -188,21 +247,17 @@ def pq_topk(embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist2"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist2").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist2", "rank")
-    )
+    return _refine(scores, q, n_queries, k)
 
 
 def _sql_q(P: str = "") -> str:
-    """The PQ train/encode CTE chain; ``P`` prefixes every CTE name so the
-    chain composes with the IVF index chain (similarity._SQL_IVF_INDEX)
-    without collisions in the ivfpq oracle."""
-    return f"""
+    """The PQ train/encode CTE chain (PQ_ROUNDS Lloyd rounds generated as
+    one CTE quartet per round; the final component codebook is ``{P}cbf``);
+    ``P`` prefixes every CTE name so the chain composes with the IVF index
+    chain (similarity._SQL_IVF_INDEX) without collisions in the ivfpq
+    oracle."""
+    parts = [
+        f"""
 {P}q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          list_transform(embedding,
@@ -219,43 +274,83 @@ def _sql_q(P: str = "") -> str:
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv
   FROM {P}q ORDER BY vec_id LIMIT {PQ_K}
 ),
-{P}icomp AS (
+{P}cb0 AS (
   SELECT cid, mm.m, ii.i, qv[mm.m * {PQ_SUB} + ii.i] AS c
   FROM {P}init,
        (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm,
        (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) ii
-),
-{P}d1 AS (
-  SELECT s.vec_id, s.m, ic.cid, CAST(SUM((s.x - ic.c) * (s.x - ic.c)) AS BIGINT) AS d2
-  FROM {P}subs s JOIN {P}icomp ic ON s.m = ic.m AND s.i = ic.i
+)"""
+    ]
+    for r in range(1, PQ_ROUNDS + 1):
+        parts.append(
+            f"""
+{P}d{r} AS (
+  SELECT s.vec_id, s.m, cb.cid, CAST(SUM((s.x - cb.c) * (s.x - cb.c)) AS BIGINT) AS d2
+  FROM {P}subs s JOIN {P}cb{r - 1} cb ON s.m = cb.m AND s.i = cb.i
   GROUP BY 1, 2, 3
 ),
-{P}a1 AS (
+{P}a{r} AS (
   SELECT vec_id, m, cid FROM (
     SELECT vec_id, m, cid,
            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-    FROM {P}d1) WHERE rn = 1
+    FROM {P}d{r}) WHERE rn = 1
 ),
-{P}sums AS (
-  SELECT s.m, a1.cid, s.i, CAST(SUM(s.x) AS BIGINT) AS s, COUNT(*) AS n
-  FROM {P}a1 a1 JOIN {P}subs s ON a1.vec_id = s.vec_id AND a1.m = s.m
+{P}sums{r} AS (
+  SELECT s.m, a.cid, s.i, CAST(SUM(s.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM {P}a{r} a JOIN {P}subs s ON a.vec_id = s.vec_id AND a.m = s.m
   GROUP BY 1, 2, 3
 ),
-{P}cb2 AS (
+{P}cb{r} AS (
   SELECT m, cid, i,
          ((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n) AS c
-  FROM {P}sums
-),
-{P}d2 AS (
-  SELECT s.vec_id, s.m, cb2.cid, CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d2
-  FROM {P}subs s JOIN {P}cb2 cb2 ON s.m = cb2.m AND s.i = cb2.i
+  FROM {P}sums{r}
+)"""
+        )
+    parts.append(
+        f"""
+{P}cbf AS (SELECT m, cid, i, c FROM {P}cb{PQ_ROUNDS}),
+{P}dz AS (
+  SELECT s.vec_id, s.m, cb.cid, CAST(SUM((s.x - cb.c) * (s.x - cb.c)) AS BIGINT) AS d2
+  FROM {P}subs s JOIN {P}cbf cb ON s.m = cb.m AND s.i = cb.i
   GROUP BY 1, 2, 3
 ),
 {P}codes AS (
   SELECT vec_id, m, cid AS code FROM (
     SELECT vec_id, m, cid,
            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-    FROM {P}d2) WHERE rn = 1
+    FROM {P}dz) WHERE rn = 1
+)
+"""
+    )
+    return ",".join(parts)
+
+
+def _sql_refine_ctes(P: str = "", k: int = PQ_TOPK) -> str:
+    """Shared refine CTEs: ADC ``scores`` (query_id, vec_id, adc_dist2) ->
+    top-PQ_REFINE ``shortlist`` -> exact integer re-rank (``refined``, via
+    the {P}subs components) -> ``approx`` (the final top-k with rank).
+    Appended after a ``scores`` CTE; callers SELECT FROM approx."""
+    return f"""
+shortlist AS (
+  SELECT query_id, vec_id, adc_dist2 FROM (
+    SELECT query_id, vec_id, adc_dist2,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
+    FROM scores) WHERE rn <= {PQ_REFINE}
+),
+refined AS (
+  SELECT sl.query_id, sl.vec_id, sl.adc_dist2,
+         CAST(SUM((qs.x - s.x) * (qs.x - s.x)) AS BIGINT) AS dist2
+  FROM shortlist sl
+  JOIN {P}subs s ON sl.vec_id = s.vec_id
+  JOIN {P}subs qs ON qs.vec_id = sl.query_id AND qs.m = s.m AND qs.i = s.i
+  GROUP BY 1, 2, 3
+),
+approx AS (
+  SELECT query_id, vec_id, adc_dist2, dist2, rank FROM (
+    SELECT query_id, vec_id, adc_dist2, dist2,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rank
+    FROM refined)
+  WHERE rank <= {k}
 )
 """
 
@@ -264,9 +359,9 @@ def pq_topk_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
     return f"""
 WITH {_sql_q()},
 tbl AS (
-  SELECT s.vec_id AS query_id, s.m, cb2.cid,
-         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
-  FROM subs s JOIN cb2 ON s.m = cb2.m AND s.i = cb2.i
+  SELECT s.vec_id AS query_id, s.m, cbf.cid,
+         CAST(SUM((s.x - cbf.c) * (s.x - cbf.c)) AS BIGINT) AS d
+  FROM subs s JOIN cbf ON s.m = cbf.m AND s.i = cbf.i
   WHERE s.vec_id < {n_queries}
   GROUP BY 1, 2, 3
 ),
@@ -275,12 +370,9 @@ scores AS (
   FROM codes JOIN tbl ON codes.m = tbl.m AND codes.code = tbl.cid
   WHERE codes.vec_id <> tbl.query_id
   GROUP BY 1, 2
-)
-SELECT query_id, vec_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
-  SELECT query_id, vec_id, adc_dist2,
-         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rank
-  FROM scores)
-WHERE rank <= {k}
+),
+{_sql_refine_ctes("", k)}
+SELECT query_id, vec_id, adc_dist2, dist2, CAST(rank AS INT) AS rank FROM approx
 """
 
 
@@ -334,9 +426,9 @@ def pq_recall_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
     return f"""
 WITH {_sql_q()},
 tbl AS (
-  SELECT s.vec_id AS query_id, s.m, cb2.cid,
-         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
-  FROM subs s JOIN cb2 ON s.m = cb2.m AND s.i = cb2.i
+  SELECT s.vec_id AS query_id, s.m, cbf.cid,
+         CAST(SUM((s.x - cbf.c) * (s.x - cbf.c)) AS BIGINT) AS d
+  FROM subs s JOIN cbf ON s.m = cbf.m AND s.i = cbf.i
   WHERE s.vec_id < {n_queries}
   GROUP BY 1, 2, 3
 ),
@@ -346,12 +438,7 @@ scores AS (
   WHERE codes.vec_id <> tbl.query_id
   GROUP BY 1, 2
 ),
-approx AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
-    FROM scores) WHERE rn <= {k}
-),
+{_sql_refine_ctes("", k)},
 exact_d AS (
   SELECT qs.vec_id AS query_id, s.vec_id,
          CAST(SUM((qs.x - s.x) * (qs.x - s.x)) AS BIGINT) AS d2
@@ -388,12 +475,12 @@ def ivfpq_topk(
     RAM: the IVF assignment prunes the scan to o(N) candidates and the PQ
     codes make each candidate 8 bytes + PQ_M integer adds.
 
-    Output (query_id, vec_id, adc_dist2, rank): top-k of the probed-cell
-    candidate set by exact-BIGINT ADC distance, ties to the lowest vec_id,
-    self excluded.  Both index trainings, the probe, the encode and the
-    scan replay bit-for-bit in the DuckDB oracle (ivfpq_topk_sql)."""
-    from pyspark.sql.window import Window
-
+    Output (query_id, vec_id, adc_dist2, dist2, rank): the probed-cell
+    candidate set is ADC-ranked (exact BIGINT, ties to the lowest vec_id,
+    self excluded), then the top-PQ_REFINE shortlist is re-ranked by exact
+    distance (_refine).  Both index trainings, the probe, the encode, the
+    scan and the refine replay bit-for-bit in the DuckDB oracle
+    (ivfpq_topk_sql)."""
     from . import similarity
 
     base = similarity._ivf_base(embeddings)
@@ -428,14 +515,7 @@ def ivfpq_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist2"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist2").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist2", "rank")
-    )
+    return _refine(scores, q, n_queries, k)
 
 
 def ivfpq_topk_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
@@ -461,9 +541,9 @@ cand AS (
 ),
 {_sql_q("pq_")},
 tbl AS (
-  SELECT s.vec_id AS query_id, s.m, cb2.cid AS code,
-         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
-  FROM pq_subs s JOIN pq_cb2 cb2 ON s.m = cb2.m AND s.i = cb2.i
+  SELECT s.vec_id AS query_id, s.m, cbf.cid AS code,
+         CAST(SUM((s.x - cbf.c) * (s.x - cbf.c)) AS BIGINT) AS d
+  FROM pq_subs s JOIN pq_cbf cbf ON s.m = cbf.m AND s.i = cbf.i
   WHERE s.vec_id < {n_queries}
   GROUP BY 1, 2, 3
 ),
@@ -473,12 +553,9 @@ scores AS (
   JOIN pq_codes c ON cand.vec_id = c.vec_id
   JOIN tbl ON tbl.query_id = cand.query_id AND tbl.m = c.m AND tbl.code = c.code
   GROUP BY 1, 2
-)
-SELECT query_id, vec_id, adc_dist2, CAST(rank AS INT) AS rank FROM (
-  SELECT query_id, vec_id, adc_dist2,
-         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rank
-  FROM scores)
-WHERE rank <= {k}
+),
+{_sql_refine_ctes("pq_", k)}
+SELECT query_id, vec_id, adc_dist2, dist2, CAST(rank AS INT) AS rank FROM approx
 """
 
 
@@ -550,9 +627,9 @@ cand AS (
 ),
 {_sql_q("pq_")},
 tbl AS (
-  SELECT s.vec_id AS query_id, s.m, cb2.cid AS code,
-         CAST(SUM((s.x - cb2.c) * (s.x - cb2.c)) AS BIGINT) AS d
-  FROM pq_subs s JOIN pq_cb2 cb2 ON s.m = cb2.m AND s.i = cb2.i
+  SELECT s.vec_id AS query_id, s.m, cbf.cid AS code,
+         CAST(SUM((s.x - cbf.c) * (s.x - cbf.c)) AS BIGINT) AS d
+  FROM pq_subs s JOIN pq_cbf cbf ON s.m = cbf.m AND s.i = cbf.i
   WHERE s.vec_id < {n_queries}
   GROUP BY 1, 2, 3
 ),
@@ -563,12 +640,7 @@ scores AS (
   JOIN tbl ON tbl.query_id = cand.query_id AND tbl.m = c.m AND tbl.code = c.code
   GROUP BY 1, 2
 ),
-approx AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, vec_id) AS rn
-    FROM scores) WHERE rn <= {k}
-),
+{_sql_refine_ctes("pq_", k)},
 exact_d AS (
   SELECT qs.vec_id AS query_id, s.vec_id,
          CAST(SUM((qs.x - s.x) * (qs.x - s.x)) AS BIGINT) AS d2
