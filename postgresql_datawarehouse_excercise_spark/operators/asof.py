@@ -150,14 +150,22 @@ def interval_overlap_join(
     multi-bucket double matches.  Explode fanout is bounded by
     interval_length/bucket_seconds + 1, so pick the bucket near the
     typical interval length; the residual overlap predicate keeps
-    correctness independent of that tuning."""
+    correctness independent of that tuning.
+
+    Degenerate (empty) intervals with end <= start are DROPPED before the
+    burst: an empty interval overlaps nothing under half-open semantics,
+    but F.sequence(lo, hi) with hi < lo would generate a DESCENDING bucket
+    range instead of none, resurrecting the row with a bucket it never
+    covers -- and the residual predicate alone (left_start < right_end AND
+    right_start < left_end) can still pass for e.g. [100,100) vs [50,200)
+    (ADVICE r8)."""
     b = bucket_seconds
 
     def burst(df: DataFrame, s: str, e: str) -> DataFrame:
         # floor division, NOT cast-truncation: epochs before 1970 are
         # negative, and truncate-toward-zero would shift their buckets up
         # one and break coverage
-        return df.withColumn(
+        return df.filter(F.col(s) < F.col(e)).withColumn(
             "_bk",
             F.explode(
                 F.sequence(

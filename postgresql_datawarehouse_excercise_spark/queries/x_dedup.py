@@ -133,7 +133,8 @@ SPAN_TOKENS = 8  # rolling-window width (tokens); production ExactSubstr uses ~5
     "x_dedup_substring_spans",
     oracle="""
 WITH toks AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(trim(text), ' ') AS tk
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
   FROM documents
 ),
 docs AS (
@@ -198,10 +199,16 @@ def x_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_spans(documents: DataFrame, K: int = SPAN_TOKENS) -> DataFrame:
     """Core of x_dedup_substring_spans over any (doc_id, text) relation
-    (parameterized window width for the Python-model property test)."""
+    (parameterized window width for the Python-model property test).
+    Tokenization is the shared [a-z0-9]+ tokenizer (operators/dedup.tokens)
+    like every other text entry -- a bare single-space split emitted
+    empty-string tokens on consecutive whitespace that could hash into
+    spuriously shared K-windows (ADVICE r8)."""
     from pyspark.sql import Window
 
-    tk = F.split(F.trim(F.col("text")), " ")
+    from ..operators.dedup import tokens
+
+    tk = tokens(F.col("text"))
     docs = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(tk).cast("long").alias("n_tokens"),

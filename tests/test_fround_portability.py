@@ -125,3 +125,70 @@ def test_gemm_rounding_margin_floors(sf_dir):
         np.floor(f * 1e6 + 0.5) / 1e6 >= sim.SEMDEDUP_THRESHOLD,
         rounded >= sim.SEMDEDUP_THRESHOLD,
     )
+
+
+def test_decontaminate_semantic_rounding_margin_floors(sf_dir):
+    """x_pipeline_decontaminate_semantic relies on three float evaluation
+    orders agreeing after 1e-6 half-up rounding: DuckDB's
+    list_cosine_similarity on raw vectors, the gated numpy GEMM on
+    pre-normalized vectors, and the exact sequential fold (ADVICE r8).
+    This pins the safety margins on the entry's OWN train x eval cosine
+    set: the max-cosine per train row must sit orders of magnitude further
+    from a 0.5e-6 rounding boundary than the kernels can diverge, and no
+    rounded max-cosine may sit within a last-digit flip of the
+    DECON_SEM_THRESHOLD contamination cut."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        DECON_SEM_THRESHOLD,
+        TRAIN_PCT,
+    )
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    vec_ids = np.array(tab.column("vec_id").to_pylist())
+    bucket = np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100 for v in vec_ids]
+    )
+    train, ev = emb[bucket < TRAIN_PCT], emb[bucket >= TRAIN_PCT]
+    assert len(train) and len(ev)
+
+    # GEMM path (the gated kernel): normalize both sides, one matmul
+    tn = train / np.sqrt((train * train).sum(axis=1))[:, None]
+    en = ev / np.sqrt((ev * ev).sum(axis=1))[:, None]
+    gemm_max = (tn @ en.T).max(axis=1)
+
+    # fold path (the oracle's evaluation order): sequential dot, then divide
+    prods = train[:, None, :] * ev[None, :, :]
+    dots = np.cumsum(prods, axis=2)[:, :, -1]
+    tn2 = np.sqrt(np.cumsum(train * train, axis=1)[:, -1])
+    en2 = np.sqrt(np.cumsum(ev * ev, axis=1)[:, -1])
+    fold_max = (dots / (tn2[:, None] * en2[None, :])).max(axis=1)
+
+    divergence = np.abs(gemm_max - fold_max).max()
+    d = gemm_max * 1e6 + 0.5
+    frac = d - np.floor(d)
+    boundary_margin = np.minimum(frac, 1.0 - frac).min() / 1e6
+    rounded = np.floor(d) / 1e6
+    threshold_margin = np.abs(rounded - DECON_SEM_THRESHOLD).min()
+
+    assert divergence < 1e-14, divergence
+    assert boundary_margin > 100 * divergence, (boundary_margin, divergence)
+    assert boundary_margin > 1e-13, boundary_margin
+    # measured at the gate SF: 8e-6 (8 rounding quanta from the cut).  A
+    # kernel disagreement can move a rounded cosine by at most ONE 1e-6
+    # quantum (divergence << 0.5e-6 guarantees same rounding cell except
+    # at a boundary, which boundary_margin excludes), so >= 2 quanta of
+    # threshold clearance makes the contaminated/clean decision identical
+    # across engines; a data regen that lands a cosine nearer fails here
+    # before it surfaces as a gate hash flake.
+    assert threshold_margin >= 2e-6, threshold_margin
+    # identical contamination decisions under either evaluation order
+    assert np.array_equal(
+        np.floor(fold_max * 1e6 + 0.5) / 1e6 >= DECON_SEM_THRESHOLD,
+        rounded >= DECON_SEM_THRESHOLD,
+    )

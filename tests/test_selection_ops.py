@@ -155,11 +155,16 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         s = rng.choice([rng.randrange(0, 2000), (rng.randrange(0, 20)) * B])
         rights.append((j, s, s + rng.choice([1, B, 2 * B, 77])))
     # hand-placed boundary cases: touching at a point, identical, nested,
-    # and NEGATIVE epochs (floor-division bucket coverage, not truncation)
+    # NEGATIVE epochs (floor-division bucket coverage, not truncation),
+    # and DEGENERATE empty/inverted intervals (end <= start overlaps
+    # nothing under half-open semantics; without the pre-burst guard,
+    # F.sequence would emit a descending bucket range and e.g.
+    # [100,100) x [50,200) would pass the residual predicate -- ADVICE r8)
     lefts += [(100, 0, 100), (101, 200, 300), (102, 500, 700),
-              (103, -250, -50), (104, -30, 40)]
+              (103, -250, -50), (104, -30, 40),
+              (105, 100, 100), (106, 500, 400)]
     rights += [(200, 100, 200), (201, 200, 300), (202, 550, 560),
-               (203, -120, -80), (204, -10, 5)]
+               (203, -120, -80), (204, -10, 5), (205, 50, 200)]
     ldf = spark.createDataFrame(lefts, "lid long, ls long, le long")
     rdf = spark.createDataFrame(rights, "rid long, rs long, re long")
     got = {
@@ -169,10 +174,13 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     want = {
         (lid, rid)
         for (lid, ls, le), (rid, rs, re) in itertools.product(lefts, rights)
-        if ls < re and rs < le
+        if ls < le and rs < re and ls < re and rs < le
     }
     assert got == want
     assert (100, 200) not in got and (101, 201) in got and (102, 202) in got
+    # empty/inverted left intervals match nothing, even against a right
+    # interval that satisfies the residual overlap predicate
+    assert not any(lid in (105, 106) for (lid, _rid) in got)
 
 
 def test_mmr_rank0_is_relevance_argmax_and_picks_are_diverse(spark, sf_dir):
