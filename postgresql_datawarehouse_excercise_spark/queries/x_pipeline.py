@@ -1052,8 +1052,11 @@ def x_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_DECON_GRAM = 8  # decontamination window width (PaLM used 8-grams)
+
+
 def _curation_funnel_oracle() -> str:
-    from ..operators.dedup import _SQL_SHINGLES, _SQL_TOKENS, dedup_clusters_cte
+    from ..operators.dedup import _SQL_TOKENS, dedup_clusters_cte
 
     return rf"""
 WITH RECURSIVE base AS (
@@ -1085,13 +1088,15 @@ s4 AS (
 ),
 ev_toks AS (SELECT doc_id, {{TOKENS}} AS t FROM base WHERE bucket >= {TRAIN_PCT}),
 ev_grams AS (
-  SELECT DISTINCT CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT) AS h
-  FROM (SELECT {{SHINGLES}} AS sh FROM ev_toks) s, unnest(s.sh) AS u(g)
+  SELECT DISTINCT md5(array_to_string(t[(u.pos + 1):(u.pos + {FUNNEL_DECON_GRAM})], ' ')) AS h
+  FROM ev_toks, unnest(generate_series(0, len(t) - {FUNNEL_DECON_GRAM})) AS u(pos)
+  WHERE len(t) >= {FUNNEL_DECON_GRAM}
 ),
 tr_toks AS (SELECT doc_id, {{TOKENS}} AS t FROM s4 WHERE bucket < {TRAIN_PCT}),
 tr_grams AS (
-  SELECT doc_id, CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT) AS h
-  FROM (SELECT doc_id, {{SHINGLES}} AS sh FROM tr_toks) s, unnest(s.sh) AS u(g)
+  SELECT doc_id, md5(array_to_string(t[(u.pos + 1):(u.pos + {FUNNEL_DECON_GRAM})], ' ')) AS h
+  FROM tr_toks, unnest(generate_series(0, len(t) - {FUNNEL_DECON_GRAM})) AS u(pos)
+  WHERE len(t) >= {FUNNEL_DECON_GRAM}
 ),
 contaminated AS (SELECT DISTINCT doc_id FROM tr_grams JOIN ev_grams USING (h)),
 s5 AS (
@@ -1112,7 +1117,7 @@ SELECT * FROM (
   UNION ALL
   SELECT '5_decontaminate', (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5)
 )
-""".replace("{TOKENS}", _SQL_TOKENS).replace("{SHINGLES}", _SQL_SHINGLES)
+""".replace("{TOKENS}", _SQL_TOKENS)
 
 
 @query("x_pipeline_curation_funnel", oracle=_curation_funnel_oracle())
@@ -1125,13 +1130,17 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME operator the standalone entries gate (quality thresholds of
     x_pipeline_quality_gate, the LSH + label-propagation machinery of
     x_dedup_clusters over the stage-3 survivors, the gram-probe of
-    x_pipeline_decontaminate), so the composition is bit-exact by
-    construction; the five counts assemble as a union of 1-row aggregates
-    -- in-plan, nothing through the driver.  On the synthetic corpus the
-    decontamination stage saturates (a 31-word vocabulary means nearly
-    every train doc shares a 3-gram with the eval split) -- the honest
-    output of that data, and exactly what the funnel report exists to
-    surface before a release."""
+    x_pipeline_decontaminate's gram-probe shape), so the composition is
+    bit-exact by construction; the five counts assemble as a union of
+    1-row aggregates -- in-plan, nothing through the driver.
+
+    Decontamination runs at FUNNEL_DECON_GRAM = 8-token windows (the
+    PaLM-style overlap width) rather than the standalone entry's
+    3-gram shingles: on this synthetic corpus's 31-word vocabulary,
+    3-grams saturate (~every train doc shares one with eval, r8 measured
+    420/439) and the stage reported nothing; at 8 tokens a hit means a
+    real duplicated phrase and the stage-5 attrition is informative
+    (4/439 at the gate SF) while production semantics stay honest."""
     from ..operators import dedup as dd
 
     t = catalog.load(spark, sf_dir)
@@ -1155,19 +1164,32 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = s3.join(
         clusters.filter(~F.col("keep")).select("doc_id"), "doc_id", "left_anti"
     )
-    sh = dd.shingled(s4.select("doc_id", "text")).join(
-        s4.select("doc_id", "bucket"), "doc_id"
-    )
-    ev_sh = dd.shingled(base.filter(F.col("bucket") >= TRAIN_PCT).select("doc_id", "text"))
+    K = FUNNEL_DECON_GRAM
+
+    def windows(df: DataFrame) -> DataFrame:
+        # overlapping K-token window hashes (the substring_spans idiom:
+        # tokens materialized by a projection, windows via slice under
+        # transform); docs shorter than K emit none in both engines
+        toked = df.select("doc_id", dd.tokens(F.col("text")).alias("t")).filter(
+            F.size("t") >= K
+        )
+        return toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.size("t") - K).cast("int")),
+                    lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("t"), p + 1, K))),
+                )
+            ).alias("h"),
+        )
+
     ev_grams = (
-        ev_sh.select(F.explode("sh").alias("g"))
-        .select(dd.h60(F.col("g")).alias("h"))
+        windows(base.filter(F.col("bucket") >= TRAIN_PCT).select("doc_id", "text"))
+        .select("h")
         .distinct()
     )
-    tr_grams = (
-        sh.filter(F.col("bucket") < TRAIN_PCT)
-        .select("doc_id", F.explode("sh").alias("g"))
-        .select("doc_id", dd.h60(F.col("g")).alias("h"))
+    tr_grams = windows(
+        s4.filter(F.col("bucket") < TRAIN_PCT).select("doc_id", "text")
     )
     contaminated = tr_grams.join(ev_grams, "h").select("doc_id").distinct()
     tr = s4.filter(F.col("bucket") < TRAIN_PCT).select("doc_id")

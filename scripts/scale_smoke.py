@@ -253,6 +253,25 @@ def sec_docs(spark, t, k: int, sf_dir: str) -> None:
     )
 
 
+def sec_pairs(spark, t, k: int, sf_dir: str) -> None:
+    """The pair/graph-OUTPUT dedup quartet on its own (VERDICT r8 #4): at
+    K exact copies per doc, every doc becomes a K-clique in the dup graph,
+    so winnowing/prefix-join pair output grows ~K^2 per group and triangle
+    output ~K^3 -- the honest worst case.  Split from sec_docs so the 100x
+    row can be measured without re-running the linear-path entries."""
+    docs = multiply(t.documents, "doc_id", k)
+    print(f"documents x{k} = {5000 * k} docs (pair/graph quartet):", flush=True)
+    timed("winnow_overlap_pairs", dedup.winnow_overlap_pairs(docs))
+    timed("prefix_join_pairs", dedup.prefix_join_pairs(docs))
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        dedup_kcore,
+        dedup_triangles,
+    )
+
+    timed("dedup_triangles", lambda: dedup_triangles(docs))
+    timed("dedup_kcore", lambda: dedup_kcore(docs))
+
+
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
     emb = multiply(t.embeddings, "vec_id", k)
     print(f"embeddings x{k}:", flush=True)
@@ -493,6 +512,7 @@ def sec_stream(spark, t, k: int, sf_dir: str) -> None:
 
 SECTIONS = {
     "docs": sec_docs,
+    "pairs": sec_pairs,
     "emb": sec_emb,
     "line": sec_line,
     "tpch": sec_tpch,
