@@ -581,7 +581,14 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     iterations needed = graph diameter in label-hops (near-dup components
     are tiny and dense, so a handful).  Convergence is checked with a
     1-row count per iteration -- the classic large-scale connected-
-    components loop (no driver-side graph)."""
+    components loop (no driver-side graph).
+
+    Caveat: the default iteration budget assumes small-diameter
+    components; a duplicate CHAIN longer than max_iterations hops will
+    not fully converge (tests/test_cc_bigstar.py pins a 41-node path
+    needing 40 rounds).  dedup_clusters_bigstar below computes the same
+    labeling in O(log^2 n) rounds and is the safe choice when chain
+    length is unbounded."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1099,3 +1106,106 @@ JOIN hsets a ON a.doc_id = cand.doc_a
 JOIN hsets b ON b.doc_id = cand.doc_b
 WHERE {jac} >= {min_jaccard}
 """
+
+
+# ---------------------------------------------------------------------------
+# Connected components, round-efficient variant: alternating large-star /
+# small-star (Kiveris et al., "Connected Components in MapReduce and
+# Beyond", SoCC 2014).  Same canonical labeling as dedup_clusters (label =
+# component minimum) by a different distributed algorithm: min-label
+# propagation needs diameter-many rounds and its per-round messages follow
+# the raw adjacency, while the star operations contract the graph toward
+# stars in O(log^2 n) rounds with per-round work proportional to the
+# CURRENT edge set (which shrinks as components collapse) -- the right
+# trade at web-graph scale where near-dup chains can be long.
+# ---------------------------------------------------------------------------
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + one small-star over an undirected edge set stored
+    once per edge as (u, v) with u > v.  Each phase is a per-center MIN
+    aggregate joined back to the edge rows on the SAME key -- never a
+    collect_set: the component minimum's neighborhood grows to the whole
+    component as contraction proceeds, so an array-building formulation
+    would put an entire giant component into one task's memory, while
+    min + same-key join keeps per-row state constant (and the join reuses
+    the groupBy's hash partitioning on the center)."""
+    # large-star: process every edge at BOTH endpoints (symmetric view);
+    # for each center u, every strictly-larger neighbor re-attaches to
+    # m = min(N(u) + {u}).  Every edge is re-emitted from its smaller
+    # endpoint's view, so connectivity is preserved (Kiveris et al. 2014).
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    large_min = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    large = (
+        sym.join(large_min, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # small-star: each edge once at its LARGER endpoint (large-star output
+    # is already oriented u > v); the center and all smaller neighbors
+    # re-attach to the group's minimum.
+    small_min = large.groupBy("u").agg(F.min("v").alias("m"))
+    small = (
+        large.join(small_min, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(small_min.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return small
+
+
+def dedup_clusters_bigstar(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs by alternating large-star /
+    small-star contraction; output schema and values identical to
+    dedup_clusters (doc_id, cluster_id = component min, keep = is-min).
+
+    Convergence: a round that changes nothing has reached the star
+    fixpoint (every surviving edge points a node at its component
+    minimum).  The check is exact -- count equality plus an exceptAll
+    emptiness probe on the (u, v) set, both O(|E|) with |E| shrinking
+    every round -- not a hash-total heuristic, because star rounds are
+    not label-monotone the way min-propagation is.  Each round's edge set
+    is localCheckpoint'd so the plan does not grow with the iteration
+    count (the same discipline as dedup_clusters)."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_count = edges.count()
+    for _ in range(max_iterations):
+        new_edges = _star_round(edges).localCheckpoint(eager=True)
+        new_count = new_edges.count()
+        unchanged = (
+            new_count == prev_count
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        prev_count = new_count
+        if unchanged:
+            break
+    # At the star fixpoint every edge is (member, component_min).
+    return (
+        nodes.join(edges, nodes.doc_id == edges.u, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("v"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("v"), F.col("doc_id")).eqNullSafe(F.col("doc_id")).alias("keep"),
+        )
+    )

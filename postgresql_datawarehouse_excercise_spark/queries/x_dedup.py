@@ -114,6 +114,30 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+@query("x_dedup_cc_bigstar", oracle=dedup.dedup_clusters_sql())
+def x_dedup_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same dedup decision as x_dedup_clusters (connected components
+    over strong near-dup pairs, cluster_id = component min) computed by
+    the alternating large-star / small-star contraction of Kiveris et al.
+    (SoCC 2014) instead of min-label propagation.  Label propagation needs
+    graph-DIAMETER many rounds (a 41-node duplicate chain defeats its
+    15-round default -- pinned in tests/test_cc_bigstar.py); the star
+    algorithm converges in O(log^2 n) rounds with per-round cost
+    proportional to the CURRENT edge set, which shrinks as components
+    collapse -- the safe choice at web-corpus scale where near-dup chains
+    (boilerplate drift, versioned pages) can be arbitrarily long.  Both
+    phases are min-aggregate + same-key join (never a collect_set), so a
+    giant component's star center never materializes its whole
+    neighborhood in one task.  The DuckDB oracle is the same recursive-CTE
+    transitive closure as x_dedup_clusters: two independent distributed
+    algorithms and one sequential one agreeing on every label."""
+    t = catalog.load(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(t.documents).filter(
+        F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
+    )
+    return dedup.dedup_clusters_bigstar(pairs)
+
+
 @query("x_dedup_incremental", oracle=dedup.incremental_dedup_sql())
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup: an incoming batch (doc_id % 5 == 0) is checked

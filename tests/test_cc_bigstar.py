@@ -1,0 +1,93 @@
+"""Large-star/small-star connected components (operators/dedup.py
+dedup_clusters_bigstar) vs a sequential union-find and vs min-label
+propagation.
+
+The decisive case: a duplicate CHAIN of 41 docs (diameter 40).  Label
+propagation moves the min one hop per round, so its 15-round default
+cannot converge; the star contraction collapses the whole path in a
+handful of rounds (Kiveris et al., SoCC 2014, converges in O(log^2 n)).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from postgresql_datawarehouse_excercise_spark.operators import dedup
+
+
+def _truth(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for x in list(parent):
+        comps.setdefault(find(x), []).append(x)
+    out: dict[int, int] = {}
+    for members in comps.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = dedup.dedup_clusters_bigstar(df).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # keep flag marks exactly the per-cluster minimum
+    keeps = {r["doc_id"] for r in rows if r["keep"]}
+    assert keeps == set(got.values())
+    return got
+
+
+def test_bigstar_random_graph_matches_union_find(spark):
+    random.seed(7)
+    edges = [(random.randint(0, 59), random.randint(0, 59)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _truth(edges)
+
+
+def test_bigstar_long_chain_where_label_propagation_stalls(spark):
+    # path 100-101-...-140: diameter 40 > dedup_clusters' 15-round default
+    edges = [(100 + i, 101 + i) for i in range(40)]
+    truth = _truth(edges)
+    assert _run(spark, edges) == truth
+    stalled = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(
+            spark.createDataFrame(edges, "doc_a long, doc_b long")
+        ).collect()
+    }
+    assert stalled != truth  # the documented label-propagation caveat
+
+
+def test_bigstar_mixed_shapes(spark):
+    # two cliques bridged by one edge + an isolated pair + a star
+    clique1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique2 = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = clique1 + clique2 + [(4, 10), (200, 201)] + [(300, 301 + k) for k in range(6)]
+    assert _run(spark, edges) == _truth(edges)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bigstar_property_random(spark, seed):
+    random.seed(seed)
+    n = random.randint(10, 80)
+    m = random.randint(5, 2 * n)
+    edges = [(random.randint(0, n), random.randint(0, n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    assert _run(spark, edges) == _truth(edges)
