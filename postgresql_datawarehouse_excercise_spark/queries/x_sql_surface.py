@@ -1036,3 +1036,122 @@ def x_sql_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_orders"]), int(m["n_finished"]), total)],
         "n_orders long, n_finished long, total_price double",
     )
+
+
+HLL_M = 256  # registers (p = 8); standard error 1.04/sqrt(m) ~ 6.5%
+
+_HLL_ORACLE = f"""
+WITH vals AS (
+  SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx, l_orderkey % 4 AS shard FROM lineitem
+),
+h AS (
+  SELECT shard,
+         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS idx,
+         CAST(concat('0x', substr(hx, 3, 8)) AS BIGINT) AS w
+  FROM vals
+),
+rho AS (
+  SELECT shard, idx,
+         CASE WHEN w = 0 THEN 33
+              ELSE strpos(lpad(bin(w), 32, '0'), '1') END AS r
+  FROM h
+),
+shard_reg AS (SELECT shard, idx, MAX(r) AS m FROM rho GROUP BY 1, 2),
+merged AS (SELECT idx, MAX(m) AS m FROM shard_reg GROUP BY 1),
+direct AS (SELECT idx, MAX(r) AS m FROM rho GROUP BY 1),
+mstats AS (
+  SELECT SUM(m) AS rho_sum, COUNT(*) AS nz, SUM(power(2.0, -m)) AS z_part
+  FROM merged
+),
+eq AS (
+  SELECT COUNT(*) = 0 AS same FROM (
+    SELECT idx, m FROM merged EXCEPT SELECT idx, m FROM direct
+    UNION ALL
+    SELECT idx, m FROM direct EXCEPT SELECT idx, m FROM merged
+  )
+)
+SELECT CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT) AS exact_keys,
+       CAST(rho_sum AS BIGINT) AS rho_sum,
+       CAST(nz AS BIGINT) AS nonzero_registers,
+       FLOOR((0.7213 / (1.0 + 1.079/{HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+             / (z_part + ({HLL_M} - nz) * 1.0) * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+       (SELECT same FROM eq) AS merged_equals_direct
+FROM mstats
+"""
+
+
+@query("x_sql_hll_sketch", oracle=_HLL_ORACLE)
+def x_sql_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built mergeable HyperLogLog (Flajolet et al. 2007) over
+    lineitem's order keys -- the sketch whose STATE the oracle can verify,
+    complementing x_sql_approx_distinct where the builtin HLL++ estimate is
+    engine-internal and only an accuracy bound is checkable.
+
+    Register state is 256 (index, max-rho) rows: index = first md5 byte,
+    rho = 1-based position of the leftmost 1-bit in the next 32 hash bits.
+    Mergeability is exercised, not assumed: sketches are built per shard
+    (l_orderkey % 4) and merged with a second MAX -- the merged register
+    set must equal the direct single-pass registers (merged_equals_direct).
+    The register fingerprint (rho_sum, nonzero count) is integer-exact
+    cross-engine; the harmonic sum is 256 terms of the form 2^-r with
+    r <= 33, every partial sum exactly representable in a double (33 + 8
+    mantissa bits < 53), so the estimate itself is bit-identical in any
+    summation order and quantizes cleanly.
+
+    Scale design (100 TB): this is the distinct-count-at-scale primitive --
+    per-partition register maps merge associatively (map-side combine on
+    the (shard, idx) groupBy keys), the final state is m=256 rows no
+    matter the input size, and sketches persist/merge across days the way
+    the streaming count-min entry's state does.  The small-range linear-
+    counting correction branch (E <= 2.5m with empty registers) is
+    deliberately out of scope: it needs ln(), which is libm-dependent;
+    inputs here keep E well above it (asserted in tests)."""
+    t = catalog.load(spark, sf_dir)
+    hx = F.md5(F.col("l_orderkey").cast("string"))
+    h = t.lineitem.select(
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("idx"),
+        F.conv(F.substring(hx, 3, 8), 16, 10).cast("long").alias("w"),
+    )
+    rho = h.select(
+        "shard",
+        "idx",
+        F.when(F.col("w") == 0, F.lit(33))
+        .otherwise(F.instr(F.lpad(F.bin(F.col("w")), 32, "0"), "1"))
+        .cast("long")
+        .alias("r"),
+    )
+    shard_reg = rho.groupBy("shard", "idx").agg(F.max("r").alias("m"))
+    merged = shard_reg.groupBy("idx").agg(F.max("m").alias("m"))
+    direct = rho.groupBy("idx").agg(F.max("r").alias("m"))
+    mstats = merged.agg(
+        F.sum("m").cast("long").alias("rho_sum"),
+        F.count(F.lit(1)).cast("long").alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_part"),
+    )
+    same = (
+        merged.exceptAll(direct)
+        .unionAll(direct.exceptAll(merged))
+        .agg((F.count(F.lit(1)) == 0).alias("merged_equals_direct"))
+    )
+    exact = t.lineitem.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_keys")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    return (
+        exact.crossJoin(F.broadcast(mstats))
+        .crossJoin(F.broadcast(same))
+        .select(
+            "exact_keys",
+            "rho_sum",
+            F.col("nz").alias("nonzero_registers"),
+            fround(
+                F.lit(alpha)
+                * F.lit(float(HLL_M))
+                * F.lit(float(HLL_M))
+                / (F.col("z_part") + (F.lit(HLL_M) - F.col("nz")) * F.lit(1.0)),
+                4,
+            ).alias("hll_estimate"),
+            "merged_equals_direct",
+        )
+    )

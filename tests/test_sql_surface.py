@@ -228,3 +228,17 @@ def test_quality_gate_bounded_by_english_corpus(spark, sf_dir):
     assert sum(r.n_docs for r in rows) <= n_en
     sources = {r.source for r in t.documents.select("source").distinct().collect()}
     assert {r.source for r in rows} <= sources
+
+
+def test_hll_sketch_estimate_and_regime(spark, sf_dir):
+    """The hand-built HLL's estimate lands within ~2 standard errors
+    (1.04/sqrt(256) ~ 6.5% SE -> 13% bound), the shard-merge reproduces the
+    direct registers exactly, and the input keeps the estimate above the
+    linear-counting threshold 2.5*m that the entry deliberately excludes."""
+    row = REG["x_sql_hll_sketch"].fn(spark, sf_dir).collect()[0]
+    assert row.merged_equals_direct
+    assert row.exact_keys > 0
+    rel_err = abs(row.hll_estimate - row.exact_keys) / row.exact_keys
+    assert rel_err < 0.13, (row.hll_estimate, row.exact_keys)
+    assert row.hll_estimate > 2.5 * 256  # out of the ln()-based correction regime
+    assert 0 < row.nonzero_registers <= 256
