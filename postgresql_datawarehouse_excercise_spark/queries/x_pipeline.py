@@ -1209,3 +1209,162 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("4_near_dedup", s3, s4))
         .unionByName(stage("5_decontaminate", s4, s5))
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256   # hashed-bigram feature space (paper: 10k; scaled down)
+DSIR_LANG = "en"     # target-domain sample = the en-labelled slice
+DSIR_FRACTION = 10   # select top |raw|/10 (floor), min 16
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+),
+model AS (
+  SELECT bucket,
+         SUM(CASE WHEN lang = '{DSIR_LANG}' THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN lang <> '{DSIR_LANG}' THEN 1 ELSE 0 END) AS c_r
+  FROM big GROUP BY 1
+),
+scal AS (SELECT SUM(c_t) AS t_t, SUM(c_r) AS t_r FROM model),
+lp AS (
+  SELECT bucket,
+         CAST(FLOOR((ln((c_t + 1.0) / (t_t + {DSIR_BUCKETS}.0))
+                    - ln((c_r + 1.0) / (t_r + {DSIR_BUCKETS}.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS delta_micro
+  FROM model CROSS JOIN scal
+),
+scores AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(lp.delta_micro) AS logw
+  FROM big b JOIN lp USING (bucket)
+  WHERE b.lang <> '{DSIR_LANG}'
+  GROUP BY 1
+),
+raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(s.logw, 0) AS BIGINT) AS logw_micro
+  FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+  WHERE d.lang <> '{DSIR_LANG}'
+),
+k AS (SELECT GREATEST(16, COUNT(*) // {DSIR_FRACTION}) AS k FROM raw)
+SELECT doc_id, n_bigrams, logw_micro,
+       row_number() OVER (ORDER BY logw_micro DESC, doc_id) <= (SELECT k FROM k)
+         AS selected
+FROM raw
+"""
+
+
+@query("x_pipeline_dsir", oracle=_DSIR_ORACLE)
+def x_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR -- Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every RAW-pool document (lang != 'en') by its
+    importance log-weight under hashed-bigram bag-of-words models of the
+    target slice vs the raw pool, and select a top-|raw|/10 budget.
+
+    What distinguishes this from x_text_moore_lewis: the feature space is
+    a FIXED-SIZE hashed bigram table (256 buckets here, 10k in the paper),
+    not the open vocabulary -- model size is constant no matter the corpus,
+    which is what lets the two n-gram models broadcast at 100 TB.  Both
+    models are add-one smoothed over the bucket table; per-bucket
+    delta = ln p_target - ln p_raw quantizes to integer micro-nats BEFORE
+    the per-doc sum (partition-order independent; the repo's float
+    discipline), and the paper's Gumbel-noised sampling is replaced by the
+    deterministic top-k of the same weights (tie-break doc_id) so the
+    selection replays bit-identically in both engines.
+
+    Scale shape: one grouped aggregate over hashed buckets builds BOTH
+    models (map-side combined, 256 rows out); scoring is a broadcast join
+    of that 256-row table onto the bigram stream + one per-doc aggregate.
+    The top-k selection uses sort-limit (TakeOrderedAndProject: per-
+    partition top-k, driver merges k rows); at a 100 TB raw pool you would
+    swap the driver merge for the two-pass threshold search on the weight
+    histogram -- the budget fraction, not the mechanism, is the parameter
+    that matters."""
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("tk"),
+    )
+    big = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', tk[i + 1]))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    is_t = F.col("lang") == DSIR_LANG
+    model = big.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("c_r"),
+    )
+    scal = model.agg(F.sum("c_t").alias("t_t"), F.sum("c_r").alias("t_r"))
+    lp = model.crossJoin(F.broadcast(scal)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("c_t") + 1.0) / (F.col("t_t") + float(DSIR_BUCKETS)))
+                - F.log((F.col("c_r") + 1.0) / (F.col("t_r") + float(DSIR_BUCKETS)))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("delta_micro"),
+    )
+    scores = (
+        big.filter(~is_t)
+        .join(F.broadcast(lp), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("delta_micro").alias("logw"),
+        )
+    )
+    raw = (
+        t.documents.filter(F.col("lang") != DSIR_LANG)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logw", F.lit(0)).cast("long").alias("logw_micro"),
+        )
+    )
+    n_raw = raw.count()
+    k = max(16, n_raw // DSIR_FRACTION)
+    top = (
+        raw.orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return raw.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        "logw_micro",
+        F.coalesce("sel", F.lit(False)).alias("selected"),
+    )

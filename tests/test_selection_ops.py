@@ -219,3 +219,65 @@ def test_mmr_rank0_is_relevance_argmax_and_picks_are_diverse(spark, sf_dir):
         return max(dot(qv[a], qv[b]) for a, b in itertools.combinations(ids, 2))
 
     assert max_pair(mmr_ids) <= max_pair(topk_ids)
+
+
+def test_dsir_budget_and_topk(spark, sf_dir):
+    """DSIR invariants: the selected set is exactly the top max(16, n//10)
+    raw docs by (logw_micro desc, doc_id asc), and a Python replay of the
+    hashed-bigram models reproduces every weight."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        DSIR_BUCKETS,
+        DSIR_FRACTION,
+        DSIR_LANG,
+        x_pipeline_dsir,
+    )
+
+    rows = x_pipeline_dsir(spark, sf_dir).collect()
+    n = len(rows)
+    k = max(16, n // DSIR_FRACTION)
+    assert sum(r.selected for r in rows) == k
+    order = sorted(rows, key=lambda r: (-r.logw_micro, r.doc_id))
+    assert all(r.selected for r in order[:k])
+    assert not any(r.selected for r in order[k:])
+
+    # model replay
+    docs = catalog.load(spark, sf_dir).documents.select("doc_id", "lang", "text").collect()
+
+    def bigrams(text):
+        tk = re.findall(r"[a-z0-9]+", text.lower())
+        return [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(bg):
+        return int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    c_t, c_r = Counter(), Counter()
+    for d in docs:
+        c = c_t if d.lang == DSIR_LANG else c_r
+        for bg in bigrams(d.text):
+            c[bucket(bg)] += 1
+    t_t, t_r = sum(c_t.values()), sum(c_r.values())
+    buckets = set(c_t) | set(c_r)
+    delta = {
+        b: math.floor(
+            (
+                math.log((c_t[b] + 1.0) / (t_t + DSIR_BUCKETS))
+                - math.log((c_r[b] + 1.0) / (t_r + DSIR_BUCKETS))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in buckets
+    }
+    want = {}
+    for d in docs:
+        if d.lang == DSIR_LANG:
+            continue
+        want[d.doc_id] = sum(delta[bucket(bg)] for bg in bigrams(d.text))
+    got = {r.doc_id: r.logw_micro for r in rows}
+    assert got == want
