@@ -1661,3 +1661,192 @@ def x_text_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("js_nano"),
         fround(F.sum("d").cast("double") / 1000000000.0, 6).alias("js_divergence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear classifier: all-integer logistic regression with a
+# hard sigmoid (the fastText-style quality-classifier training shape).
+# ---------------------------------------------------------------------------
+
+LR_WORDS = ("table", "spark", "query")  # per-mille rate features
+LR_ITERS = 6
+LR_LR10 = 40  # learning rate x 10 (lr = 4, countering the hard sigmoid's 1/4 slope)
+# scales: features per-mille (bias 1000), weights in micro-units;
+# z_int = sum(W*X) = z * 1e9; P4 = clamp(z_int + 2e9, 0, 4e9) = p * 4e9.
+
+
+def _lr_feats_sql() -> str:
+    rates = ",\n         ".join(
+        f"CAST(FLOOR(1000.0 * len(list_filter(tk, x -> x = '{w}'))"
+        f" / greatest(len(tk), 1) + 0.5) AS BIGINT) AS x{i + 1}"
+        for i, w in enumerate(LR_WORDS)
+    )
+    return f"""feats AS (
+  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         CAST(1000 AS BIGINT) AS x0,
+         {rates},
+         CAST(FLOOR(100.0 * length(replace(text, ' ', ''))
+              / greatest(len(tk), 1) + 0.5) AS BIGINT) AS x{len(LR_WORDS) + 1}
+  FROM (SELECT lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents)
+)"""
+
+
+def _lr_oracle_sql() -> str:
+    """Unrolled gradient-descent chain (the PQ Lloyd-chain precedent):
+    every iteration is one aggregate CTE over feats CROSS JOIN the previous
+    weight row.  All arithmetic is integer-exact or double-exact-by-bound,
+    so the replay is bit-identical to the Spark loop."""
+    nf = len(LR_WORDS) + 2
+    js = range(nf)
+    parts = [_lr_feats_sql()]
+    parts.append(
+        "w0 AS (SELECT " + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in js) + ")"
+    )
+    for t in range(1, LR_ITERS + 1):
+        z = " + ".join(f"w{j} * x{j}" for j in js)
+        p4 = f"LEAST(GREATEST(({z}) + 2000000000, 0), 4000000000)"
+        gsums = ", ".join(
+            f"SUM(CAST(FLOOR((({p4}) - y * 4000000000) * x{j} / 40000000.0 + 0.5)"
+            f" AS BIGINT)) AS g{j}"
+            for j in js
+        )
+        parts.append(
+            f"g{t} AS (SELECT {gsums}, COUNT(*) AS n FROM feats CROSS JOIN w{t - 1})"
+        )
+        ws = ", ".join(
+            f"w{j} - CAST(FLOOR({LR_LR10}.0 * g{j} / n + 0.5) AS BIGINT) AS w{j}"
+            for j in js
+        )
+        parts.append(f"w{t} AS (SELECT {ws} FROM g{t} CROSS JOIN w{t - 1})")
+    z = " + ".join(f"w{j} * x{j}" for j in js)
+    wcols = ", ".join(f"w{j}" for j in js)
+    return f"""
+WITH {', '.join(parts)}
+SELECT {wcols},
+       CAST(SUM(CASE WHEN ({z}) >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN ({z}) >= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN ({z}) < 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN ({z}) < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(FLOOR(10000.0 * SUM(CASE WHEN (CASE WHEN ({z}) >= 0 THEN 1 ELSE 0 END) = y
+                                     THEN 1 ELSE 0 END) / COUNT(*) + 0.5) AS BIGINT)
+         AS accuracy_bp
+FROM feats CROSS JOIN w{LR_ITERS}
+GROUP BY {wcols}
+"""
+
+
+def _lr_features(documents: DataFrame) -> DataFrame:
+    tk = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    d = documents.select((F.col("lang") == "en").cast("long").alias("y"),
+                         tk.alias("tk"), "text")
+    cols = [F.lit(1000).cast("long").alias("x0")]
+    for i, w in enumerate(LR_WORDS):
+        cols.append(
+            F.floor(
+                1000.0 * F.expr(f"size(filter(tk, x -> x = '{w}'))")
+                / F.greatest(F.size("tk"), F.lit(1))
+                + 0.5
+            )
+            .cast("long")
+            .alias(f"x{i + 1}")
+        )
+    cols.append(
+        F.floor(
+            100.0 * F.length(F.regexp_replace("text", " ", ""))
+            / F.greatest(F.size("tk"), F.lit(1))
+            + 0.5
+        )
+        .cast("long")
+        .alias(f"x{len(LR_WORDS) + 1}")
+    )
+    return d.select("y", *cols)
+
+
+@query("x_text_lr_classifier", oracle=_lr_oracle_sql())
+def x_text_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear quality/domain classifier: logistic regression
+    trained by full-batch gradient descent, every number an integer -- the
+    fastText-shaped 'train a cheap classifier over the corpus' step of LLM
+    curation pipelines (CCNet/FineWeb quality filters), here with
+    is-English as the weak label and per-mille token-rate features.
+
+    The float trap in distributed GD is exp(): libm sigmoids differ by
+    ULPs across engines and partition-order changes the gradient sum.
+    Both are designed out: the sigmoid is the HARD sigmoid
+    clamp(z/4 + 1/2, 0, 1), computed as an integer clamp
+    P4 = clamp(z_int + 2e9, 0, 4e9) on the micro-weight/per-mille-feature
+    grid, and every per-row gradient contribution quantizes to an integer
+    BEFORE the sum (all divisions bounded so the double quotient's
+    granularity exceeds its ULP -- floor cannot flip).  The weight update
+    rounds half-up on the same argument.  One aggregate per iteration
+    (map-side combined, nf+1 numbers out); the final pass scores the
+    confusion matrix.  The DuckDB oracle replays the full unrolled chain
+    bit-for-bit.
+
+    Scale (100 TB): per iteration = one scan + one 5-number aggregate;
+    weights broadcast as literals.  On synthetic data the label carries
+    little signal, so accuracy sits near the majority prior -- the entry
+    grades the exact distributed-training mechanics, which is the part
+    that must be right before any real labels arrive."""
+    t = catalog.load(spark, sf_dir)
+    feats = _lr_features(t.documents).persist()
+    try:
+        nf = len(LR_WORDS) + 2
+        w = [0] * nf
+        n_docs = None
+        for _ in range(LR_ITERS):
+            z = None
+            for j in range(nf):
+                term = F.lit(w[j]) * F.col(f"x{j}")
+                z = term if z is None else z + term
+            p4 = F.least(
+                F.greatest(z + F.lit(2_000_000_000), F.lit(0)),
+                F.lit(4_000_000_000),
+            )
+            err4 = p4 - F.col("y") * F.lit(4_000_000_000)
+            aggs = [
+                F.sum(
+                    F.floor(err4 * F.col(f"x{j}") / 40_000_000.0 + 0.5).cast("long")
+                ).alias(f"g{j}")
+                for j in range(nf)
+            ] + [F.count(F.lit(1)).alias("n")]
+            row = feats.agg(*aggs).collect()[0]
+            n_docs = row["n"]
+            import math as _math
+
+            w = [
+                w[j] - int(_math.floor(LR_LR10 * row[f"g{j}"] / n_docs + 0.5))
+                for j in range(nf)
+            ]
+        z = None
+        for j in range(nf):
+            term = F.lit(w[j]) * F.col(f"x{j}")
+            z = term if z is None else z + term
+        pred = (z >= 0).cast("long")
+        out = feats.agg(
+            F.sum(F.when((pred == 1) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when((pred == 1) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when((pred == 0) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+            F.sum(F.when((pred == 0) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.floor(
+                10000.0
+                * F.sum((pred == F.col("y")).cast("long"))
+                / F.count(F.lit(1))
+                + 0.5
+            )
+            .cast("long")
+            .alias("accuracy_bp"),
+        )
+        sel = [F.lit(w[j]).cast("long").alias(f"w{j}") for j in range(nf)]
+        return out.select(*sel, "tp", "fp", "tn", "fn", "accuracy_bp")
+    finally:
+        feats.unpersist()

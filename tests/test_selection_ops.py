@@ -281,3 +281,50 @@ def test_dsir_budget_and_topk(spark, sf_dir):
         want[d.doc_id] = sum(delta[bucket(bg)] for bg in bigrams(d.text))
     got = {r.doc_id: r.logw_micro for r in rows}
     assert got == want
+
+
+def test_lr_classifier_exact_python_replay(spark, sf_dir):
+    """The all-integer GD loop replays exactly in pure Python: same
+    weights, same confusion counts (no float leakage anywhere)."""
+    import math
+    import re
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        LR_ITERS,
+        LR_LR10,
+        LR_WORDS,
+        x_text_lr_classifier,
+    )
+
+    docs = catalog.load(spark, sf_dir).documents.select("lang", "text").collect()
+    feats, nf = [], len(LR_WORDS) + 2
+    for d in docs:
+        tk = re.findall(r"[a-z0-9]+", d.text.lower())
+        n = max(len(tk), 1)
+        x = [1000]
+        x += [math.floor(1000.0 * tk.count(w) / n + 0.5) for w in LR_WORDS]
+        x.append(math.floor(100.0 * len(d.text.replace(" ", "")) / n + 0.5))
+        feats.append((1 if d.lang == "en" else 0, x))
+
+    w = [0] * nf
+    for _ in range(LR_ITERS):
+        g = [0] * nf
+        for y, x in feats:
+            z = sum(w[j] * x[j] for j in range(nf))
+            p4 = min(max(z + 2_000_000_000, 0), 4_000_000_000)
+            err4 = p4 - y * 4_000_000_000
+            for j in range(nf):
+                g[j] += math.floor(err4 * x[j] / 40_000_000.0 + 0.5)
+        w = [w[j] - math.floor(LR_LR10 * g[j] / len(feats) + 0.5) for j in range(nf)]
+    tp = fp = tn = fn = 0
+    for y, x in feats:
+        pred = 1 if sum(w[j] * x[j] for j in range(nf)) >= 0 else 0
+        tp += pred and y
+        fp += pred and not y
+        tn += (not pred) and (not y)
+        fn += (not pred) and y
+
+    row = x_text_lr_classifier(spark, sf_dir).collect()[0]
+    assert [row[f"w{j}"] for j in range(nf)] == w
+    assert (row.tp, row.fp, row.tn, row.fn) == (tp, fp, tn, fn)
