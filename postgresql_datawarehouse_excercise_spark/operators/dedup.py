@@ -1003,6 +1003,23 @@ def prefix_join_pairs(
     from pyspark.sql import Window
 
     sh = shingled(documents)
+    # EXACT-DUPLICATE COLLAPSE (the 100x-probe OOM fix): docs with identical
+    # shingle sets are interchangeable w.r.t. Jaccard against ANY third doc,
+    # so the pair join runs on one representative per distinct set and the
+    # full pair list is re-expanded afterwards.  Without this, a corpus with
+    # large exact-copy cohorts makes every prefix hash's posting list grow
+    # with the cohort size and the per-hash self-join buffers cohort^2 rows
+    # in one task (OOM at the 100x all-copy smoke).  With it, join cost
+    # tracks DISTINCT content only; the expansion's size is the true answer
+    # size, generated by two mapping joins, never held in one task.
+    all_hsets = sh.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.transform("sh", h32))).alias("hs"),
+    )
+    fp = F.md5(F.concat_ws(",", F.transform("hs", lambda x: x.cast("string"))))
+    mapping = all_hsets.select("doc_id", fp.alias("fp"))
+    reps = mapping.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    sh = sh.join(reps.select("doc_id"), "doc_id", "left_semi")
     post = (
         sh.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", h32(F.col("s")).alias("h"))
@@ -1038,10 +1055,8 @@ def prefix_join_pairs(
     # derive the identical md5 hashes, so the Jaccard value is unchanged
     # up to the ~2^-32 within-doc collision probability (deterministically
     # identical on both sides either way)
-    hsets = sh.select(
-        "doc_id", F.array_sort(F.array_distinct(F.transform("sh", h32))).alias("hs")
-    )
-    return (
+    hsets = all_hsets.join(reps.select("doc_id"), "doc_id", "left_semi")
+    rep_pairs = (
         cand.join(
             hsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "ha"),
             "doc_a",
@@ -1065,6 +1080,38 @@ def prefix_join_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # expansion 1: pairs WITHIN an exact-copy cohort (jaccard exactly 1)
+    rep_of = mapping.join(
+        reps.withColumnRenamed("doc_id", "rep"), "fp"
+    ).select("doc_id", "rep")
+    within = (
+        rep_of.alias("p")
+        .join(rep_of.alias("q"), F.col("p.rep") == F.col("q.rep"))
+        .filter(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # expansion 2: every member of cohort A x every member of cohort B
+    # inherits the representatives' jaccard (identical sets)
+    across = (
+        rep_pairs.join(
+            rep_of.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            rep_of.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return across.unionByName(within)
 
 
 def prefix_join_pairs_sql(min_jaccard: float = PREFIX_MIN_JACCARD) -> str:

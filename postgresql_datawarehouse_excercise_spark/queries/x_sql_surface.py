@@ -1155,3 +1155,48 @@ def x_sql_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_equals_direct",
         )
     )
+
+
+@query(
+    "x_sql_higher_order",
+    oracle=r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> length(x) >= 5)) AS BIGINT) AS n_long,
+       CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
+       list_contains(tk, 'spark') AS has_spark,
+       CAST(COALESCE(list_max(list_transform(tk, x -> length(x))), 0) AS BIGINT)
+         AS max_len,
+       CAST(COALESCE(list_position(tk, 'spark'), 0) AS BIGINT) AS spark_pos
+FROM toks
+""",
+)
+def x_sql_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions -- transform / filter / aggregate
+    (fold) / exists / array_max / array_position -- the lambda surface that
+    keeps per-row collection logic INSIDE whole-stage codegen instead of
+    exploding rows or dropping to Python.  At 100 TB the difference is a
+    zero-shuffle narrow map over each split vs an explode -> groupBy
+    round-trip per document.  DuckDB twins: list_transform / list_filter /
+    list_sum / list_contains / list_max / list_position."""
+    t = catalog.load(spark, sf_dir)
+    tk = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    d = t.documents.select(F.col("doc_id").cast("long").alias("doc_id"), tk.alias("tk"))
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.expr("size(filter(tk, x -> length(x) >= 5))").cast("long").alias("n_long"),
+        F.expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))")
+        .cast("long")
+        .alias("sum_len"),
+        F.expr("exists(tk, x -> x = 'spark')").alias("has_spark"),
+        F.coalesce(F.expr("array_max(transform(tk, x -> length(x)))"), F.lit(0))
+        .cast("long")
+        .alias("max_len"),
+        F.expr("array_position(tk, 'spark')").cast("long").alias("spark_pos"),
+    )

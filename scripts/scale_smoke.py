@@ -270,6 +270,13 @@ def sec_pairs(spark, t, k: int, sf_dir: str) -> None:
 
     timed("dedup_triangles", lambda: dedup_triangles(docs))
     timed("dedup_kcore", lambda: dedup_kcore(docs))
+    # star-contraction CC on the same dense K-clique dup graph: per-round
+    # cost tracks the CURRENT edge set, which the first large-star already
+    # collapses from ~K^2 per group toward the star
+    strong = dedup.minhash_lsh_pairs(docs).filter(
+        F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
+    )
+    timed("dedup_cc_bigstar", lambda: dedup.dedup_clusters_bigstar(strong))
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:
