@@ -1850,3 +1850,64 @@ def x_text_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select(*sel, "tp", "fp", "tn", "fn", "accuracy_bp")
     finally:
         feats.unpersist()
+
+
+@query(
+    "x_text_ccnet_buckets",
+    oracle=r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM tc),
+lp AS (
+  SELECT term,
+         CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+  FROM tc CROSS JOIN tot
+),
+scores AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         FLOOR((CAST(-SUM(lp.lp_micro) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logprob
+  FROM toks t JOIN lp USING (term)
+  GROUP BY t.doc_id
+),
+b AS (SELECT quantile_cont(avg_neg_logprob, [1.0/3, 2.0/3]) AS q FROM scores)
+SELECT doc_id, n_tokens, avg_neg_logprob,
+       CASE WHEN avg_neg_logprob <= q[1] THEN 'head'
+            WHEN avg_neg_logprob <= q[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores CROSS JOIN b
+""",
+)
+def x_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): every
+    document scored by its LM perplexity proxy (the unigram_logprob entry's
+    mean negative log-likelihood), then bucketed at the exact score
+    terciles.  CCNet keeps 'head' (lowest perplexity = most fluent) for
+    high-quality training mixes and drops or down-weights 'tail'.
+
+    The tercile boundaries come from ONE interpolated-percentile aggregate
+    broadcast to every row (the RFM pattern) -- never a global ntile sort.
+    Scores are the 1e-4-quantized doubles of the logprob entry (micro-nat
+    integer sums underneath), and Spark `percentile` / DuckDB
+    `quantile_cont` share the (n-1)*q linear-interpolation definition on
+    those identical inputs, so every boundary comparison agrees."""
+    t = catalog.load(spark, sf_dir)
+    scores = unigram_logprob(t.documents).select(
+        "doc_id", "n_tokens", "avg_neg_logprob"
+    )
+    b = scores.agg(
+        F.percentile(F.col("avg_neg_logprob"), F.lit([1.0 / 3, 2.0 / 3])).alias("q")
+    )
+    return scores.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logprob",
+        F.when(F.col("avg_neg_logprob") <= F.col("q")[0], "head")
+        .when(F.col("avg_neg_logprob") <= F.col("q")[1], "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
