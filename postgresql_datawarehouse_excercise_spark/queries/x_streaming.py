@@ -383,3 +383,31 @@ def x_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.countmin_cells(se.read_events_stream(spark, sf_dir))
     sunk = se.run_finite_to_sink(stream)
     return se.latest_per_key(sunk, ["d", "bucket"]).select("d", "bucket", "cell")
+
+
+_STREAM_HLL_ORACLE = """
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS idx,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT) AS w
+  FROM events
+)
+SELECT idx,
+       CAST(MAX(CASE WHEN w = 0 THEN 33
+                     ELSE strpos(lpad(bin(w), 32, '0'), '1') END) AS BIGINT) AS m
+FROM h GROUP BY idx
+"""
+
+
+@query("x_stream_hll", oracle=_STREAM_HLL_ORACLE)
+def x_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: distinct-user tracking as a FIXED 256-register
+    streaming MAX state (streaming/events.hll_registers) -- the second
+    sketch-as-streaming-state entry beside the count-min cells, covering
+    the other half of the daily-rollup pair (frequency + cardinality).
+    The drained registers must equal the batch HLL over the same events
+    bit-for-bit; day-sketches merge by register MAX, which is what lets a
+    100 TB pipeline keep running distinct counts without COUNT(DISTINCT)
+    over history."""
+    stream = se.hll_registers(se.read_events_stream(spark, sf_dir))
+    sunk = se.run_finite_to_sink(stream)
+    return se.latest_per_key(sunk, ["idx"]).select("idx", "m")

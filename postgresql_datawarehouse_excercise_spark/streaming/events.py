@@ -452,3 +452,29 @@ def countmin_cells(events: DataFrame, depth: int = 4, width: int = 16) -> DataFr
         .groupBy(F.col("bk.d").alias("d"), F.col("bk.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("cell"))
     )
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog over the user_id stream: every event maps to
+    one (register index, rho) pair -- index = first md5 byte, rho =
+    leftmost 1-bit position of the next 32 hash bits -- and ONE unwindowed
+    streaming MAX keeps the 256 registers.  Like the count-min cells this
+    is sketch-as-streaming-state: distinct-user tracking with FIXED state
+    whatever the stream volume, and register maps from different streams /
+    days merge by cell-wise MAX (the mergeability the batch
+    x_sql_hll_sketch entry proves).  Update-mode emissions are monotone
+    per register (MAX only grows), so latest_per_key yields the final
+    sketch."""
+    hx = F.md5(F.col("user_id").cast("string"))
+    w = F.conv(F.substring(hx, 3, 8), 16, 10).cast("long")
+    return (
+        events.select(
+            F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("idx"),
+            F.when(w == 0, F.lit(33))
+            .otherwise(F.instr(F.lpad(F.bin(w), 32, "0"), "1"))
+            .cast("long")
+            .alias("r"),
+        )
+        .groupBy("idx")
+        .agg(F.max("r").alias("m"))
+    )
