@@ -1155,6 +1155,34 @@ WHERE {jac} >= {min_jaccard}
 """
 
 
+def exact_cohorts(documents: DataFrame) -> DataFrame:
+    """(doc_id, rep, s): exact-duplicate cohorts by shingle-set fingerprint.
+
+    Docs with identical shingle sets behave identically under Jaccard
+    against any third doc, so every pair/graph operator over the near-dup
+    relation can contract each cohort to its min-id representative (rep),
+    run on distinct content only, and re-expand with the cohort size s --
+    the blowup-proof trick behind prefix_join_pairs' 100x fix and the
+    weighted triangle contraction.  One shingle pass + one fingerprint
+    groupBy; no pair work."""
+    hs = shingled(documents).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.array_distinct(F.transform("sh", h32))),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp"),
+    )
+    cohorts = hs.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("s")
+    )
+    return hs.join(cohorts, "fp").select("doc_id", "rep", "s")
+
+
 # ---------------------------------------------------------------------------
 # Connected components, round-efficient variant: alternating large-star /
 # small-star (Kiveris et al., "Connected Components in MapReduce and

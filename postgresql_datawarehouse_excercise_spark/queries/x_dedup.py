@@ -477,18 +477,49 @@ def x_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_triangles(t_docs: DataFrame) -> DataFrame:
     """Core of x_dedup_triangles over any (doc_id, text) relation (also
-    driven by scripts/scale_smoke.py on K-fold multiplied data)."""
+    driven by scripts/scale_smoke.py on K-fold multiplied data).
+
+    Exact-copy cohort CONTRACTION (the 100x fix -- 807.5 s of raw wedge
+    joins at the all-copy smoke before this): docs with identical shingle
+    sets form cliques whose members all share the same neighbor relation,
+    so the expanded strong-pair graph is exactly the contracted graph with
+    every cohort A (size s_A) internally complete and adjacent cohorts
+    completely bipartite.  Per-member counts then have a closed form:
+
+        deg(v in A)  = (s_A - 1) + W_A,           W_A  = sum_{B~A} s_B
+        tri(v in A)  = C(s_A - 1, 2)                      [both in A]
+                     + (s_A - 1) * W_A                    [one in A]
+                     + sum_{B~A} C(s_B, 2)                [both in one B]
+                     + T_A                                [two cohorts]
+        T_A = sum over contracted triangles (A,B,C) of s_B * s_C
+
+    so the wedge join -- the only super-linear stage -- runs on DISTINCT
+    content only, and the expansion is a mapping join."""
     from ..functions import ratio as _ratio
 
-    pairs = dedup.minhash_lsh_pairs(t_docs)
+    cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
+    rep_docs = t_docs.join(
+        cohorts.select(F.col("rep").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    pairs = dedup.minhash_lsh_pairs(rep_docs)
     strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
     und = strong.union(
         strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    deg = und.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    sizes = cohorts.select(F.col("rep").alias("v"), F.col("s")).distinct()
+    # per-cohort neighbor aggregates: W_A and sum of C(s_B, 2)
+    sym = und.join(sizes.withColumnRenamed("v", "b").withColumnRenamed("s", "sb"), "b")
+    neigh = sym.groupBy(F.col("a").alias("v")).agg(
+        F.sum("sb").alias("w"),
+        F.sum((F.col("sb") * (F.col("sb") - 1)) / 2).cast("long").alias("c2n"),
+        F.count(F.lit(1)).alias("cdeg"),
+    )
+    # degree-oriented wedge join on the CONTRACTED graph; each triangle
+    # (x, y, z) contributes s_y*s_z to x, s_x*s_z to y, s_x*s_y to z
+    cdeg = neigh.select("v", "cdeg")
     o = (
-        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        und.join(cdeg.withColumnRenamed("v", "a").withColumnRenamed("cdeg", "da"), "a")
+        .join(cdeg.withColumnRenamed("v", "b").withColumnRenamed("cdeg", "db"), "b")
         .filter(
             (F.col("da") < F.col("db"))
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
@@ -499,24 +530,47 @@ def dedup_triangles(t_docs: DataFrame) -> DataFrame:
     e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     e3 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    pernode = (
-        tri.select(F.col("x").alias("v"))
-        .union(tri.select(F.col("y").alias("v")))
-        .union(tri.select(F.col("z").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .join(sizes.withColumnRenamed("v", "x").withColumnRenamed("s", "sx"), "x")
+        .join(sizes.withColumnRenamed("v", "y").withColumnRenamed("s", "sy"), "y")
+        .join(sizes.withColumnRenamed("v", "z").withColumnRenamed("s", "sz"), "z")
     )
-    return (
-        deg.filter(F.col("deg") >= 2)
+    pernode = (
+        tri.select(F.col("x").alias("v"), (F.col("sy") * F.col("sz")).alias("c"))
+        .union(tri.select(F.col("y").alias("v"), (F.col("sx") * F.col("sz")).alias("c")))
+        .union(tri.select(F.col("z").alias("v"), (F.col("sx") * F.col("sy")).alias("c")))
+        .groupBy("v")
+        .agg(F.sum("c").alias("t"))
+    )
+    per_cohort = (
+        sizes.join(neigh.select("v", "w", "c2n"), "v", "left")
         .join(pernode, "v", "left")
         .select(
-            F.col("v").alias("doc_id"),
-            F.col("deg").cast("long").alias("degree"),
-            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.col("v").alias("rep"),
+            (
+                (F.col("s") - 1) + F.coalesce("w", F.lit(0))
+            ).cast("long").alias("degree"),
+            (
+                ((F.col("s") - 1) * (F.col("s") - 2) / 2).cast("long")
+                + (F.col("s") - 1) * F.coalesce("w", F.lit(0))
+                + F.coalesce("c2n", F.lit(0))
+                + F.coalesce("t", F.lit(0))
+            ).cast("long").alias("n_triangles"),
+        )
+    )
+    return (
+        cohorts.select("doc_id", "rep")
+        .join(per_cohort, "rep")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "doc_id",
+            "degree",
+            "n_triangles",
             _ratio(
-                2 * F.coalesce("t", F.lit(0)),
-                F.col("deg") * (F.col("deg") - 1),
+                2 * F.col("n_triangles"),
+                F.col("degree") * (F.col("degree") - 1),
             ).alias("clustering_coeff"),
         )
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from postgresql_datawarehouse_excercise_spark.operators import dedup
 
@@ -91,3 +92,46 @@ def test_bigstar_property_random(spark, seed):
     if not edges:
         edges = [(0, 1)]
     assert _run(spark, edges) == _truth(edges)
+
+
+def test_triangle_contraction_matches_bruteforce(spark, sf_dir):
+    """The cohort-contracted triangle count equals a pure-Python wedge
+    count on the EXPANDED strong-pair graph, exercised with real cohorts:
+    documents multiplied 4x (exact copies) so every doc sits in a size-4
+    cohort and every closed-form term is non-trivial."""
+    from itertools import combinations
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.operators import dedup
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import dedup_triangles
+
+    docs = catalog.load(spark, sf_dir).documents.select("doc_id", "text")
+    k = 4
+    multi = docs
+    for i in range(1, k):
+        multi = multi.union(
+            docs.select((F.col("doc_id") + 1_000_000_000 * i).alias("doc_id"), "text")
+        )
+
+    got = {
+        r.doc_id: (r.degree, r.n_triangles)
+        for r in dedup_triangles(multi).collect()
+    }
+
+    strong = (
+        dedup.minhash_lsh_pairs(multi)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in strong:
+        adj.setdefault(r.doc_a, set()).add(r.doc_b)
+        adj.setdefault(r.doc_b, set()).add(r.doc_a)
+    want = {}
+    for v, nb in adj.items():
+        if len(nb) < 2:
+            continue
+        t = sum(1 for a, b in combinations(sorted(nb), 2) if b in adj.get(a, ()))
+        want[v] = (len(nb), t)
+    assert got == want
