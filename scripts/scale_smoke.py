@@ -9,10 +9,24 @@ quadratically thanks to their DF cutoffs / banding / blocking.
 
 Usage: python scripts/scale_smoke.py [K] [--sections=a,b,...]
   K default 10.  Sections (default all): docs emb line tpch events mutation
-  stream.  High-K probes pick subsets — the doc-pair sections are
+  stream pairs.  High-K probes pick subsets — the doc-pair sections are
   deliberately quadratic-OUTPUT at high K (100 exact copies per doc make
   LSH emit every genuine pair), so the 100x sweeps run the linear-path and
-  join-shape sections.
+  join-shape sections.  Run the K=100 pairs/graph section with
+  SPARK_DRIVER_MEMORY=48g: the 27M-pair answers and checkpointed 50M-edge
+  graphs exceed the 8g default local-mode heap (on a real cluster this is
+  executor-distributed state).
+
+pairs section at K=100, round 9 (the all-copy worst case; VERDICT r8 #4):
+  winnow_overlap_pairs    24.0M pairs  117.6 s  (output-quadratic per cohort)
+  prefix_join_pairs       27.3M pairs   54.4 s  (OOM before the exact-copy
+                                                 cohort collapse; the exact
+                                                 join now beats the sketch)
+  dedup_triangles          500k rows    21.4 s  (807.5 s before the weighted
+                                                 cohort contraction)
+  dedup_kcore              500k rows    90.5 s  (fixpoint peeling, linear)
+  dedup_cc_bigstar         500k rows   180.1 s  (star contraction; per-round
+                                                 edge set shrinks)
 
 Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
   minhash_signatures      50,000 docs    6.6 s   (0.7 s at 1x -> linear)
