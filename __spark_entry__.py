@@ -49,6 +49,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "x_source_binaryfile",
     # non-degenerate decontamination stage (wider synthetic vocabulary)
     "x_pipeline_curation_funnel",
+    # round 9: exact-copy cohort collapse under the prefix join (and the
+    # lsh_recall entry whose exact side it provides)
+    "x_dedup_prefix_join",
+    "x_dedup_lsh_recall",
+    # round 9: weighted cohort contraction under triangle counting
+    "x_dedup_triangles",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -1911,3 +1911,133 @@ def x_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+CDC_DIV = 8  # boundary where the 2-token window hash % CDC_DIV == 0
+
+
+@query(
+    "x_text_cdc_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN pos = 1 THEN 0
+              WHEN CAST(concat('0x', substr(md5(
+                     lag(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                     || ' ' || term), 1, 8)) AS BIGINT) % {CDC_DIV} = 0 THEN 1
+              ELSE 0 END AS flag
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, pos, term,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, seg_id,
+         md5(string_agg(term, ' ' ORDER BY pos)) AS ch,
+         COUNT(*) AS chunk_tokens
+  FROM seg GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, chunk_tokens,
+         row_number() OVER (PARTITION BY ch ORDER BY doc_id, seg_id) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupe_chunks,
+       {{keep}} AS keep_ratio,
+       {{avg}} AS avg_chunk_tokens
+FROM ranked GROUP BY doc_id
+""".format(
+        keep=sql_ratio("SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)", "COUNT(*)"),
+        avg=sql_ratio("SUM(chunk_tokens)", "COUNT(*)"),
+    ),
+)
+def x_text_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/Gear CDC idea at token
+    granularity): chunk boundaries fall where the rolling 2-token window
+    hash is 0 mod 8 (expected chunk ~8 tokens), so boundaries are decided
+    by CONTENT, not position -- a one-token insertion resynchronizes at
+    the next content boundary instead of shifting every downstream chunk
+    the way x_text_block_dedup's fixed 16-token grid does (the
+    boundary-shift robustness is pinned in tests/test_selection_ops.py).
+    Only the globally FIRST occurrence of each chunk survives (total
+    order: doc_id, position), per-doc survival ratio reported.
+
+    Scale shape: the token explosion shuffles ONCE keyed by doc (lag +
+    running-sum windows are per-doc, partitions bounded by doc length);
+    chunk assembly is one (doc, seg) aggregate; first-occurrence selection
+    is a rank-1 window keyed by chunk hash.  Same stages as block_dedup --
+    CDC changes only where boundaries fall."""
+    from pyspark.sql import Window
+
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.lag("term").over(wd), F.col("term"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.when(F.col("pos") == 1, 0)
+        .when(h % CDC_DIV == 0, 1)
+        .otherwise(0)
+        .alias("flag"),
+    )
+    seg = flagged.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.sum("flag").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("seg_id"),
+    )
+    chunks = (
+        seg.groupBy("doc_id", "seg_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("term")))
+                        ),
+                        lambda s: s["term"],
+                    ),
+                )
+            ).alias("ch"),
+            F.count(F.lit(1)).alias("chunk_tokens"),
+        )
+    )
+    wr = Window.partitionBy("ch").orderBy("doc_id", "seg_id")
+    ranked = chunks.select(
+        "doc_id", "chunk_tokens", F.row_number().over(wr).alias("rn")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dupe_chunks"),
+        fround(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("keep_ratio"),
+        fround(
+            F.sum("chunk_tokens").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("avg_chunk_tokens"),
+    )

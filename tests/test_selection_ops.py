@@ -328,3 +328,40 @@ def test_lr_classifier_exact_python_replay(spark, sf_dir):
     row = x_text_lr_classifier(spark, sf_dir).collect()[0]
     assert [row[f"w{j}"] for j in range(nf)] == w
     assert (row.tp, row.fp, row.tn, row.fn) == (tp, fp, tn, fn)
+
+
+def test_cdc_boundary_shift_robustness():
+    """The reason CDC exists: a one-token prefix insertion resynchronizes
+    chunking at the next content boundary, so most chunks survive intact;
+    a fixed-width block grid shifts every downstream block.  Pure-Python
+    replica of the entry's md5 boundary rule."""
+    import hashlib
+    import random
+
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import CDC_DIV
+
+    random.seed(11)
+    vocab = ["alpha", "bravo", "carol", "delta", "echo1", "fox", "golf", "hotel"]
+    tokens = [random.choice(vocab) for _ in range(400)]
+
+    def cdc_chunks(tk):
+        chunks, cur = [], [tk[0]]
+        for prev, term in zip(tk, tk[1:]):
+            h = int(hashlib.md5(f"{prev} {term}".encode()).hexdigest()[:8], 16)
+            if h % CDC_DIV == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+            cur.append(term)
+        chunks.append(" ".join(cur))
+        return chunks
+
+    def block_chunks(tk, w=16):
+        return [" ".join(tk[i : i + w]) for i in range(0, len(tk), w)]
+
+    shifted = ["inserted"] + tokens
+    a, b = set(cdc_chunks(tokens)), set(cdc_chunks(shifted))
+    cdc_overlap = len(a & b) / len(a)
+    ba, bb = set(block_chunks(tokens)), set(block_chunks(shifted))
+    block_overlap = len(ba & bb) / len(ba)
+    assert cdc_overlap > 0.8, cdc_overlap
+    assert block_overlap < 0.2, block_overlap
