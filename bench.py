@@ -264,6 +264,15 @@ def main() -> None:
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
         "x_text_countmin_hh",
+        # round 9
+        "x_dedup_cc_bigstar",
+        "x_text_lr_classifier",
+        "x_text_ccnet_buckets",
+        "x_text_cdc_dedup",
+        "x_pipeline_dsir",
+        "x_pipeline_skew_report",
+        "x_sql_hll_sketch",
+        "x_sql_higher_order",
         "x_text_zipf_fit",
         "x_text_domain_divergence",
         "x_text_rake_phrases",
@@ -405,6 +414,7 @@ def main() -> None:
         "x_stream_incremental_mv",
         "x_stream_range_join",
         "x_stream_cdc_latest",
+        "x_stream_hll",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 

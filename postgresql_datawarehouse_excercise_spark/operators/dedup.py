@@ -981,6 +981,11 @@ WHERE {sql_ratio("s.shared_fp", "least(a.n_fp, b.n_fp)")} >= {WINNOW_MIN_OVERLAP
 
 PREFIX_MIN_JACCARD = 0.5
 
+# contract exact-copy cohorts only once a cohort's clique work dominates the
+# contraction's ~12 fixed extra stages (C(8,3)=56 triangles per clique; below
+# this the direct formulations win -- measured at sf0.1's max-s-2 corpus)
+CONTRACT_MIN_COHORT = 8
+
 
 def prefix_join_pairs(
     documents: DataFrame, min_jaccard: float = PREFIX_MIN_JACCARD
@@ -1004,22 +1009,26 @@ def prefix_join_pairs(
 
     sh = shingled(documents)
     # EXACT-DUPLICATE COLLAPSE (the 100x-probe OOM fix): docs with identical
-    # shingle sets are interchangeable w.r.t. Jaccard against ANY third doc,
-    # so the pair join runs on one representative per distinct set and the
-    # full pair list is re-expanded afterwards.  Without this, a corpus with
-    # large exact-copy cohorts makes every prefix hash's posting list grow
-    # with the cohort size and the per-hash self-join buffers cohort^2 rows
-    # in one task (OOM at the 100x all-copy smoke).  With it, join cost
-    # tracks DISTINCT content only; the expansion's size is the true answer
-    # size, generated by two mapping joins, never held in one task.
+    # text are interchangeable w.r.t. Jaccard against ANY third doc, so the
+    # pair join runs on one representative per cohort and the full pair
+    # list is re-expanded afterwards.  Without it, a corpus with large
+    # exact-copy cohorts makes every prefix hash's posting list grow with
+    # the cohort size and the per-hash self-join buffers cohort^2 rows in
+    # one task (OOM at the 100x all-copy smoke).  With it, join cost
+    # tracks DISTINCT content; the expansion is the true answer size,
+    # generated by two mapping joins, never held in one task.
+    # ADAPTIVE (one 1-row aggregate over a cheap md5 projection): below
+    # CONTRACT_MIN_COHORT the direct path wins -- same runtime-stats-decide
+    # principle as AQE.
     all_hsets = sh.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.transform("sh", h32))).alias("hs"),
     )
-    fp = F.md5(F.concat_ws(",", F.transform("hs", lambda x: x.cast("string"))))
-    mapping = all_hsets.select("doc_id", fp.alias("fp"))
-    reps = mapping.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    sh = sh.join(reps.select("doc_id"), "doc_id", "left_semi")
+    collapse = max_cohort_size(documents) >= CONTRACT_MIN_COHORT
+    cohorts = exact_cohorts(documents).localCheckpoint() if collapse else None
+    if collapse:
+        reps = cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+        sh = sh.join(reps, "doc_id", "left_semi")
     post = (
         sh.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", h32(F.col("s")).alias("h"))
@@ -1055,7 +1064,9 @@ def prefix_join_pairs(
     # derive the identical md5 hashes, so the Jaccard value is unchanged
     # up to the ~2^-32 within-doc collision probability (deterministically
     # identical on both sides either way)
-    hsets = all_hsets.join(reps.select("doc_id"), "doc_id", "left_semi")
+    hsets = (
+        all_hsets.join(reps, "doc_id", "left_semi") if collapse else all_hsets
+    )
     rep_pairs = (
         cand.join(
             hsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "ha"),
@@ -1080,10 +1091,10 @@ def prefix_join_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if not collapse:
+        return rep_pairs
     # expansion 1: pairs WITHIN an exact-copy cohort (jaccard exactly 1)
-    rep_of = mapping.join(
-        reps.withColumnRenamed("doc_id", "rep"), "fp"
-    ).select("doc_id", "rep")
+    rep_of = cohorts.select("doc_id", "rep")
     within = (
         rep_of.alias("p")
         .join(rep_of.alias("q"), F.col("p.rep") == F.col("q.rep"))
@@ -1155,27 +1166,38 @@ WHERE {jac} >= {min_jaccard}
 """
 
 
-def exact_cohorts(documents: DataFrame) -> DataFrame:
-    """(doc_id, rep, s): exact-duplicate cohorts by shingle-set fingerprint.
+def max_cohort_size(documents: DataFrame) -> int:
+    """Largest exact-copy cohort (raw-text md5 grain): the 1-row adaptive
+    probe the contraction callers run before deciding to collapse.  One
+    md5 projection + one count aggregate -- no join, no wide state."""
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(F.max("s"))
+        .collect()[0][0]
+    )
 
-    Docs with identical shingle sets behave identically under Jaccard
-    against any third doc, so every pair/graph operator over the near-dup
-    relation can contract each cohort to its min-id representative (rep),
-    run on distinct content only, and re-expand with the cohort size s --
-    the blowup-proof trick behind prefix_join_pairs' 100x fix and the
-    weighted triangle contraction.  One shingle pass + one fingerprint
-    groupBy; no pair work."""
-    hs = shingled(documents).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.array_distinct(F.transform("sh", h32))),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("fp"),
+
+def exact_cohorts(documents: DataFrame) -> DataFrame:
+    """(doc_id, rep, s): exact-duplicate cohorts by raw-text md5.
+
+    Docs with identical text have identical shingle sets and therefore
+    identical Jaccard against any third doc, so every pair/graph operator
+    over the near-dup relation can contract each cohort to its min-id
+    representative (rep), run on distinct content only, and re-expand with
+    the cohort size s -- the blowup-proof trick behind prefix_join_pairs'
+    100x fix and the weighted triangle contraction.  Text-identity is a
+    CONSERVATIVE subset of shingle-set identity (a reordered-shingle dup
+    with different text stays uncontracted -- only the optimization is
+    lost, never correctness), and it is what storage-level duplication
+    actually produces (mirrors, re-crawls, retries).  Cost: ONE md5 per
+    document over the raw text -- no tokenize/shingle pass, so the
+    adaptive probe the callers run first is a cheap projection (an
+    earlier shingle-set-fingerprint formulation cost ~75% of the whole
+    triangles entry at sf0.1)."""
+    hs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("fp"),
     )
     cohorts = hs.groupBy("fp").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("s")

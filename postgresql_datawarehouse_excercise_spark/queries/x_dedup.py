@@ -494,9 +494,24 @@ def dedup_triangles(t_docs: DataFrame) -> DataFrame:
         T_A = sum over contracted triangles (A,B,C) of s_B * s_C
 
     so the wedge join -- the only super-linear stage -- runs on DISTINCT
-    content only, and the expansion is a mapping join."""
+    content only, and the expansion is a mapping join.
+
+    ADAPTIVE: one 1-row aggregate reads the largest cohort size; below
+    CONTRACT_MIN_COHORT the direct wedge join wins (a size-2 cohort adds
+    one triangle row where the contraction adds ~12 fixed stages, ~4.5 s
+    of pure overhead at sf0.1's max-s-2 corpus), above it the cohort
+    cliques' C(s,3) wedge output dominates everything (807.5 s at s=100)
+    -- the same runtime-statistics-decide-the-plan principle AQE applies
+    to join strategies."""
     from ..functions import ratio as _ratio
 
+    if dedup.max_cohort_size(t_docs) < dedup.CONTRACT_MIN_COHORT:
+        strong = (
+            dedup.minhash_lsh_pairs(t_docs)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b")
+        )
+        return _triangles_direct(strong, _ratio)
     cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
     rep_docs = t_docs.join(
         cohorts.select(F.col("rep").alias("doc_id")).distinct(), "doc_id", "left_semi"
@@ -571,6 +586,51 @@ def dedup_triangles(t_docs: DataFrame) -> DataFrame:
             _ratio(
                 2 * F.col("n_triangles"),
                 F.col("degree") * (F.col("degree") - 1),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def _triangles_direct(strong: "DataFrame", _ratio) -> "DataFrame":
+    """The raw degree-oriented wedge join (pre-contraction path): each
+    triangle enumerated once, out-degree bounded O(sqrt(m)).  Taken when
+    every exact-copy cohort is a singleton; shares output semantics with
+    the contracted path (tests pin both against the same oracle)."""
+    und = strong.union(
+        strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    o = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint()
+    )
+    e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pernode = (
+        tri.select(F.col("x").alias("v"))
+        .union(tri.select(F.col("y").alias("v")))
+        .union(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(pernode, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            _ratio(
+                2 * F.coalesce("t", F.lit(0)),
+                F.col("deg") * (F.col("deg") - 1),
             ).alias("clustering_coeff"),
         )
     )

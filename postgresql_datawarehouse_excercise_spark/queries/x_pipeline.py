@@ -1368,3 +1368,74 @@ def x_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logw_micro",
         F.coalesce("sel", F.lit(False)).alias("selected"),
     )
+
+
+SKEW_TOP = 10
+
+
+@query(
+    "x_pipeline_skew_report",
+    oracle=f"""
+WITH freq AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+  FROM freq
+),
+top AS (
+  SELECT key, cnt FROM freq ORDER BY cnt DESC, key LIMIT {SKEW_TOP}
+),
+topagg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top_rows FROM top)
+SELECT total_rows, n_keys, max_key_rows,
+       FLOOR((CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(total_rows AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS skew_factor,
+       FLOOR((CAST(top_rows AS DOUBLE) / CAST(total_rows AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         AS top{SKEW_TOP}_share
+FROM stats CROSS JOIN topagg
+""",
+)
+def x_pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the decide-before-you-salt primitive that
+    pairs with x_pipeline_salted_hot_keys.  skew_factor = hottest key's
+    rows relative to the mean key (1.0 = uniform; AQE's skew-join kicks in
+    around 5x median partition size), plus the share of rows owned by the
+    top-{SKEW_TOP} keys.  One map-side-combined key aggregate; the top-k
+    is a sort-limit over key-grain rows (never row-grain); two 1-row
+    relations cross-join into the report.  At 100 TB this is the cheap
+    pre-flight that tells you whether the fact-fact join needs salting,
+    AQE skew handling, or nothing."""
+    t = catalog.load(spark, sf_dir)
+    freq = t.orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = freq.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+    )
+    topagg = (
+        freq.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(SKEW_TOP)
+        .agg(F.sum("cnt").cast("long").alias("top_rows"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(topagg))
+        .select(
+            "total_rows",
+            "n_keys",
+            "max_key_rows",
+            fround(
+                F.col("max_key_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double"),
+                4,
+            ).alias("skew_factor"),
+            fround(
+                F.col("top_rows").cast("double") / F.col("total_rows").cast("double"),
+                4,
+            ).alias(f"top{SKEW_TOP}_share"),
+        )
+    )

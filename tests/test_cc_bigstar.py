@@ -97,16 +97,22 @@ def test_bigstar_property_random(spark, seed):
 def test_triangle_contraction_matches_bruteforce(spark, sf_dir):
     """The cohort-contracted triangle count equals a pure-Python wedge
     count on the EXPANDED strong-pair graph, exercised with real cohorts:
-    documents multiplied 4x (exact copies) so every doc sits in a size-4
-    cohort and every closed-form term is non-trivial."""
+    documents multiplied 10x (exact copies; past CONTRACT_MIN_COHORT so
+    the CONTRACTED path runs) and every closed-form term non-trivial.
+    The direct path is exercised by the gate corpora (max cohort 2)."""
     from itertools import combinations
 
     from postgresql_datawarehouse_excercise_spark import catalog
     from postgresql_datawarehouse_excercise_spark.operators import dedup
     from postgresql_datawarehouse_excercise_spark.queries.x_dedup import dedup_triangles
 
-    docs = catalog.load(spark, sf_dir).documents.select("doc_id", "text")
-    k = 4
+    docs = (
+        catalog.load(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)  # 100 base docs keep brute force cheap
+    )
+    k = 10
+    assert k >= dedup.CONTRACT_MIN_COHORT
     multi = docs
     for i in range(1, k):
         multi = multi.union(

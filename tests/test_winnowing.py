@@ -122,6 +122,9 @@ def test_prefix_join_complete_vs_bruteforce(spark):
         toks = (b + " " + hot).split()
         toks[rng.randrange(len(toks))] = "mutated"
         texts.append(" ".join(toks))                      # near dup
+    # a >= CONTRACT_MIN_COHORT exact-copy cohort so the COLLAPSE path runs
+    # (small cohorts take the direct path)
+    texts.extend([base[0] + " " + hot] * dedup.CONTRACT_MIN_COHORT)
     docs = _docs_df(spark, texts)
 
     def shingles(t):
