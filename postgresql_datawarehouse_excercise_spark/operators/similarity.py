@@ -896,3 +896,123 @@ FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluator (Kusupati et al., NeurIPS 2022): how much
+# recall the PREFIX of an embedding buys.  MRL-trained models pack the
+# most informative directions first, so retrieval systems run a cheap
+# truncated-dim first pass and re-rank survivors at full dim; this
+# evaluator measures the truncated arm's recall@k against the full-dim
+# exact ranking -- on non-MRL embeddings (like the synthetic table) it
+# measures what naive truncation loses, which is the baseline the MRL
+# paper improves on.
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 8  # prefix dims evaluated (full = 64)
+
+
+def mrl_recall(
+    embeddings: DataFrame,
+    n_queries: int = KNN_QUERIES,
+    k: int = TOP_K,
+    dim: int = MRL_DIM,
+) -> DataFrame:
+    """Per query: recall@k of prefix-dim cosine ranking vs full-dim exact.
+
+    ONE corpus x queries pass computes BOTH scores (the truncated arm costs
+    a slice, not a second scan); two ranking windows share the pass.  At
+    100 TB the production layout stores the prefix slice as its own column
+    (or a separate narrow table) so the first pass scans dim/64 of the
+    bytes -- here both derive from one array column."""
+    from pyspark.sql.window import Window
+
+    base = _norms(embeddings).withColumn(
+        "e8", F.slice(F.col("e"), 1, dim)
+    ).withColumn("n8", F.sqrt(dot(F.col("e8"), F.col("e8"))))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+        F.col("e8").alias("qe8"),
+        F.col("n8").alias("qn8"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6).alias(
+                "cos_full"
+            ),
+            fround(
+                dot(F.col("e8"), F.col("qe8")) / (F.col("n8") * F.col("qn8")), 6
+            ).alias("cos_pre"),
+        )
+    )
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(col).desc(), F.col("vec_id").asc()
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk("cos_full")
+    approx = topk("cos_pre")
+    joined = exact.join(
+        approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        ratio(F.count("hit"), F.count(F.lit(1))).alias("recall"),
+    )
+
+
+def mrl_recall_sql(
+    n_queries: int = KNN_QUERIES, k: int = TOP_K, dim: int = MRL_DIM
+) -> str:
+    from ..functions import sql_ratio
+
+    full = "FLOOR((list_cosine_similarity(b.e, q.qe)) * 1000000.0 + 0.5) / 1000000.0"
+    pre = (
+        f"FLOOR((list_cosine_similarity(b.e[1:{dim}], q.qe[1:{dim}]))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    recall = sql_ratio("COUNT(a.vec_id)", "COUNT(*)")
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < {n_queries}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {full} DESC, b.vec_id ASC) AS rn
+    FROM base b CROSS JOIN q WHERE b.vec_id != q.query_id
+  ) WHERE rn <= {k}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {pre} DESC, b.vec_id ASC) AS rn
+    FROM base b CROSS JOIN q WHERE b.vec_id != q.query_id
+  ) WHERE rn <= {k}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       {recall} AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
