@@ -930,7 +930,7 @@ def mrl_recall(
     base = _norms(embeddings).withColumn(
         "e8", F.slice(F.col("e"), 1, dim)
     ).withColumn("n8", F.sqrt(dot(F.col("e8"), F.col("e8"))))
-    q = base.filter(F.col("vec_id") < n_queries).select(
+    q = base.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("n").alias("qn"),
