@@ -1306,3 +1306,47 @@ def dedup_clusters_bigstar(pairs: DataFrame, max_iterations: int = 20) -> DataFr
             F.coalesce(F.col("v"), F.col("doc_id")).eqNullSafe(F.col("doc_id")).alias("keep"),
         )
     )
+
+
+def dedup_clusters_bigstar_contracted(
+    documents: DataFrame, threshold: float = DEDUP_CLUSTER_MIN_JACCARD
+) -> DataFrame:
+    """dedup_clusters_bigstar over the strong near-dup relation of a
+    documents table, with the exact-copy cohort contraction in front: all
+    members of a cohort share their rep's neighbor relation, so the star
+    rounds run on the rep graph only and each member inherits its rep's
+    component label (reps are cohort minima, so the component min over
+    reps IS the global min).  Same adaptive trigger as the prefix join and
+    triangle counting: below CONTRACT_MIN_COHORT the direct path wins.
+
+    Output semantics identical to the direct path: every doc with at
+    least one strong pair (cross-cohort via the rep graph, within-cohort
+    whenever s >= 2), cluster_id = component min, keep = is-min."""
+    if max_cohort_size(documents) < CONTRACT_MIN_COHORT:
+        pairs = minhash_lsh_pairs(documents).filter(
+            F.col("jaccard") >= threshold
+        )
+        return dedup_clusters_bigstar(pairs)
+    cohorts = exact_cohorts(documents).localCheckpoint()
+    rep_docs = documents.join(
+        cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = minhash_lsh_pairs(rep_docs).filter(F.col("jaccard") >= threshold)
+    rep_labels = dedup_clusters_bigstar(pairs).select(
+        F.col("doc_id").alias("rep"), F.col("cluster_id").alias("rep_cluster")
+    )
+    return (
+        cohorts.join(rep_labels, "rep", "left")
+        # in the expanded graph a doc has an edge iff its rep has a
+        # cross-cohort strong pair OR its cohort has >= 2 members
+        .filter(F.col("rep_cluster").isNotNull() | (F.col("s") >= 2))
+        .select(
+            "doc_id",
+            F.coalesce("rep_cluster", F.col("rep")).alias("cluster_id"),
+            (
+                F.col("doc_id") == F.coalesce("rep_cluster", F.col("rep"))
+            ).alias("keep"),
+        )
+    )

@@ -19,14 +19,17 @@ Usage: python scripts/scale_smoke.py [K] [--sections=a,b,...]
 
 pairs section at K=100, round 9 (the all-copy worst case; VERDICT r8 #4):
   winnow_overlap_pairs    24.0M pairs  117.6 s  (output-quadratic per cohort)
-  prefix_join_pairs       27.3M pairs   54.4 s  (OOM before the exact-copy
-                                                 cohort collapse; the exact
+  prefix_join_pairs       27.3M pairs   27.4 s  (OOM before the exact-copy
+                                                 cohort collapse, 54.4 s on
+                                                 its first fix; the exact
                                                  join now beats the sketch)
-  dedup_triangles          500k rows    21.4 s  (807.5 s before the weighted
+  dedup_triangles          500k rows    20.2 s  (807.5 s before the weighted
                                                  cohort contraction)
   dedup_kcore              500k rows    90.5 s  (fixpoint peeling, linear)
-  dedup_cc_bigstar         500k rows   180.1 s  (star contraction; per-round
-                                                 edge set shrinks)
+  dedup_cc_bigstar         500k rows    15.4 s  (180.1 s on the raw expanded
+                                                 graph; star rounds now run
+                                                 on the rep graph, members
+                                                 inherit labels)
 
 Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
   minhash_signatures      50,000 docs    6.6 s   (0.7 s at 1x -> linear)
@@ -284,13 +287,12 @@ def sec_pairs(spark, t, k: int, sf_dir: str) -> None:
 
     timed("dedup_triangles", lambda: dedup_triangles(docs))
     timed("dedup_kcore", lambda: dedup_kcore(docs))
-    # star-contraction CC on the same dense K-clique dup graph: per-round
-    # cost tracks the CURRENT edge set, which the first large-star already
-    # collapses from ~K^2 per group toward the star
-    strong = dedup.minhash_lsh_pairs(docs).filter(
-        F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
+    # star-contraction CC, cohort-contracted front (the gated entry's
+    # exact operator): star rounds on the rep graph, members inherit labels
+    timed(
+        "dedup_cc_bigstar",
+        lambda: dedup.dedup_clusters_bigstar_contracted(docs),
     )
-    timed("dedup_cc_bigstar", lambda: dedup.dedup_clusters_bigstar(strong))
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:

@@ -141,3 +141,35 @@ def test_triangle_contraction_matches_bruteforce(spark, sf_dir):
         t = sum(1 for a, b in combinations(sorted(nb), 2) if b in adj.get(a, ()))
         want[v] = (len(nb), t)
     assert got == want
+
+
+def test_cc_bigstar_contracted_matches_expanded(spark, sf_dir):
+    """The cohort-contracted bigstar CC equals label propagation run on the
+    fully EXPANDED pair relation, on 10x-multiplied docs (past
+    CONTRACT_MIN_COHORT so the contracted path runs)."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    docs = (
+        catalog.load(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    k = 10
+    assert k >= dedup.CONTRACT_MIN_COHORT
+    multi = docs
+    for i in range(1, k):
+        multi = multi.union(
+            docs.select((F.col("doc_id") + 1_000_000_000 * i).alias("doc_id"), "text")
+        )
+    got = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in dedup.dedup_clusters_bigstar_contracted(multi).collect()
+    }
+    pairs = dedup.minhash_lsh_pairs(multi).filter(
+        F.col("jaccard") >= dedup.DEDUP_CLUSTER_MIN_JACCARD
+    )
+    want = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in dedup.dedup_clusters(pairs, max_iterations=40).collect()
+    }
+    assert got == want
