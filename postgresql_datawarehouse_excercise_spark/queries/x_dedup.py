@@ -698,9 +698,83 @@ def x_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_kcore(t_docs: DataFrame, rounds: int = KCORE_ROUNDS) -> DataFrame:
-    """Core of x_dedup_kcore over any (doc_id, text) relation."""
-    pairs = dedup.minhash_lsh_pairs(t_docs)
-    strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    """Core of x_dedup_kcore over any (doc_id, text) relation.
+
+    Adaptive exact-copy cohort contraction, completing the pair/graph
+    quartet (prefix join, triangles, bigstar CC): above
+    CONTRACT_MIN_COHORT the peeling runs on the cohort graph with
+    WEIGHTED degrees -- all members of a cohort are structurally
+    identical, so they peel together, and deg(v in A) =
+    (s_A - 1) + sum of alive neighbor cohort sizes reproduces the
+    expanded-graph round semantics exactly."""
+    if dedup.max_cohort_size(t_docs) < dedup.CONTRACT_MIN_COHORT:
+        pairs = dedup.minhash_lsh_pairs(t_docs)
+        strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+        return _kcore_direct(strong, rounds)
+    cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
+    sizes = cohorts.select(F.col("rep").alias("v"), "s").distinct()
+    rep_docs = t_docs.join(
+        cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    strong = (
+        dedup.minhash_lsh_pairs(rep_docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        strong.union(
+            strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+
+    def weighted_deg(e: DataFrame, alive: DataFrame) -> DataFrame:
+        # deg(member of A) = (s_A - 1) + sum of alive neighbor sizes
+        w = (
+            e.join(alive.withColumnRenamed("v", "dst").withColumnRenamed("s", "sb"), "dst")
+            .groupBy("src")
+            .agg(F.sum("sb").alias("w"))
+        )
+        return alive.join(
+            w.withColumnRenamed("src", "v"), "v", "left"
+        ).select(
+            "v",
+            "s",
+            ((F.col("s") - 1) + F.coalesce("w", F.lit(0))).alias("deg"),
+        )
+
+    deg0 = weighted_deg(edges, sizes)
+    alive = sizes
+    e = edges
+    for _ in range(rounds):
+        d = weighted_deg(e, alive)
+        alive = d.filter(F.col("deg") >= KCORE_K).select("v", "s").localCheckpoint()
+        e = (
+            e.join(alive.select(F.col("v").alias("src")), "src")
+            .join(alive.select(F.col("v").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    final = weighted_deg(e, alive).filter(F.col("deg") >= 1)
+    per_cohort = final.select(F.col("v").alias("rep"), F.col("deg").alias("degree_core")).join(
+        deg0.select(F.col("v").alias("rep"), F.col("deg").alias("degree_full")), "rep"
+    )
+    return (
+        cohorts.select("doc_id", "rep")
+        .join(per_cohort, "rep")
+        .select(
+            "doc_id",
+            F.col("degree_full").cast("long").alias("degree_full"),
+            F.col("degree_core").cast("long").alias("degree_core"),
+        )
+    )
+
+
+def _kcore_direct(strong: DataFrame, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """The raw per-node peeling (pre-contraction path)."""
     edges = (
         strong.union(
             strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -25,7 +25,9 @@ pairs section at K=100, round 9 (the all-copy worst case; VERDICT r8 #4):
                                                  join now beats the sketch)
   dedup_triangles          500k rows    20.2 s  (807.5 s before the weighted
                                                  cohort contraction)
-  dedup_kcore              500k rows    90.5 s  (fixpoint peeling, linear)
+  dedup_kcore              500k rows    17.8 s  (90.5 s of per-node peeling
+                                                 before weighted cohort
+                                                 peeling)
   dedup_cc_bigstar         500k rows    15.4 s  (180.1 s on the raw expanded
                                                  graph; star rounds now run
                                                  on the rep graph, members

@@ -173,3 +173,38 @@ def test_cc_bigstar_contracted_matches_expanded(spark, sf_dir):
         for r in dedup.dedup_clusters(pairs, max_iterations=40).collect()
     }
     assert got == want
+
+
+def test_kcore_contracted_matches_direct(spark, sf_dir):
+    """Weighted cohort peeling equals per-node peeling on the fully
+    expanded strong-pair graph (10x copies => the contracted path runs)."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        _kcore_direct,
+        dedup_kcore,
+    )
+
+    docs = (
+        catalog.load(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    k = 10
+    assert k >= dedup.CONTRACT_MIN_COHORT
+    multi = docs
+    for i in range(1, k):
+        multi = multi.union(
+            docs.select((F.col("doc_id") + 1_000_000_000 * i).alias("doc_id"), "text")
+        )
+    got = {
+        (r.doc_id, r.degree_full, r.degree_core)
+        for r in dedup_kcore(multi).collect()
+    }
+    strong = dedup.minhash_lsh_pairs(multi).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    want = {
+        (r.doc_id, r.degree_full, r.degree_core)
+        for r in _kcore_direct(strong).collect()
+    }
+    assert got == want
