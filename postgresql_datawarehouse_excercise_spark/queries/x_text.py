@@ -2041,3 +2041,103 @@ def x_text_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_tokens").cast("double") / F.count(F.lit(1)).cast("double"), 4
         ).alias("avg_chunk_tokens"),
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, Table A1), adapted to
+# the available per-doc signals (the synthetic docs carry no symbols or
+# lines, so the symbol/bullet/ellipsis rules are vacuous here and omitted).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.5  # duplicate-n-gram repetition cap
+
+
+@query(
+    "x_text_gopher_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE FLOOR((CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                         / len(tk)) * 10000.0 + 0.5) / 10000.0 END AS mean_word_len,
+         CASE WHEN len(tk) <= 1 THEN 0.0
+              ELSE FLOOR((1 - CAST(len(list_distinct(
+                     list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                   )) AS DOUBLE) / (len(tk) - 1)) * 10000.0 + 0.5) / 10000.0
+         END AS dup_bigram_frac
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, dup_bigram_frac,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS pass_words,
+       mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}.0
+         AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}.0 AS pass_word_len,
+       dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM_FRAC} AS pass_repetition,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}.0
+              AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}.0)
+         AND dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM_FRAC} AS keep
+FROM sig
+""",
+)
+def x_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, Table A1) as a named,
+    thresholded filter: word-count band, mean-word-length band, and the
+    duplicate-bigram repetition cap, each reported as its own boolean plus
+    the conjunction -- the form a pipeline audits per rule ('what did each
+    rule remove?') rather than as one opaque keep bit.  The symbol/bullet/
+    ellipsis rules are vacuous on the synthetic docs (no symbols or lines)
+    and omitted -- documented, not silently padded.  All row-level JVM
+    array expressions; one narrow scan, no shuffle."""
+    t = catalog.load(spark, sf_dir)
+    tk = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    d = t.documents.select(F.col("doc_id").cast("long").alias("doc_id"), tk.alias("tk"))
+    n = F.size("tk")
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        fround(
+            F.expr("aggregate(tk, 0L, (a, x) -> a + length(x))").cast("double")
+            / n.cast("double"),
+            4,
+        )
+    )
+    bigrams = F.expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', tk[i + 1]))"
+    )
+    dup_bi = F.when(n <= 1, F.lit(0.0)).otherwise(
+        fround(
+            1
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / (n - 1).cast("double"),
+            4,
+        )
+    )
+    sig = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_bi.alias("dup_bigram_frac"),
+    )
+    pass_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    pass_wlen = (F.col("mean_word_len") >= float(GOPHER_MIN_MEAN_WORD_LEN)) & (
+        F.col("mean_word_len") <= float(GOPHER_MAX_MEAN_WORD_LEN)
+    )
+    pass_rep = F.col("dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM_FRAC
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "dup_bigram_frac",
+        pass_words.alias("pass_words"),
+        pass_wlen.alias("pass_word_len"),
+        pass_rep.alias("pass_repetition"),
+        (pass_words & pass_wlen & pass_rep).alias("keep"),
+    )
