@@ -885,7 +885,17 @@ def winnow_overlap_pairs(documents: DataFrame) -> DataFrame:
     > WINNOW_MAX_DF docs are dropped BEFORE the self-join -- the same
     quadratic-blowup guard as the n-gram inverted index), overlap =
     |shared| / min(|A|, |B|) (containment form: a short doc pasted into a
-    long one still scores ~1)."""
+    long one still scores ~1).
+
+    Adaptive exact-copy cohort contraction (the quartet pattern): above
+    CONTRACT_MIN_COHORT the posting join runs on representatives with the
+    DF cutoff computed on the WEIGHTED document frequency (sum of cohort
+    sizes per hash == the expanded per-member df, so exactly the same
+    hashes survive the cut), then pairs re-expand: cross-cohort members
+    inherit the rep pair's counts, within-cohort pairs share the full
+    kept fingerprint set (overlap exactly 1)."""
+    if max_cohort_size(documents) >= CONTRACT_MIN_COHORT:
+        return _winnow_pairs_contracted(documents)
     sel = _winnow_selected(documents)
     postings = sel.select(
         "doc_id", (F.col("pack") / F.lit(1 << WINNOW_POS_BITS)).cast("long").alias("h")
@@ -916,6 +926,92 @@ def winnow_overlap_pairs(documents: DataFrame) -> DataFrame:
         .filter(F.col("overlap") >= WINNOW_MIN_OVERLAP)
         .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b", "overlap")
     )
+
+
+def _winnow_pairs_contracted(documents: DataFrame) -> DataFrame:
+    """Cohort-contracted arm of winnow_overlap_pairs (see its docstring)."""
+    cohorts = exact_cohorts(documents).localCheckpoint()
+    rep_sizes = cohorts.select(F.col("rep").alias("doc_id"), "s").distinct()
+    rep_docs = documents.join(
+        rep_sizes.select("doc_id"), "doc_id", "left_semi"
+    )
+    sel = _winnow_selected(rep_docs)
+    postings = sel.select(
+        "doc_id", (F.col("pack") / F.lit(1 << WINNOW_POS_BITS)).cast("long").alias("h")
+    ).distinct()
+    # weighted df == the expanded per-member document frequency
+    df_ok = (
+        postings.join(rep_sizes, "doc_id")
+        .groupBy("h")
+        .agg(F.sum("s").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    kept = postings.join(df_ok, "h")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        kept.alias("x")
+        .join(kept.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    rep_pairs = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "fp_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "fp_b"), "doc_b")
+        .withColumn("overlap", ratio(F.col("shared_fp"), F.least("fp_a", "fp_b")))
+        .filter(F.col("overlap") >= WINNOW_MIN_OVERLAP)
+        .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b", "overlap")
+    )
+    rep_of = cohorts.select("doc_id", "rep")
+    # cross-cohort expansion: members inherit the rep pair's counts, with
+    # fp_a/fp_b following whichever member lands on the a/b side
+    across = (
+        rep_pairs.join(
+            rep_of.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            rep_of.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("out_a"),
+            F.greatest("ma", "mb").alias("out_b"),
+            "shared_fp",
+            F.when(F.col("ma") < F.col("mb"), F.col("fp_a")).otherwise(F.col("fp_b")).alias("out_fa"),
+            F.when(F.col("ma") < F.col("mb"), F.col("fp_b")).otherwise(F.col("fp_a")).alias("out_fb"),
+            "overlap",
+        )
+        .select(
+            F.col("out_a").alias("doc_a"),
+            F.col("out_b").alias("doc_b"),
+            "shared_fp",
+            F.col("out_fa").alias("fp_a"),
+            F.col("out_fb").alias("fp_b"),
+            "overlap",
+        )
+    )
+    # within-cohort pairs: both sides share the full kept set (overlap 1),
+    # present iff the cohort's rep kept >= 1 fingerprint
+    rep_fp = sizes.select(F.col("doc_id").alias("rep"), "n_fp")
+    members = rep_of.join(rep_fp, "rep")
+    within = (
+        members.alias("p")
+        .join(members.alias("q"), F.col("p.rep") == F.col("q.rep"))
+        .filter(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("q.doc_id").alias("doc_b"),
+            F.col("p.n_fp").alias("shared_fp"),
+            F.col("p.n_fp").alias("fp_a"),
+            F.col("p.n_fp").alias("fp_b"),
+            ratio(F.col("p.n_fp"), F.col("p.n_fp")).alias("overlap"),
+        )
+    )
+    return across.unionByName(within)
 
 
 _SQL_WINNOW_SEL = f"""

@@ -17,21 +17,20 @@ Usage: python scripts/scale_smoke.py [K] [--sections=a,b,...]
   graphs exceed the 8g default local-mode heap (on a real cluster this is
   executor-distributed state).
 
-pairs section at K=100, round 9 (the all-copy worst case; VERDICT r8 #4):
-  winnow_overlap_pairs    24.0M pairs  117.6 s  (output-quadratic per cohort)
-  prefix_join_pairs       27.3M pairs   27.4 s  (OOM before the exact-copy
-                                                 cohort collapse, 54.4 s on
-                                                 its first fix; the exact
-                                                 join now beats the sketch)
-  dedup_triangles          500k rows    20.2 s  (807.5 s before the weighted
-                                                 cohort contraction)
-  dedup_kcore              500k rows    17.8 s  (90.5 s of per-node peeling
-                                                 before weighted cohort
-                                                 peeling)
-  dedup_cc_bigstar         500k rows    15.4 s  (180.1 s on the raw expanded
-                                                 graph; star rounds now run
-                                                 on the rep graph, members
-                                                 inherit labels)
+pairs section at K=100, round 9 (the all-copy worst case; VERDICT r8 #4),
+final single-session numbers after the adaptive exact-copy cohort
+contraction landed across the whole family:
+  winnow_overlap_pairs    24.0M pairs   13.3 s  (139.8 s direct -- weighted-DF
+                                                 cutoff on reps, pairs
+                                                 re-expanded)
+  prefix_join_pairs       27.3M pairs   25.9 s  (OOM before the collapse)
+  dedup_triangles          500k rows    10.5 s  (807.5 s before the weighted
+                                                 contraction)
+  dedup_kcore              500k rows     5.6 s  (90.5 s of per-node peeling
+                                                 before weighted peeling)
+  dedup_cc_bigstar         500k rows     7.9 s  (180.1 s on the raw expanded
+                                                 graph; star rounds on the
+                                                 rep graph)
 
 Measured at K=10 on local[32] (round 6; vs the sf0.1 bench numbers):
   minhash_signatures      50,000 docs    6.6 s   (0.7 s at 1x -> linear)

@@ -208,3 +208,40 @@ def test_kcore_contracted_matches_direct(spark, sf_dir):
         for r in _kcore_direct(strong).collect()
     }
     assert got == want
+
+
+def test_winnow_pairs_contracted_matches_direct(spark, sf_dir):
+    """Cohort-contracted winnowing pair join equals the direct posting
+    self-join on 10x-multiplied docs, including the weighted-DF cutoff
+    (the expanded per-member document frequency)."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    docs = (
+        catalog.load(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    k = 10
+    assert k >= dedup.CONTRACT_MIN_COHORT
+    multi = docs
+    for i in range(1, k):
+        multi = multi.union(
+            docs.select((F.col("doc_id") + 1_000_000_000 * i).alias("doc_id"), "text")
+        )
+    got = {
+        (r.doc_a, r.doc_b, r.shared_fp, r.fp_a, r.fp_b, r.overlap)
+        for r in dedup.winnow_overlap_pairs(multi).collect()
+    }
+    # force the direct arm on the same expanded input
+    import postgresql_datawarehouse_excercise_spark.operators.dedup as dd
+
+    orig = dd.max_cohort_size
+    dd.max_cohort_size = lambda _df: 1
+    try:
+        want = {
+            (r.doc_a, r.doc_b, r.shared_fp, r.fp_a, r.fp_b, r.overlap)
+            for r in dedup.winnow_overlap_pairs(multi).collect()
+        }
+    finally:
+        dd.max_cohort_size = orig
+    assert got == want
