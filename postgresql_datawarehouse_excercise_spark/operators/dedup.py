@@ -1262,16 +1262,37 @@ WHERE {jac} >= {min_jaccard}
 """
 
 
+# Probe memo, keyed by (session identity, analyzed-plan semantic hash): six
+# family entries (winnowing pairs, prefix join, triangles, kcore, bigstar CC,
+# pagerank) run the SAME 1-row probe on the same documents relation inside one
+# bench/gate session -- one job instead of six.  A stale hit after an
+# in-place file swap only re-picks the arm (both arms are result-identical by
+# construction and test-pinned against each other), never the answer.
+_COHORT_PROBE_CACHE: dict[tuple[int, int], int] = {}
+
+
 def max_cohort_size(documents: DataFrame) -> int:
     """Largest exact-copy cohort (raw-text md5 grain): the 1-row adaptive
     probe the contraction callers run before deciding to collapse.  One
-    md5 projection + one count aggregate -- no join, no wide state."""
-    return (
+    md5 projection + one count aggregate -- no join, no wide state; 0 on an
+    empty input (max over zero rows is NULL) so empty relations take the
+    direct path and return empty like every other arm."""
+    try:
+        key = (id(documents.sparkSession), documents.semanticHash())
+    except Exception:  # pragma: no cover - plan types without a semantic hash
+        key = None
+    if key is not None and key in _COHORT_PROBE_CACHE:
+        return _COHORT_PROBE_CACHE[key]
+    size = (
         documents.groupBy(F.md5(F.col("text")).alias("fp"))
         .agg(F.count(F.lit(1)).alias("s"))
         .agg(F.max("s"))
         .collect()[0][0]
+        or 0
     )
+    if key is not None:
+        _COHORT_PROBE_CACHE[key] = size
+    return size
 
 
 def exact_cohorts(documents: DataFrame) -> DataFrame:
@@ -1382,7 +1403,10 @@ def dedup_clusters_bigstar(pairs: DataFrame, max_iterations: int = 20) -> DataFr
         .localCheckpoint(eager=True)
     )
     prev_count = edges.count()
+    unchanged = prev_count == 0
     for _ in range(max_iterations):
+        if unchanged:
+            break
         new_edges = _star_round(edges).localCheckpoint(eager=True)
         new_count = new_edges.count()
         unchanged = (
@@ -1391,8 +1415,18 @@ def dedup_clusters_bigstar(pairs: DataFrame, max_iterations: int = 20) -> DataFr
         )
         edges = new_edges
         prev_count = new_count
-        if unchanged:
-            break
+    if not unchanged:
+        # The final left join assumes every surviving edge is
+        # (member, component_min); emitting labels off a non-fixpoint edge
+        # set would silently produce duplicate rows / wrong components, so
+        # fail loudly instead.  Star contraction converges in O(log^2 n)
+        # rounds -- 20 covers any graph this engine can hold -- so reaching
+        # here means the input or the round logic is broken, not that more
+        # patience was needed.
+        raise RuntimeError(
+            f"dedup_clusters_bigstar: star fixpoint not reached within "
+            f"{max_iterations} rounds ({prev_count} edges remain)"
+        )
     # At the star fixpoint every edge is (member, component_min).
     return (
         nodes.join(edges, nodes.doc_id == edges.u, "left")

@@ -1234,7 +1234,7 @@ big AS (
 model AS (
   SELECT bucket,
          SUM(CASE WHEN lang = '{DSIR_LANG}' THEN 1 ELSE 0 END) AS c_t,
-         SUM(CASE WHEN lang <> '{DSIR_LANG}' THEN 1 ELSE 0 END) AS c_r
+         SUM(CASE WHEN lang IS DISTINCT FROM '{DSIR_LANG}' THEN 1 ELSE 0 END) AS c_r
   FROM big GROUP BY 1
 ),
 scal AS (SELECT SUM(c_t) AS t_t, SUM(c_r) AS t_r FROM model),
@@ -1250,7 +1250,7 @@ scores AS (
          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          SUM(lp.delta_micro) AS logw
   FROM big b JOIN lp USING (bucket)
-  WHERE b.lang <> '{DSIR_LANG}'
+  WHERE b.lang IS DISTINCT FROM '{DSIR_LANG}'
   GROUP BY 1
 ),
 raw AS (
@@ -1258,7 +1258,7 @@ raw AS (
          CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          CAST(COALESCE(s.logw, 0) AS BIGINT) AS logw_micro
   FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
-  WHERE d.lang <> '{DSIR_LANG}'
+  WHERE d.lang IS DISTINCT FROM '{DSIR_LANG}'
 ),
 k AS (SELECT GREATEST(16, COUNT(*) // {DSIR_FRACTION}) AS k FROM raw)
 SELECT doc_id, n_bigrams, logw_micro,
@@ -1317,7 +1317,10 @@ def x_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("bucket"),
     )
-    is_t = F.col("lang") == DSIR_LANG
+    # null-safe target test: NULL lang is raw-pool on BOTH sides (the oracle
+    # uses IS DISTINCT FROM) -- a plain != would silently DROP NULL-lang rows
+    # from the scoring/raw filters while the model's otherwise(1) counted them
+    is_t = F.col("lang").eqNullSafe(F.lit(DSIR_LANG))
     model = big.groupBy("bucket").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(is_t, 0).otherwise(1)).alias("c_r"),
@@ -1346,7 +1349,7 @@ def x_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     raw = (
-        t.documents.filter(F.col("lang") != DSIR_LANG)
+        t.documents.filter(~F.col("lang").eqNullSafe(F.lit(DSIR_LANG)))
         .select(F.col("doc_id").cast("long").alias("doc_id"))
         .join(scores, "doc_id", "left")
         .select(

@@ -1168,7 +1168,8 @@ WITH toks AS (
 SELECT doc_id,
        CAST(len(tk) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(tk, x -> length(x) >= 5)) AS BIGINT) AS n_long,
-       CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
+       CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT)
+         AS sum_len,
        list_contains(tk, 'spark') AS has_spark,
        CAST(COALESCE(list_max(list_transform(tk, x -> length(x))), 0) AS BIGINT)
          AS max_len,

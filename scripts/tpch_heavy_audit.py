@@ -13,8 +13,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from postgresql_datawarehouse_excercise_spark.session import get_spark  # noqa: E402
 from postgresql_datawarehouse_excercise_spark import catalog  # noqa: E402
 from scripts.scale_smoke import _materialize_tpch_dir, multiply  # noqa: E402
@@ -36,12 +34,14 @@ def main() -> None:
         if short not in which:
             continue
         df = regq[name].fn(spark, tpch_dir)
+        # ONE timed collect: the row count derives from it and the dumped
+        # AQE-final plan is the plan of exactly this execution (a separate
+        # count() would both double the heavy runtime and print a timing
+        # that belongs to a different plan than the one dumped)
         t0 = time.time()
-        n = df.count()
+        rows = df.collect()
         dt = time.time() - t0
-        print(f"{name} x{k}: {n} rows in {dt:.1f}s", flush=True)
-        # AQE-final plan after execution
-        df.collect()
+        print(f"{name} x{k}: {len(rows)} rows in {dt:.1f}s", flush=True)
         print(df._jdf.queryExecution().executedPlan().toString()[:4000])
 
 
