@@ -282,20 +282,46 @@ def q4b_top_country_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q4b_top_country_mart", oracle=_TOP_COUNTRY_SQL)
 def q4b_top_country_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top country from the sales mart via FD customerid->country
-    (assignment-5.sql:436-441, findings assignment-5.md:822-825)."""
+    (assignment-5.sql:436-441, findings assignment-5.md:822-825).
+
+    The reference query is ONE aggregate -- GROUP BY country over
+    sales NATURAL JOIN customer -- so this plan is too: broadcast the geo
+    bridge onto the fact rows and aggregate once (map-side partial leaves
+    <= |countries| rows per partition before the only shuffle).  An earlier
+    per-customer pre-aggregation added a second shuffle the reference
+    doesn't have."""
     t = catalog.load(spark, sf_dir)
-    per_cust = t.sales().groupBy("customerid").agg(F.sum("amnt").alias("amnt_d"))
-    return _top_country_from(per_cust, _geo(t))
+    return (
+        t.sales()
+        .join(_geo(t).select("customerid", "country"), "customerid")
+        .groupBy("country")
+        .agg(F.sum("amnt").alias("spending_d"))
+        .orderBy(F.col("spending_d").desc(), F.col("country").asc())
+        .limit(1)
+        .select("country", money(F.col("spending_d")).alias("spending"))
+    )
 
 
 @query("q4b_top_country_view2", oracle=_TOP_COUNTRY_SQL)
 def q4b_top_country_view2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top country by re-aggregating View2 (customer grain preserved ->
-    data-sufficiency rescued by the customerid->country FD;
-    assignment-5.sql:448-453)."""
+    """Top country from View2 (customer grain preserved -> data-sufficiency
+    rescued by the customerid->country FD; assignment-5.sql:448-453).
+
+    Mirrors the reference's single GROUP BY country over
+    View2 NATURAL JOIN customer: one broadcast join + one aggregate over
+    the (customer, year)-grain view -- the smallest input of the three
+    rewrite targets, which is exactly why the reference finds View2
+    cheapest (assignment-5.md:779)."""
     t = catalog.load(spark, sf_dir)
-    per_cust = _view2(t).groupBy("customerid").agg(F.sum("sum_d").alias("amnt_d"))
-    return _top_country_from(per_cust, _geo(t))
+    return (
+        _view2(t)
+        .join(_geo(t).select("customerid", "country"), "customerid")
+        .groupBy("country")
+        .agg(F.sum("sum_d").alias("spending_d"))
+        .orderBy(F.col("spending_d").desc(), F.col("country").asc())
+        .limit(1)
+        .select("country", money(F.col("spending_d")).alias("spending"))
+    )
 
 
 @query("q4b_top_country_view3", oracle=_TOP_COUNTRY_SQL)

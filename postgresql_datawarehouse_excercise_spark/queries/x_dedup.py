@@ -355,7 +355,24 @@ def x_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(t_docs: DataFrame) -> DataFrame:
     """Core of x_dedup_pagerank over any (doc_id, text) relation (also
-    driven by scripts/scale_smoke.py on K-fold multiplied data)."""
+    driven by scripts/scale_smoke.py on K-fold multiplied data).
+
+    ADAPTIVE exact-copy cohort contraction, same trigger as the rest of
+    the pair/graph family: members of an exact-copy cohort are structurally
+    interchangeable in the expanded strong-pair graph (cohorts internally
+    complete, adjacent cohorts completely bipartite -- pair status is a
+    pure function of the two texts), so by symmetry they hold IDENTICAL
+    ranks at every iteration and the power iteration can run on the
+    contracted rep graph with closed-form per-member arithmetic
+    (_pagerank_contracted).  Below CONTRACT_MIN_COHORT the direct path
+    wins (the contraction's fixed extra stages are pure overhead at the
+    gate corpora's max-cohort-2)."""
+    if dedup.max_cohort_size(t_docs) < dedup.CONTRACT_MIN_COHORT:
+        return _pagerank_direct(t_docs)
+    return _pagerank_contracted(t_docs)
+
+
+def _pagerank_direct(t_docs: DataFrame) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(t_docs)
     strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
     # the loop references the edge list PR_ITERS times (x2: messages + deg);
@@ -392,6 +409,108 @@ def pagerank(t_docs: DataFrame) -> DataFrame:
             "doc_id",
             F.col("r").alias("rank"),
             F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+        )
+    )
+
+
+def _pagerank_contracted(t_docs: DataFrame) -> DataFrame:
+    """Power iteration on the exact-copy cohort graph, bit-identical to
+    _pagerank_direct on the expanded graph (test-pinned on >=8-copy
+    corpora, like the rest of the contraction family).
+
+    By symmetry every member of cohort A (size s_A) carries the same rank
+    r_A and the same expanded degree
+
+        deg_A = (s_A - 1) + W_A,   W_A = sum over adjacent cohorts B of s_B
+
+    so with q_A = r_A div deg_A (the per-edge message every member of A
+    emits), a member's incoming message sum is closed-form:
+
+        msg(v in A) = (s_A - 1) * q_A            [the other copies in A]
+                    + sum over B ~ A of s_B * q_B [all members of each B]
+
+    and the damped update T + (85 * msg) div 100 runs once per COHORT.
+    Every iteration is one broadcast-scale join over the contracted edge
+    list + one map-side-combined groupBy -- the direct loop's shape, on
+    distinct content only; the final expansion is a single mapping join
+    (members inherit their rep's rank and degree, which is exact, not an
+    approximation).  Integer arithmetic is unchanged, so the result is
+    bit-for-bit the direct path's."""
+    cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
+    sizes = cohorts.select(F.col("rep").alias("v"), "s").distinct()
+    rep_docs = t_docs.join(
+        cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    strong = (
+        dedup.minhash_lsh_pairs(rep_docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        strong.union(
+            strong.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+    w = (
+        edges.join(
+            sizes.select(F.col("v").alias("src"), F.col("s").alias("ss")), "src"
+        )
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum("ss").alias("w"))
+    )
+    deg = (
+        sizes.join(w, "v", "left")
+        .select(
+            "v",
+            "s",
+            ((F.col("s") - 1) + F.coalesce("w", F.lit(0))).cast("long").alias("deg"),
+        )
+        .localCheckpoint()
+    )
+    ranks = deg.select("v", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        q = (
+            ranks.join(deg, "v")
+            .filter(F.col("deg") > 0)
+            .select("v", "s", F.expr("r div deg").alias("q"))
+        )
+        cross = (
+            edges.join(
+                q.select(
+                    F.col("v").alias("src"), (F.col("s") * F.col("q")).alias("m")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("m").alias("cx"))
+        )
+        within = q.select("v", ((F.col("s") - 1) * F.col("q")).alias("wi"))
+        ranks = (
+            deg.select("v")
+            .join(cross, "v", "left")
+            .join(within, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(PR_TELEPORT)
+                    + F.expr("(85 * (coalesce(cx, 0) + coalesce(wi, 0))) div 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        cohorts.select("doc_id", F.col("rep").alias("v"))
+        .join(deg.select("v", "deg"), "v")
+        .join(ranks, "v")
+        .select(
+            "doc_id",
+            F.col("r").alias("rank"),
+            F.col("deg").cast("long").alias("degree"),
         )
     )
 

@@ -294,6 +294,11 @@ def sec_pairs(spark, t, k: int, sf_dir: str) -> None:
         "dedup_cc_bigstar",
         lambda: dedup.dedup_clusters_bigstar_contracted(docs),
     )
+    # damped power iteration, cohort-contracted front (round 10): ranks and
+    # degrees computed per cohort with closed-form member expansion
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import pagerank
+
+    timed("pagerank", lambda: pagerank(docs))
 
 
 def sec_emb(spark, t, k: int, sf_dir: str) -> None:

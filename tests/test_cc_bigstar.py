@@ -210,6 +210,34 @@ def test_kcore_contracted_matches_direct(spark, sf_dir):
     assert got == want
 
 
+def test_pagerank_contracted_matches_direct(spark, sf_dir):
+    """Cohort-contracted power iteration equals the direct per-node
+    iteration on the fully expanded strong-pair graph, bit-for-bit (all
+    integer arithmetic), on 10x-multiplied docs (past CONTRACT_MIN_COHORT
+    so the contracted path runs; the gate corpora exercise direct)."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        _pagerank_direct,
+        pagerank,
+    )
+
+    docs = (
+        catalog.load(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    k = 10
+    assert k >= dedup.CONTRACT_MIN_COHORT
+    multi = docs
+    for i in range(1, k):
+        multi = multi.union(
+            docs.select((F.col("doc_id") + 1_000_000_000 * i).alias("doc_id"), "text")
+        )
+    got = {(r.doc_id, r.rank, r.degree) for r in pagerank(multi).collect()}
+    want = {(r.doc_id, r.rank, r.degree) for r in _pagerank_direct(multi).collect()}
+    assert got == want
+
+
 def test_winnow_pairs_contracted_matches_direct(spark, sf_dir):
     """Cohort-contracted winnowing pair join equals the direct posting
     self-join on 10x-multiplied docs, including the weighted-DF cutoff
