@@ -117,6 +117,76 @@ def _perc_of_ord(t: catalog.Tables) -> DataFrame:
     )
 
 
+# --- dep-reading builder twins (MVDef.builder_from_deps) -------------------
+# The reference defines these MVs FROM already-materialized MVs
+# (assignment-5.sql:221-223, 232-235, 244-250, 259-263, 165-170, 401-409);
+# each twin reproduces its pure builder's values exactly (arms pinned in
+# tests/test_mv.py) while reading the persisted dep parquet instead of
+# re-deriving the base joins.
+
+def _top_buyer_from(best_buyers: DataFrame) -> DataFrame:
+    """IN (SELECT customer_id FROM best_buyers LIMIT 1): parquet preserves
+    no order (SURVEY 7.3 D7), so the stored top-5 re-sorts by its own
+    ordering key.  spending is an exact 2-dp value (sum of 2-dp decimals;
+    the round-to-2 on write was a no-op), so the tie-break matches the
+    exact-sum derivation bit-for-bit."""
+    return (
+        best_buyers.orderBy(F.col("spending").desc(), F.col("customer_id").asc())
+        .limit(1)
+        .select(F.col("customer_id").alias("customerid"))
+    )
+
+
+def _ord_avg_amnt_from(t: catalog.Tables, deps: dict[str, DataFrame]) -> DataFrame:
+    return deps["amount_per_order"].agg(
+        avg4_exact(F.sum("order_amount"), F.count(F.lit(1))).alias("ord_avg_amnt")
+    )
+
+
+def _no_of_ord_from(t: catalog.Tables, deps: dict[str, DataFrame]) -> DataFrame:
+    best = _top_buyer_from(deps["best_buyers"])
+    return t.orders.join(
+        best, t.orders.o_custkey == F.col("customerid"), "left_semi"
+    ).agg(F.count(F.lit(1)).alias("no_of_ord"))
+
+
+def _apobc_from(t: catalog.Tables, deps: dict[str, DataFrame]) -> DataFrame:
+    apo = deps["amount_per_order"]
+    ords = t.orders.select("o_orderkey", "o_custkey").join(
+        _top_buyer_from(deps["best_buyers"]),
+        F.col("o_custkey") == F.col("customerid"),
+        "left_semi",
+    )
+    return apo.join(ords, apo.orderid == ords.o_orderkey).select(
+        "orderid", "order_amount"
+    )
+
+
+def _perc_of_ord_from(t: catalog.Tables, deps: dict[str, DataFrame]) -> DataFrame:
+    return (
+        deps["amount_per_order_by_customer"]
+        .crossJoin(F.broadcast(deps["ord_avg_amnt"]))
+        .crossJoin(F.broadcast(deps["no_of_ord"]))
+        .filter(F.col("order_amount") > F.col("ord_avg_amnt"))
+        .groupBy("no_of_ord")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(ratio(F.col("cnt") * F.lit(100), F.col("no_of_ord")).alias("perc_of_ord"))
+    )
+
+
+def _daily_avg_from(t: catalog.Tables, deps: dict[str, DataFrame]) -> DataFrame:
+    return deps["sum_customer_per_day"].groupBy("timeid").agg(
+        F.count(F.lit(1)).alias("number_of_customer_a_day"),
+        avg4_exact(F.sum("amnt"), F.count(F.lit(1))).alias("avg_spending"),
+    )
+
+
+def _view3_from(t: catalog.Tables, deps: dict[str, DataFrame]) -> DataFrame:
+    return deps["view1"].groupBy("district", "timeid", "dayofweek", "partkey").agg(
+        F.sum("amnt").alias("sum_d")
+    )
+
+
 def _view1_mv(t: catalog.Tables) -> DataFrame:
     return _view1(t)
 
@@ -224,7 +294,8 @@ def default_registry(warehouse: str) -> MVRegistry:
     )
     reg.register(
         MVDef("avg_spending_by_customer_on_each_day", _daily_avg, A({"timeid"}), {},
-              deps=("sum_customer_per_day",), doc="assignment-5.sql:165-170")
+              deps=("sum_customer_per_day",), doc="assignment-5.sql:165-170",
+              builder_from_deps=_daily_avg_from)
     )
     reg.register(
         MVDef("best_buyers", _best_buyers_mv, A(), {}, deps=("sales",),
@@ -235,15 +306,22 @@ def default_registry(warehouse: str) -> MVRegistry:
               {"order_amount": "sum"}, doc="assignment-5.sql:213-218")
     )
     reg.register(MVDef("ord_avg_amnt", _ord_avg_amnt, A(), {}, deps=("amount_per_order",),
-                       doc="assignment-5.sql:221-223"))
-    reg.register(MVDef("no_of_ord", _no_of_ord, A(), {}, deps=("sales",),
-                       doc="assignment-5.sql:232-235"))
+                       doc="assignment-5.sql:221-223",
+                       builder_from_deps=_ord_avg_amnt_from))
+    reg.register(MVDef("no_of_ord", _no_of_ord, A(), {},
+                       deps=("sales", "best_buyers"),
+                       doc="assignment-5.sql:232-235",
+                       builder_from_deps=_no_of_ord_from))
     reg.register(
         MVDef("amount_per_order_by_customer", _apobc, A({"orderid"}), {},
-              deps=("amount_per_order", "sales"), doc="assignment-5.sql:244-250")
+              deps=("amount_per_order", "sales", "best_buyers"),
+              doc="assignment-5.sql:244-250",
+              builder_from_deps=_apobc_from)
     )
     reg.register(MVDef("perc_of_ord", _perc_of_ord, A(), {},
-                       deps=("amount_per_order_by_customer",), doc="assignment-5.sql:259-263"))
+                       deps=("amount_per_order_by_customer", "ord_avg_amnt", "no_of_ord"),
+                       doc="assignment-5.sql:259-263",
+                       builder_from_deps=_perc_of_ord_from))
     reg.register(
         MVDef("view1", _view1_mv,
               A({"customerid", "name", "district", "timeid", "dayofweek", "partkey"}),
@@ -258,7 +336,9 @@ def default_registry(warehouse: str) -> MVRegistry:
     reg.register(
         MVDef("view3", _view3_mv, A({"district", "timeid", "dayofweek", "partkey"}),
               {"amnt": "sum"}, deps=("view1",), doc="assignment-5.sql:401-409",
-              measure_exprs={"quantity * price": "amnt"})
+              measure_exprs={"quantity * price": "amnt"},
+              builder_from_deps=lambda t, deps: _view3_from(t, deps).withColumnRenamed(
+                  "sum_d", "amnt"))
     )
     reg.register(
         MVDef("customer_spending", _customer_spending, A(), {},

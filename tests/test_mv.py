@@ -44,11 +44,35 @@ def test_all_mvs_built_with_stats(built):
         assert built.stats[name] >= 0
 
 
+def test_dep_reading_builders_match_pure_builders(built, spark, sf_dir):
+    """Every MV with a builder_from_deps twin (the reference's FROM-the-MV
+    definitions, assignment-5.sql:165-170,221-223,232-235,244-250,259-263,
+    401-409) persisted EXACTLY what its pure base-lineage builder derives --
+    the arms contract of MVDef.builder_from_deps.  build_all exercised the
+    dep-reading arm (deps fresh), so the persisted parquet IS that arm's
+    output."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+
+    t = catalog.load(spark, sf_dir)
+    checked = 0
+    for name, mv in built.defs.items():
+        if mv.builder_from_deps is None:
+            continue
+        got = sorted(map(tuple, built.read(spark, name).collect()))
+        want = sorted(map(tuple, mv.builder(t).collect()))
+        assert got == want, name
+        checked += 1
+    assert checked >= 6
+
+
 def test_analyze_populates_catalog_statistics(built, spark):
     """The VACUUM ANALYZE analog (SURVEY A9): after build_all every
     unpartitioned MV has a catalog table whose statistics carry the exact
     row count plus grain-column min/max/ndv -- the inputs Spark's CBO
-    needs."""
+    needs.  The scan is deferred off the build critical path (autovacuum
+    style): the first stats-read through table() computes it, after which
+    the catalog answers directly."""
+    built.table(spark, "sales")  # first stats-read runs the deferred ANALYZE
     desc = spark.sql(
         f"DESCRIBE EXTENDED {built.table_name('sales')}"
     ).collect()
