@@ -912,6 +912,52 @@ GROUP BY e.query_id
 MRL_DIM = 8  # prefix dims evaluated (full = 64)
 
 
+def mrl_frontload(embeddings: DataFrame) -> DataFrame:
+    """Deterministic MRL-SHAPED twin of the corpus: dimension block
+    i div MRL_DIM is scaled by 2^-(i div MRL_DIM), concentrating the
+    vector's energy in the leading dims exactly the way Matryoshka
+    training does (Kusupati et al. 2022, Fig. 2's energy decay) -- the
+    population on which prefix retrieval is SUPPOSED to work.  Pairing it
+    with the unchanged uniform-energy corpus makes the evaluator show the
+    spread MRL creates instead of a lone near-zero baseline.  Scaling is
+    by powers of two only, so every transformed coordinate is exact in a
+    double and both engines derive bit-identical vectors."""
+    return embeddings.select(
+        F.col("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+            " / pow(CAST(2.0 AS DOUBLE), CAST(i div 8 AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+
+
+def mrl_recall_populations(
+    embeddings: DataFrame,
+    n_queries: int = KNN_QUERIES,
+    k: int = TOP_K,
+    dim: int = MRL_DIM,
+) -> DataFrame:
+    """mrl_recall over BOTH populations -- the raw uniform-energy corpus
+    (naive-truncation baseline) and its front-loaded MRL-shaped twin --
+    tagged by a population column, so one result shows the recall spread
+    MRL training buys."""
+    uni = mrl_recall(embeddings, n_queries, k, dim).select(
+        F.lit("uniform").alias("population"),
+        "query_id",
+        "n_exact",
+        "n_hits",
+        "recall",
+    )
+    fl = mrl_recall(mrl_frontload(embeddings), n_queries, k, dim).select(
+        F.lit("frontloaded").alias("population"),
+        "query_id",
+        "n_exact",
+        "n_hits",
+        "recall",
+    )
+    return uni.unionByName(fl)
+
+
 def mrl_recall(
     embeddings: DataFrame,
     n_queries: int = KNN_QUERIES,
@@ -974,8 +1020,20 @@ def mrl_recall(
     )
 
 
+#: DuckDB twin of mrl_frontload's per-dimension scaling (1-based i; powers
+#: of two only, so both engines' doubles are bit-identical)
+_SQL_MRL_FRONTLOAD = (
+    "list_transform(generate_series(1, len(embedding)),"
+    " i -> CAST(embedding[i] AS DOUBLE)"
+    " / pow(CAST(2.0 AS DOUBLE), CAST((i - 1) // 8 AS DOUBLE)))"
+)
+
+
 def mrl_recall_sql(
-    n_queries: int = KNN_QUERIES, k: int = TOP_K, dim: int = MRL_DIM
+    n_queries: int = KNN_QUERIES,
+    k: int = TOP_K,
+    dim: int = MRL_DIM,
+    base_expr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
 ) -> str:
     from ..functions import sql_ratio
 
@@ -988,7 +1046,7 @@ def mrl_recall_sql(
     return f"""
 WITH base AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         {base_expr} AS e
   FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < {n_queries}),
@@ -1015,4 +1073,16 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id
+"""
+
+
+def mrl_recall_populations_sql(
+    n_queries: int = KNN_QUERIES, k: int = TOP_K, dim: int = MRL_DIM
+) -> str:
+    uni = mrl_recall_sql(n_queries, k, dim)
+    fl = mrl_recall_sql(n_queries, k, dim, base_expr=_SQL_MRL_FRONTLOAD)
+    return f"""
+SELECT 'uniform' AS population, * FROM ({uni})
+UNION ALL
+SELECT 'frontloaded' AS population, * FROM ({fl})
 """

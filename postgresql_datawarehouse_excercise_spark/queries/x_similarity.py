@@ -371,17 +371,20 @@ def x_sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.mmr_select(t.embeddings)
 
 
-@query("x_sim_mrl_recall", oracle=similarity.mrl_recall_sql())
+@query("x_sim_mrl_recall", oracle=similarity.mrl_recall_populations_sql())
 def x_sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation evaluator (Kusupati et al., NeurIPS 2022):
     recall@10 of an 8-of-64-dim PREFIX cosine ranking against the full-dim
-    exact ranking, per query -- the measurement behind the
-    cheap-first-pass / full-dim-re-rank retrieval layout MRL enables.  On
-    the synthetic (non-MRL) embeddings this reports what naive truncation
-    loses, the baseline MRL training improves on; the number is the point,
-    exactly as with the PQ and LSH recall evaluators.  One corpus x
-    queries pass computes BOTH scores (the truncated arm costs a slice,
-    not a second scan); two ranking windows share it
-    (operators/similarity.mrl_recall)."""
+    exact ranking, per query, over TWO populations -- the raw
+    uniform-energy corpus (what naive truncation of a non-MRL model loses:
+    recall ~0.0-0.2, the baseline the paper improves on) and a
+    deterministic FRONT-LOADED twin whose dimension blocks decay by powers
+    of two (the energy profile MRL training produces, where the prefix
+    ranking nearly matches full-dim).  The spread between the populations
+    is the measurement behind the cheap-first-pass / full-dim-re-rank
+    retrieval layout MRL enables.  One corpus x queries pass per
+    population computes BOTH scores (the truncated arm costs a slice, not
+    a second scan); two ranking windows share it
+    (operators/similarity.mrl_recall, mrl_frontload)."""
     t = catalog.load(spark, sf_dir)
-    return similarity.mrl_recall(t.embeddings)
+    return similarity.mrl_recall_populations(t.embeddings)

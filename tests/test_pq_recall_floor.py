@@ -35,3 +35,21 @@ def test_ivfpq_recall_floor(spark, sf_dir):
     rows = pq.ivfpq_recall(t.embeddings).collect()
     assert len(rows) == pq.PQ_QUERIES
     assert all(r.recall >= 0.8 for r in rows), sorted(r.recall for r in rows)
+
+
+def test_mrl_frontloaded_population_beats_uniform(spark, sf_dir):
+    """The MRL evaluator's two populations must show the spread MRL
+    training creates: on the front-loaded (power-of-two energy decay)
+    twin the prefix ranking recalls strictly more than on the raw
+    uniform-energy corpus, for the query-set average."""
+    from postgresql_datawarehouse_excercise_spark.operators import similarity
+
+    t = catalog.load(spark, sf_dir)
+    rows = similarity.mrl_recall_populations(t.embeddings).collect()
+    by_pop = {}
+    for r in rows:
+        by_pop.setdefault(r.population, []).append(r.recall)
+    assert set(by_pop) == {"uniform", "frontloaded"}
+    uni = sum(by_pop["uniform"]) / len(by_pop["uniform"])
+    fl = sum(by_pop["frontloaded"]) / len(by_pop["frontloaded"])
+    assert fl > uni + 0.2, (uni, fl)
