@@ -35,26 +35,24 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 9: PQ codebook quality rework (2 Lloyd rounds, 8-bit codebooks,
-    # exact re-rank) changed the ranking machinery under these four
-    "x_sim_ann_pq",
-    "x_sim_ann_pq_recall",
-    "x_sim_ann_ivfpq",
-    "x_sim_ann_ivfpq_recall",
-    # tokenizer unified with the shared [a-z0-9]+ tokens() (ADVICE r8)
-    "x_dedup_substring_spans",
-    # integer micro-cosine grid replaces float rounding (ADVICE r8)
-    "x_pipeline_decontaminate_semantic",
-    # distributed fixture writer (foreachPartition) replaces driver loop
-    "x_source_binaryfile",
-    # non-degenerate decontamination stage (wider synthetic vocabulary)
-    "x_pipeline_curation_funnel",
-    # round 9: exact-copy cohort collapse under the prefix join (and the
-    # lsh_recall entry whose exact side it provides)
-    "x_dedup_prefix_join",
-    "x_dedup_lsh_recall",
-    # round 9: weighted cohort contraction under triangle counting
+    # round 10: adaptive cohort contraction added under pagerank
+    "x_dedup_pagerank",
+    # round 10: single-GROUP-BY-country rewrite shape (the reference's own
+    # form) replaces the per-customer pre-aggregation
+    "q4b_top_country_mart",
+    "q4b_top_country_view2",
+    # round 10: two-population (uniform + front-loaded) evaluator
+    "x_sim_mrl_recall",
+    # round 10: NULL-lang treated as raw-pool on both sides
+    "x_pipeline_dsir",
+    # round 10: oracle COALESCE on sum_len (empty-list NULL vs 0 seed)
+    "x_sql_higher_order",
+    # round 10: probe memoization under the contraction family's trigger
     "x_dedup_triangles",
+    "x_dedup_prefix_join",
+    "x_dedup_winnowing_pairs",
+    "x_dedup_kcore",
+    "x_dedup_cc_bigstar",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget
