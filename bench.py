@@ -277,6 +277,9 @@ def main() -> None:
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
         "x_text_countmin_hh",
+        # round 10
+        "x_text_stupid_backoff",
+        "x_sim_ann_nprobe_sweep",
         # round 9
         "x_dedup_cc_bigstar",
         "x_text_lr_classifier",

@@ -1086,3 +1086,151 @@ SELECT 'uniform' AS population, * FROM ({uni})
 UNION ALL
 SELECT 'frontloaded' AS population, * FROM ({fl})
 """
+
+
+IVF_SWEEP = (1, 2, 4, 8)
+
+
+def ann_recall_sweep(
+    embeddings: DataFrame,
+    n_queries: int = KNN_QUERIES,
+    k: int = TOP_K,
+    sweep: tuple[int, ...] = IVF_SWEEP,
+) -> DataFrame:
+    """(nprobe, query_id, n_candidates, n_exact, n_hits, recall): the
+    recall-vs-cost CURVE of the IVF index across probe counts -- the
+    measurement an ANN deployment tunes nprobe with (FAISS's standard
+    nprobe sweep), where x_sim_ann_recall reports only the production
+    point.  n_candidates is the exact number of corpus rows the probe
+    re-ranks for that query, so each sweep row pairs its recall with its
+    cost; recall is non-decreasing in nprobe by construction (probed cell
+    sets are nested -- pytest-pinned).
+
+    The index trains ONCE (the assigned relation is checkpointed; each arm
+    is a broadcast cell-filter + top-k over it) and the exact arm computes
+    once, so the sweep costs index + exact + sum of probe arms, not
+    len(sweep) trainings."""
+    from pyspark.sql.window import Window
+
+    cells = ivf_cells(embeddings.count())
+    base = _ivf_base(embeddings)
+    cents, assigned = _ivf_train(base, cells)
+    assigned = assigned.localCheckpoint()
+    q = base.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+        F.col("qv").alias("qqv"),
+    )
+    score = fround(dot(F.col("e"), F.col("qe")) / (F.col("n") * F.col("qn")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", score.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    qvecs = q.select("query_id", "qe", "qn")
+    exact = topk(assigned.crossJoin(F.broadcast(qvecs))).localCheckpoint()
+    out = None
+    for np_ in sweep:
+        qc = _probe_cells(q, cents, np_)
+        cand = (
+            assigned.join(F.broadcast(qc), "cell")
+            .join(F.broadcast(qvecs), "query_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        ncand = cand.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        approx = topk(cand)
+        arm = (
+            exact.join(
+                approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("hit").alias("n_hits"),
+                ratio(F.count("hit"), F.count(F.lit(1))).alias("recall"),
+            )
+            .join(ncand, "query_id", "left")
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "query_id",
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                "n_exact",
+                "n_hits",
+                "recall",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+def ann_recall_sweep_sql(
+    n_queries: int = KNN_QUERIES,
+    k: int = TOP_K,
+    sweep: tuple[int, ...] = IVF_SWEEP,
+) -> str:
+    from ..functions import sql_ratio
+
+    fr6 = "FLOOR((list_cosine_similarity(b.e, q.qe)) * 1000000.0 + 0.5) / 1000000.0"
+    recall = sql_ratio("COUNT(a.vec_id)", "COUNT(*)")
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({np} AS BIGINT) AS nprobe, e.query_id,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       {recall} AS recall
+FROM exact e
+LEFT JOIN (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {fr6} DESC, b.vec_id ASC) AS rn
+    FROM assigned b
+    JOIN qrank c ON b.cell = c.cell AND c.rn <= {np}
+    JOIN q ON q.query_id = c.query_id
+    WHERE b.vec_id != q.query_id
+  ) WHERE rn <= {k}
+) a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+LEFT JOIN (
+  SELECT c.query_id, COUNT(*) AS n_candidates
+  FROM assigned b JOIN qrank c ON b.cell = c.cell AND c.rn <= {np}
+  WHERE b.vec_id != c.query_id
+  GROUP BY 1
+) nc ON e.query_id = nc.query_id
+GROUP BY e.query_id, nc.n_candidates"""
+        for np in sweep
+    )
+    return f"""
+WITH {_SQL_IVF_INDEX},
+q AS (SELECT vec_id AS query_id, e AS qe, qv AS qqv
+      FROM qz WHERE vec_id < {n_queries}),
+qrank AS (
+  SELECT query_id, cell, rn FROM (
+    SELECT q.query_id, cent2.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(SUM((q.qqv[cent2.i] - cent2.c) * (q.qqv[cent2.i] - cent2.c)) AS BIGINT) ASC,
+                      cent2.cid ASC) AS rn
+    FROM q, cent2 GROUP BY q.query_id, cent2.cid
+  )
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {fr6} DESC, b.vec_id ASC) AS rn
+    FROM assigned b CROSS JOIN q WHERE b.vec_id != q.query_id
+  ) WHERE rn <= {k}
+)
+{arms}
+"""

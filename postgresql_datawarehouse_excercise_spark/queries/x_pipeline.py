@@ -1317,6 +1317,12 @@ def x_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("bucket"),
     )
+    # the md5-bucket bigram stream has TWO full-pass consumers (model
+    # aggregate, then scoring against the broadcast model); checkpoint the
+    # skinny (doc_id, lang, bucket) rows so the per-bigram md5 runs once,
+    # not once per consumer (100x probe: 172 s -> the hash was ~half).  At
+    # 100 TB the same move is a scratch-table write of the ~17-byte rows.
+    big = big.localCheckpoint(eager=False)
     # null-safe target test: NULL lang is raw-pool on BOTH sides (the oracle
     # uses IS DISTINCT FROM) -- a plain != would silently DROP NULL-lang rows
     # from the scoring/raw filters while the model's otherwise(1) counted them
@@ -1358,6 +1364,9 @@ def x_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("logw", F.lit(0)).cast("long").alias("logw_micro"),
         )
     )
+    # raw (doc-grain, skinny) feeds three consumers: the budget count, the
+    # top-k, and the final join -- checkpoint so the scoring join runs once
+    raw = raw.localCheckpoint(eager=False)
     n_raw = raw.count()
     k = max(16, n_raw // DSIR_FRACTION)
     top = (

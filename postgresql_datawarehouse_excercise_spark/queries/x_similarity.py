@@ -371,6 +371,22 @@ def x_sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.mmr_select(t.embeddings)
 
 
+@query("x_sim_ann_nprobe_sweep", oracle=similarity.ann_recall_sweep_sql())
+def x_sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall-vs-cost CURVE (FAISS's standard nprobe sweep): for
+    nprobe in {1, 2, 4, 8}, recall@10 of the probed search against exact
+    brute force PLUS the exact candidate count the probe re-ranked --
+    the tuning measurement behind every deployed nprobe choice, where
+    x_sim_ann_recall reports only the production point.  Index trains
+    once (checkpointed assignment relation); each arm is a broadcast
+    cell-filter + per-query top-k; recall is non-decreasing in nprobe
+    (nested probe sets, pytest-pinned) while n_candidates grows ~linearly
+    in nprobe -- the curve's two axes (operators/similarity.py
+    ann_recall_sweep)."""
+    t = catalog.load(spark, sf_dir)
+    return similarity.ann_recall_sweep(t.embeddings)
+
+
 @query("x_sim_mrl_recall", oracle=similarity.mrl_recall_populations_sql())
 def x_sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation evaluator (Kusupati et al., NeurIPS 2022):

@@ -659,6 +659,166 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+_SB_ORACLE = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+),
+tr_uni AS (
+  SELECT u.term, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+  WHERE u.doc_id % 2 = 0 GROUP BY 1
+),
+tr_tot AS (SELECT SUM(cnt) AS total FROM tr_uni),
+tr_bg AS (
+  SELECT prev, cur, COUNT(*) AS cnt FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+ev AS (SELECT doc_id, prev, cur FROM bg WHERE doc_id % 2 = 1),
+scores AS (
+  SELECT d.prev, d.cur,
+         CAST(FLOOR(CASE
+           WHEN b.cnt IS NOT NULL THEN
+             ln(CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE))
+           ELSE
+             ln(0.4 * CAST(GREATEST(COALESCE(uc.cnt, 0), 1) AS DOUBLE)
+                / CAST(t.total AS DOUBLE))
+         END * 1000000.0 + 0.5) AS BIGINT) AS lp_micro,
+         CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM (SELECT DISTINCT prev, cur FROM ev) d
+  LEFT JOIN tr_bg b ON d.prev = b.prev AND d.cur = b.cur
+  LEFT JOIN tr_uni up ON d.prev = up.term
+  LEFT JOIN tr_uni uc ON d.cur = uc.term
+  CROSS JOIN tr_tot t
+)
+SELECT ev.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s.backed_off) AS BIGINT) AS n_backoff,
+       CAST(SUM(s.lp_micro) AS BIGINT) AS sum_logprob_micro,
+       FLOOR((CAST(-SUM(s.lp_micro) AS DOUBLE) / 1000000.0
+             / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         AS avg_neg_logprob
+FROM ev JOIN scores s ON ev.prev = s.prev AND ev.cur = s.cur
+GROUP BY ev.doc_id
+"""
+
+
+@query("x_text_stupid_backoff", oracle=_SB_ORACLE)
+def x_text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram LM scoring (Brants et al., EMNLP 2007 -- the
+    'Large Language Models in Machine Translation' distributed-LM recipe):
+    a bigram model trained on the even-doc_id half of the corpus scores
+    every odd-doc_id document;
+    S(cur|prev) = count(prev cur)/count(prev) when the bigram was seen in
+    training, else alpha * count(cur)/total with alpha = 0.4 (unseen
+    unigrams floor at count 1).  Brants' point -- kept here -- is that the
+    scores are raw count RATIOS, no discounting or normalization, which is
+    what makes the model embarrassingly distributable: training is two
+    counting aggregates, scoring is a join.
+
+    The held-out split is what makes backoff REAL: scoring a corpus
+    against itself never backs off (every bigram has count >= 1); n_backoff
+    reports how often the eval half actually fell through to the unigram.
+
+    Float discipline (the unigram_logprob pattern): each DISTINCT
+    (prev, cur) computes one ln, immediately quantized to integer
+    micro-nats; per-doc summation is exact int64, partition-order
+    independent.  Scale shape: bigrams build map-side from the token array
+    (zero shuffle), both model aggregates map-side combine, the scalar
+    total broadcasts, and scoring joins eval bigrams to the model keyed by
+    (prev, cur) -- never by doc pair."""
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("tk"),
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> named_struct('prev', x, 'cur', tk[i + 1]))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    is_train = F.col("doc_id") % 2 == 0
+    tr_uni = (
+        toks.filter(is_train)
+        .select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tr_tot = tr_uni.agg(F.sum("cnt").alias("total"))
+    tr_bg = (
+        bg.filter(is_train)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bg_cnt"))
+    )
+    ev = bg.filter(~is_train)
+    scores = (
+        ev.select("prev", "cur")
+        .distinct()
+        .join(tr_bg, ["prev", "cur"], "left")
+        .join(
+            tr_uni.select(F.col("term").alias("prev"), F.col("cnt").alias("up_cnt")),
+            "prev",
+            "left",
+        )
+        .join(
+            tr_uni.select(F.col("term").alias("cur"), F.col("cnt").alias("uc_cnt")),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(tr_tot))
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                F.when(
+                    F.col("bg_cnt").isNotNull(),
+                    F.log(F.col("bg_cnt").cast("double") / F.col("up_cnt").cast("double")),
+                ).otherwise(
+                    F.log(
+                        F.lit(0.4)
+                        * F.greatest(F.coalesce("uc_cnt", F.lit(0)), F.lit(1)).cast("double")
+                        / F.col("total").cast("double")
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("lp_micro"),
+            F.when(F.col("bg_cnt").isNull(), 1).otherwise(0).alias("backed_off"),
+        )
+    )
+    return (
+        ev.join(scores, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("backed_off").cast("long").alias("n_backoff"),
+            F.sum("lp_micro").cast("long").alias("sum_logprob_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            "sum_logprob_micro",
+            fround(
+                (-F.col("sum_logprob_micro")).cast("double")
+                / 1000000.0
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 BPE_ROUNDS = 4
 
 

@@ -539,9 +539,57 @@ def sec_stream(spark, t, k: int, sf_dir: str) -> None:
         catalog._TABLES_CACHE.clear()
 
 
+def sec_r9ops(spark, t, k: int, sf_dir: str) -> None:
+    """100x probe rows for the round-9/10 capability wave (VERDICT r9 #5):
+    the gated entries run UNMODIFIED against a materialized Kx dir (the
+    sec_tpch pattern), so the probe exercises exactly the registry code.
+    Inputs that scale (documents, orders, lineitem, embeddings) multiply
+    with FK-preserving key shifts; constant relations symlink at 1x.
+    x_stream_hll is deliberately not probed here: its register math IS the
+    batch hll_sketch's (the drained state hash-matches it by test) and the
+    streaming engine's startup costs are per-JVM constants, not
+    data-scaling paths."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pdwx-scale-r9-")
+    multiply(t.documents, "doc_id", k).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    multiply(t.orders, ["o_orderkey", "o_custkey"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/orders.parquet")
+    multiply(t.lineitem, ["l_orderkey", "l_partkey"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/lineitem.parquet")
+    multiply(t.embeddings, "vec_id", k).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    for tab in ("region", "nation", "supplier", "customer", "part", "events"):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    regq = load_all()
+    print(f"round-9 ops x{k}:", flush=True)
+    for name in (
+        "x_sql_higher_order",       # narrow array-lambda map, no shuffle
+        "x_text_gopher_rules",      # one scan of row-level array exprs
+        "x_text_ccnet_buckets",     # token model + broadcast percentile
+        "x_pipeline_skew_report",   # one key aggregate + top-k
+        "x_sql_hll_sketch",         # register MAX agg + shard-merge proof
+        "x_pipeline_dsir",          # bigram models + broadcast scoring
+        "x_text_lr_classifier",     # 6 chained aggregates over persisted feats
+        "x_text_cdc_dedup",         # per-token rolling hash, two windows
+        "x_sim_mrl_recall",         # corpus x queries cosine, 2 populations
+        "x_text_stupid_backoff",    # bigram model + (prev,cur)-keyed scoring
+        "x_sim_ann_nprobe_sweep",   # one index, 4 probe arms + exact arm
+    ):
+        timed(name, lambda name=name: regq[name].fn(spark, d))
+
+
 SECTIONS = {
     "docs": sec_docs,
     "pairs": sec_pairs,
+    "r9ops": sec_r9ops,
     "emb": sec_emb,
     "line": sec_line,
     "tpch": sec_tpch,

@@ -104,3 +104,24 @@ def test_ivf_candidates_sublinear_in_n(spark, sf_dir):
     assert 0 < c8 < 8 * n
     # the o(N) assertion: an 8x corpus probes < 0.62 * 8x the candidates
     assert c8 < 0.62 * 8 * c1, (c1, c8)
+
+
+def test_nprobe_sweep_recall_monotone(spark, sf_dir):
+    """Probed cell sets are nested in nprobe, so per-query recall along the
+    sweep must be non-decreasing and the production point (nprobe >= 5 at
+    gate scale) at least matches the nprobe=4 arm."""
+    rows = sim.ann_recall_sweep(catalog.load(spark, sf_dir).embeddings).collect()
+    per_q: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.nprobe, r.recall))
+    assert len(per_q) == sim.KNN_QUERIES
+    for q, arms in per_q.items():
+        arms.sort()
+        recalls = [rec for _, rec in arms]
+        assert recalls == sorted(recalls), (q, arms)
+        # candidates grow with nprobe too (cost axis sanity)
+    by_np: dict[int, int] = {}
+    for r in rows:
+        by_np[r.nprobe] = by_np.get(r.nprobe, 0) + r.n_candidates
+    nps = sorted(by_np)
+    assert all(by_np[a] < by_np[b] for a, b in zip(nps, nps[1:])), by_np
