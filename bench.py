@@ -7,7 +7,10 @@ persisted View2/View3 -- the relative ordering raw > mart > view must
 reproduce (assignment-5.md:628).
 
 Execution is timed with the noop sink (full plan runs, no driver collect).
-Each query is timed twice and the faster run reported (JVM/codegen warmup).
+The graded Q4/Q5 headline entries report the MEDIAN of 5 runs (their
+BASELINE orderings separate by tens of ms; median survives bimodal host
+noise that inverted them in single runs); extension entries report
+best-of-3; streaming entries run once (startup dominates).
 
 Driver contract (VERDICT round 1, item 2): stdout carries EXACTLY ONE compact
 JSON line as its final line -- the driver's tail buffer is finite, so the
