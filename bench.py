@@ -282,6 +282,7 @@ def main() -> None:
         "x_text_countmin_hh",
         # round 10
         "x_text_stupid_backoff",
+        "x_pipeline_alpha_sampling",
         "x_sim_ann_nprobe_sweep",
         # round 9
         "x_dedup_cc_bigstar",

@@ -411,6 +411,85 @@ def x_pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_pipeline_alpha_sampling",
+    oracle=r"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per_source),
+w AS (
+  SELECT source, n_docs, n_tokens, total_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+  FROM per_source, tot
+),
+sw AS (SELECT SUM(w_micro) AS sum_w FROM w)
+SELECT source, n_docs, n_tokens,
+       FLOOR((CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+       FLOOR((CAST(w_micro AS DOUBLE) / CAST(sum_w AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS alpha_share,
+       FLOOR(((CAST(w_micro AS DOUBLE) / CAST(sum_w AS DOUBLE))
+              / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS boost
+FROM w, sw
+""",
+)
+def x_pipeline_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (alpha) mixture smoothing -- the multilingual sampling
+    rule of mC4/mT5 (Xue et al. 2021) and XLM (Lample & Conneau 2019):
+    sample source s with probability proportional to (token share)^alpha,
+    flattening the head and boosting the tail without going all the way to
+    the uniform mixture x_pipeline_mixture_weights computes.  alpha = 0.5
+    here DELIBERATELY: the exponent is then IEEE sqrt, correctly rounded
+    in every engine, so no libm pow enters the oracle contract.  `boost`
+    (alpha_share / raw share) is the per-source up/down-sampling factor a
+    sampler applies.
+
+    Float discipline: each source's sqrt-share quantizes to integer
+    micro-units BEFORE the normalizing sum (the repo rule: never sum raw
+    doubles across rows), so normalization is exact int64 arithmetic and
+    partition-order independent.  Plan: one scan -> per-source aggregate
+    (|sources| rows) -> two 1-row broadcasts; everything after the first
+    aggregate is constant-size no matter the corpus."""
+    t = catalog.load(spark, sf_dir)
+    per_source = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    w = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "w_micro",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"))
+            * 1000000.0
+            + 0.5
+        ).cast("long"),
+    )
+    sw = w.agg(F.sum("w_micro").alias("sum_w"))
+    return w.crossJoin(F.broadcast(sw)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        fround(
+            F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"), 6
+        ).alias("token_share"),
+        fround(F.col("w_micro").cast("double") / F.col("sum_w").cast("double"), 6).alias(
+            "alpha_share"
+        ),
+        fround(
+            (F.col("w_micro").cast("double") / F.col("sum_w").cast("double"))
+            / (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")),
+            6,
+        ).alias("boost"),
+    )
+
+
 # --- deterministic global shuffle into shards -------------------------------
 
 NUM_SHARDS = 64
