@@ -378,6 +378,7 @@ def main() -> None:
         "x_tpch_q16_supplier_part_counts",
         "x_tpch_q17_small_quantity",
         "x_tpch_q18_large_orders",
+        "x_tpch_q18_bucketed",
         "x_tpch_q19_disjunctive_bands",
         "x_tpch_q20_dominant_suppliers",
         "x_tpch_q21_late_sole_supplier",

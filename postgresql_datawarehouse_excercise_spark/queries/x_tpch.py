@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..sources import files
+from .x_sources import _scratch
 from ..functions import (
     c100,
     cents_sum,
@@ -368,6 +370,73 @@ def x_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+@query(
+    "x_tpch_q18_bucketed",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_money(f"SUM({sql_dec('l_quantity')})")} AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM({sql_dec('l_quantity')}) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big JOIN orders   ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+""",
+)
+def x_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 on the co-located bucketed layout -- the lane the round-9
+    q18 plan audit (scripts/tpch_heavy_audit.py) concluded is the right
+    100 TB lever.  x_tpch_q18_large_orders pays one full lineitem shuffle
+    for the HAVING aggregate every run; here lineitem AND orders are both
+    written bucketed (and sorted) on the order key once, so the per-order
+    quantity aggregate runs WITHOUT re-hashing lineitem (the bucketed scan
+    already satisfies the aggregate's required distribution) and the
+    big-orders join is exchange-free too -- zero shuffles from either fact
+    scan through the HAVING join, pinned in tests/test_plans.py.  The one
+    write-time shuffle is amortized across every later order-grain query,
+    which is exactly how a 100 TB warehouse keeps its biggest fact pair.
+    customer stays un-hinted (SF-scaling; AQE broadcasts it while the
+    post-HAVING slice fits).  Values are pinned against the plain
+    (shuffled) Q18 in DuckDB -- the layout may never change the answer."""
+    import uuid
+
+    t = catalog.load(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    loc = _scratch("pdwx-q18bkt-")
+    lt, ot = f"pdwx_q18l_{tag}", f"pdwx_q18o_{tag}"
+    try:
+        files.write_bucketed(
+            t.lineitem.select("l_orderkey", "l_quantity"),
+            lt, f"{loc}/{lt}", "l_orderkey",
+        )
+        files.write_bucketed(
+            t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            ot, f"{loc}/{ot}", "o_orderkey",
+        )
+        big = (
+            spark.table(lt)
+            .groupBy("l_orderkey")
+            .agg(F.sum(dec("l_quantity")).alias("q"))
+            .filter(F.col("q") > 250)
+            .select("l_orderkey", money(F.col("q")).alias("total_qty"))
+        )
+        return (
+            big.hint("merge")
+            .join(spark.table(ot), big.l_orderkey == F.col("o_orderkey"))
+            .join(
+                t.customer.select("c_custkey", "c_name"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                "c_custkey", "c_name", "o_orderkey",
+                "o_orderdate", "o_totalprice", "total_qty",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
 
 
 @query(

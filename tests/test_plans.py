@@ -138,6 +138,9 @@ def test_tpch_family_no_sortmerge_joins(spark, sf_dir):
     show SortMergeJoin where static stats are unknown (post-aggregate
     relations), and AQE must have converted every one of them."""
     for name in sorted(n for n in REG if n.startswith("x_tpch_")):
+        if name == "x_tpch_q18_bucketed":
+            continue  # deliberate SMJ over co-located buckets; has its own
+            # dedicated zero-shuffle pin (test_q18_bucketed_layout below)
         df = REG[name].fn(spark, sf_dir)
         if plans.num_sortmerge_joins(df) == 0:
             continue  # statically broadcast everywhere -- nothing to convert
@@ -200,6 +203,9 @@ def test_registry_no_fact_side_broadcast_hints(spark, sf_dir):
         "x_pipeline_incremental",
         # eager bloom build + session-lifetime persist at construction
         "x_pipeline_decontaminate_bloom",
+        # bucketed-table write + checkpoint at construction; merge-hinted
+        # fact pair by design, pinned in test_q18_bucketed_layout
+        "x_tpch_q18_bucketed",
     )
     for name in sorted(REG):
         if name.startswith(skip):
@@ -465,6 +471,59 @@ def test_bucketed_join_eliminates_input_shuffles(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         assert plans.num_shuffles(plain) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_q18_bucketed_layout_agg_and_join_shuffle_free(spark, sf_dir):
+    """x_tpch_q18_bucketed's claim, pinned on the un-checkpointed shape:
+    with lineitem and orders bucketed on the order key, the HAVING
+    aggregate AND the big-orders join contain ZERO shuffle exchanges --
+    the bucketed scan satisfies the aggregate's distribution, and the
+    aggregate's output partitioning co-locates with the orders buckets.
+    (The plain Q18 pays a full lineitem exchange for the same aggregate.)"""
+    import tempfile
+    import uuid
+
+    t = catalog.load(spark, sf_dir)
+    tag = uuid.uuid4().hex[:8]
+    loc = tempfile.mkdtemp(prefix="pdwx-q18bkt-plan-")
+    lt, ot = f"pdwx_pq18l_{tag}", f"pdwx_pq18o_{tag}"
+    try:
+        from postgresql_datawarehouse_excercise_spark.sources import files
+
+        files.write_bucketed(
+            t.lineitem.select("l_orderkey", "l_quantity"),
+            lt, f"{loc}/{lt}", "l_orderkey",
+        )
+        files.write_bucketed(
+            t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            ot, f"{loc}/{ot}", "o_orderkey",
+        )
+        big = (
+            spark.table(lt)
+            .groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+            .filter(F.col("q") > 250)
+        )
+        assert plans.num_shuffles(big) == 0  # bucketing IS the distribution
+        joined = big.hint("merge").join(
+            spark.table(ot), big.l_orderkey == F.col("o_orderkey")
+        )
+        assert plans.num_shuffles(joined) == 0
+        assert plans.num_sortmerge_joins(joined) == 1
+        # the plain layout pays the lineitem exchange for the same aggregate
+        plain = (
+            t.lineitem.select("l_orderkey", "l_quantity")
+            .groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+            .filter(F.col("q") > 250)
+        )
+        assert plans.num_shuffles(plain) == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
