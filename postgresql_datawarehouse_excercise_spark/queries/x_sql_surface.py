@@ -1201,3 +1201,66 @@ def x_sql_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_len"),
         F.expr("array_position(tk, 'spark')").cast("long").alias("spark_pos"),
     )
+
+
+@query(
+    "x_sql_runtime_bloom_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_money(f"SUM({sql_dec('l_extendedprice')})")} AS total_price
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+)
+def x_sql_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter): the
+    big-join lever left when BOTH sides outgrow the broadcast lane.  The
+    optimizer builds a bloom filter over the keys of the FILTERED orders
+    slice and pushes `might_contain(xxhash64(l_orderkey))` into the
+    lineitem side BEFORE its exchange, so the ~80% of lineitem rows whose
+    order is not urgent never enter the shuffle -- the runtime semi-join
+    analog of static predicate pushdown, and at 100 TB the difference
+    between shuffling a fact table and shuffling a fifth of it.
+
+    At gate scale AQE would broadcast the slice and the filter would never
+    inject (it only guards shuffle joins), so the entry emulates the
+    at-scale regime inside an EAGER conf window -- broadcast thresholds -1,
+    application-side scan threshold 0 -- checkpoints the result, and
+    restores every conf in finally (physical planning is lazy; without the
+    eager checkpoint the restored confs would re-plan the broadcast join
+    and the demonstration would silently vanish).  The injected
+    might_contain + the bloom build aggregate are pinned on the plan in
+    tests/test_plans.py; values are pinned against the plain join oracle --
+    a runtime filter may never change the answer (no false negatives)."""
+    t = catalog.load(spark, sf_dir)  # before the window: load re-applies confs
+    window = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in window.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        return (
+            t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

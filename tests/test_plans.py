@@ -705,3 +705,42 @@ def test_markov_rfm_rake_streamcms_all_jvm(spark, sf_dir):
         assert "CartesianProduct" not in p, name
     p = plans.formatted_plan(REG["x_events_markov_transitions"].fn(spark, sf_dir))
     assert "SinglePartition" not in p
+
+
+def test_runtime_bloom_filter_injects_in_conf_window(spark, sf_dir):
+    """x_sql_runtime_bloom_join's claim, pinned on the un-checkpointed
+    shape: with broadcast off and the application-side threshold lifted,
+    InjectRuntimeFilter must add the bloom build aggregate over the
+    filtered orders keys AND the might_contain probe on the lineitem side;
+    with default confs the same join broadcasts and no filter injects
+    (the runtime filter only guards shuffle joins)."""
+    t = catalog.load(spark, sf_dir)
+
+    def shape():
+        return (
+            t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+        )
+
+    # default regime: broadcast, no injection
+    p0 = plans.formatted_plan(shape())
+    assert "might_contain" not in p0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        p1 = plans.formatted_plan(shape())
+        assert "bloom_filter_agg" in p1  # build side: filtered orders keys
+        assert "might_contain" in p1    # probe side: lineitem pre-shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
