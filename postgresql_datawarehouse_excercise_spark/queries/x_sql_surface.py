@@ -1264,3 +1264,155 @@ def x_sql_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+HIST_B = 64  # equi-width buckets; estimate error bound = one bucket width
+
+_HIST_EST_SQL = """
+  SELECT FLOOR(((CAST(lo + w * bucket AS DOUBLE)
+         + CAST(w * (FLOOR({q} * CAST(n - 1 AS DOUBLE)) + 1 - cum + cnt) AS DOUBLE)
+           / CAST(cnt AS DOUBLE)) / 100.0) * 10000.0 + 0.5) / 10000.0 AS v
+  FROM cum CROSS JOIN wd
+  WHERE cum >= FLOOR({q} * CAST(n - 1 AS DOUBLE)) + 1
+  ORDER BY bucket LIMIT 1
+"""
+
+_HIST_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+         l_orderkey % 4 AS shard
+  FROM lineitem
+),
+rng AS (SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+wd AS (SELECT lo, hi, n, (hi - lo) // {HIST_B} + 1 AS w FROM rng),
+b AS (SELECT shard, (c.c - wd.lo) // wd.w AS bucket FROM c CROSS JOIN wd),
+shard_reg AS (SELECT shard, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+merged AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM shard_reg GROUP BY 1),
+direct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+eq AS (
+  SELECT COUNT(*) = 0 AS same FROM (
+    SELECT bucket, cnt FROM merged EXCEPT SELECT bucket, cnt FROM direct
+    UNION ALL
+    SELECT bucket, cnt FROM direct EXCEPT SELECT bucket, cnt FROM merged
+  )
+),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM merged
+),
+exactq AS (SELECT quantile_cont(CAST(c AS DOUBLE) / 100.0, [0.5, 0.9, 0.99]) AS p FROM c)
+SELECT rng.n AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS nonzero_buckets,
+       (SELECT CAST(SUM(bucket * cnt) AS BIGINT) FROM merged) AS state_fp,
+       (SELECT same FROM eq) AS merged_equals_direct,
+       ({_HIST_EST_SQL.format(q='0.5')}) AS est_p50,
+       ({_HIST_EST_SQL.format(q='0.9')}) AS est_p90,
+       ({_HIST_EST_SQL.format(q='0.99')}) AS est_p99,
+       FLOOR(p[1] * 10000.0 + 0.5) / 10000.0 AS exact_p50,
+       FLOOR(p[2] * 10000.0 + 0.5) / 10000.0 AS exact_p90,
+       FLOOR(p[3] * 10000.0 + 0.5) / 10000.0 AS exact_p99
+FROM rng CROSS JOIN exactq
+"""
+
+
+@query("x_sql_histogram_sketch", oracle=_HIST_ORACLE)
+def x_sql_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch over lineitem's
+    extended price -- the QUANTILE member of the hand-built sketch family
+    (x_sql_hll_sketch = distinct count, x_text_countmin_hh = frequency),
+    and the shape behind engine column statistics (Spark's ANALYZE
+    histogram, Postgres pg_stats buckets): 64 fixed-width buckets
+    over the observed [min, max] cents range, quantiles read off the
+    cumulative histogram with within-bucket linear interpolation, reported
+    BESIDE the exact interpolated percentiles so the sketch's error is
+    visible in the row itself (bounded by one bucket width; pinned in
+    tests/test_sql_surface.py).
+
+    Everything countable is exact int64: values are 2-dp cents, the bucket
+    id is pure integer division, the state fingerprint is SUM(bucket*cnt).
+    Mergeability is exercised, not assumed (the hll_sketch discipline):
+    per-shard histograms (l_orderkey % 4) merge by a second SUM and must
+    equal the direct single-pass bucket counts.  The one float per
+    estimate is the within-bucket interpolation division, then the
+    established floor-half-up 1e-4 quantization; Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)*q interpolation definition on
+    identical doubles (the ccnet_buckets precedent).
+
+    Scale design (100 TB): bucket counts map-side combine to <= 64
+    rows per partition -- the shuffle carries KBs no matter the input; the
+    state is {HIST_B} (bucket, cnt) rows that persist/merge across shards
+    or days exactly like the HLL registers; the cumulative window runs on
+    the {HIST_B}-row state (the SinglePartition there is the bounded
+    sketch state, not data).  The exact-percentile arm is the verification
+    baseline, not the production path."""
+    from pyspark.sql import Window
+
+    t = catalog.load(spark, sf_dir)
+    base = t.lineitem.select(
+        c100("l_extendedprice").alias("c"),
+        (F.col("l_orderkey") % 4).alias("shard"),
+    )
+    rng = base.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wd = rng.select(
+        "lo", "hi", "n", F.expr(f"(hi - lo) DIV {HIST_B} + 1").alias("w")
+    )
+    b = base.crossJoin(F.broadcast(wd)).select(
+        "shard", F.expr("(c - lo) DIV w").alias("bucket"), "n", "lo", "w"
+    )
+    shard_reg = b.groupBy("shard", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = shard_reg.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    direct = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    same = (
+        merged.exceptAll(direct.select("bucket", "cnt"))
+        .unionAll(direct.select("bucket", "cnt").exceptAll(merged))
+        .agg((F.count(F.lit(1)) == 0).alias("merged_equals_direct"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bucket", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+
+    def est(alias: str, q: float) -> DataFrame:
+        k1 = F.floor(F.lit(q) * (F.col("n") - 1).cast("double")) + 1
+        lower = (F.col("lo") + F.col("w") * F.col("bucket")).cast("double")
+        interp = (
+            (F.col("w") * (k1 - F.col("cum") + F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        )
+        return (
+            cum.crossJoin(F.broadcast(wd))
+            .filter(F.col("cum") >= k1)
+            .orderBy("bucket")
+            .limit(1)
+            .select(fround((lower + interp) / F.lit(100.0), 4).alias(alias))
+        )
+
+    exactq = base.select((F.col("c").cast("double") / F.lit(100.0)).alias("x")).agg(
+        F.percentile(F.col("x"), F.lit([0.5, 0.9, 0.99])).alias("p")
+    )
+    state = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero_buckets"),
+        F.sum(F.col("bucket") * F.col("cnt")).cast("long").alias("state_fp"),
+    )
+    return (
+        rng.select(F.col("n").alias("n_rows"))
+        .crossJoin(F.broadcast(state))
+        .crossJoin(F.broadcast(same))
+        .crossJoin(F.broadcast(est("est_p50", 0.5)))
+        .crossJoin(F.broadcast(est("est_p90", 0.9)))
+        .crossJoin(F.broadcast(est("est_p99", 0.99)))
+        .crossJoin(
+            F.broadcast(
+                exactq.select(
+                    fround(F.col("p")[0], 4).alias("exact_p50"),
+                    fround(F.col("p")[1], 4).alias("exact_p90"),
+                    fround(F.col("p")[2], 4).alias("exact_p99"),
+                )
+            )
+        )
+    )

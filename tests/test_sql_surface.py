@@ -242,3 +242,24 @@ def test_hll_sketch_estimate_and_regime(spark, sf_dir):
     assert rel_err < 0.13, (row.hll_estimate, row.exact_keys)
     assert row.hll_estimate > 2.5 * 256  # out of the ln()-based correction regime
     assert 0 < row.nonzero_registers <= 256
+
+
+def test_histogram_sketch_error_bounded_and_merge_proof(spark, sf_dir):
+    """The histogram quantile estimate must land within ONE bucket width of
+    the exact interpolated percentile (the sketch's theoretical bound: the
+    true value lies inside the chosen bucket), and the shard-merge proof
+    column must be True."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_sql_surface import HIST_B
+
+    row = REG["x_sql_histogram_sketch"].fn(spark, sf_dir).collect()[0]
+    assert row.merged_equals_direct is True
+    assert 0 < row.nonzero_buckets <= HIST_B
+    # one bucket width in dollars, from the observed range
+    t = catalog.load(spark, sf_dir)
+    lo, hi = t.lineitem.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    width = (hi - lo) / HIST_B + 0.01
+    for q in ("p50", "p90", "p99"):
+        est, exact = getattr(row, f"est_{q}"), getattr(row, f"exact_{q}")
+        assert abs(est - exact) <= width, (q, est, exact, width)
