@@ -1221,8 +1221,14 @@ def x_sql_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice and pushes `might_contain(xxhash64(l_orderkey))` into the
     lineitem side BEFORE its exchange, so the ~80% of lineitem rows whose
     order is not urgent never enter the shuffle -- the runtime semi-join
-    analog of static predicate pushdown, and at 100 TB the difference
-    between shuffling a fact table and shuffling a fifth of it.
+    analog of static predicate pushdown.  Measured honestly at the 100x
+    probe (60M-row lineitem, local[32]): bloom ON 10.0 s vs OFF 5.1 s, and
+    the gap persists even at 0.2% build-side selectivity -- in local mode
+    the shuffle is memory-speed, so there is no IO for the pruned rows to
+    save while the build subquery adds a fixed pre-job.  The lever is real
+    where shuffle crosses a network (the 1000-executor regime this entry
+    exists to demonstrate); the measurement is recorded in BENCH.md so the
+    local cost is never mistaken for the cluster economics.
 
     At gate scale AQE would broadcast the slice and the filter would never
     inject (it only guards shuffle joins), so the entry emulates the

@@ -586,10 +586,45 @@ def sec_r9ops(spark, t, k: int, sf_dir: str) -> None:
         timed(name, lambda name=name: regq[name].fn(spark, d))
 
 
+def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
+    """Kx probe rows for the round-10 additions, run unmodified against a
+    materialized Kx dir (the sec_r9ops pattern).  q18_bucketed's write-time
+    bucketing shuffle is deliberately INSIDE the timing -- the entry's
+    thesis is that one write amortizes across every later order-grain
+    query, so the probe reports the worst case (write + first query).
+    runtime_bloom runs its at-scale regime for real here: broadcast off,
+    the bloom filter pruning a Kx lineitem before its exchange."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pdwx-scale-r10-")
+    multiply(t.orders, ["o_orderkey", "o_custkey"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/orders.parquet")
+    multiply(t.lineitem, ["l_orderkey", "l_partkey"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/lineitem.parquet")
+    for tab in (
+        "region", "nation", "supplier", "customer", "part",
+        "events", "documents", "embeddings",
+    ):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    regq = load_all()
+    print(f"round-10 ops x{k}:", flush=True)
+    for name in (
+        "x_sql_histogram_sketch",    # <=64-row combined shuffles + 1 exact arm
+        "x_sql_runtime_bloom_join",  # bloom prune before the fact exchange
+        "x_tpch_q18_bucketed",       # bucketing write + exchange-free agg+join
+    ):
+        timed(name, lambda name=name: regq[name].fn(spark, d))
+
+
 SECTIONS = {
     "docs": sec_docs,
     "pairs": sec_pairs,
     "r9ops": sec_r9ops,
+    "r10ops": sec_r10ops,
     "emb": sec_emb,
     "line": sec_line,
     "tpch": sec_tpch,
