@@ -294,6 +294,7 @@ def main() -> None:
         "x_sql_hll_sketch",
         "x_sql_higher_order",
         "x_sim_mrl_recall",
+        "x_sim_jl_projection",
         "x_text_gopher_rules",
         "x_text_zipf_fit",
         "x_text_domain_divergence",

@@ -1234,3 +1234,271 @@ exact AS (
 )
 {arms}
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection evaluator: the DATA-INDEPENDENT
+# dimensionality reduction next to the prefix-truncation evaluator above.
+# A fixed dense +/-1 matrix (Achlioptas 2003's database-friendly JL variant)
+# mixes EVERY input dimension into each output dimension, so the projection
+# quality cannot depend on where a vector keeps its energy -- the property
+# prefix truncation lacks by construction.  The evaluator measures both
+# methods at the same compressed width against the full-dim exact ranking,
+# over the raw corpus AND a deterministic BACK-loaded twin (energy in the
+# trailing dim blocks): there the prefix arm ranks by dims that carry none
+# of the full ranking's signal (recall ~ k/N, random), while the JL arm is
+# unchanged -- the measured case for preferring an oblivious projection when
+# the energy profile is unknown or adversarial.
+# ---------------------------------------------------------------------------
+
+JL_IN_DIM = 64
+JL_DIM = 16  # compressed width for both arms
+
+
+def jl_signs(d_in: int = JL_IN_DIM, d_out: int = JL_DIM) -> list[list[int]]:
+    """Deterministic +/-1 matrix: sign(i, j) from the first md5 hex digit of
+    "i_j" -- reproducible everywhere (no RNG state), embedded as literals in
+    both engines' expressions so the projection is bit-identical."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(d_out)
+        ]
+        for i in range(d_in)
+    ]
+
+
+#: backloaded twin: dim block i div 8 scaled by 2^-(7 - i div 8) -- energy
+#: concentrated in the TRAILING blocks; powers of two only (bit-exact).
+_JL_BACKLOAD = (
+    "transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+    " / pow(CAST(2.0 AS DOUBLE), CAST(7 - (i div 8) AS DOUBLE)))"
+)
+_SQL_JL_BACKLOAD = (
+    "list_transform(generate_series(1, len(embedding)),"
+    " i -> CAST(embedding[i] AS DOUBLE)"
+    " / pow(CAST(2.0 AS DOUBLE), CAST(7 - ((i - 1) // 8) AS DOUBLE)))"
+)
+
+
+def _jl_y_expr(signs: list[list[int]]) -> str:
+    """Spark SQL: the projected integer vector y (one exact int64 sum per
+    output dim) from the micro-unit vector column `m`."""
+    cols = []
+    for j in range(len(signs[0])):
+        arr = ",".join(f"{signs[i][j]}L" for i in range(len(signs)))
+        cols.append(
+            f"aggregate(zip_with(m, array({arr}), (x, s) -> x * s),"
+            " 0L, (a, b) -> a + b)"
+        )
+    return "array(" + ",".join(cols) + ")"
+
+
+def jl_recall_populations(
+    embeddings: DataFrame, n_queries: int = KNN_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """(population, method, query_id, n_exact, n_hits, recall): recall@k of
+    the JL sign projection vs prefix truncation at the SAME compressed
+    width (JL_DIM of JL_IN_DIM), each against its population's full-dim
+    exact ranking, over the raw corpus and the back-loaded twin.
+
+    Everything ranked is exact int64: vectors quantize to micro-units, the
+    projection is +/-1 integer sums, every dot product is an integer fold;
+    the one float per pair is the final cosine division, 1e-6-quantized.
+    One corpus x queries pass per population computes all three cosines
+    (full / jl / prefix); three ranking windows share it.  Scale shape: the
+    query set broadcasts (bounded by n_queries), the corpus is scanned
+    once per population, and the projection itself is row-local -- at
+    100 TB the projected column would be written once and reused, exactly
+    like the MRL prefix slice."""
+    from pyspark.sql.window import Window
+
+    signs = jl_signs()
+    out: DataFrame | None = None
+    for pop, base_expr in (
+        ("uniform", "transform(embedding, x -> CAST(x AS DOUBLE))"),
+        ("backloaded", _JL_BACKLOAD),
+    ):
+        base = (
+            embeddings.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.expr(base_expr).alias("e"),
+            )
+            .withColumn(
+                "m",
+                F.expr(
+                    "transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT))"
+                ),
+            )
+            .withColumn("y", F.expr(_jl_y_expr(signs)))
+            .withColumn("p", F.slice(F.col("m"), 1, JL_DIM))
+        )
+
+        def ldot(a: str, b: str) -> Column:
+            return F.expr(
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                " 0L, (acc, v) -> acc + v)"
+            )
+
+        base = base.select(
+            "vec_id", "m", "y", "p",
+            F.sqrt(ldot("m", "m").cast("double")).alias("nm"),
+            F.sqrt(ldot("y", "y").cast("double")).alias("ny"),
+            F.sqrt(ldot("p", "p").cast("double")).alias("np"),
+        )
+        q = base.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("y").alias("qy"),
+            F.col("p").alias("qp"),
+            F.col("nm").alias("qnm"),
+            F.col("ny").alias("qny"),
+            F.col("np").alias("qnp"),
+        )
+        pairs = (
+            base.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                fround(
+                    ldot("m", "qm").cast("double") / (F.col("nm") * F.col("qnm")), 6
+                ).alias("cos_full"),
+                fround(
+                    ldot("y", "qy").cast("double") / (F.col("ny") * F.col("qny")), 6
+                ).alias("cos_jl"),
+                fround(
+                    ldot("p", "qp").cast("double") / (F.col("np") * F.col("qnp")), 6
+                ).alias("cos_pre"),
+            )
+        )
+
+        def topk(col: str) -> DataFrame:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col(col).desc(), F.col("vec_id").asc()
+            )
+            return (
+                pairs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("query_id", "vec_id")
+            )
+
+        exact = topk("cos_full")
+        for method, col in (("jl16", "cos_jl"), ("prefix16", "cos_pre")):
+            joined = exact.join(
+                topk(col).withColumn("hit", F.lit(1)),
+                ["query_id", "vec_id"],
+                "left",
+            )
+            r = joined.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("hit").alias("n_hits"),
+                ratio(F.count("hit"), F.count(F.lit(1))).alias("recall"),
+            ).select(
+                F.lit(pop).alias("population"),
+                F.lit(method).alias("method"),
+                "query_id", "n_exact", "n_hits", "recall",
+            )
+            out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _sql_jl_y(signs: list[list[int]]) -> str:
+    cols = []
+    for j in range(len(signs[0])):
+        arr = ",".join(str(signs[i][j]) for i in range(len(signs)))
+        cols.append(
+            f"CAST(list_sum(list_transform(generate_series(1, {len(signs)}),"
+            f" i -> m[i] * ([{arr}])[i])) AS BIGINT)"
+        )
+    return "[" + ",".join(cols) + "]"
+
+
+def jl_recall_populations_sql(
+    n_queries: int = KNN_QUERIES, k: int = TOP_K
+) -> str:
+    from ..functions import sql_ratio
+
+    signs = jl_signs()
+    ldot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a})),"
+        " i -> {a}[i] * {b}[i])) AS DOUBLE)"
+    )
+
+    def cos(a: str, qa: str) -> str:
+        d = ldot.format(a=f"b.{a}", b=f"q.q{a}")
+        na = ldot.format(a=f"b.{a}", b=f"b.{a}")
+        nq = ldot.format(a=f"q.q{a}", b=f"q.q{a}")
+        return f"FLOOR(({d} / (sqrt({na}) * sqrt({nq}))) * 1000000.0 + 0.5) / 1000000.0"
+
+    recall = sql_ratio("COUNT(a.vec_id)", "COUNT(*)")
+
+    def population(pop: str, base_expr: str) -> str:
+        return f"""
+WITH raw AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {base_expr} AS e
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS m
+  FROM raw
+),
+proj AS (SELECT vec_id, m, {_sql_jl_y(signs)} AS y, m[1:{JL_DIM}] AS p FROM base),
+q AS (SELECT vec_id AS query_id, m AS qm, y AS qy, p AS qp
+      FROM proj WHERE vec_id < {n_queries}),
+pairs AS (
+  SELECT q.query_id, b.vec_id,
+         {cos('m', 'm')} AS cos_full,
+         {cos('y', 'y')} AS cos_jl,
+         {cos('p', 'p')} AS cos_pre
+  FROM proj b CROSS JOIN q WHERE b.vec_id != q.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_full DESC, vec_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {k}
+),
+jl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_jl DESC, vec_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {k}
+),
+pre AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_pre DESC, vec_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {k}
+)
+SELECT '{pop}' AS population, 'jl16' AS method, e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       {recall} AS recall
+FROM exact e LEFT JOIN jl a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+UNION ALL
+SELECT '{pop}' AS population, 'prefix16' AS method, e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       {recall} AS recall
+FROM exact e LEFT JOIN pre a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+    uni = population("uniform", "list_transform(embedding, x -> CAST(x AS DOUBLE))")
+    bl = population("backloaded", _SQL_JL_BACKLOAD)
+    return f"SELECT * FROM ({uni}) UNION ALL SELECT * FROM ({bl})"

@@ -404,3 +404,23 @@ def x_sim_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.mrl_recall, mrl_frontload)."""
     t = catalog.load(spark, sf_dir)
     return similarity.mrl_recall_populations(t.embeddings)
+
+
+@query("x_sim_jl_projection", oracle=similarity.jl_recall_populations_sql())
+def x_sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection evaluator (Achlioptas 2003's
+    database-friendly +/-1 JL variant): recall@10 of the 16-dim DENSE
+    random projection vs 16-dim PREFIX truncation, both against the
+    full-dim exact ranking, over the raw corpus AND a deterministic
+    BACK-loaded twin (energy in the trailing dim blocks, powers of two).
+    The JL matrix mixes every input dim into each output dim, so its
+    quality is oblivious to where a vector keeps its energy; the prefix
+    arm ranks the backloaded population by dims carrying none of the full
+    ranking's signal and collapses to ~random recall -- the measured case
+    for an oblivious projection when the energy profile is unknown (the
+    spread is pytest-pinned).  The sign matrix is md5-derived and embedded
+    as literals in BOTH engines; projections are exact int64 sign-sums of
+    micro-unit vectors, every dot an integer fold, one 1e-6-quantized
+    cosine per pair (operators/similarity.jl_recall_populations)."""
+    t = catalog.load(spark, sf_dir)
+    return similarity.jl_recall_populations(t.embeddings)

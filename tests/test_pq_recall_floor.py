@@ -53,3 +53,23 @@ def test_mrl_frontloaded_population_beats_uniform(spark, sf_dir):
     uni = sum(by_pop["uniform"]) / len(by_pop["uniform"])
     fl = sum(by_pop["frontloaded"]) / len(by_pop["frontloaded"])
     assert fl > uni + 0.2, (uni, fl)
+
+
+def test_jl_projection_oblivious_to_energy_profile(spark, sf_dir):
+    """The JL evaluator's claim, pinned: on the BACK-loaded population the
+    16-dim prefix arm ranks by dims carrying none of the full ranking's
+    signal (recall ~ random), while the dense +/-1 JL mix at the same
+    width keeps its level -- the query-set means must separate clearly."""
+    from postgresql_datawarehouse_excercise_spark.operators import similarity
+
+    t = catalog.load(spark, sf_dir)
+    rows = similarity.jl_recall_populations(t.embeddings).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.population, r.method), []).append(r.recall)
+    assert set(p for p, _ in by) == {"uniform", "backloaded"}
+    mean = {k: sum(v) / len(v) for k, v in by.items()}
+    assert mean[("backloaded", "jl16")] > mean[("backloaded", "prefix16")] + 0.1, mean
+    # prefix on backloaded is near-random; jl holds a real level
+    assert mean[("backloaded", "prefix16")] <= 0.15, mean
+    assert mean[("backloaded", "jl16")] >= 0.15, mean
