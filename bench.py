@@ -441,6 +441,7 @@ def main() -> None:
         "x_stream_range_join",
         "x_stream_cdc_latest",
         "x_stream_hll",
+        "x_stream_histogram",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 

@@ -411,3 +411,27 @@ def x_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.hll_registers(se.read_events_stream(spark, sf_dir))
     sunk = se.run_finite_to_sink(stream)
     return se.latest_per_key(sunk, ["idx"]).select("idx", "m")
+
+
+_STREAM_HIST_ORACLE = """
+SELECT LEAST(63, CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) // 800)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cell
+FROM events GROUP BY 1
+"""
+
+
+@query("x_stream_histogram", oracle=_STREAM_HIST_ORACLE)
+def x_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming equi-width histogram: value-distribution tracking as a
+    FIXED <=64-counter streaming state (streaming/events.histogram_cells)
+    -- the third sketch-as-streaming-state entry, giving the daily-rollup
+    trio its quantile axis (count-min = frequency, HLL = cardinality,
+    histogram = distribution).  A stream cannot take the batch
+    x_sql_histogram_sketch's min/max pre-pass, so the domain is fixed up
+    front with a top-bucket clamp (the metrics-histogram convention).
+    The drained buckets must equal the batch histogram over the same
+    events bit-for-bit; day-histograms merge by cell-wise addition."""
+    stream = se.histogram_cells(se.read_events_stream(spark, sf_dir))
+    sunk = se.run_finite_to_sink(stream)
+    return se.latest_per_key(sunk, ["bucket"]).select("bucket", "cell")

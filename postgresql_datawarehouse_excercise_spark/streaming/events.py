@@ -478,3 +478,33 @@ def hll_registers(events: DataFrame) -> DataFrame:
         .groupBy("idx")
         .agg(F.max("r").alias("m"))
     )
+
+
+def histogram_cells(
+    events: DataFrame, buckets: int = 64, width_cents: int = 800
+) -> DataFrame:
+    """Streaming equi-width histogram over the event value stream: every
+    event maps to one fixed-domain bucket (exact integer cents DIV a fixed
+    width, clamped to the top bucket) and ONE unwindowed streaming
+    aggregation keeps the <= `buckets` counters -- the third
+    sketch-as-streaming-state entry beside the count-min cells and the HLL
+    registers, covering the quantile axis the batch
+    x_sql_histogram_sketch proves.  A STREAM cannot take the batch twin's
+    min/max pre-pass, so the domain is fixed up front (the production
+    convention for metrics histograms, e.g. request-latency buckets);
+    values beyond it land in the top bucket instead of being dropped.
+    Update-mode emissions are monotone per bucket, so latest_per_key
+    yields the final histogram; partial histograms from different streams
+    or days merge by cell-wise addition."""
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.expr(
+            "CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+            f" DIV {width_cents}"
+        ),
+    )
+    return (
+        events.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
