@@ -350,6 +350,7 @@ def main() -> None:
         "x_pipeline_shuffle_shards",
         "x_pipeline_cdc_apply",
         "x_pipeline_weighted_sample",
+        "x_pipeline_reservoir_sample",
         "x_pipeline_scd2_history",
         "x_pipeline_scd2_incremental",
         "x_sql_percentiles",

@@ -1530,3 +1530,81 @@ def x_pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"top{SKEW_TOP}_share"),
         )
     )
+
+
+RESERVOIR_K = 100
+
+_RESERVOIR_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(n_chars AS BIGINT) AS weight,
+         CAST(FLOOR(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) + 1.0) / 4294967296.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS lnu_micro
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, weight,
+         CAST(lnu_micro AS DOUBLE) / CAST(weight AS DOUBLE) AS priority,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(lnu_micro AS DOUBLE) / CAST(weight AS DOUBLE) DESC,
+                    doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, source, weight,
+       FLOOR(priority * 1000000.0 + 0.5) / 1000000.0 AS priority,
+       rank
+FROM ranked WHERE rank <= {RESERVOIR_K}
+"""
+
+
+@query("x_pipeline_reservoir_sample", oracle=_RESERVOIR_SQL)
+def x_pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-Res key): each document draws a deterministic
+    md5-uniform u and is ranked by u^(1/w) -- equivalently ln(u)/w, the
+    form used here -- and the global top-k IS an exact-size weighted
+    sample without replacement.  This is the primitive behind "sample
+    exactly k documents with probability proportional to length/quality"
+    in data-mixing pipelines, where x_pipeline_weighted_sample's
+    Bernoulli acceptance can only target an EXPECTED size.  Deterministic
+    on any cluster, partitioning, or retry: u comes from the shared
+    id-hash recipe (_bucket's md5 prefix, +1 so u > 0), not rand().
+
+    Float discipline: ONE ln per row, quantized to integer micro-nats
+    (the unigram_logprob pattern); the ranking key is then a single
+    correctly-rounded division of two int64s -- identical in both engines
+    -- and the reported priority re-quantizes at 1e-6.  Scale shape: the
+    key is row-local in the scan stage and ORDER BY + LIMIT k compiles to
+    TakeOrderedAndProject (per-partition k-heaps + one k-row merge, never
+    a global sort); the k-row ranking window runs on the bounded result."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    lnu_micro = F.floor(
+        F.log((h.cast("double") + F.lit(1.0)) / F.lit(4294967296.0))
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    keyed = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        lnu_micro.alias("lnu_micro"),
+    ).withColumn(
+        "priority", F.col("lnu_micro").cast("double") / F.col("weight").cast("double")
+    )
+    top = keyed.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(
+        RESERVOIR_K
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "source",
+        "weight",
+        fround(F.col("priority"), 6).alias("priority"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

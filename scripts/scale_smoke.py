@@ -593,7 +593,10 @@ def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
     thesis is that one write amortizes across every later order-grain
     query, so the probe reports the worst case (write + first query).
     runtime_bloom runs its at-scale regime for real here: broadcast off,
-    the bloom filter pruning a Kx lineitem before its exchange."""
+    the bloom filter pruning a Kx lineitem before its exchange.
+    x_stream_histogram is deliberately not probed (the x_stream_hll
+    rationale: its bucket math IS the oracle's batch computation and
+    stream startup is a per-JVM constant, not a data-scaling path)."""
     import tempfile
 
     d = tempfile.mkdtemp(prefix="pdwx-scale-r10-")
@@ -603,9 +606,12 @@ def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
     multiply(t.lineitem, ["l_orderkey", "l_partkey"], k).write.mode(
         "overwrite"
     ).parquet(f"{d}/lineitem.parquet")
+    multiply(t.embeddings, "vec_id", k).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
     for tab in (
         "region", "nation", "supplier", "customer", "part",
-        "events", "documents", "embeddings",
+        "events", "documents",
     ):
         os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
     from postgresql_datawarehouse_excercise_spark.queries import load_all
@@ -615,6 +621,7 @@ def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
     for name in (
         "x_sql_histogram_sketch",    # <=64-row combined shuffles + 1 exact arm
         "x_sql_runtime_bloom_join",  # bloom prune before the fact exchange
+        "x_sim_jl_projection",       # row-local projection + broadcast queries
         "x_tpch_q18_bucketed",       # bucketing write + exchange-free agg+join
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))

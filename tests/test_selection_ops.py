@@ -365,3 +365,53 @@ def test_cdc_boundary_shift_robustness():
     block_overlap = len(ba & bb) / len(ba)
     assert cdc_overlap > 0.8, cdc_overlap
     assert block_overlap < 0.2, block_overlap
+
+
+def test_reservoir_sample_reduces_to_uniform_topk_and_prefers_weight(spark, sf_dir):
+    """Efraimidis-Spirakis sanity: (a) exactly K rows, rank 1..K; (b) with
+    ALL weights equal the selection must equal plain top-K by the id-hash
+    uniform alone (u^(1/w) is monotone in u for fixed w)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        RESERVOIR_K,
+        x_pipeline_reservoir_sample,
+    )
+
+    rows = x_pipeline_reservoir_sample(spark, sf_dir).collect()
+    assert len(rows) == RESERVOIR_K
+    assert sorted(r.rank for r in rows) == list(range(1, RESERVOIR_K + 1))
+    # (b): replay with constant weight == rank by u alone
+    t = catalog.load(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    by_u = [
+        r.doc_id
+        for r in t.documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"), h.alias("h")
+        )
+        .orderBy(F.col("h").desc(), F.col("doc_id").asc())
+        .limit(RESERVOIR_K)
+        .collect()
+    ]
+    const_w = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (
+            F.floor(
+                F.log((h.cast("double") + F.lit(1.0)) / F.lit(4294967296.0))
+                * 1000000.0
+                + 0.5
+            ).cast("long")
+        ).alias("lnu"),
+    )
+    by_es = [
+        r.doc_id
+        for r in const_w.orderBy(
+            (F.col("lnu").cast("double") / F.lit(7.0)).desc(), F.col("doc_id").asc()
+        )
+        .limit(RESERVOIR_K)
+        .collect()
+    ]
+    assert set(by_u) == set(by_es)
