@@ -1390,13 +1390,17 @@ def x_sql_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w") * (k1 - F.col("cum") + F.col("cnt"))).cast("double")
             / F.col("cnt").cast("double")
         )
-        return (
+        picked = (
             cum.crossJoin(F.broadcast(wd))
             .filter(F.col("cum") >= k1)
             .orderBy("bucket")
             .limit(1)
             .select(fround((lower + interp) / F.lit(100.0), 4).alias(alias))
         )
+        # 1-row aggregate over the <=1-row pick: value-identical when a
+        # bucket matched, and a NULL row (not a vanished row) on an empty
+        # input -- matching the oracle's scalar-subquery semantics.
+        return picked.agg(F.min(alias).alias(alias))
 
     exactq = base.select((F.col("c").cast("double") / F.lit(100.0)).alias("x")).agg(
         F.percentile(F.col("x"), F.lit([0.5, 0.9, 0.99])).alias("p")
