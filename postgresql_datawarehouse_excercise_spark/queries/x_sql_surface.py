@@ -1332,8 +1332,12 @@ def x_sql_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the observed [min, max] cents range, quantiles read off the
     cumulative histogram with within-bucket linear interpolation, reported
     BESIDE the exact interpolated percentiles so the sketch's error is
-    visible in the row itself (bounded by one bucket width; pinned in
-    tests/test_sql_surface.py).
+    visible in the row itself.  The true error bound -- pinned in
+    tests/test_sql_surface.py -- is one bucket width against the
+    rank-floor(q*(n-1))+1 ORDER STATISTIC (that value provably lies in
+    the selected bucket); the interpolated percentile leans toward the
+    NEXT order statistic, which a sparse tail can place buckets higher,
+    so against it the distance is informative, not bounded.
 
     Everything countable is exact int64: values are 2-dp cents, the bucket
     id is pure integer division, the state fingerprint is SUM(bucket*cnt).

@@ -413,9 +413,10 @@ def x_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.latest_per_key(sunk, ["idx"]).select("idx", "m")
 
 
-_STREAM_HIST_ORACLE = """
-SELECT LEAST(63, CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) // 800)
-         AS bucket,
+_STREAM_HIST_ORACLE = f"""
+SELECT LEAST({se.HIST_STREAM_BUCKETS - 1},
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               // {se.HIST_STREAM_WIDTH_CENTS}) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS cell
 FROM events GROUP BY 1
 """

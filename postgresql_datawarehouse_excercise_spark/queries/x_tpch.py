@@ -437,6 +437,11 @@ def x_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        # the eager checkpoint above makes the bucketed files dead here;
+        # free the GBs immediately instead of at the atexit sweep
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 @query(

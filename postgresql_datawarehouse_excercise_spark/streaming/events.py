@@ -480,8 +480,17 @@ def hll_registers(events: DataFrame) -> DataFrame:
     )
 
 
+# fixed streaming-histogram domain: buckets x width must be shared with the
+# entry's DuckDB oracle (x_streaming.py interpolates these), or a change here
+# silently value-mismatches the gate instead of failing loudly
+HIST_STREAM_BUCKETS = 64
+HIST_STREAM_WIDTH_CENTS = 800
+
+
 def histogram_cells(
-    events: DataFrame, buckets: int = 64, width_cents: int = 800
+    events: DataFrame,
+    buckets: int = HIST_STREAM_BUCKETS,
+    width_cents: int = HIST_STREAM_WIDTH_CENTS,
 ) -> DataFrame:
     """Streaming equi-width histogram over the event value stream: every
     event maps to one fixed-domain bucket (exact integer cents DIV a fixed

@@ -606,13 +606,17 @@ def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
     multiply(t.lineitem, ["l_orderkey", "l_partkey"], k).write.mode(
         "overwrite"
     ).parquet(f"{d}/lineitem.parquet")
+    # customer multiplies WITH the orders' custkey shift (the sec_tpch FK
+    # discipline): q18_bucketed's final join is on o_custkey = c_custkey,
+    # and a 1x customer symlink would silently drop every big order from
+    # copies 1..k-1, timing the wrong selectivity.
+    multiply(t.customer, "c_custkey", k).write.mode("overwrite").parquet(
+        f"{d}/customer.parquet"
+    )
     multiply(t.embeddings, "vec_id", k).write.mode("overwrite").parquet(
         f"{d}/embeddings.parquet"
     )
-    for tab in (
-        "region", "nation", "supplier", "customer", "part",
-        "events", "documents",
-    ):
+    for tab in ("region", "nation", "supplier", "part", "events", "documents"):
         os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
     from postgresql_datawarehouse_excercise_spark.queries import load_all
 

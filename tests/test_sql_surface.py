@@ -246,20 +246,30 @@ def test_hll_sketch_estimate_and_regime(spark, sf_dir):
 
 def test_histogram_sketch_error_bounded_and_merge_proof(spark, sf_dir):
     """The histogram quantile estimate must land within ONE bucket width of
-    the exact interpolated percentile (the sketch's theoretical bound: the
-    true value lies inside the chosen bucket), and the shard-merge proof
-    column must be True."""
+    the rank-floor(q*(n-1))+1 ORDER STATISTIC -- the sketch's true bound:
+    that value lies inside the bucket the cumulative counts selected.  (The
+    entry's exact_p* columns interpolate toward the NEXT order statistic,
+    which on a sparse tail can sit buckets higher, so they are reported
+    context, not the bound.)  The shard-merge proof column must be True."""
+    import math
+
     from postgresql_datawarehouse_excercise_spark.queries.x_sql_surface import HIST_B
 
     row = REG["x_sql_histogram_sketch"].fn(spark, sf_dir).collect()[0]
     assert row.merged_equals_direct is True
     assert 0 < row.nonzero_buckets <= HIST_B
-    # one bucket width in dollars, from the observed range
     t = catalog.load(spark, sf_dir)
-    lo, hi = t.lineitem.agg(
-        F.min("l_extendedprice"), F.max("l_extendedprice")
-    ).collect()[0]
-    width = (hi - lo) / HIST_B + 0.01
-    for q in ("p50", "p90", "p99"):
-        est, exact = getattr(row, f"est_{q}"), getattr(row, f"exact_{q}")
-        assert abs(est - exact) <= width, (q, est, exact, width)
+    cents = sorted(
+        r.c
+        for r in t.lineitem.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    lo, hi = cents[0], cents[-1]
+    width = ((hi - lo) // HIST_B + 1) / 100.0
+    for q, label in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        k1 = math.floor(q * (n - 1)) + 1  # 1-based target rank
+        stat = cents[k1 - 1] / 100.0
+        est = getattr(row, f"est_{label}")
+        assert abs(est - stat) <= width + 0.01, (label, est, stat, width)
