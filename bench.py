@@ -341,6 +341,7 @@ def main() -> None:
         "x_sql_approx_percentile",
         "x_sql_runtime_bloom_join",
         "x_sql_histogram_sketch",
+        "x_sql_market_basket",
         "x_sql_try_arithmetic",
         "x_sql_observe_metrics",
         "x_pipeline_quality_gate",

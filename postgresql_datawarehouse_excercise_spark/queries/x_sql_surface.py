@@ -1430,3 +1430,101 @@ def x_sql_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+BASKET_TOP = 20
+
+_BASKET_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS part_orders FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT part_a, part_b, pair_orders
+  FROM pairs ORDER BY pair_orders DESC, part_a ASC, part_b ASC LIMIT {BASKET_TOP}
+)
+SELECT t.part_a, t.part_b, t.pair_orders,
+       ca.part_orders AS orders_a, cb.part_orders AS orders_b,
+       FLOOR((CAST(t.pair_orders AS DOUBLE) * CAST(tot.n_orders AS DOUBLE)
+              / (CAST(ca.part_orders AS DOUBLE) * CAST(cb.part_orders AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM top t
+JOIN pc ca ON ca.l_partkey = t.part_a
+JOIN pc cb ON cb.l_partkey = t.part_b
+CROSS JOIN tot
+"""
+
+
+@query("x_sql_market_basket", oracle=_BASKET_ORACLE)
+def x_sql_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the 2-itemset half of Apriori, the
+    classic warehouse cross-sell report): top-{BASKET_TOP} co-purchased
+    part pairs by order count, each with its LIFT --
+    P(a,b) / (P(a) * P(b)) -- against the single-part order frequencies.
+
+    Scale shape: the pair generator is a SELF-JOIN KEYED BY THE ORDER KEY
+    (hash equi join, never a cartesian), so fanout is bounded by the max
+    basket size squared (13 items -> <= 78 pairs here) regardless of
+    corpus size; pair counting is one map-side-combined aggregate on the
+    (a, b) key; top-k compiles to TakeOrderedAndProject; the two
+    part-frequency joins run against the BOUNDED top-k relation and the
+    1-row order total broadcasts.  The one float per output row is the
+    lift division, 1e-6-quantized."""
+    t = catalog.load(spark, sf_dir)
+    items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    tot = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("part_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+    )
+    top = pairs.orderBy(
+        F.col("pair_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(BASKET_TOP)
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("orders_a")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("orders_b")
+    )
+    return (
+        top.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            "orders_a",
+            "orders_b",
+            fround(
+                F.col("pair_orders").cast("double")
+                * F.col("n_orders").cast("double")
+                / (
+                    F.col("orders_a").cast("double")
+                    * F.col("orders_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

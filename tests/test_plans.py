@@ -744,3 +744,17 @@ def test_runtime_bloom_filter_injects_in_conf_window(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_market_basket_keyed_self_join_no_cartesian(spark, sf_dir):
+    """The pair generator must stay a hash equi join keyed by the order key
+    (fanout bounded by basket size squared) and the top-k must compile to
+    TakeOrderedAndProject -- a cartesian or global sort here would not
+    survive a 100x basket corpus."""
+    df = REG["x_sql_market_basket"].fn(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    # exactly ONE nested-loop node: the accepted broadcast 1-row scalar
+    # (order total) cross join -- the pair self-join must not be another
+    assert plans._count_nodes(df, "BroadcastNestedLoopJoin") == 1
+    assert "TakeOrderedAndProject" in p
