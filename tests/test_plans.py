@@ -758,3 +758,48 @@ def test_market_basket_keyed_self_join_no_cartesian(spark, sf_dir):
     # (order total) cross join -- the pair self-join must not be another
     assert plans._count_nodes(df, "BroadcastNestedLoopJoin") == 1
     assert "TakeOrderedAndProject" in p
+
+
+def test_registry_no_python_eval_outside_whitelist(spark, sf_dir):
+    """Registry-wide UDF discipline, pinned: no lazy entry may carry a
+    Python evaluation node in its physical plan -- the hot path stays
+    inside whole-stage codegen -- except the documented Python lanes
+    (Arrow-batched multimodal decoders and the Arrow UDTF).  Row-at-a-time
+    BatchEvalPython is banned EVERYWHERE, whitelist included: when Python
+    is unavoidable it must cross the boundary in Arrow batches.
+    Side-effectful families are skipped as in the broadcast-hint guard."""
+    import re
+
+    skip = (
+        "x_stream_", "x_mutation_", "x_source_", "x_mv_",
+        "x_pipeline_incremental",
+        "x_pipeline_decontaminate_bloom",  # eager bloom build; Arrow probe
+        "x_tpch_q18_bucketed",             # bucketed write at construction
+    )
+    arrow_ok = {
+        # documented Arrow lanes: the blocked-GEMM numpy kernels
+        # (operators/similarity.py -- MapInPandas over vector blocks)
+        "x_sim_ann_ivf", "x_sim_ann_ivfpq", "x_sim_ann_ivfpq_recall",
+        "x_sim_ann_pq", "x_sim_ann_pq_recall", "x_sim_ann_recall",
+        "x_sim_cosine_neardup", "x_sim_semantic_dedup",
+        "x_pipeline_decontaminate_semantic",
+        # the one imperative row generator (Arrow-optimized UDTF)
+        "x_text_udtf_runs",
+        # multimodal pandas-UDF decoders (Arrow-batched by construction)
+        "x_media_features", "x_media_frames", "x_media_metadata",
+        "x_media_binary_dedup",
+    }
+    row_udf = re.compile(r"^\(\d+\) BatchEvalPython(?!UDTF)", re.MULTILINE)
+    python_node = re.compile(
+        r"^\(\d+\) (BatchEvalPython|ArrowEvalPython|MapInPandas|"
+        r"PythonMapInArrow|FlatMapGroupsInPandas)",
+        re.MULTILINE,
+    )
+    for name in sorted(REG):
+        if name.startswith(skip):
+            continue
+        plan = plans.formatted_plan(REG[name].fn(spark, sf_dir))
+        assert not row_udf.search(plan), f"{name}: row-at-a-time Python UDF"
+        if name not in arrow_ok:
+            m = python_node.search(plan)
+            assert not m, f"{name}: unexpected Python node {m.group(0) if m else ''}"
