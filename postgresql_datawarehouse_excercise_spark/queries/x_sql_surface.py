@@ -1464,7 +1464,7 @@ CROSS JOIN tot
 @query("x_sql_market_basket", oracle=_BASKET_ORACLE)
 def x_sql_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (the 2-itemset half of Apriori, the
-    classic warehouse cross-sell report): top-{BASKET_TOP} co-purchased
+    classic warehouse cross-sell report): top-20 co-purchased
     part pairs by order count, each with its LIFT --
     P(a,b) / (P(a) * P(b)) -- against the single-part order frequencies.
 

@@ -186,33 +186,72 @@ def test_explain_analyze_reports_per_node_actuals(spark, sf_dir):
     assert actuals and n_groups in actuals, (actuals, n_groups)
 
 
-def test_registry_no_fact_side_broadcast_hints(spark, sf_dir):
-    """NO lazy registry entry may pin an EXPLICIT broadcast hint onto a
-    relation that SCALES WITH SF (an explicit hint overrides the size
-    threshold and AQE never demotes it -- at 100x a filtered slice of such a
-    table is tens of GB and the hint OOMs every executor).  That is not just
-    orders/lineitem: customer, part, supplier, events, documents and
-    embeddings all grow linearly with the dataset; only nation/region are
-    constant.  Hints over an Aggregate / Deduplicate / Limit of a scaling
-    relation (1-row max, DISTINCT order dates, a limit(k)-bounded query set,
-    ...) are allowed: the broadcast payload is the reduced output.
-    Side-effectful families (stream drains, mutations, source round-trips)
-    do real work at construction and are audited separately."""
-    skip = (
-        "x_stream_", "x_mutation_", "x_source_", "x_mv_",
-        "x_pipeline_incremental",
-        # eager bloom build + session-lifetime persist at construction
-        "x_pipeline_decontaminate_bloom",
-        # bucketed-table write + checkpoint at construction; merge-hinted
-        # fact pair by design, pinned in test_q18_bucketed_layout
-        "x_tpch_q18_bucketed",
+# Side-effectful families skipped by BOTH registry-wide plan guards (stream
+# drains, mutations, source round-trips do real work at construction and are
+# audited separately; the bloom entry eagerly builds + persists; q18_bucketed
+# writes bucketed tables and is merge-hinted by design, pinned in
+# test_q18_bucketed_layout).  One shared constant so the two audits can
+# never drift apart.
+SIDE_EFFECTFUL_PREFIXES = (
+    "x_stream_", "x_mutation_", "x_source_", "x_mv_",
+    "x_pipeline_incremental",
+    "x_pipeline_decontaminate_bloom",
+    "x_tpch_q18_bucketed",
+)
+
+# Documented Arrow lanes allowed to carry Python nodes: the blocked-GEMM
+# numpy kernels (operators/similarity.py -- MapInPandas over vector blocks),
+# the one imperative row generator (Arrow-optimized UDTF), and the
+# multimodal pandas-UDF decoders.
+ARROW_LANES = {
+    "x_sim_ann_ivf", "x_sim_ann_ivfpq", "x_sim_ann_ivfpq_recall",
+    "x_sim_ann_pq", "x_sim_ann_pq_recall", "x_sim_ann_recall",
+    "x_sim_cosine_neardup", "x_sim_semantic_dedup",
+    "x_pipeline_decontaminate_semantic",
+    "x_text_udtf_runs",
+    "x_media_features", "x_media_frames", "x_media_metadata",
+    "x_media_binary_dedup",
+}
+
+
+def test_registry_plan_guards(spark, sf_dir):
+    """One sweep, two registry-wide pins (each entry is constructed ONCE --
+    several do eager training/checkpoint work at construction):
+
+    1. NO lazy entry may pin an EXPLICIT broadcast hint onto a relation
+       that SCALES WITH SF (an explicit hint overrides the size threshold
+       and AQE never demotes it -- at 100x a filtered slice of such a table
+       is tens of GB and the hint OOMs every executor).  That is not just
+       orders/lineitem: customer, part, supplier, events, documents and
+       embeddings all grow linearly; only nation/region are constant.
+       Hints over an Aggregate / Deduplicate / Limit of a scaling relation
+       are allowed: the broadcast payload is the reduced output.
+
+    2. UDF discipline: row-at-a-time Python (BatchEvalPython, including
+       the non-Arrow UDTF fallback) is banned EVERYWHERE -- whitelist
+       included; any other Python boundary (ArrowEvalPython, MapInPandas,
+       grouped/window/cogrouped pandas, PythonMapInArrow) may appear only
+       in the documented ARROW_LANES."""
+    import re
+
+    row_udf = re.compile(r"^\(\d+\) BatchEvalPython", re.MULTILINE)
+    python_node = re.compile(
+        r"^\(\d+\) (\w*EvalPython\w*|MapInPandas|PythonMapInArrow|"
+        r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|AggregateInPandas|"
+        r"WindowInPandas)",
+        re.MULTILINE,
     )
     for name in sorted(REG):
-        if name.startswith(skip):
+        if name.startswith(SIDE_EFFECTFUL_PREFIXES):
             continue
         df = REG[name].fn(spark, sf_dir)
         offenders = plans.fact_broadcast_hints(df)
         assert not offenders, f"{name}: static broadcast hint on fact-side {offenders}"
+        plan = plans.formatted_plan(df)
+        assert not row_udf.search(plan), f"{name}: row-at-a-time Python UDF"
+        if name not in ARROW_LANES:
+            m = python_node.search(plan)
+            assert not m, f"{name}: unexpected Python node {m.group(0) if m else ''}"
 
 
 def test_tpch_q1_single_shuffle_with_pushed_filter(spark, sf_dir):
@@ -760,46 +799,3 @@ def test_market_basket_keyed_self_join_no_cartesian(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
-def test_registry_no_python_eval_outside_whitelist(spark, sf_dir):
-    """Registry-wide UDF discipline, pinned: no lazy entry may carry a
-    Python evaluation node in its physical plan -- the hot path stays
-    inside whole-stage codegen -- except the documented Python lanes
-    (Arrow-batched multimodal decoders and the Arrow UDTF).  Row-at-a-time
-    BatchEvalPython is banned EVERYWHERE, whitelist included: when Python
-    is unavoidable it must cross the boundary in Arrow batches.
-    Side-effectful families are skipped as in the broadcast-hint guard."""
-    import re
-
-    skip = (
-        "x_stream_", "x_mutation_", "x_source_", "x_mv_",
-        "x_pipeline_incremental",
-        "x_pipeline_decontaminate_bloom",  # eager bloom build; Arrow probe
-        "x_tpch_q18_bucketed",             # bucketed write at construction
-    )
-    arrow_ok = {
-        # documented Arrow lanes: the blocked-GEMM numpy kernels
-        # (operators/similarity.py -- MapInPandas over vector blocks)
-        "x_sim_ann_ivf", "x_sim_ann_ivfpq", "x_sim_ann_ivfpq_recall",
-        "x_sim_ann_pq", "x_sim_ann_pq_recall", "x_sim_ann_recall",
-        "x_sim_cosine_neardup", "x_sim_semantic_dedup",
-        "x_pipeline_decontaminate_semantic",
-        # the one imperative row generator (Arrow-optimized UDTF)
-        "x_text_udtf_runs",
-        # multimodal pandas-UDF decoders (Arrow-batched by construction)
-        "x_media_features", "x_media_frames", "x_media_metadata",
-        "x_media_binary_dedup",
-    }
-    row_udf = re.compile(r"^\(\d+\) BatchEvalPython(?!UDTF)", re.MULTILINE)
-    python_node = re.compile(
-        r"^\(\d+\) (BatchEvalPython|ArrowEvalPython|MapInPandas|"
-        r"PythonMapInArrow|FlatMapGroupsInPandas)",
-        re.MULTILINE,
-    )
-    for name in sorted(REG):
-        if name.startswith(skip):
-            continue
-        plan = plans.formatted_plan(REG[name].fn(spark, sf_dir))
-        assert not row_udf.search(plan), f"{name}: row-at-a-time Python UDF"
-        if name not in arrow_ok:
-            m = python_node.search(plan)
-            assert not m, f"{name}: unexpected Python node {m.group(0) if m else ''}"
