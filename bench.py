@@ -237,6 +237,7 @@ def main() -> None:
         "x_dedup_pagerank",
         "x_dedup_triangles",
         "x_dedup_prefix_join",
+        "x_dedup_edit_join",
         "x_dedup_kcore",
         "x_dedup_lsh_recall",
         "x_dedup_threshold_sweep",

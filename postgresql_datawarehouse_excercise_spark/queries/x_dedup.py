@@ -1049,3 +1049,118 @@ def x_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_flagged"),
         )
     )
+
+
+ED_Q = 5            # q-gram width
+ED_D = 10           # edit-distance threshold
+ED_PREFIX = ED_Q * ED_D + 1  # 51: one edit op destroys <= q grams
+
+_ED_JOIN_ORACLE = f"""
+WITH grams AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, length(text) AS len,
+         unnest(list_distinct(list_transform(
+           generate_series(1, length(text) - {ED_Q - 1}),
+           i -> substr(text, i, {ED_Q})))) AS g
+  FROM documents
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
+pref AS (
+  SELECT doc_id, len, g FROM (
+    SELECT grams.doc_id, grams.len, grams.g,
+           row_number() OVER (PARTITION BY grams.doc_id
+                              ORDER BY dfreq.df ASC, grams.g ASC) AS rn
+    FROM grams JOIN dfreq USING (g)
+  ) WHERE rn <= {ED_PREFIX}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE abs(a.len - b.len) <= {ED_D}
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+FROM cand c
+JOIN documents da ON CAST(da.doc_id AS BIGINT) = c.doc_a
+JOIN documents db ON CAST(db.doc_id AS BIGINT) = c.doc_b
+WHERE levenshtein(da.text, db.text) <= {ED_D}
+"""
+
+
+@query("x_dedup_edit_join", oracle=_ED_JOIN_ORACLE)
+def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (the Ed-Join family, Xiao et al.
+    2008): all document pairs within Levenshtein distance ED_D, the
+    CHARACTER-level near-dup lane beside prefix_join's token-set Jaccard
+    -- it catches small in-place edits (typo fixes, entity swaps) whose
+    token sets still differ, and its candidate generation reuses the
+    prefix-filtering discipline: every doc's q-grams sort by ascending
+    global document frequency and only the ED_Q*ED_D + 1 rarest are
+    indexed (one edit op destroys at most q grams, so two strings within
+    distance d MUST collide inside any common (q*d+1)-sized prefix under
+    a shared order); a length filter |len_a - len_b| <= d prunes before
+    the verify, and the survivors verify with ONE exact levenshtein per
+    candidate pair -- identical unit-cost DP in both engines.  Empirical
+    completeness vs brute force is pinned in tests/test_selection_ops.py
+    (distinct-gram prefix filtering is the classic recall trade; at the
+    gate corpus it is exact).
+
+    Scale shape: the inverted index holds 51 grams per doc regardless of
+    document length; hot grams sort to the suffix and never enter the
+    index (the PPJoin trick, not a recall-losing MAX_DF drop); the gram
+    join is equi-keyed; the verify joins run on the BOUNDED candidate
+    set."""
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.length("text").alias("len"),
+    )
+    grams = docs.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.expr(
+                f"array_distinct(CASE WHEN length(text) >= {ED_Q} THEN"
+                f" transform(sequence(1, length(text) - {ED_Q - 1}),"
+                f" i -> substring(text, i, {ED_Q}))"
+                " ELSE array() END)"
+            )
+        ).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
+    pref = (
+        grams.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ED_PREFIX)
+        .select("doc_id", "len", "g")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= ED_D),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= ED_D)
+    )

@@ -415,3 +415,36 @@ def test_reservoir_sample_reduces_to_uniform_topk_and_prefers_weight(spark, sf_d
         .collect()
     ]
     assert set(by_u) == set(by_es)
+
+
+def test_edit_join_complete_vs_bruteforce(spark, sf_dir):
+    """Ed-Join completeness at the gate corpus: the prefix-filtered +
+    length-filtered candidate pipeline must return EXACTLY the brute-force
+    set of pairs within ED_D (distinct-gram prefix filtering is the
+    classic recall trade, so completeness is pinned empirically, the
+    prefix_join discipline)."""
+    import duckdb
+
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        ED_D,
+        x_dedup_edit_join,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in x_dedup_edit_join(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = set(
+        con.sql(f"""
+        SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT),
+               CAST(levenshtein(a.text, b.text) AS BIGINT)
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {ED_D}
+        """).fetchall()
+    )
+    assert got == want, (len(got), len(want))
+    assert want, "calibration: the gate corpus must contain within-D pairs"
