@@ -1056,12 +1056,20 @@ ED_D = 10           # edit-distance threshold
 ED_PREFIX = ED_Q * ED_D + 1  # 51: one edit op destroys <= q grams
 
 _ED_JOIN_ORACLE = f"""
-WITH grams AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, length(text) AS len,
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, md5(text) AS fp FROM documents
+),
+cohorts AS (SELECT fp, MIN(doc_id) AS rep, COUNT(*) AS s FROM d GROUP BY 1),
+repdocs AS (
+  SELECT c.rep AS doc_id, d.text, length(d.text) AS len, c.fp
+  FROM cohorts c JOIN d ON d.doc_id = c.rep
+),
+grams AS (
+  SELECT doc_id, len,
          unnest(list_distinct(list_transform(
-           generate_series(1, length(text) - {ED_Q - 1}),
+           generate_series(1, len - {ED_Q - 1}),
            i -> substr(text, i, {ED_Q})))) AS g
-  FROM documents
+  FROM repdocs
 ),
 dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
 pref AS (
@@ -1073,17 +1081,36 @@ pref AS (
   ) WHERE rn <= {ED_PREFIX}
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT DISTINCT a.doc_id AS ra, b.doc_id AS rb
   FROM pref a JOIN pref b
     ON a.g = b.g AND a.doc_id < b.doc_id
   WHERE abs(a.len - b.len) <= {ED_D}
+),
+rpairs AS (
+  SELECT c.ra, c.rb,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+  FROM cand c
+  JOIN repdocs da ON da.doc_id = c.ra
+  JOIN repdocs db ON db.doc_id = c.rb
+  WHERE levenshtein(da.text, db.text) <= {ED_D}
+),
+cross_pairs AS (
+  SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+         GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+         r.edit_distance
+  FROM rpairs r
+  JOIN repdocs ca ON ca.doc_id = r.ra
+  JOIN repdocs cb ON cb.doc_id = r.rb
+  JOIN d ma ON ma.fp = ca.fp
+  JOIN d mb ON mb.fp = cb.fp
+),
+within AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS edit_distance
+  FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
-FROM cand c
-JOIN documents da ON CAST(da.doc_id AS BIGINT) = c.doc_a
-JOIN documents db ON CAST(db.doc_id AS BIGINT) = c.doc_b
-WHERE levenshtein(da.text, db.text) <= {ED_D}
+SELECT doc_a, doc_b, edit_distance FROM cross_pairs
+UNION ALL
+SELECT doc_a, doc_b, edit_distance FROM within
 """
 
 
@@ -1093,30 +1120,50 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     2008): all document pairs within Levenshtein distance ED_D, the
     CHARACTER-level near-dup lane beside prefix_join's token-set Jaccard
     -- it catches small in-place edits (typo fixes, entity swaps) whose
-    token sets still differ, and its candidate generation reuses the
+    token sets still differ.  Candidate generation reuses the
     prefix-filtering discipline: every doc's q-grams sort by ascending
     global document frequency and only the ED_Q*ED_D + 1 rarest are
     indexed (one edit op destroys at most q grams, so two strings within
     distance d MUST collide inside any common (q*d+1)-sized prefix under
     a shared order); a length filter |len_a - len_b| <= d prunes before
-    the verify, and the survivors verify with ONE exact levenshtein per
-    candidate pair -- identical unit-cost DP in both engines.  Empirical
-    completeness vs brute force is pinned in tests/test_selection_ops.py
-    (distinct-gram prefix filtering is the classic recall trade; at the
-    gate corpus it is exact).
+    the verify; survivors verify with ONE exact levenshtein each --
+    identical unit-cost DP in both engines.  Empirical completeness vs
+    brute force is pinned in tests/test_selection_ops.py.
 
-    Scale shape: the inverted index holds 51 grams per doc regardless of
-    document length; hot grams sort to the suffix and never enter the
-    index (the PPJoin trick, not a recall-losing MAX_DF drop); the gram
-    join is equi-keyed; the verify joins run on the BOUNDED candidate
-    set."""
+    The family's exact-copy cohort contraction is ALWAYS ON here (not
+    probe-gated): identical texts share every edit distance by symmetry,
+    so the gram index, candidate join, and the quadratic-cost levenshtein
+    verify all run on distinct-CONTENT representatives only; member pairs
+    re-expand closed-form (cross-cohort pairs inherit the rep distance,
+    within-cohort pairs are distance 0) -- the 100x all-copy probe shape
+    would otherwise spend ~25M levenshteins proving copies are copies.
+    At gate scale the contraction is near-free (cohorts are tiny), so no
+    adaptive trigger is needed.
+
+    Scale shape: the inverted index holds 51 grams per distinct content
+    regardless of document length; hot grams sort to the suffix and never
+    enter the index (the PPJoin trick, not a recall-losing MAX_DF drop);
+    the gram join is equi-keyed; expansion is equi-joins on the content
+    fingerprint."""
+    from pyspark.sql.window import Window
+
     t = catalog.load(spark, sf_dir)
-    docs = t.documents.select(
+    d = t.documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
-        F.length("text").alias("len"),
+        F.md5("text").alias("fp"),
     )
-    grams = docs.select(
+    cohorts = d.groupBy("fp").agg(F.min("doc_id").alias("rep")).alias("c")
+    repdocs = (
+        cohorts.join(d.alias("dd"), F.col("c.rep") == F.col("dd.doc_id"))
+        .select(
+            F.col("c.rep").alias("doc_id"),
+            F.col("dd.text").alias("text"),
+            F.length(F.col("dd.text")).alias("len"),
+            F.col("dd.fp").alias("fp"),
+        )
+    )
+    grams = repdocs.select(
         "doc_id",
         "len",
         F.explode(
@@ -1129,8 +1176,6 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
     pref = (
         grams.join(dfreq, "g")
@@ -1147,20 +1192,54 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= ED_D),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.doc_id").alias("ra"), F.col("b.doc_id").alias("rb"))
         .distinct()
     )
-    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
+    da = repdocs.select(
+        F.col("doc_id").alias("ra"), F.col("text").alias("ta"), F.col("fp").alias("fa")
+    )
+    db = repdocs.select(
+        F.col("doc_id").alias("rb"), F.col("text").alias("tb"), F.col("fp").alias("fb")
+    )
+    rpairs = (
+        cand.join(da, "ra")
+        .join(db, "rb")
         .select(
-            "doc_a",
-            "doc_b",
+            "ra", "rb", "fa", "fb",
             F.levenshtein("ta", "tb").cast("long").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= ED_D)
+        # materialize BEFORE expansion: rep pairs are bounded (distinct
+        # contents only), and without the lineage cut CollapseProject
+        # pushes the levenshtein expression into the expanded projection,
+        # re-running the DP once per MEMBER pair (the minhash md5 trap) --
+        # measured 545 s at the 100x all-copy probe, ~25 s after
+        .localCheckpoint()
     )
+    ma = d.alias("ma")
+    mb = d.alias("mb")
+    cross = (
+        rpairs.alias("r")
+        .join(ma, F.col("ma.fp") == F.col("r.fa"))
+        .join(mb, F.col("mb.fp") == F.col("r.fb"))
+        .select(
+            F.least(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_b"),
+            F.col("r.edit_distance").alias("edit_distance"),
+        )
+    )
+    w1 = d.alias("w1")
+    w2 = d.alias("w2")
+    within = (
+        w1.join(
+            w2,
+            (F.col("w1.fp") == F.col("w2.fp"))
+            & (F.col("w1.doc_id") < F.col("w2.doc_id")),
+        )
+        .select(
+            F.col("w1.doc_id").alias("doc_a"),
+            F.col("w2.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+        )
+    )
+    return cross.unionByName(within)

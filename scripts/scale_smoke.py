@@ -627,6 +627,8 @@ def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
         "x_sql_runtime_bloom_join",  # bloom prune before the fact exchange
         "x_sim_jl_projection",       # row-local projection + broadcast queries
         "x_tpch_q18_bucketed",       # bucketing write + exchange-free agg+join
+        "x_dedup_edit_join",         # always-on cohort contraction: levenshtein
+        # only between distinct contents; all-copy answer is ~25M expanded pairs
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))
 
