@@ -1051,9 +1051,16 @@ def x_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ED_Q = 5            # q-gram width
+ED_Q = 12           # q-gram width: sized to the corpus's gram diversity --
+# the synthetic word-soup draws from a tiny vocabulary, so 5-grams have only
+# ~2k distinct values (mean df ~500, prefix filtering defeated: 430k
+# candidates / 16M join rows at sf0.1); 12-grams span ~2 words and reach
+# ~131k distinct values (mean df ~11), cutting candidates to ~50k.  The
+# prefix guarantee is q-agnostic (one edit destroys <= q grams, and the
+# prefix grows to match); the cost is a (q*d+1)-row index per distinct
+# content instead of (5d+1).
 ED_D = 10           # edit-distance threshold
-ED_PREFIX = ED_Q * ED_D + 1  # 51: one edit op destroys <= q grams
+ED_PREFIX = ED_Q * ED_D + 1  # one edit op destroys <= q grams
 
 _ED_JOIN_ORACLE = f"""
 WITH d AS (
@@ -1194,6 +1201,15 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("ra"), F.col("b.doc_id").alias("rb"))
         .distinct()
+    )
+    # The candidate relation is two longs per row, so AQE coalesces it to a
+    # handful of partitions -- and the quadratic-DP levenshtein verify would
+    # then run on that handful of cores (measured 64 s at sf0.1 on a corpus
+    # whose tiny q-gram vocabulary defeats prefix filtering, 430k
+    # candidates).  Fan the verify across the cluster: cost is one shuffle
+    # of (long, long) rows, repaid ~8x in verify wall-clock.
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "ra", "rb"
     )
     da = repdocs.select(
         F.col("doc_id").alias("ra"), F.col("text").alias("ta"), F.col("fp").alias("fa")
