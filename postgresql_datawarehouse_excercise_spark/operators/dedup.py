@@ -930,7 +930,7 @@ def winnow_overlap_pairs(documents: DataFrame) -> DataFrame:
 
 def _winnow_pairs_contracted(documents: DataFrame) -> DataFrame:
     """Cohort-contracted arm of winnow_overlap_pairs (see its docstring)."""
-    cohorts = exact_cohorts(documents).localCheckpoint()
+    cohorts = exact_cohorts_shared(documents)
     rep_sizes = cohorts.select(F.col("rep").alias("doc_id"), "s").distinct()
     rep_docs = documents.join(
         rep_sizes.select("doc_id"), "doc_id", "left_semi"
@@ -1121,7 +1121,7 @@ def prefix_join_pairs(
         F.array_sort(F.array_distinct(F.transform("sh", h32))).alias("hs"),
     )
     collapse = max_cohort_size(documents) >= CONTRACT_MIN_COHORT
-    cohorts = exact_cohorts(documents).localCheckpoint() if collapse else None
+    cohorts = exact_cohorts_shared(documents) if collapse else None
     if collapse:
         reps = cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
         sh = sh.join(reps, "doc_id", "left_semi")
@@ -1322,6 +1322,34 @@ def exact_cohorts(documents: DataFrame) -> DataFrame:
     return hs.join(cohorts, "fp").select("doc_id", "rep", "s")
 
 
+# Cohort RELATION memo, same key discipline as _COHORT_PROBE_CACHE: the six
+# contraction call sites each used to recompute exact_cohorts() (an md5
+# projection + groupBy + join) on the contracted path; within one
+# bench/gate session they all see the same documents plan, so the skinny
+# (doc_id, rep, s) relation computes and checkpoints ONCE.  Same staleness
+# caveat bound: the cache key is the analyzed plan's semantic hash, which
+# tracks the PATHS read, not file bytes -- the testdata dirs are immutable
+# and the 100x probe dirs are distinct paths, so a stale hit cannot occur
+# in any supported flow.
+_COHORT_REL_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
+def exact_cohorts_shared(documents: DataFrame) -> DataFrame:
+    """exact_cohorts(), locally checkpointed and memoized per (session,
+    input-plan semantic hash) -- what the contraction call sites use so a
+    session computes the cohort relation once, not once per entry."""
+    try:
+        key = (id(documents.sparkSession), documents.semanticHash())
+    except Exception:  # pragma: no cover - plan types without a semantic hash
+        key = None
+    if key is not None and key in _COHORT_REL_CACHE:
+        return _COHORT_REL_CACHE[key]
+    rel = exact_cohorts(documents).localCheckpoint()
+    if key is not None:
+        _COHORT_REL_CACHE[key] = rel
+    return rel
+
+
 # ---------------------------------------------------------------------------
 # Connected components, round-efficient variant: alternating large-star /
 # small-star (Kiveris et al., "Connected Components in MapReduce and
@@ -1457,7 +1485,7 @@ def dedup_clusters_bigstar_contracted(
             F.col("jaccard") >= threshold
         )
         return dedup_clusters_bigstar(pairs)
-    cohorts = exact_cohorts(documents).localCheckpoint()
+    cohorts = exact_cohorts_shared(documents)
     rep_docs = documents.join(
         cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",

@@ -436,7 +436,7 @@ def _pagerank_contracted(t_docs: DataFrame) -> DataFrame:
     (members inherit their rep's rank and degree, which is exact, not an
     approximation).  Integer arithmetic is unchanged, so the result is
     bit-for-bit the direct path's."""
-    cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
+    cohorts = dedup.exact_cohorts_shared(t_docs)
     sizes = cohorts.select(F.col("rep").alias("v"), "s").distinct()
     rep_docs = t_docs.join(
         cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
@@ -631,7 +631,7 @@ def dedup_triangles(t_docs: DataFrame) -> DataFrame:
             .select("doc_a", "doc_b")
         )
         return _triangles_direct(strong, _ratio)
-    cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
+    cohorts = dedup.exact_cohorts_shared(t_docs)
     rep_docs = t_docs.join(
         cohorts.select(F.col("rep").alias("doc_id")).distinct(), "doc_id", "left_semi"
     )
@@ -830,7 +830,7 @@ def dedup_kcore(t_docs: DataFrame, rounds: int = KCORE_ROUNDS) -> DataFrame:
         pairs = dedup.minhash_lsh_pairs(t_docs)
         strong = pairs.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
         return _kcore_direct(strong, rounds)
-    cohorts = dedup.exact_cohorts(t_docs).localCheckpoint()
+    cohorts = dedup.exact_cohorts_shared(t_docs)
     sizes = cohorts.select(F.col("rep").alias("v"), "s").distinct()
     rep_docs = t_docs.join(
         cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
@@ -1059,8 +1059,21 @@ ED_Q = 12           # q-gram width: sized to the corpus's gram diversity --
 # prefix guarantee is q-agnostic (one edit destroys <= q grams, and the
 # prefix grows to match); the cost is a (q*d+1)-row index per distinct
 # content instead of (5d+1).
+#
+# TUNING POLICY (how to pick q for a different corpus): choose the smallest
+# q whose mean gram document frequency (total gram occurrences / distinct
+# grams, a one-row aggregate probe over a sample) is small -- of order tens,
+# not hundreds.  Prefix filtering prunes in proportion to gram rarity, so a
+# q that leaves mean df in the hundreds (this corpus at q=5) generates
+# near-quadratic candidates; raising q multiplies distinct-gram diversity
+# at a linear index-size cost (q*d+1 prefix rows).  Natural-language
+# corpora with normal vocabulary diversity want the literature's q=5
+# (Ed-Join, Xiao et al. 2008); this synthetic low-diversity corpus needs
+# q=12 (measured, NOTES_round10.md).
 ED_D = 10           # edit-distance threshold
 ED_PREFIX = ED_Q * ED_D + 1  # one edit op destroys <= q grams
+ED_SHORT_MAX = ED_Q + ED_D   # docs shorter than this enter the sentinel arm
+ED_SENT_B = 2 * ED_D + 1     # sentinel length-bucket width
 
 _ED_JOIN_ORACLE = f"""
 WITH d AS (
@@ -1087,9 +1100,23 @@ pref AS (
     FROM grams JOIN dfreq USING (g)
   ) WHERE rn <= {ED_PREFIX}
 ),
+sent AS (
+  SELECT doc_id, len, '#S' || CAST(b AS VARCHAR) AS g
+  FROM (
+    SELECT doc_id, len,
+           unnest(generate_series(GREATEST(0, len - {ED_D}) // {ED_SENT_B},
+                                  (len + {ED_D}) // {ED_SENT_B})) AS b
+    FROM repdocs WHERE len < {ED_SHORT_MAX}
+  )
+),
+idx AS (
+  SELECT doc_id, len, g FROM pref
+  UNION ALL
+  SELECT doc_id, len, g FROM sent
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS ra, b.doc_id AS rb
-  FROM pref a JOIN pref b
+  FROM idx a JOIN idx b
     ON a.g = b.g AND a.doc_id < b.doc_id
   WHERE abs(a.len - b.len) <= {ED_D}
 ),
@@ -1121,41 +1148,13 @@ SELECT doc_a, doc_b, edit_distance FROM within
 """
 
 
-@query("x_dedup_edit_join", oracle=_ED_JOIN_ORACLE)
-def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity join (the Ed-Join family, Xiao et al.
-    2008): all document pairs within Levenshtein distance ED_D, the
-    CHARACTER-level near-dup lane beside prefix_join's token-set Jaccard
-    -- it catches small in-place edits (typo fixes, entity swaps) whose
-    token sets still differ.  Candidate generation reuses the
-    prefix-filtering discipline: every doc's q-grams sort by ascending
-    global document frequency and only the ED_Q*ED_D + 1 rarest are
-    indexed (one edit op destroys at most q grams, so two strings within
-    distance d MUST collide inside any common (q*d+1)-sized prefix under
-    a shared order); a length filter |len_a - len_b| <= d prunes before
-    the verify; survivors verify with ONE exact levenshtein each --
-    identical unit-cost DP in both engines.  Empirical completeness vs
-    brute force is pinned in tests/test_selection_ops.py.
-
-    The family's exact-copy cohort contraction is ALWAYS ON here (not
-    probe-gated): identical texts share every edit distance by symmetry,
-    so the gram index, candidate join, and the quadratic-cost levenshtein
-    verify all run on distinct-CONTENT representatives only; member pairs
-    re-expand closed-form (cross-cohort pairs inherit the rep distance,
-    within-cohort pairs are distance 0) -- the 100x all-copy probe shape
-    would otherwise spend ~25M levenshteins proving copies are copies.
-    At gate scale the contraction is near-free (cohorts are tiny), so no
-    adaptive trigger is needed.
-
-    Scale shape: the inverted index holds 51 grams per distinct content
-    regardless of document length; hot grams sort to the suffix and never
-    enter the index (the PPJoin trick, not a recall-losing MAX_DF drop);
-    the gram join is equi-keyed; expansion is equi-joins on the content
-    fingerprint."""
+def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """Core of x_dedup_edit_join over an arbitrary (doc_id, text) relation
+    -- factored out so the short-doc completeness test can drive it with a
+    constructed corpus (tests/test_selection_ops.py)."""
     from pyspark.sql.window import Window
 
-    t = catalog.load(spark, sf_dir)
-    d = t.documents.select(
+    d = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
         F.md5("text").alias("fp"),
@@ -1190,8 +1189,39 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= ED_PREFIX)
         .select("doc_id", "len", "g")
     )
-    a = pref.alias("a")
-    b = pref.alias("b")
+    # Short-doc sentinel arm: a doc with len < ED_Q emits ZERO q-grams, so
+    # without this it would never enter the index -- yet any two short
+    # strings are trivially within distance ED_D.  Every doc short enough
+    # to PARTNER a gram-less doc (len < ED_Q + ED_D, the length filter's
+    # reach) emits sentinel length-bucket grams covering [len-d, len+d]
+    # (bucket width 2d+1, so a within-d pair always shares the bucket of
+    # the shorter length); the buckets ride the existing equi-keyed
+    # candidate join and the |len_a-len_b| <= d filter.  The pool is
+    # bounded: distinct contents shorter than ED_SHORT_MAX chars, i.e. a
+    # length-bucketed brute force over only the short tail of the corpus.
+    # GREATEST(0, len-d) keeps the DIV arguments non-negative, where Spark
+    # DIV (truncate) and DuckDB // (floor) agree.
+    sent = (
+        repdocs.filter(F.col("len") < ED_SHORT_MAX)
+        .select(
+            "doc_id",
+            "len",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(0, len - {ED_D}) div {ED_SENT_B},"
+                    f" (len + {ED_D}) div {ED_SENT_B})"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "len",
+            F.concat(F.lit("#S"), F.col("b").cast("string")).alias("g"),
+        )
+    )
+    idx = pref.unionByName(sent)
+    a = idx.alias("a")
+    b = idx.alias("b")
     cand = (
         a.join(
             b,
@@ -1202,34 +1232,42 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("ra"), F.col("b.doc_id").alias("rb"))
         .distinct()
     )
-    # The candidate relation is two longs per row, so AQE coalesces it to a
-    # handful of partitions -- and the quadratic-DP levenshtein verify would
-    # then run on that handful of cores (measured 64 s at sf0.1 on a corpus
-    # whose tiny q-gram vocabulary defeats prefix filtering, 430k
-    # candidates).  Fan the verify across the cluster: cost is one shuffle
-    # of (long, long) rows, repaid ~8x in verify wall-clock.
-    cand = cand.repartition(
-        spark.sparkContext.defaultParallelism, "ra", "rb"
-    )
     da = repdocs.select(
         F.col("doc_id").alias("ra"), F.col("text").alias("ta"), F.col("fp").alias("fa")
     )
     db = repdocs.select(
         F.col("doc_id").alias("rb"), F.col("text").alias("tb"), F.col("fp").alias("fb")
     )
-    rpairs = (
+    # Materialize the candidate pairs WITH their texts, partitioning pinned,
+    # BEFORE the quadratic-DP levenshtein evaluates.  Two distinct scale
+    # traps force this barrier:
+    #  (1) parallelism: the threshold filter `edit_distance <= ED_D` pushes
+    #      through any Project/Repartition down INTO the text join's
+    #      condition, and the join's input exchanges are AQE-coalescible
+    #      (two-long rows look tiny), so without a barrier the whole DP can
+    #      land on ONE core -- measured 81.6 s vs 4.6 s for the identical
+    #      125k-pair workload with the DP pinned above an explicit
+    #      repartition (and 43 s vs 6.5 s for the gated entry when the
+    #      sentinel union flipped the planner into exactly that shape).
+    #  (2) re-evaluation: without the lineage cut, CollapseProject pushes
+    #      the levenshtein expression into the expanded member-pair
+    #      projection, re-running the DP once per MEMBER pair (the minhash
+    #      md5 trap) -- measured 545 s at the 100x all-copy probe.
+    # The checkpointed relation is bounded: one row per CANDIDATE rep pair
+    # (never member pairs) x two texts.
+    withtexts = (
         cand.join(da, "ra")
         .join(db, "rb")
-        .select(
+        .repartition(spark.sparkContext.defaultParallelism, "ra", "rb")
+        .localCheckpoint()
+    )
+    rpairs = (
+        withtexts.select(
             "ra", "rb", "fa", "fb",
             F.levenshtein("ta", "tb").cast("long").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= ED_D)
-        # materialize BEFORE expansion: rep pairs are bounded (distinct
-        # contents only), and without the lineage cut CollapseProject
-        # pushes the levenshtein expression into the expanded projection,
-        # re-running the DP once per MEMBER pair (the minhash md5 trap) --
-        # measured 545 s at the 100x all-copy probe, ~25 s after
+        # drop the texts before expansion; skinny bounded rep-pair relation
         .localCheckpoint()
     )
     ma = d.alias("ma")
@@ -1259,3 +1297,43 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+@query("x_dedup_edit_join", oracle=_ED_JOIN_ORACLE)
+def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (the Ed-Join family, Xiao et al.
+    2008): all document pairs within Levenshtein distance ED_D, the
+    CHARACTER-level near-dup lane beside prefix_join's token-set Jaccard
+    -- it catches small in-place edits (typo fixes, entity swaps) whose
+    token sets still differ.  Candidate generation reuses the
+    prefix-filtering discipline: every doc's q-grams sort by ascending
+    global document frequency and only the ED_PREFIX = ED_Q*ED_D + 1
+    rarest are indexed (one edit op destroys at most q grams, so two
+    strings within distance d MUST collide inside any common
+    (q*d+1)-sized prefix under a shared order); a length filter
+    |len_a - len_b| <= d prunes before the verify; survivors verify with
+    ONE exact levenshtein each -- identical unit-cost DP in both engines.
+    Docs too short to emit q-grams (len < ED_Q) route through a
+    length-bucketed sentinel arm (see edit_join_pairs) so short-short and
+    short-long pairs are NOT silently missed.  Empirical completeness vs
+    brute force is pinned in tests/test_selection_ops.py, including a
+    dedicated short-doc corpus.
+
+    The family's exact-copy cohort contraction is ALWAYS ON here (not
+    probe-gated): identical texts share every edit distance by symmetry,
+    so the gram index, candidate join, and the quadratic-cost levenshtein
+    verify all run on distinct-CONTENT representatives only; member pairs
+    re-expand closed-form (cross-cohort pairs inherit the rep distance,
+    within-cohort pairs are distance 0) -- the 100x all-copy probe shape
+    would otherwise spend ~25M levenshteins proving copies are copies.
+    At gate scale the contraction is near-free (cohorts are tiny), so no
+    adaptive trigger is needed.
+
+    Scale shape: the inverted index holds ED_PREFIX (q*d+1) grams per
+    distinct content regardless of document length; hot grams sort to the
+    suffix and never enter the index (the PPJoin trick, not a
+    recall-losing MAX_DF drop); the gram join is equi-keyed; expansion is
+    equi-joins on the content fingerprint.  q itself is corpus-tuned by
+    the documented policy rule above ED_Q (mean gram df of order tens)."""
+    t = catalog.load(spark, sf_dir)
+    return edit_join_pairs(spark, t.documents)

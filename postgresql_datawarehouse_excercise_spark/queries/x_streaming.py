@@ -414,9 +414,9 @@ def x_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_HIST_ORACLE = f"""
-SELECT LEAST({se.HIST_STREAM_BUCKETS - 1},
+SELECT GREATEST(0, LEAST({se.HIST_STREAM_BUCKETS - 1},
              CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
-               // {se.HIST_STREAM_WIDTH_CENTS}) AS bucket,
+               // {se.HIST_STREAM_WIDTH_CENTS})) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS cell
 FROM events GROUP BY 1
 """

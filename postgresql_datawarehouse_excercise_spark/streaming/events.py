@@ -504,12 +504,23 @@ def histogram_cells(
     values beyond it land in the top bucket instead of being dropped.
     Update-mode emissions are monotone per bucket, so latest_per_key
     yields the final histogram; partial histograms from different streams
-    or days merge by cell-wise addition."""
-    bucket = F.least(
-        F.lit(buckets - 1),
-        F.expr(
-            "CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
-            f" DIV {width_cents}"
+    or days merge by cell-wise addition.
+
+    Both ends of the domain clamp: LEAST pins overflow to the top bucket,
+    GREATEST(0, ...) pins negative values to bucket 0 -- without the lower
+    clamp a negative event value would emit an out-of-domain negative
+    bucket id, and (worse) Spark's DIV truncates toward zero while the
+    DuckDB oracle's // floors, so the two engines would disagree on WHICH
+    negative bucket.  After the clamp both give 0 for every negative
+    value (trunc and floor are both <= 0 there)."""
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(buckets - 1),
+            F.expr(
+                "CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+                f" DIV {width_cents}"
+            ),
         ),
     )
     return (

@@ -633,11 +633,77 @@ def sec_r10ops(spark, t, k: int, sf_dir: str) -> None:
         timed(name, lambda name=name: regq[name].fn(spark, d))
 
 
+def sec_r10bops(spark, t, k: int, sf_dir: str) -> None:
+    """Kx probe rows for the three entries that shipped late in round 10
+    without one (VERDICT r10 #1) plus the composed curation funnel
+    (VERDICT r10 #8), run unmodified against materialized Kx dirs.
+
+    market_basket gets TWO rows: the uniform multiplication (baskets keep
+    their 1x size, pair fanout linear in K) and a SKEWED-basket shape --
+    before multiplication, every order with key % 400 == 0 collapses into
+    one mega-order, so each copy carries a hot basket of ~1.4k distinct
+    parts and the keyed self-join must push ~1M pair rows per copy
+    (~100M at K=100) through the map-side-combined aggregate.  That is
+    the basket^2 worst case the entry's docstring claims is bounded;
+    the probe measures it instead of asserting it.
+
+    curation_funnel composes five individually-probed stages into ONE
+    plan; the at-scale question is the composition (plan size, AQE
+    interaction, where the checkpoints land).  Note its stage-3 exact
+    dedup contracts the K exact copies before the LSH stage, so the
+    all-copy multiplication is the funnel's FAVORABLE shape on stages
+    4-5 and its honest worst case on stages 1-3."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pdwx-scale-r10b-")
+    multiply(t.documents, "doc_id", k).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    multiply(t.lineitem, ["l_orderkey", "l_partkey"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/lineitem.parquet")
+    for tab in ("region", "nation", "supplier", "customer", "part",
+                "events", "embeddings", "orders"):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    regq = load_all()
+    print(f"round-10b ops x{k}:", flush=True)
+    for name in (
+        "x_pipeline_reservoir_sample",  # row-local key + TakeOrdered heaps
+        "x_pipeline_alpha_sampling",    # one scan + |sources|-row aggregate
+        "x_sql_market_basket",          # uniform arm: baskets stay 1x-sized
+        "x_pipeline_curation_funnel",   # 5 composed stages, one plan
+    ):
+        timed(name, lambda name=name: regq[name].fn(spark, d))
+
+    d2 = tempfile.mkdtemp(prefix="pdwx-scale-r10bskew-")
+    skew_line = t.lineitem.withColumn(
+        "l_orderkey",
+        F.when(
+            F.pmod(F.col("l_orderkey").cast("long"), F.lit(400)) == 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.col("l_orderkey").cast("long")),
+    )
+    multiply(skew_line, ["l_orderkey", "l_partkey"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d2}/lineitem.parquet")
+    for tab in ("region", "nation", "supplier", "customer", "part",
+                "events", "embeddings", "orders", "documents"):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{d2}/{tab}.parquet")
+    print(f"round-10b market_basket, skewed baskets x{k}:", flush=True)
+    timed(
+        "x_sql_market_basket_skew",
+        lambda: regq["x_sql_market_basket"].fn(spark, d2),
+    )
+
+
 SECTIONS = {
     "docs": sec_docs,
     "pairs": sec_pairs,
     "r9ops": sec_r9ops,
     "r10ops": sec_r10ops,
+    "r10bops": sec_r10bops,
     "emb": sec_emb,
     "line": sec_line,
     "tpch": sec_tpch,

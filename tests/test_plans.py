@@ -197,6 +197,10 @@ SIDE_EFFECTFUL_PREFIXES = (
     "x_pipeline_incremental",
     "x_pipeline_decontaminate_bloom",
     "x_tpch_q18_bucketed",
+    # returns a localCheckpoint(), so the registry guard would audit only a
+    # checkpoint scan (vacuous); the REAL un-checkpointed shape is pinned in
+    # test_runtime_bloom_filter_injects_in_conf_window
+    "x_sql_runtime_bloom_join",
 )
 
 # Documented Arrow lanes allowed to carry Python nodes: the blocked-GEMM

@@ -448,3 +448,48 @@ def test_edit_join_complete_vs_bruteforce(spark, sf_dir):
     )
     assert got == want, (len(got), len(want))
     assert want, "calibration: the gate corpus must contain within-D pairs"
+
+
+def test_edit_join_short_docs_not_missed(spark):
+    """Docs shorter than ED_Q emit zero q-grams, so without the sentinel
+    arm they would never enter the prefix index -- yet any two short
+    strings are trivially within ED_D.  Pin exact completeness vs brute
+    force on a corpus built of exactly those shapes: short-short pairs,
+    short-vs-midlength pairs straddling the q-gram boundary, identical
+    short copies (the within-cohort lane), and long docs as controls."""
+    import duckdb
+
+    from postgresql_datawarehouse_excercise_spark.queries.x_dedup import (
+        ED_D,
+        ED_Q,
+        edit_join_pairs,
+    )
+
+    rows = [
+        (1, "cat"),                      # short, pairs with 2,3 within d
+        (2, "cart"),                     # short
+        (3, "cat"),                      # exact copy of 1 (cohort lane)
+        (4, "abcdefgh"),                 # len 8 < ED_Q
+        (5, "abcdefghijklmn"),           # len 14 >= ED_Q, within d of 4
+        (6, "x" * (ED_Q + ED_D + 5)),    # long, beyond d of all short docs
+        (7, "x" * (ED_Q + ED_D + 5)),    # exact copy of 6
+        (8, "zzzzzzzzzz"),               # short, distance >9 from cat-family
+    ]
+    assert any(len(t) < ED_Q for _, t in rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in edit_join_pairs(spark, docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = set(
+        con.sql(f"""
+        SELECT a.doc_id, b.doc_id, CAST(levenshtein(a.text, b.text) AS BIGINT)
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {ED_D}
+        """).fetchall()
+    )
+    assert (1, 2, 1) in want and (1, 3, 0) in want and (4, 5, 6) in want
+    assert got == want, (sorted(got - want), sorted(want - got))
