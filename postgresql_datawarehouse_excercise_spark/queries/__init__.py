@@ -63,6 +63,7 @@ def load_all() -> dict[str, QueryDef]:
         x_streaming,
         x_text,
         x_tpch,
+        x_unigram,
     )
 
     return REGISTRY
