@@ -486,20 +486,45 @@ def ivfpq_topk(
     base = similarity._ivf_base(embeddings)
     cells = similarity.ivf_cells(embeddings.count())
     cents, assigned = similarity._ivf_train(base, cells)
+    cb, codes = pq_train_encode(embeddings)
+    return ivfpq_serve(
+        embeddings, cents, assigned.select("vec_id", "cell"), cb, codes,
+        cells, n_queries, k,
+    )
+
+
+def ivfpq_serve(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    postings: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    cells: int,
+    n_queries: int = PQ_QUERIES,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """The SERVING half of the IVF-PQ index, taking the four trained index
+    relations as inputs (centroids, (vec_id, cell) postings, PQ codebooks,
+    PQ codes) so the same path runs off an in-plan training
+    (ivfpq_topk) or a persisted-and-reloaded index
+    (queries/x_similarity.x_sim_ann_index_persist) -- the answers must be
+    bit-identical because every index component is exact BIGINT (parquet
+    round-trips integers losslessly).  Query vectors and the refine pass's
+    exact vectors come from `embeddings` (the cold store)."""
+    from . import similarity
+
+    q = quantize(embeddings)
     qset = (
-        base.filter(F.col("vec_id") < n_queries)
+        q.filter(F.col("vec_id") < n_queries)
         .limit(n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
     )
     qcells = similarity._probe_cells(qset, cents, similarity.ivf_nprobe(cells))
     cand = (
-        assigned.select("vec_id", "cell")
-        .join(qcells, "cell")
+        postings.join(qcells, "cell")
         .select("query_id", "vec_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    cb, codes = pq_train_encode(embeddings)
-    q = quantize(embeddings)
     qsubs = _subvectors(
         q.filter(F.col("vec_id") < n_queries).limit(n_queries)
     ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))

@@ -424,3 +424,52 @@ def x_sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine per pair (operators/similarity.jl_recall_populations)."""
     t = catalog.load(spark, sf_dir)
     return similarity.jl_recall_populations(t.embeddings)
+
+
+@query("x_sim_ann_index_persist", oracle=pq.ivfpq_topk_sql())
+def x_sim_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ANN serving shape: train the IVF-PQ index ONCE, persist
+    its four relations as parquet tables (IVF centroids, (vec_id, cell)
+    postings, PQ codebooks, PQ codes -- the MV-registry pattern), then
+    RELOAD them in a fresh SparkSession (spark.newSession(): new
+    catalog/conf state over the shared context -- the driver-restart
+    analog available in-process) and serve the top-k queries entirely off
+    the loaded index (operators/pq.ivfpq_serve).
+
+    The oracle is x_sim_ann_ivfpq's own replay, UNCHANGED: every index
+    component is exact BIGINT, parquet round-trips integers losslessly, so
+    persist-then-reload may never change a single ranked row (also pinned
+    directly against the in-plan lane in tests/test_ann_persist.py).  At
+    100 TB this split is what makes vector search operable: the build pays
+    the two k-means trainings once, the index tables are ~1/30th the
+    corpus (8-byte codes + sqrt(N) centroids), and query sessions start by
+    reading THEM, never re-deriving the index from the raw vectors.  Only
+    the refine pass touches exact vectors, PQ_REFINE point-lookups per
+    query against the cold store."""
+    from .x_sources import _scratch
+
+    t = catalog.load(spark, sf_dir)
+    emb = t.embeddings
+    cells = similarity.ivf_cells(emb.count())
+    cents, assigned = similarity._ivf_train(similarity._ivf_base(emb), cells)
+    cb, codes = pq.pq_train_encode(emb)
+    loc = _scratch("pdwx-annidx-")
+    cents.write.mode("overwrite").parquet(f"{loc}/centroids.parquet")
+    assigned.select("vec_id", "cell").write.mode("overwrite").parquet(
+        f"{loc}/postings.parquet"
+    )
+    cb.write.mode("overwrite").parquet(f"{loc}/codebooks.parquet")
+    codes.write.mode("overwrite").parquet(f"{loc}/codes.parquet")
+    spark.createDataFrame([(cells,)], "cells int").write.mode("overwrite").parquet(
+        f"{loc}/meta.parquet"
+    )
+    s2 = spark.newSession()
+    meta = s2.read.parquet(f"{loc}/meta.parquet").collect()[0]
+    return pq.ivfpq_serve(
+        catalog.load(s2, sf_dir).embeddings,
+        s2.read.parquet(f"{loc}/centroids.parquet"),
+        s2.read.parquet(f"{loc}/postings.parquet"),
+        s2.read.parquet(f"{loc}/codebooks.parquet"),
+        s2.read.parquet(f"{loc}/codes.parquet"),
+        int(meta["cells"]),
+    )

@@ -201,6 +201,10 @@ SIDE_EFFECTFUL_PREFIXES = (
     # checkpoint scan (vacuous); the REAL un-checkpointed shape is pinned in
     # test_runtime_bloom_filter_injects_in_conf_window
     "x_sql_runtime_bloom_join",
+    # trains + writes the index parquet at construction; the serving plan is
+    # pinned bit-identical to the audited x_sim_ann_ivfpq lane in
+    # tests/test_ann_persist.py
+    "x_sim_ann_index_persist",
 )
 
 # Documented Arrow lanes allowed to carry Python nodes: the blocked-GEMM
