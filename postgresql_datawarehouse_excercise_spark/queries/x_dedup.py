@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..functions import ratio, sql_ratio
+from ..functions import fround, ratio, sql_ratio
 from ..operators import dedup
 from . import query
 
@@ -1337,3 +1337,98 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented policy rule above ED_Q (mean gram df of order tens)."""
     t = catalog.load(spark, sf_dir)
     return edit_join_pairs(spark, t.documents)
+
+
+ED_DF_TARGET = 50   # policy threshold: mean gram df "of order tens"
+ED_Q_CANDIDATES = (5, 8, 12)
+
+_QGRAM_POLICY_ORACLE = f"""
+WITH g AS (
+  SELECT q, unnest(list_distinct(list_transform(
+           generate_series(1, len(text) - CAST(q AS INT) + 1),
+           i -> substr(text, i, CAST(q AS INT))))) AS gram
+  FROM documents, unnest({list(ED_Q_CANDIDATES)}) AS qs(q)
+  WHERE len(text) >= q
+),
+stats AS (
+  SELECT q, COUNT(*) AS n_postings, COUNT(DISTINCT gram) AS n_distinct
+  FROM g GROUP BY q
+),
+pick AS (
+  SELECT MIN(q) AS chosen_q FROM stats
+  WHERE CAST(n_postings AS DOUBLE) / CAST(n_distinct AS DOUBLE) <= {ED_DF_TARGET}
+)
+SELECT CAST(q AS INT) AS q,
+       CAST(n_postings AS BIGINT) AS n_postings,
+       CAST(n_distinct AS BIGINT) AS n_distinct_grams,
+       FLOOR((CAST(n_postings AS DOUBLE) / CAST(n_distinct AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS mean_df,
+       q = coalesce(chosen_q, {max(ED_Q_CANDIDATES)}) AS chosen
+FROM stats, pick
+"""
+
+
+@query("x_dedup_qgram_policy", oracle=_QGRAM_POLICY_ORACLE)
+def x_dedup_qgram_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-join q-tuning policy (ED_Q docstring) as an EXECUTABLE
+    probe instead of prose: for each candidate gram width q, one corpus
+    pass measures the inverted index's mean gram document frequency
+    (gram postings / distinct grams -- exactly the quantity prefix
+    filtering's pruning power depends on), and `chosen` marks the
+    smallest q whose mean df is at most ED_DF_TARGET (order tens; fall
+    back to the largest candidate when none qualifies).  The answer is
+    corpus-SIZE dependent by design -- gram diversity saturates while
+    postings keep growing: at sf0.1 (the NOTES_round10 tuning corpus)
+    q=5 measures df ~500 (prefix filtering defeated) and the rule picks
+    ED_Q=12 (df ~11); at the sf0.01 gate corpus q=8 already qualifies.
+    Rerunning this entry on a new corpus (or a new scale) is how ED_Q is
+    re-derived.  Scale shape: one scan (the q candidates explode from
+    a 3-element literal, so it is one pass over |candidates| x corpus
+    gram streams), two map-side-combined aggregates, a 3-row policy
+    window; at 100 TB you run it on a sampled split, the
+    contraction-trigger probe discipline."""
+    t = catalog.load(spark, sf_dir)
+    g = (
+        t.documents.select(
+            F.explode(F.lit(list(ED_Q_CANDIDATES))).alias("q"), "text"
+        )
+        .filter(F.length("text") >= F.col("q"))
+        .select(
+            "q",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    " sequence(1, length(text) - q + 1),"
+                    " i -> substring(text, i, q)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    stats = g.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.count_distinct("gram").cast("long").alias("n_distinct_grams"),
+    )
+    pick = stats.agg(
+        F.min(
+            F.when(
+                F.col("n_postings").cast("double")
+                / F.col("n_distinct_grams").cast("double")
+                <= F.lit(float(ED_DF_TARGET)),
+                F.col("q"),
+            )
+        ).alias("chosen_q")
+    )
+    return stats.crossJoin(F.broadcast(pick)).select(
+        F.col("q").cast("int").alias("q"),
+        "n_postings",
+        "n_distinct_grams",
+        fround(
+            F.col("n_postings").cast("double")
+            / F.col("n_distinct_grams").cast("double"),
+            4,
+        ).alias("mean_df"),
+        (
+            F.col("q")
+            == F.coalesce(F.col("chosen_q"), F.lit(max(ED_Q_CANDIDATES)))
+        ).alias("chosen"),
+    )

@@ -1475,14 +1475,23 @@ def x_sql_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, b) key; top-k compiles to TakeOrderedAndProject; the two
     part-frequency joins run against the BOUNDED top-k relation and the
     1-row order total broadcasts.  The one float per output row is the
-    lift division, 1e-6-quantized."""
+    lift division, 1e-6-quantized.
+
+    The item-dedup is the entry's priciest exchange at scale (the 100x
+    probe measured the first cut at 138 s because FOUR subtrees each
+    re-derived it), so only the pair self-join consumes it -- its two
+    sides are the same exchange (ReuseExchange) -- while the order total
+    and the per-part order frequencies aggregate the RAW scan with
+    count-distincts (partial_count_distinct combines map-side; no
+    second dedup shuffle).  Re-measured at 100x: 138 -> 47 s uniform,
+    118 -> 50 s on the skewed-basket shape."""
     t = catalog.load(spark, sf_dir)
     items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    tot = items.agg(
+    tot = t.lineitem.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )
-    pc = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("part_orders")
+    pc = t.lineitem.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("part_orders")
     )
     a = items.alias("a")
     b = items.alias("b")
