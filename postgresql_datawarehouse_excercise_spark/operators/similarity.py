@@ -1502,3 +1502,231 @@ GROUP BY e.query_id
     uni = population("uniform", "list_transform(embedding, x -> CAST(x AS DOUBLE))")
     bl = population("backloaded", _SQL_JL_BACKLOAD)
     return f"SELECT * FROM ({uni}) UNION ALL SELECT * FROM ({bl})"
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent (Dong et al., WWW 2011): graph-based ANN refinement -- the
+# HNSW-family construction idea in its distributable batch form.
+# ---------------------------------------------------------------------------
+
+ND_K = 10        # neighbors per node (and the recall@K cut)
+ND_ROUNDS = 3    # local-join refinement rounds
+ND_SEEDINGS = 2  # independent random bucketings seeding the graph
+ND_BUCKET = 20   # target members per seed bucket (~2k)
+ND_QUERIES = 8   # evaluation query set: vec_id < ND_QUERIES
+
+
+def nndescent_recall(
+    embeddings: DataFrame,
+    k: int = ND_K,
+    rounds: int = ND_ROUNDS,
+    n_queries: int = ND_QUERIES,
+) -> DataFrame:
+    """kNN-graph construction by NN-Descent, evaluated as recall@K on the
+    fixed query set: seed each node's neighbor list from ND_SEEDINGS
+    INDEPENDENT md5 bucketings (random blocks of ~ND_BUCKET members; the
+    classic random-seed requirement in its blocked, id-space-agnostic
+    form), then ROUNDS rounds of the local-join step: candidates(v) = the
+    undirected edge set (neighbors + reverse neighbors) plus its 2-hop
+    closure through shared nodes, re-ranked by EXACT integer squared-L2,
+    keep top-k.  "A neighbor of a neighbor is likely a neighbor" -- each
+    round the graph can only tighten, because the candidate pool contains
+    the current neighbor list (the pinned monotonicity in
+    tests/test_nndescent.py).
+
+    Why MULTIPLE bucketings: any SINGLE blocking traps the 2-hop closure
+    inside its own blocks (N(v) and N(N(v)) share v's block -- measured
+    first on an IVF-cell seed, where two rounds changed nothing); with two
+    independent bucketings a node bridges its bucket under hash 1 to its
+    bucket under hash 2, so the closure mixes globally.
+
+    Everything is exact BIGINT on the micro-unit grid (ties (d2, id)), so
+    the DuckDB oracle (nndescent_recall_sql) replays seed, every round and
+    the exact arm bit-for-bit.
+
+    Scale shape: bucket count derives from N (one count scalar, the
+    ivf_cells pattern), so seed blocks stay ~ND_BUCKET rows at any scale;
+    every round is two vec_id-keyed equi-joins with fanout bounded by
+    (2k)^2 per node and a per-node top-k window; the graph relation is
+    N x k rows, localCheckpoint'd per round (bounded, like the kmeans
+    centroids).  No stage touches N^2: the exact arm ranks only the
+    n_queries evaluation rows.  Output: (query_id, seed_hits, hits,
+    recall_seed, recall)."""
+    from pyspark.sql.window import Window
+    from .clustering import _dist2, quantize
+    from .dedup import h60
+
+    n = embeddings.count()
+    n_buckets = max(1, n // ND_BUCKET)
+    qv = quantize(embeddings)
+    qa = qv.select(F.col("vec_id").alias("v"), F.col("qv").alias("_qa"))
+    qb = qv.select(F.col("vec_id").alias("n"), F.col("qv").alias("_qb"))
+
+    def with_d2(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(qa, "v")
+            .join(qb, "n")
+            .select("v", "n", _dist2(F.col("_qa"), F.col("_qb")).alias("d2"))
+        )
+
+    def topk(pairs_d2: DataFrame) -> DataFrame:
+        w = Window.partitionBy("v").orderBy(F.col("d2").asc(), F.col("n").asc())
+        return (
+            pairs_d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("v", "n", "d2")
+        )
+
+    seedp = None
+    for r in range(1, ND_SEEDINGS + 1):
+        bk = qv.select(
+            "vec_id",
+            F.pmod(
+                h60(F.concat(F.lit(f"nd{r}-"), F.col("vec_id"))),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+        a, b = bk.alias("a"), bk.alias("b")
+        sp = a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("v"), F.col("b.vec_id").alias("n"))
+        seedp = sp if seedp is None else seedp.union(sp)
+    g0 = topk(with_d2(seedp.distinct())).localCheckpoint()
+    g = g0
+    for _ in range(rounds):
+        und = (
+            g.select("v", "n")
+            .union(g.select(F.col("n").alias("v"), F.col("v").alias("n")))
+            .distinct()
+        )
+        ua, ub = und.alias("ua"), und.alias("ub")
+        twohop = (
+            ua.join(ub, F.col("ua.n") == F.col("ub.v"))
+            .select(F.col("ua.v").alias("v"), F.col("ub.n").alias("n"))
+            .filter(F.col("v") != F.col("n"))
+        )
+        cand = und.union(twohop).distinct()
+        g = topk(with_d2(cand)).localCheckpoint()
+
+    qids = qv.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("v")
+    )
+    allp = qids.join(
+        qv.select(F.col("vec_id").alias("n")), F.col("v") != F.col("n")
+    )
+    exact = topk(with_d2(allp)).select("v", "n")
+
+    def hits(graph: DataFrame, col: str) -> DataFrame:
+        return (
+            graph.join(exact, ["v", "n"])
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    return (
+        qids.join(hits(g0, "seed_hits"), "v", "left")
+        .join(hits(g, "final_hits"), "v", "left")
+        .select(
+            F.col("v").alias("query_id"),
+            F.coalesce("seed_hits", F.lit(0)).cast("long").alias("seed_hits"),
+            F.coalesce("final_hits", F.lit(0)).cast("long").alias("hits"),
+            fround(
+                F.coalesce("seed_hits", F.lit(0)).cast("double") / float(k), 4
+            ).alias("recall_seed"),
+            fround(
+                F.coalesce("final_hits", F.lit(0)).cast("double") / float(k), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _nd_dist_sql(pairs: str, out: str) -> str:
+    """Exact integer squared-L2 over a (v, n) pair CTE via indexed arrays."""
+    return f"""{out} AS (
+  SELECT p.v, p.n,
+         CAST(SUM((qa.qv[r.i] - qb.qv[r.i]) * (qa.qv[r.i] - qb.qv[r.i]))
+              AS BIGINT) AS d2
+  FROM {pairs} p
+  JOIN qz qa ON qa.vec_id = p.v
+  JOIN qz qb ON qb.vec_id = p.n, range(1, 65) r(i)
+  GROUP BY 1, 2
+)"""
+
+
+def _nd_topk_sql(dist: str, out: str, k: int) -> str:
+    return f"""{out} AS (
+  SELECT v, n, d2 FROM (
+    SELECT v, n, d2,
+           row_number() OVER (PARTITION BY v ORDER BY d2, n) AS rn
+    FROM {dist}) WHERE rn <= {k}
+)"""
+
+
+def nndescent_recall_sql(
+    k: int = ND_K, rounds: int = ND_ROUNDS, n_queries: int = ND_QUERIES
+) -> str:
+    seed_arms = "\n  UNION\n".join(
+        f"""  SELECT a.vec_id AS v, b.vec_id AS n
+  FROM bk{r} a JOIN bk{r} b ON a.b = b.b AND a.vec_id <> b.vec_id"""
+        for r in range(1, ND_SEEDINGS + 1)
+    )
+    ctes = [
+        f"""nb AS (SELECT GREATEST(1, COUNT(*) // {ND_BUCKET}) AS n_buckets
+  FROM embeddings)"""
+    ]
+    for r in range(1, ND_SEEDINGS + 1):
+        ctes.append(f"""bk{r} AS (
+  SELECT vec_id,
+         ((CAST(concat('0x', substr(md5(concat('nd{r}-',
+             CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % n_buckets)
+          + n_buckets) % n_buckets AS b
+  FROM qz, nb
+)""")
+    ctes += [
+        f"sp AS (\n{seed_arms}\n)",
+        _nd_dist_sql("sp", "sd"),
+        _nd_topk_sql("sd", "g0", k),
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"g{r - 1}"
+        ctes.append(f"""und{r} AS (
+  SELECT v, n FROM {prev} UNION SELECT n AS v, v AS n FROM {prev}
+)""")
+        ctes.append(f"""cp{r} AS (
+  SELECT v, n FROM und{r}
+  UNION
+  SELECT a.v, b.n FROM und{r} a JOIN und{r} b ON a.n = b.v AND a.v <> b.n
+)""")
+        ctes.append(_nd_dist_sql(f"cp{r}", f"cd{r}"))
+        ctes.append(_nd_topk_sql(f"cd{r}", f"g{r}", k))
+    ctes.append(f"""qp AS (
+  SELECT q.vec_id AS v, o.vec_id AS n
+  FROM qz q JOIN qz o ON o.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+)""")
+    ctes.append(_nd_dist_sql("qp", "qd"))
+    ctes.append(_nd_topk_sql("qd", "exact", k))
+    return f"""WITH qz AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+{','.join(ctes)}
+SELECT q.v AS query_id,
+       CAST(COALESCE(sh.c, 0) AS BIGINT) AS seed_hits,
+       CAST(COALESCE(fh.c, 0) AS BIGINT) AS hits,
+       FLOOR((CAST(COALESCE(sh.c, 0) AS DOUBLE) / {k}.0) * 10000.0 + 0.5)
+         / 10000.0 AS recall_seed,
+       FLOOR((CAST(COALESCE(fh.c, 0) AS DOUBLE) / {k}.0) * 10000.0 + 0.5)
+         / 10000.0 AS recall
+FROM (SELECT DISTINCT vec_id AS v FROM qz WHERE vec_id < {n_queries}) q
+LEFT JOIN (SELECT g.v, COUNT(*) AS c FROM g0 g
+           JOIN exact e ON e.v = g.v AND e.n = g.n GROUP BY 1) sh
+  ON sh.v = q.v
+LEFT JOIN (SELECT g.v, COUNT(*) AS c FROM g{rounds} g
+           JOIN exact e ON e.v = g.v AND e.n = g.n GROUP BY 1) fh
+  ON fh.v = q.v
+"""

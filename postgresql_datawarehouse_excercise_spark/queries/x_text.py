@@ -2301,3 +2301,157 @@ def x_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_rep.alias("pass_repetition"),
         (pass_words & pass_wlen & pass_rep).alias("keep"),
     )
+
+
+BM25_K1 = "1.2"   # literal strings: both engines parse the same decimal
+BM25_B = "0.75"
+BM25_QTERMS = 4   # query = the 4 highest-df corpus terms (ties lexicographic)
+BM25_TOPK = 10
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+  GROUP BY 1
+),
+qterms AS (
+  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {BM25_QTERMS}
+),
+tf AS (
+  SELECT t.doc_id, t.term, COUNT(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(FLOOR(
+           ln((CAST(n.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(tf.tf AS DOUBLE) + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                 / (CAST(n.total_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))
+           * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM tf JOIN qterms q USING (term) JOIN dl d USING (doc_id) CROSS JOIN n
+)
+SELECT doc_id, dl, n_terms_matched, score_micro,
+       FLOOR((CAST(score_micro AS DOUBLE) / 1000000.0) * 10000.0 + 0.5)
+         / 10000.0 AS score
+FROM (
+  SELECT c.doc_id, d.dl,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(c.c_micro) AS BIGINT) AS score_micro,
+         ROW_NUMBER() OVER (ORDER BY SUM(c.c_micro) DESC, c.doc_id ASC) AS rn
+  FROM contrib c JOIN dl d USING (doc_id)
+  GROUP BY c.doc_id, d.dl
+) WHERE rn <= {BM25_TOPK}
+"""
+
+
+@query("x_text_bm25", oracle=_BM25_ORACLE)
+def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones, the Lucene-default +1 idf
+    variant; k1=1.2 b=0.75): the top-10 documents for a
+    deterministic query made of the corpus's BM25_QTERMS highest-df terms
+    -- the lexical-retrieval shape RAG data pipelines run beside the
+    embedding ANN lane (x_sim_*), with tf saturation and length
+    normalization that plain tf-idf (x_text_tfidf_top5) lacks.
+
+    Float discipline: ONE quantization per (doc, query-term) contribution
+    -- idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) evaluated in the
+    same literal order in both engines, floored half-up at 1e-6 -- then
+    exact int64 summation per doc, so partition order cannot flip ranks.
+
+    Scale shape: the query relation is BM25_QTERMS rows (broadcast); tf
+    touches only matching (doc, term) rows; doc lengths are one
+    map-side-combined aggregate; the final top-k is a single ranking over
+    per-doc 1-row aggregates (TakeOrdered shape).  At 100 TB the df/dl
+    statistics are index-build artifacts, amortized across queries (the
+    ann_index_persist argument, lexical edition)."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    df_t = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = (
+        df_t.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(BM25_QTERMS)
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + 0.5
+                    )
+                    / (F.col("df").cast("double") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf").cast("double") * F.expr(f"{BM25_K1} + 1.0"))
+                / (
+                    F.col("tf").cast("double")
+                    + F.expr(
+                        f"{BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+                        f" * CAST(dl AS DOUBLE)"
+                        f" / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+                    )
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("c_micro").cast("long").alias("score_micro"),
+        )
+        .join(dl, "doc_id")
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            "n_terms_matched",
+            "score_micro",
+            fround(F.col("score_micro").cast("double") / 1000000.0, 4).alias(
+                "score"
+            ),
+        )
+    )

@@ -698,12 +698,47 @@ def sec_r10bops(spark, t, k: int, sf_dir: str) -> None:
     )
 
 
+def sec_r11ops(spark, t, k: int, sf_dir: str) -> None:
+    """Kx probe rows for the round-11 additions (the mandatory new-entry
+    probe discipline).  unigram_lm's training loop is vocabulary-sized
+    after the one corpus scan, so its probe measures that scan + the
+    constant EM rounds; unigram_encode adds the doc-grain join pass.
+    ann_index_persist pays both index trainings, the parquet
+    writes+reloads, AND the served query -- the honest build+serve worst
+    case (the serve-only fraction is the point at 100 TB).
+    qgram_policy is one scan with two aggregates per candidate q."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pdwx-scale-r11-")
+    multiply(t.documents, "doc_id", k).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    multiply(t.embeddings, "vec_id", k).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    for tab in ("region", "nation", "supplier", "customer", "part",
+                "events", "orders", "lineitem"):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    regq = load_all()
+    print(f"round-11 ops x{k}:", flush=True)
+    for name in (
+        "x_text_unigram_lm",        # one corpus scan + vocab-sized EM rounds
+        "x_text_unigram_encode",    # + the doc-grain word-key join pass
+        "x_sim_ann_index_persist",  # build + persist + reload + serve
+        "x_dedup_qgram_policy",     # one scan, 2 aggs per candidate q
+    ):
+        timed(name, lambda name=name: regq[name].fn(spark, d))
+
+
 SECTIONS = {
     "docs": sec_docs,
     "pairs": sec_pairs,
     "r9ops": sec_r9ops,
     "r10ops": sec_r10ops,
     "r10bops": sec_r10bops,
+    "r11ops": sec_r11ops,
     "emb": sec_emb,
     "line": sec_line,
     "tpch": sec_tpch,
