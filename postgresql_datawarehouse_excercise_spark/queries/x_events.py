@@ -844,3 +844,109 @@ def x_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("frequency", "fq").alias("f_score"),
         band("monetary_cents", "mq").alias("m_score"),
     )
+
+
+CEP_MAX_US = 24 * 3600 * 1000000  # purchase within 24 h of the view
+# (the synthetic stream's median intra-user gap is ~7 h, so a minutes-scale
+# constraint would admit zero matches; 24 h keeps the predicate selective --
+# it rejects roughly half the consecutive triples -- while testable)
+
+_CEP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+),
+clicks AS (
+  SELECT user_id, seq, ts,
+         seq - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS island
+  FROM ev WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, island, MIN(seq) AS s0, MAX(seq) AS s1,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM clicks GROUP BY 1, 2
+)
+SELECT r.user_id,
+       epoch_us(v.ts) AS t_view_us,
+       epoch_us(p.ts) AS t_purchase_us,
+       r.n_clicks,
+       epoch_us(p.ts) - epoch_us(v.ts) AS duration_us
+FROM runs r
+JOIN ev v ON v.user_id = r.user_id AND v.seq = r.s0 - 1
+         AND v.event_type = 'view'
+JOIN ev p ON p.user_id = r.user_id AND p.seq = r.s1 + 1
+         AND p.event_type = 'purchase'
+WHERE epoch_us(p.ts) - epoch_us(v.ts) <= {CEP_MAX_US}
+"""
+
+
+@query("x_events_cep_pattern", oracle=_CEP_ORACLE)
+def x_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    FlinkCEP shape): every occurrence of `view (click)+ purchase` that is
+    STRICTLY CONSECUTIVE in the user's event stream, with the purchase at
+    most 24 hours after the view.  Contiguity is what separates this
+    from x_events_funnel's min-timestamp stages (which admit arbitrary
+    intervening events): a quantified pattern with no MATCH_RECOGNIZE in
+    Spark SQL compiles to the gaps-and-islands idiom -- sequence-number
+    the per-user stream, collapse consecutive clicks into runs via the
+    seq-minus-rank island key, then two (user_id, seq)-keyed equi-joins
+    pin a view immediately before each run and a purchase immediately
+    after it.
+
+    Scale shape: one user-partitioned sequence window (the sessionization
+    partitioning -- never a global sort), a second window over the click
+    subset only, one map-side-combined run aggregate, and two co-located
+    equi-joins on the user key; event-time arithmetic is exact epoch
+    MICROS (unix_micros / epoch_us agree on the micro-precision catalog
+    timestamps).  Output: one row per matched occurrence."""
+    from pyspark.sql.window import Window
+
+    t = catalog.load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t.events.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.row_number().over(w).alias("seq"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "island", F.col("seq") - F.row_number().over(w)
+    )
+    runs = clicks.groupBy("user_id", "island").agg(
+        F.min("seq").alias("s0"),
+        F.max("seq").alias("s1"),
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("seq").alias("vseq"),
+        F.unix_micros("ts").alias("t_view_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("seq").alias("pseq"),
+        F.unix_micros("ts").alias("t_purchase_us"),
+    )
+    return (
+        runs.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("vseq") == F.col("s0") - 1),
+        )
+        .join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pseq") == F.col("s1") + 1),
+        )
+        .filter(
+            F.col("t_purchase_us") - F.col("t_view_us") <= F.lit(CEP_MAX_US)
+        )
+        .select(
+            "user_id",
+            "t_view_us",
+            "t_purchase_us",
+            "n_clicks",
+            (F.col("t_purchase_us") - F.col("t_view_us")).alias("duration_us"),
+        )
+    )
