@@ -35,24 +35,26 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 10: adaptive cohort contraction added under pagerank
+    # round 11: short-doc sentinel arm + verify-join partition barrier
+    "x_dedup_edit_join",
+    # round 11: negative-value lower clamp in the histogram state (both
+    # engines)
+    "x_stream_histogram",
+    # round 11: the six contraction call sites now share one memoized
+    # cohort RELATION per input plan (operators/dedup.py)
     "x_dedup_pagerank",
-    # round 10: single-GROUP-BY-country rewrite shape (the reference's own
-    # form) replaces the per-customer pre-aggregation
-    "q4b_top_country_mart",
-    "q4b_top_country_view2",
-    # round 10: two-population (uniform + front-loaded) evaluator
-    "x_sim_mrl_recall",
-    # round 10: NULL-lang treated as raw-pool on both sides
-    "x_pipeline_dsir",
-    # round 10: oracle COALESCE on sum_len (empty-list NULL vs 0 seed)
-    "x_sql_higher_order",
-    # round 10: probe memoization under the contraction family's trigger
     "x_dedup_triangles",
     "x_dedup_prefix_join",
     "x_dedup_winnowing_pairs",
     "x_dedup_kcore",
     "x_dedup_cc_bigstar",
+    # round 11: 100x probe fix -- order total / part frequencies aggregate
+    # the raw scan instead of re-deriving the item dedup
+    "x_sql_market_basket",
+    # round 11: query path refactored through pq.ivfpq_serve (values
+    # pinned identical, but the plan construction changed)
+    "x_sim_ann_ivfpq",
+    "x_sim_ann_ivfpq_recall",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget
