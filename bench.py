@@ -281,6 +281,14 @@ def main() -> None:
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
         "x_text_countmin_hh",
+        # round 11
+        "x_text_unigram_lm",
+        "x_text_unigram_encode",
+        "x_text_bm25",
+        "x_sim_ann_index_persist",
+        "x_sim_nndescent",
+        "x_events_cep_pattern",
+        "x_dedup_qgram_policy",
         # round 10
         "x_text_stupid_backoff",
         "x_pipeline_alpha_sampling",
