@@ -1,0 +1,100 @@
+"""Independent pure-Python model checks for x_text_bm25 and
+x_events_cep_pattern (the third leg beside the Spark lane and the DuckDB
+oracle: a from-scratch reimplementation with no shared SQL)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+
+from postgresql_datawarehouse_excercise_spark.queries.x_events import (
+    CEP_MAX_US,
+    x_events_cep_pattern,
+)
+from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+    BM25_QTERMS,
+    BM25_TOPK,
+    x_text_bm25,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT CAST(doc_id AS BIGINT), text FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+
+
+def test_bm25_matches_python_model(spark):
+    k1, b = 1.2, 0.75
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in _docs()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df: Counter = Counter()
+    for ws in toks.values():
+        df.update(set(ws))
+    qterms = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_QTERMS]
+    scores: dict[int, tuple[int, int]] = {}
+    for d, ws in toks.items():
+        tf = Counter(ws)
+        micro, matched = 0, 0
+        for term, dfreq in qterms:
+            if tf[term] == 0:
+                continue
+            matched += 1
+            idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            c = idf * (tf[term] * (k1 + 1.0)) / (
+                tf[term] + k1 * (1.0 - b + b * dl[d] / avgdl)
+            )
+            micro += int(math.floor(c * 1000000.0 + 0.5))
+        if matched:
+            scores[d] = (micro, matched)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:BM25_TOPK]
+    got = sorted(
+        ((r["doc_id"], (r["score_micro"], r["n_terms_matched"]))
+         for r in x_text_bm25(spark, SF).collect()),
+        key=lambda kv: (-kv[1][0], kv[0]),
+    )
+    assert got == expect
+
+
+def test_cep_matches_python_model(spark):
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, epoch_us(ts) AS t_us, event_type, event_id FROM"
+        f" read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    # the catalog reads TIMESTAMP(NANOS) as micros; duckdb truncates ns->us
+    # identically, so epoch micros agree
+    by_user: dict[int, list] = defaultdict(list)
+    for u, t_us, et, eid in evs:
+        by_user[u].append((t_us, eid, et))
+    expect = set()
+    for u, rows in by_user.items():
+        rows.sort()
+        i = 0
+        while i < len(rows):
+            if rows[i][2] == "view":
+                j = i + 1
+                n_clicks = 0
+                while j < len(rows) and rows[j][2] == "click":
+                    n_clicks += 1
+                    j += 1
+                if (
+                    n_clicks >= 1
+                    and j < len(rows)
+                    and rows[j][2] == "purchase"
+                    and rows[j][0] - rows[i][0] <= CEP_MAX_US
+                ):
+                    expect.add((u, rows[i][0], rows[j][0], n_clicks,
+                                rows[j][0] - rows[i][0]))
+            i += 1
+    got = {tuple(r) for r in x_events_cep_pattern(spark, SF).collect()}
+    assert got == expect and len(got) > 0
