@@ -285,6 +285,7 @@ def main() -> None:
         "x_text_unigram_lm",
         "x_text_unigram_encode",
         "x_text_bm25",
+        "x_text_bm25_index_persist",
         "x_sim_ann_index_persist",
         "x_sim_nndescent",
         "x_events_cep_pattern",

@@ -2401,6 +2401,17 @@ def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_score(tf, qterms, dl, n)
+
+
+def _bm25_score(tf, qterms, dl, n) -> DataFrame:
+    """The BM25 scoring tail over index-shaped relations -- tf (doc_id,
+    term, tf) restricted to the query terms, qterms (term, df), dl
+    (doc_id, dl), n (1-row n_docs/total_tokens) -- shared by the in-plan
+    lane (x_text_bm25) and the persisted-index lane
+    (x_text_bm25_index_persist), which must return identical rows."""
+    from pyspark.sql.window import Window
+
     contrib = (
         tf.join(F.broadcast(qterms), "term")
         .join(dl, "doc_id")
@@ -2455,3 +2466,57 @@ def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("x_text_bm25_index_persist", oracle=_BM25_ORACLE)
+def x_text_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical twin of x_sim_ann_index_persist: build the BM25
+    inverted index ONCE -- postings (term, doc_id, tf) and doc lengths
+    (doc_id, dl), the two relations a search engine actually stores --
+    persist both as parquet, reload them in a fresh SparkSession
+    (spark.newSession()), and serve the query entirely off the loaded
+    index: document frequencies, the top-df query set, and the corpus
+    stats all re-derive from the postings relation, so serving NEVER
+    touches the documents table.  Results are pinned row-identical to the
+    in-plan x_text_bm25 lane (tests/test_bm25_cep.py) and the oracle is
+    BM25's own replay, unchanged -- the index is exact integers, parquet
+    round-trips them losslessly, and the one quantized float per
+    (doc, term) computes from identical inputs.
+
+    At 100 TB this split is the retrieval serving shape: the postings
+    relation is |distinct (doc, term)| rows partitioned by term (query =
+    point lookups of the query terms' posting lists), doc lengths are a
+    doc-grain sidecar, and index build cost amortizes across every query
+    -- the ann_index_persist argument, lexical edition."""
+    from .x_sources import _scratch
+
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    loc = _scratch("pdwx-bm25idx-")
+    toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).write.mode("overwrite").parquet(f"{loc}/postings.parquet")
+    toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    ).write.mode("overwrite").parquet(f"{loc}/doclen.parquet")
+
+    s2 = spark.newSession()
+    postings = s2.read.parquet(f"{loc}/postings.parquet")
+    dl = s2.read.parquet(f"{loc}/doclen.parquet")
+    n = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = df_t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        BM25_QTERMS
+    )
+    tf = postings.join(F.broadcast(qterms.select("term")), "term").select(
+        "doc_id", "term", "tf"
+    )
+    return _bm25_score(tf, qterms, dl, n)

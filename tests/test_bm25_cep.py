@@ -65,6 +65,17 @@ def test_bm25_matches_python_model(spark):
     assert got == expect
 
 
+def test_bm25_persist_lane_identical(spark):
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        x_text_bm25_index_persist,
+    )
+
+    direct = sorted(map(tuple, x_text_bm25(spark, SF).collect()))
+    persisted = sorted(map(tuple, x_text_bm25_index_persist(spark, SF).collect()))
+    assert len(direct) == BM25_TOPK
+    assert persisted == direct
+
+
 def test_cep_matches_python_model(spark):
     con = duckdb.connect()
     evs = con.execute(

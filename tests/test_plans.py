@@ -205,6 +205,9 @@ SIDE_EFFECTFUL_PREFIXES = (
     # pinned bit-identical to the audited x_sim_ann_ivfpq lane in
     # tests/test_ann_persist.py
     "x_sim_ann_index_persist",
+    # writes the inverted index at construction; row-identical to the
+    # audited x_text_bm25 lane (tests/test_bm25_cep.py)
+    "x_text_bm25_index_persist",
 )
 
 # Documented Arrow lanes allowed to carry Python nodes: the blocked-GEMM
