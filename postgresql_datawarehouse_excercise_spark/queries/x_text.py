@@ -2384,22 +2384,25 @@ def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
         ).alias("term"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE token explode + one (doc, term) map-side-combined aggregate; doc
+    # lengths, document frequencies, corpus stats and the query-term tf all
+    # derive from that relation (the 100x probe measured the naive form --
+    # dl/df/tf each re-exploding the corpus -- at 57.1 s vs 38.5 s for this
+    # shape; it is also exactly the postings relation the persisted-index
+    # lane stores)
+    tfall = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tfall.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
-    df_t = (
-        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
+    df_t = tfall.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
         df_t.orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(BM25_QTERMS)
     )
-    tf = (
-        toks.join(F.broadcast(qterms.select("term")), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = tfall.join(F.broadcast(qterms.select("term")), "term").select(
+        "doc_id", "term", "tf"
     )
     return _bm25_score(tf, qterms, dl, n)
 

@@ -716,8 +716,14 @@ def sec_r11ops(spark, t, k: int, sf_dir: str) -> None:
     multiply(t.embeddings, "vec_id", k).write.mode("overwrite").parquet(
         f"{d}/embeddings.parquet"
     )
+    # events multiply with user_id shifted alongside event_id, so copy i is
+    # an independent replica of every user's stream (CEP matches scale
+    # linearly: each copy contributes its own consecutive runs)
+    multiply(t.events, ["event_id", "user_id"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
     for tab in ("region", "nation", "supplier", "customer", "part",
-                "events", "orders", "lineitem"):
+                "orders", "lineitem"):
         os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
     from postgresql_datawarehouse_excercise_spark.queries import load_all
 
@@ -728,6 +734,10 @@ def sec_r11ops(spark, t, k: int, sf_dir: str) -> None:
         "x_text_unigram_encode",    # + the doc-grain word-key join pass
         "x_sim_ann_index_persist",  # build + persist + reload + serve
         "x_dedup_qgram_policy",     # one scan, 2 aggs per candidate q
+        "x_text_bm25",              # query-term postings only, top-k window
+        "x_text_bm25_index_persist",  # postings build + reload + serve
+        "x_sim_nndescent",          # N*k-row graph, (2k)^2 fanout per round
+        "x_events_cep_pattern",     # 2 user-stream windows + 2 keyed joins
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))
 
