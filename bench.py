@@ -288,6 +288,7 @@ def main() -> None:
         "x_text_bm25_index_persist",
         "x_sim_ann_index_persist",
         "x_sim_nndescent",
+        "x_sim_hybrid_rrf",
         "x_events_cep_pattern",
         "x_dedup_qgram_policy",
         # round 10

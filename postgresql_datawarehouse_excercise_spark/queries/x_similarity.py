@@ -10,6 +10,7 @@ all 124,750 sf0.01 pairs at 6 dp).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import catalog
 from ..functions import fround
@@ -490,3 +491,87 @@ def x_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_nndescent.py)."""
     t = catalog.load(spark, sf_dir)
     return similarity.nndescent_recall(t.embeddings)
+
+
+RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from .x_text import _BM25_ORACLE
+
+    return f"""
+SELECT id,
+       CAST(COALESCE(bm.r, 0) AS INT) AS bm25_rank,
+       CAST(COALESCE(vs.r, 0) AS INT) AS cos_rank,
+       CAST(COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + bm.r) + 0.5) AS BIGINT), 0)
+          + COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + vs.r) + 0.5) AS BIGINT), 0)
+          AS BIGINT) AS rrf_micro,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + bm.r) + 0.5) AS BIGINT), 0)
+                + COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + vs.r) + 0.5) AS BIGINT), 0) DESC,
+                id ASC) AS INT) AS rank
+FROM (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
+  FROM ({_BM25_ORACLE})
+) bm
+FULL JOIN (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r
+  FROM ({similarity.cosine_topk_sql(QUERY_VEC_ID)})
+) vs USING (id)
+QUALIFY rank <= {RRF_TOPK}
+"""
+
+
+@query("x_sim_hybrid_rrf", oracle=_rrf_oracle())
+def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al., SIGIR
+    2009 -- the fusion rule hybrid search ships on): the BM25 lexical
+    top-10 (x_text_bm25) and the exact-cosine vector top-10
+    (x_sim_topk_bruteforce, query vector 0; vec_id and doc_id share the
+    synthetic id space) fuse by RRF(d) = sum over lists of
+    1/(RRF_K + rank_d), each reciprocal quantized to integer micro-units
+    so the fused ordering is exact in both engines.  Rank-based fusion is
+    the point: BM25 scores and cosines live on incomparable scales, and
+    RRF never compares them -- only their ranks.
+
+    Scale shape: both input lists are top-k relations (bounded), so the
+    fusion itself is a full outer join of two <=k-row frames + one window
+    -- free at any corpus size; the cost is the two retrieval lanes, each
+    already scale-designed (and each with a persisted-index serving lane:
+    x_text_bm25_index_persist / x_sim_ann_index_persist)."""
+    from pyspark.sql.window import Window
+    from .x_text import x_text_bm25
+
+    bm = x_text_bm25(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()))
+        .alias("bm_r"),
+    )
+    vs = x_sim_topk_bruteforce(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+        .alias("vs_r"),
+    )
+    rec = lambda r: F.floor(1000000.0 / (F.lit(RRF_K) + F.col(r)) + 0.5).cast("long")  # noqa: E731
+    fused = (
+        bm.join(vs, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("bm_r", F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce("vs_r", F.lit(0)).cast("int").alias("cos_rank"),
+            (
+                F.coalesce(rec("bm_r"), F.lit(0))
+                + F.coalesce(rec("vs_r"), F.lit(0))
+            ).cast("long").alias("rrf_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RRF_TOPK)
+    )

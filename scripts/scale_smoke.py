@@ -738,6 +738,7 @@ def sec_r11ops(spark, t, k: int, sf_dir: str) -> None:
         "x_text_bm25_index_persist",  # postings build + reload + serve
         "x_sim_nndescent",          # N*k-row graph, (2k)^2 fanout per round
         "x_events_cep_pattern",     # 2 user-stream windows + 2 keyed joins
+        "x_sim_hybrid_rrf",         # 2 retrieval lanes + bounded fusion
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))
 
