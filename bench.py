@@ -128,12 +128,18 @@ def main() -> None:
     # --- ETL + MV build (timed as a whole: the reference's EP2) ----------
     wh = tempfile.mkdtemp(prefix="pdwx-bench-wh-")
     reg = default_registry(wh)
+    # median-of-3 (was best-of-2): mv_build_all is the run's first sf0.1
+    # block, so in loaded driver environments the first build absorbs the
+    # remaining cold-start (r11 driver run 8.81 s vs 4.74 s committed
+    # snapshot with identical code).  Three builds, median reported: the
+    # cold first build becomes an outlier the median drops, symmetric with
+    # timed_median()'s treatment of the graded Q4/Q5 entries.
     build_times = []
-    for _ in range(2):  # best-of-2 (same noise mitigation as timed())
+    for _ in range(3):
         t0 = time.perf_counter()
         reg.build_all(spark, sf_dir)
         build_times.append(time.perf_counter() - t0)
-    results["mv_build_all"] = round(min(build_times), 4)
+    results["mv_build_all"] = round(sorted(build_times)[1], 4)
 
     sales = lambda: reg.read(spark, "sales")  # noqa: E731
     view1 = lambda: reg.read(spark, "view1")  # noqa: E731

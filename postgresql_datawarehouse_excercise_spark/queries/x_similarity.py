@@ -502,8 +502,8 @@ def _rrf_oracle() -> str:
 
     return f"""
 SELECT id,
-       CAST(COALESCE(bm.r, 0) AS INT) AS bm25_rank,
-       CAST(COALESCE(vs.r, 0) AS INT) AS cos_rank,
+       CAST(COALESCE(bm.r, -1) AS INT) AS bm25_rank,
+       CAST(COALESCE(vs.r, -1) AS INT) AS cos_rank,
        CAST(COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + bm.r) + 0.5) AS BIGINT), 0)
           + COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + vs.r) + 0.5) AS BIGINT), 0)
           AS BIGINT) AS rrf_micro,
@@ -535,7 +535,10 @@ def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(RRF_K + rank_d), each reciprocal quantized to integer micro-units
     so the fused ordering is exact in both engines.  Rank-based fusion is
     the point: BM25 scores and cosines live on incomparable scales, and
-    RRF never compares them -- only their ranks.
+    RRF never compares them -- only their ranks.  A document absent from a
+    lane reports rank -1 in that lane's column (an impossible rank --
+    ranks are 1-based -- so it cannot be misread as better-than-first; the
+    old 0 sentinel was ambiguous) and contributes 0 to rrf_micro.
 
     Scale shape: both input lists are top-k relations (bounded), so the
     fusion itself is a full outer join of two <=k-row frames + one window
@@ -562,8 +565,8 @@ def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm.join(vs, "id", "full_outer")
         .select(
             "id",
-            F.coalesce("bm_r", F.lit(0)).cast("int").alias("bm25_rank"),
-            F.coalesce("vs_r", F.lit(0)).cast("int").alias("cos_rank"),
+            F.coalesce("bm_r", F.lit(-1)).cast("int").alias("bm25_rank"),
+            F.coalesce("vs_r", F.lit(-1)).cast("int").alias("cos_rank"),
             (
                 F.coalesce(rec("bm_r"), F.lit(0))
                 + F.coalesce(rec("vs_r"), F.lit(0))

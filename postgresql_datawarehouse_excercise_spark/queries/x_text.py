@@ -2375,8 +2375,6 @@ def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc 1-row aggregates (TakeOrdered shape).  At 100 TB the df/dl
     statistics are index-build artifacts, amortized across queries (the
     ann_index_persist argument, lexical edition)."""
-    from pyspark.sql.window import Window
-
     t = catalog.load(spark, sf_dir)
     toks = t.documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
