@@ -901,52 +901,75 @@ def x_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset only, one map-side-combined run aggregate, and two co-located
     equi-joins on the user key; event-time arithmetic is exact epoch
     MICROS (unix_micros / epoch_us agree on the micro-precision catalog
-    timestamps).  Output: one row per matched occurrence."""
-    from pyspark.sql.window import Window
+    timestamps).  Output: one row per matched occurrence.
+
+    Round 12: the hand-compiled construction moved into operators/cep.py's
+    pattern compiler (this entry = cep_match(events, [view, (click)+,
+    purchase]), values unchanged and pinned by the unchanged oracle);
+    x_events_cep_star exercises the compiler's optional-stage arm."""
+    from ..operators.cep import cep_match
 
     t = catalog.load(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t.events.select(
-        "user_id", "event_id", "event_type", "ts",
-        F.row_number().over(w).alias("seq"),
+    m = cep_match(
+        t.events,
+        [("view", "1"), ("click", "+"), ("purchase", "1")],
+        CEP_MAX_US,
     )
-    clicks = ev.filter(F.col("event_type") == "click").withColumn(
-        "island", F.col("seq") - F.row_number().over(w)
+    return m.select(
+        "user_id",
+        F.col("t_first_us").alias("t_view_us"),
+        F.col("t_last_us").alias("t_purchase_us"),
+        F.col("n_stage1").alias("n_clicks"),
+        "duration_us",
     )
-    runs = clicks.groupBy("user_id", "island").agg(
-        F.min("seq").alias("s0"),
-        F.max("seq").alias("s1"),
-        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+
+
+def _cep_star_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(
+        [("signup", "1"), ("view", "*"), ("purchase", "1")], CEP_MAX_US
     )
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("seq").alias("vseq"),
-        F.unix_micros("ts").alias("t_view_us"),
+    return f"""
+SELECT user_id, t_first_us AS t_signup_us, t_last_us AS t_purchase_us,
+       duration_us, n_stage1 AS n_views, n_events
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_star", oracle=_cep_star_oracle())
+def x_events_cep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second CEP pattern -- `signup (view)* purchase`, strictly
+    consecutive, purchase within 24 h of the signup -- proving the
+    operators/cep.py pattern COMPILER on a quantifier x_events_cep_pattern
+    does not use: the zero-or-more stage, whose empty arm makes signup and
+    purchase directly adjacent.  The compiler forks the optional stage
+    into skip/consume arms (mutually exclusive at any start position: the
+    event after the signup either is a view or is not), so each
+    occurrence is emitted exactly once; the DuckDB oracle is
+    compile_sql's independent arm-expansion replay of the same pattern
+    (2 arms here), sharing the pattern SPEC but no code with the engine
+    lane.
+
+    Scale shape identical to x_events_cep_pattern: one user-partitioned
+    sequence window, one islands window over the view subset, a map-side
+    run aggregate, and (user_id, seq)-keyed equi-joins only -- the skip
+    arm adds a union of two bounded relations, never a new shuffle key.
+    At sf0.1 the two arms contribute 579 (run) + 3589 (empty) = 4168
+    matches, linear in corpus size."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(
+        t.events,
+        [("signup", "1"), ("view", "*"), ("purchase", "1")],
+        CEP_MAX_US,
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("seq").alias("pseq"),
-        F.unix_micros("ts").alias("t_purchase_us"),
-    )
-    return (
-        runs.join(
-            v,
-            (F.col("user_id") == F.col("v_user"))
-            & (F.col("vseq") == F.col("s0") - 1),
-        )
-        .join(
-            p,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("pseq") == F.col("s1") + 1),
-        )
-        .filter(
-            F.col("t_purchase_us") - F.col("t_view_us") <= F.lit(CEP_MAX_US)
-        )
-        .select(
-            "user_id",
-            "t_view_us",
-            "t_purchase_us",
-            "n_clicks",
-            (F.col("t_purchase_us") - F.col("t_view_us")).alias("duration_us"),
-        )
+    return m.select(
+        "user_id",
+        F.col("t_first_us").alias("t_signup_us"),
+        F.col("t_last_us").alias("t_purchase_us"),
+        "duration_us",
+        F.col("n_stage1").alias("n_views"),
+        "n_events",
     )

@@ -1,0 +1,174 @@
+"""Independent pure-Python model checks for the operators/cep.py pattern
+compiler (the third leg beside the Spark lane and the compile_sql DuckDB
+replay): a from-scratch matcher over in-memory event lists, exercised on
+the real sf0.001 corpus AND on seeded synthetic streams dense enough to
+hit every quantifier arm."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from postgresql_datawarehouse_excercise_spark.operators.cep import (
+    cep_match,
+    compile_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _model_match(rows, pattern, max_span_us):
+    """All occurrences of `pattern` in one user's sorted event list.
+
+    rows: [(t_us, event_id, etype)] sorted; returns set of
+    (t_first_us, t_last_us, duration_us, n_events, n_stage0, ...).
+    Semantics mirror operators/cep.py's declared contract: strictly
+    consecutive, quantified stages consume a MAXIMAL same-type run,
+    '?' consumes exactly one event or none, '*' a maximal run or none.
+    """
+    n = len(rows)
+    out = set()
+
+    def run_len(pos, etype):
+        r = 0
+        while pos + r < n and rows[pos + r][2] == etype:
+            r += 1
+        return r
+
+    def go(pos, si, counts):
+        if si == len(pattern):
+            yield pos, counts
+            return
+        etype, quant = pattern[si]
+        if quant in ("?", "*"):
+            yield from go(pos, si + 1, counts + [0])
+        if pos >= n:
+            return
+        if quant == "1" or quant == "?":
+            if rows[pos][2] == etype:
+                yield from go(pos + 1, si + 1, counts + [1])
+        else:  # "+" / "*"
+            r = run_len(pos, etype)
+            if r >= 1:
+                yield from go(pos + r, si + 1, counts + [r])
+
+    first_type = pattern[0][0]
+    for start in range(n):
+        if rows[start][2] != first_type:
+            continue
+        # for a '+' first stage only maximal-run STARTS anchor (the engine
+        # joins whole islands)
+        if pattern[0][1] == "+" and start > 0 and rows[start - 1][2] == first_type:
+            continue
+        for end, counts in go(start, 0, []):
+            t0, t1 = rows[start][0], rows[end - 1][0]
+            if t1 - t0 <= max_span_us:
+                out.add((t0, t1, t1 - t0, sum(counts), *counts))
+    return out
+
+
+def _real_corpus_by_user():
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, epoch_us(ts), event_id, event_type FROM"
+        f" read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    by_user: dict[int, list] = defaultdict(list)
+    for u, t_us, eid, et in evs:
+        by_user[u].append((t_us, eid, et))
+    for rows in by_user.values():
+        rows.sort()
+    return by_user
+
+
+PATTERNS = [
+    [("view", "1"), ("click", "+"), ("purchase", "1")],
+    [("signup", "1"), ("view", "*"), ("purchase", "1")],
+    [("signup", "1"), ("error", "?"), ("purchase", "1")],
+    [("click", "+"), ("view", "*"), ("purchase", "1")],
+]
+MAX_US = 24 * 3600 * 1000000
+
+
+@pytest.mark.parametrize("pattern", PATTERNS, ids=lambda p: "".join(
+    f"{t}{'' if q == '1' else q}" for t, q in p))
+def test_cep_compiler_matches_python_model(spark, pattern):
+    by_user = _real_corpus_by_user()
+    expect = set()
+    for u, rows in by_user.items():
+        for m in _model_match(rows, pattern, MAX_US):
+            expect.add((u, *m))
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    got = {tuple(r) for r in cep_match(events, pattern, MAX_US).collect()}
+    assert got == expect
+    assert len(got) > 0  # every parametrized pattern must actually fire
+
+
+def test_cep_sql_twin_matches_model_synthetic(spark):
+    """Seeded synthetic streams (3 users x 400 events over a tiny alphabet
+    => dense pattern hits) checked three ways: python model == Spark lane
+    == compile_sql on DuckDB."""
+    rng = random.Random(12012)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 3600) * 1000000
+            rows.append((u, eid, rng.choice(["a", "b", "c", "p"]), t))
+            eid += 1
+    pattern = [("a", "1"), ("b", "*"), ("c", "?"), ("p", "+")]
+    span = 4 * 3600 * 1000000
+
+    by_user = defaultdict(list)
+    for u, e, et, t in rows:
+        by_user[u].append((t, e, et))
+    expect = set()
+    for u, rs in by_user.items():
+        rs.sort()
+        for m in _model_match(rs, pattern, span):
+            expect.add((u, *m))
+    assert len(expect) > 5
+
+    df = spark.createDataFrame(
+        [(u, e, et, t) for u, e, et, t in rows],
+        "user_id long, event_id long, event_type string, t long",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts")
+    got = {tuple(r) for r in cep_match(df, pattern, span).collect()}
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t})" for u, e, et, t in rows)
+        + ") v(user_id, event_id, event_type, t))"
+    )
+    sql_rows = con.execute(compile_sql(pattern, span)).fetchall()
+    assert {tuple(r) for r in sql_rows} == expect
+
+
+def test_cep_validate_rejects_bad_patterns(spark):
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    for bad in [
+        [("view", "1")],                                  # too short
+        [("view", "2"), ("click", "1")],                  # bad quantifier
+        [("view", "?"), ("click", "1")],                  # empty-able anchor
+        [("view", "1"), ("click", "*")],                  # empty-able anchor
+        [("view", "1"), ("view", "+")],                   # adjacent same type
+        [("view", "1"), ("click", "?"), ("view", "1")],   # adjacent via skip
+    ]:
+        with pytest.raises(ValueError):
+            cep_match(events, bad, MAX_US)
+    # sanity: the same-type pair separated by a MANDATORY stage is legal
+    cep_match(
+        events, [("view", "1"), ("click", "+"), ("view", "1")], MAX_US
+    )
