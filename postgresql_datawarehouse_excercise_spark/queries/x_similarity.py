@@ -447,6 +447,15 @@ def x_sim_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading THEM, never re-deriving the index from the raw vectors.  Only
     the refine pass touches exact vectors, PQ_REFINE point-lookups per
     query against the cold store."""
+    return _serve_persisted_ann(spark, sf_dir, _persist_ann_index(spark, sf_dir))
+
+
+def _persist_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train the IVF-PQ index and persist its four relations (+ a 1-row
+    meta table) as parquet; returns the index directory.  Shared by
+    x_sim_ann_index_persist, x_sim_ann_batch_serve and
+    x_sim_hybrid_rrf_persist -- the build is the amortized half of the
+    serving story, identical whichever lane reads it back."""
     from .x_sources import _scratch
 
     t = catalog.load(spark, sf_dir)
@@ -464,7 +473,23 @@ def x_sim_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.createDataFrame([(cells,)], "cells int").write.mode("overwrite").parquet(
         f"{loc}/meta.parquet"
     )
-    s2 = spark.newSession()
+    return loc
+
+
+def _serve_persisted_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    loc: str,
+    n_queries: int = pq.PQ_QUERIES,
+    s2: SparkSession | None = None,
+) -> DataFrame:
+    """Reload the persisted IVF-PQ index in a FRESH SparkSession and serve
+    the first `n_queries` query vectors entirely off the loaded relations
+    (pq.ivfpq_serve); only the refine pass touches exact vectors.  Pass
+    `s2` to share one fresh session across lanes (frames from different
+    sessions cannot join)."""
+    if s2 is None:
+        s2 = spark.newSession()
     meta = s2.read.parquet(f"{loc}/meta.parquet").collect()[0]
     return pq.ivfpq_serve(
         catalog.load(s2, sf_dir).embeddings,
@@ -473,6 +498,38 @@ def x_sim_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.read.parquet(f"{loc}/codebooks.parquet"),
         s2.read.parquet(f"{loc}/codes.parquet"),
         int(meta["cells"]),
+        n_queries,
+    )
+
+
+ANN_BATCH_NQ = 32   # batched serving: 4x the evaluation query set
+
+
+@query(
+    "x_sim_ann_batch_serve",
+    oracle=pq.ivfpq_topk_sql(n_queries=ANN_BATCH_NQ),
+)
+def x_sim_ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED multi-query ANN serving off the persisted IVF-PQ index --
+    the production retrieval shape x_sim_ann_index_persist builds toward:
+    one pass joins ALL {ANN_BATCH_NQ} query vectors through the loaded
+    centroid/postings/codebook/code relations simultaneously (the
+    x_sim_knn_join broadcast-query-set pattern): every query probes its
+    nprobe cells in one window, candidates for every query come from ONE
+    postings equi-join keyed by cell, the ADC scan scores all
+    (query, candidate) pairs in one aggregate, and refine re-ranks every
+    query's shortlist under one query-partitioned window.  Serving N
+    queries costs one plan, not N -- the amortization that makes a
+    persisted index worth its build.
+
+    The oracle is ivfpq_topk_sql at the batch width (the index replay,
+    unchanged construction); the first PQ_QUERIES queries are pinned
+    row-identical to the single-set lanes (x_sim_ann_ivfpq and the
+    persisted serve) in tests/test_ann_persist.py -- per-query results
+    are independent of batch width because every ranking window
+    partitions by query_id."""
+    return _serve_persisted_ann(
+        spark, sf_dir, _persist_ann_index(spark, sf_dir), ANN_BATCH_NQ
     )
 
 
@@ -495,6 +552,34 @@ def x_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
 RRF_TOPK = 10
+
+
+def _rrf_fuse(bm: DataFrame, vs: DataFrame, vs_rank_col: str) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists bm(id, bm_r) and
+    vs(id, vs_r): RRF(d) = sum over lists of 1/(RRF_K + rank_d), each
+    reciprocal quantized to integer micro-units so the fused ordering is
+    exact in both engines.  A document absent from a lane reports rank -1
+    in that lane's column (an impossible value -- ranks are 1-based -- so
+    it cannot be misread as better-than-first) and contributes 0 to
+    rrf_micro.  Both inputs are top-k relations, so the fusion is a full
+    outer join of two <=k-row frames + one window over <=2k rows."""
+    from pyspark.sql.window import Window
+
+    rec = lambda r: F.floor(1000000.0 / (F.lit(RRF_K) + F.col(r)) + 0.5).cast("long")  # noqa: E731
+    fused = bm.join(vs, "id", "full_outer").select(
+        "id",
+        F.coalesce("bm_r", F.lit(-1)).cast("int").alias("bm25_rank"),
+        F.coalesce("vs_r", F.lit(-1)).cast("int").alias(vs_rank_col),
+        (
+            F.coalesce(rec("bm_r"), F.lit(0))
+            + F.coalesce(rec("vs_r"), F.lit(0))
+        ).cast("long").alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RRF_TOPK)
+    )
 
 
 def _rrf_oracle() -> str:
@@ -560,21 +645,76 @@ def x_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
         .alias("vs_r"),
     )
-    rec = lambda r: F.floor(1000000.0 / (F.lit(RRF_K) + F.col(r)) + 0.5).cast("long")  # noqa: E731
-    fused = (
-        bm.join(vs, "id", "full_outer")
-        .select(
-            "id",
-            F.coalesce("bm_r", F.lit(-1)).cast("int").alias("bm25_rank"),
-            F.coalesce("vs_r", F.lit(-1)).cast("int").alias("cos_rank"),
-            (
-                F.coalesce(rec("bm_r"), F.lit(0))
-                + F.coalesce(rec("vs_r"), F.lit(0))
-            ).cast("long").alias("rrf_micro"),
-        )
+    return _rrf_fuse(bm, vs, "cos_rank")
+
+
+def _rrf_persist_oracle() -> str:
+    from .x_text import _BM25_ORACLE
+
+    return f"""
+SELECT id,
+       CAST(COALESCE(bm.r, -1) AS INT) AS bm25_rank,
+       CAST(COALESCE(vq.vr, -1) AS INT) AS ivfpq_rank,
+       CAST(COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + bm.r) + 0.5) AS BIGINT), 0)
+          + COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + vq.vr) + 0.5) AS BIGINT), 0)
+          AS BIGINT) AS rrf_micro,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + bm.r) + 0.5) AS BIGINT), 0)
+                + COALESCE(CAST(FLOOR(1000000.0 / ({RRF_K} + vq.vr) + 0.5) AS BIGINT), 0) DESC,
+                id ASC) AS INT) AS rank
+FROM (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r
+  FROM ({_BM25_ORACLE})
+) bm
+FULL JOIN (
+  -- alias the index rank to vr: a bare `rank` column here would capture
+  -- the QUALIFY below (DuckDB prefers the input column over the alias)
+  SELECT vec_id AS id, rank AS vr FROM ({pq.ivfpq_topk_sql(n_queries=1)})
+) vq USING (id)
+QUALIFY rank <= {RRF_TOPK}
+"""
+
+
+@query("x_sim_hybrid_rrf_persist", oracle=_rrf_persist_oracle())
+def x_sim_hybrid_rrf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end hybrid-retrieval SERVING story: both indexes -- the
+    BM25 inverted index (postings + doc lengths) and the IVF-PQ vector
+    index (centroids, postings, codebooks, codes) -- are built and
+    persisted as parquet, then ONE fresh SparkSession reads both back and
+    serves the fused query entirely off the loaded indexes: the lexical
+    lane is the top-df query scored from the postings
+    (x_text_bm25_index_persist's serve path), the vector lane is query
+    vector 0's IVF-PQ top-{RRF_TOPK} (pq.ivfpq_serve: probe, ADC scan,
+    exact refine), and reciprocal rank fusion joins the two bounded
+    top-k lists (same -1 absent-lane sentinel and integer micro-unit
+    quantization as x_sim_hybrid_rrf, which recomputes both lanes
+    in-plan).
+
+    Unlike x_sim_hybrid_rrf's exact-cosine lane, the vector ranks here
+    are the INDEX's ranks -- what a production hybrid stack actually
+    serves; the entry is pinned row-identical to the same fusion computed
+    in-plan without any persistence (tests/test_ann_persist.py), proving
+    persist-and-reload changes nothing: every index component is exact
+    BIGINT and parquet round-trips it losslessly.  At 100 TB the serving
+    session reads two small index tables and touches raw data only for
+    the PQ_REFINE exact re-rank lookups -- never the corpus."""
+    from pyspark.sql.window import Window
+    from .x_text import _bm25_from_index, _persist_bm25_index
+
+    bm_loc = _persist_bm25_index(spark, sf_dir)
+    ann_loc = _persist_ann_index(spark, sf_dir)
+    s2 = spark.newSession()
+    bm = _bm25_from_index(
+        s2.read.parquet(f"{bm_loc}/postings.parquet"),
+        s2.read.parquet(f"{bm_loc}/doclen.parquet"),
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()))
+        .alias("bm_r"),
     )
-    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id").asc())
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= RRF_TOPK)
+    vq = _serve_persisted_ann(spark, sf_dir, ann_loc, n_queries=1, s2=s2).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("vs_r")
     )
+    return _rrf_fuse(bm, vq, "ivfpq_rank")

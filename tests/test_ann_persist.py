@@ -33,3 +33,56 @@ def test_persisted_index_recall_floor(spark):
     assert len(by_q) == pq.PQ_QUERIES
     for q, rs in by_q.items():
         assert sorted(r["rank"] for r in rs) == list(range(1, pq.PQ_TOPK + 1)), q
+
+
+def test_batch_serve_first_queries_identical_to_single_set_lane(spark):
+    """Per-query results are independent of batch width (every ranking
+    window partitions by query_id): the 32-query batch restricted to the
+    first PQ_QUERIES queries must equal the in-plan 8-query lane."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_similarity import (
+        ANN_BATCH_NQ,
+        x_sim_ann_batch_serve,
+    )
+
+    t = catalog.load(spark, SF)
+    direct = sorted(map(tuple, pq.ivfpq_topk(t.embeddings).collect()))
+    batch = x_sim_ann_batch_serve(spark, SF)
+    sub = sorted(
+        map(tuple, batch.filter(f"query_id < {pq.PQ_QUERIES}").collect())
+    )
+    assert sub == direct
+    n_q = batch.select("query_id").distinct().count()
+    assert n_q == min(ANN_BATCH_NQ, 50)  # sf0.001 has 50 vectors
+
+
+def test_hybrid_rrf_persist_identical_to_in_plan_fusion(spark):
+    """Persist-and-reload may not change a single fused row: the entry
+    (both indexes persisted, fresh session, serve + fuse) must equal the
+    same fusion computed in-plan with no persistence."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from postgresql_datawarehouse_excercise_spark.queries.x_similarity import (
+        _rrf_fuse,
+        x_sim_hybrid_rrf_persist,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        x_text_bm25,
+    )
+
+    t = catalog.load(spark, SF)
+    bm = x_text_bm25(spark, SF).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()))
+        .alias("bm_r"),
+    )
+    vq = pq.ivfpq_topk(t.embeddings, n_queries=1).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("vs_r")
+    )
+    in_plan = sorted(map(tuple, _rrf_fuse(bm, vq, "ivfpq_rank").collect()))
+    persisted = sorted(
+        map(tuple, x_sim_hybrid_rrf_persist(spark, SF).collect())
+    )
+    assert len(in_plan) > 0
+    assert persisted == in_plan

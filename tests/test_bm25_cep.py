@@ -109,3 +109,67 @@ def test_cep_matches_python_model(spark):
             i += 1
     got = {tuple(r) for r in x_events_cep_pattern(spark, SF).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_bm25_batch_query0_identical_to_single_lane(spark):
+    """Query 0 of the batch IS the single lane's query (the top-4 df
+    terms), and batch width cannot change per-query results (the ranking
+    window partitions by query_id)."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        BM25_BATCH_NQ,
+        x_text_bm25_batch,
+    )
+
+    batch = x_text_bm25_batch(spark, SF)
+    b0 = sorted(
+        (r["doc_id"], r["dl"], r["n_terms_matched"], r["score_micro"], r["score"])
+        for r in batch.filter("query_id = 0").collect()
+    )
+    single = sorted(map(tuple, x_text_bm25(spark, SF).collect()))
+    assert b0 == single
+    assert batch.select("query_id").distinct().count() == BM25_BATCH_NQ
+
+
+def test_bm25_batch_python_model(spark):
+    """Independent third leg for the batch lane: a from-scratch Python
+    BM25 over every batch query must reproduce each per-query top-k."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        BM25_BATCH_NQ,
+        x_text_bm25_batch,
+    )
+
+    k1, b = 1.2, 0.75
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in _docs()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df: Counter = Counter()
+    for ws in toks.values():
+        df.update(set(ws))
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = {}
+    for qid in range(BM25_BATCH_NQ):
+        qterms = ranked[qid * BM25_QTERMS:(qid + 1) * BM25_QTERMS]
+        scores: dict[int, tuple[int, int]] = {}
+        for d, ws in toks.items():
+            tf = Counter(ws)
+            micro, matched = 0, 0
+            for term, dfreq in qterms:
+                if tf[term] == 0:
+                    continue
+                matched += 1
+                idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                c = idf * (tf[term] * (k1 + 1.0)) / (
+                    tf[term] + k1 * (1.0 - b + b * dl[d] / avgdl)
+                )
+                micro += int(math.floor(c * 1000000.0 + 0.5))
+            if matched:
+                scores[d] = (micro, matched)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:BM25_TOPK]
+        expect[qid] = [(d, m[1], m[0]) for d, m in top]
+    got: dict[int, list] = {}
+    for r in x_text_bm25_batch(spark, SF).orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms_matched"], r["score_micro"])
+        )
+    assert got == expect
