@@ -35,26 +35,19 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 11: short-doc sentinel arm + verify-join partition barrier
-    "x_dedup_edit_join",
-    # round 11: negative-value lower clamp in the histogram state (both
-    # engines)
-    "x_stream_histogram",
-    # round 11: the six contraction call sites now share one memoized
-    # cohort RELATION per input plan (operators/dedup.py)
-    "x_dedup_pagerank",
-    "x_dedup_triangles",
-    "x_dedup_prefix_join",
-    "x_dedup_winnowing_pairs",
-    "x_dedup_kcore",
-    "x_dedup_cc_bigstar",
-    # round 11: 100x probe fix -- order total / part frequencies aggregate
-    # the raw scan instead of re-deriving the item dedup
-    "x_sql_market_basket",
-    # round 11: query path refactored through pq.ivfpq_serve (values
-    # pinned identical, but the plan construction changed)
-    "x_sim_ann_ivfpq",
-    "x_sim_ann_ivfpq_recall",
+    # round 12: missing-lane rank sentinel 0 -> -1 (ADVICE r11), fusion
+    # factored through _rrf_fuse; VALUES changed (both engines)
+    "x_sim_hybrid_rrf",
+    # round 12: re-expressed over the operators/cep.py pattern compiler
+    # (values pinned by the unchanged oracle)
+    "x_events_cep_pattern",
+    # round 12: deterministic 1/4 id-hash sample + scaled mean_df_est
+    # (VERDICT r11 item 7); VALUES changed, chosen q verified unchanged
+    "x_dedup_qgram_policy",
+    # round 12: build/persist factored into shared helpers
+    # (_persist_bm25_index / _persist_ann_index); values pinned identical
+    "x_text_bm25_index_persist",
+    "x_sim_ann_index_persist",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

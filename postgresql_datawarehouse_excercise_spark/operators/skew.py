@@ -38,3 +38,62 @@ def salted_sum(
         .agg(F.sum("_v").alias("_partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(out_col))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join -- the JOIN half of the skew toolkit beside
+    `salted_sum` (aggregation) and x_pipeline_skew_report (diagnosis).
+
+    A shuffle join on a skewed key funnels every row of a hot key through
+    ONE reducer pair; AQE's skew-join splits oversized partitions after
+    the fact, but the canonical fix when the hot keys are KNOWN (from the
+    skew_report pre-flight) is to salt before shuffling: the big side gets
+    a deterministic salt in [0, buckets) on its hot-key rows (0 on cold
+    rows, so cold keys pay nothing), and the small side replicates its
+    hot-key rows `buckets` ways (cold rows once, salt 0); the join key
+    becomes (key, salt), fanning each hot key over `buckets` reducers.
+    Row-identical to the plain join by construction: every (big-row,
+    small-row) key match meets on exactly one salt value.
+
+    `hot_keys` is a small one-column (key) relation -- skew_report's top-k
+    or a share-threshold filter -- broadcast into both sides.  The salt
+    must be DETERMINISTIC (task retries: xxhash64 of the whole big row,
+    same rule as salted_sum).  The returned plan is hinted shuffle_hash on
+    the small side: at the scales where salting matters the replicated
+    small side no longer broadcasts, and sort-merge would pay a sort on
+    the salted fanout for nothing.
+    """
+    is_hot = F.broadcast(hot_keys.select(key).withColumn("_is_hot", F.lit(True)))
+    big_s = (
+        big.join(is_hot, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hot"),
+                F.pmod(F.xxhash64(*big.columns), F.lit(buckets)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_is_hot")
+    )
+    small_s = (
+        small.join(is_hot, key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_is_hot"),
+                F.sequence(F.lit(0), F.lit(buckets - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt_raw", F.explode("_salts"))
+        .withColumn("_salt", F.col("_salt_raw").cast("int"))
+        .drop("_is_hot", "_salts", "_salt_raw")
+    )
+    return big_s.join(small_s.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")

@@ -1341,6 +1341,18 @@ def x_dedup_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ED_DF_TARGET = 50   # policy threshold: mean gram df "of order tens"
 ED_Q_CANDIDATES = (5, 8, 12)
+# Deterministic 1/4 id-hash sample for the policy probe (round-12, VERDICT
+# r11 item 7: the full scan cost 7 s on the gate to answer a 5-row
+# diagnostic; its own docstring prescribed a sampled split at scale).
+# mean df is then ESTIMATED as (sampled postings x 4) / sampled distinct
+# grams: postings scale exactly linearly in a uniform doc sample (each doc
+# contributes its own distinct grams), while sampled distinct grams
+# UNDERCOUNT the full corpus -- so the estimate only ever overstates df,
+# biasing toward LARGER q, the conservative direction for prefix
+# filtering.  Measured decisions unchanged: sf0.01 gate corpus picks q=8
+# sampled and full (est 54.4 vs true 51.7 at q=5, both over target);
+# sf0.1 picks q=12 sampled and full (q=8 est 104 vs true 103.9).
+QGRAM_SAMPLE_MOD = 4
 
 _QGRAM_POLICY_ORACLE = f"""
 WITH g AS (
@@ -1349,6 +1361,8 @@ WITH g AS (
            i -> substr(text, i, CAST(q AS INT))))) AS gram
   FROM documents, unnest({list(ED_Q_CANDIDATES)}) AS qs(q)
   WHERE len(text) >= q
+    AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % {QGRAM_SAMPLE_MOD} = 0
 ),
 stats AS (
   SELECT q, COUNT(*) AS n_postings, COUNT(DISTINCT gram) AS n_distinct
@@ -1356,13 +1370,15 @@ stats AS (
 ),
 pick AS (
   SELECT MIN(q) AS chosen_q FROM stats
-  WHERE CAST(n_postings AS DOUBLE) / CAST(n_distinct AS DOUBLE) <= {ED_DF_TARGET}
+  WHERE CAST(n_postings AS DOUBLE) * {QGRAM_SAMPLE_MOD}
+        / CAST(n_distinct AS DOUBLE) <= {ED_DF_TARGET}
 )
 SELECT CAST(q AS INT) AS q,
        CAST(n_postings AS BIGINT) AS n_postings,
        CAST(n_distinct AS BIGINT) AS n_distinct_grams,
-       FLOOR((CAST(n_postings AS DOUBLE) / CAST(n_distinct AS DOUBLE))
-             * 10000.0 + 0.5) / 10000.0 AS mean_df,
+       FLOOR((CAST(n_postings AS DOUBLE) * {QGRAM_SAMPLE_MOD}
+             / CAST(n_distinct AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS mean_df_est,
        q = coalesce(chosen_q, {max(ED_Q_CANDIDATES)}) AS chosen
 FROM stats, pick
 """
@@ -1382,23 +1398,35 @@ def x_dedup_qgram_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     q=5 measures df ~500 (prefix filtering defeated) and the rule picks
     ED_Q=12 (df ~11); at the sf0.01 gate corpus q=8 already qualifies.
     Rerunning this entry on a new corpus (or a new scale) is how ED_Q is
-    re-derived.  Scale shape: one scan + exact-copy contraction (grams
-    generated once per DISTINCT text, multiplicity-weighted -- positional
-    substring extraction is O(len^2) bytes per doc, the 100x probe's
-    1251 s -> 12.6 s finding), a (q, gram)-keyed map-side-combined
-    pre-agg, a |distinct grams|-row rollup; at 100 TB you run it on a
-    sampled split, the contraction-trigger probe discipline."""
+    re-derived.  Scale shape: the probe runs on a deterministic
+    1/QGRAM_SAMPLE_MOD id-hash split (round 12 -- the full scan answered a
+    5-row diagnostic at 7 s gate cost) with mean df estimated by linear
+    postings scaling over sampled distinct grams, an overestimate that can
+    only bias toward larger q (see QGRAM_SAMPLE_MOD; decisions verified
+    unchanged at both gate and bench SFs); then one scan + exact-copy
+    contraction (grams generated once per DISTINCT text,
+    multiplicity-weighted -- positional substring extraction is O(len^2)
+    bytes per doc, the 100x probe's 1251 s -> 12.6 s finding), a
+    (q, gram)-keyed map-side-combined pre-agg, a |distinct grams|-row
+    rollup."""
+    from .x_pipeline import _bucket
+
     t = catalog.load(spark, sf_dir)
-    # exact-copy contraction (the edit-join discipline, applied to the
-    # probe itself): positional substring extraction re-scans the string
-    # from the start per position (O(len^2) bytes per doc), so grams are
-    # generated ONCE per DISTINCT text and weighted by multiplicity --
+    # sample FIRST (on doc_id -- the shared md5-bucket recipe), THEN apply
+    # the exact-copy contraction within the sample: grams are generated
+    # ONCE per DISTINCT sampled text and weighted by multiplicity --
     # per-doc-distinct semantics are preserved exactly (copies contribute
     # identical distinct-gram sets).  The (q, gram) pre-agg then combines
     # map-side and the per-q rollup reads |distinct grams| rows instead of
     # pushing every posting through a count_distinct expand.  100x probe:
-    # 1251 s -> 12.6 s, same values.
-    dm = t.documents.groupBy("text").agg(F.count(F.lit(1)).alias("m"))
+    # 1251 s -> 12.6 s (contraction), then /4 again (sampled split).
+    dm = (
+        t.documents.filter(
+            _bucket(F.col("doc_id"), QGRAM_SAMPLE_MOD) == 0
+        )
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
     g = (
         dm.select(F.explode(F.lit(list(ED_Q_CANDIDATES))).alias("q"), "text", "m")
         .filter(F.length("text") >= F.col("q"))
@@ -1423,6 +1451,7 @@ def x_dedup_qgram_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(
                 F.col("n_postings").cast("double")
+                * F.lit(float(QGRAM_SAMPLE_MOD))
                 / F.col("n_distinct_grams").cast("double")
                 <= F.lit(float(ED_DF_TARGET)),
                 F.col("q"),
@@ -1435,9 +1464,10 @@ def x_dedup_qgram_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_grams",
         fround(
             F.col("n_postings").cast("double")
+            * F.lit(float(QGRAM_SAMPLE_MOD))
             / F.col("n_distinct_grams").cast("double"),
             4,
-        ).alias("mean_df"),
+        ).alias("mean_df_est"),
         (
             F.col("q")
             == F.coalesce(F.col("chosen_q"), F.lit(max(ED_Q_CANDIDATES)))

@@ -267,6 +267,74 @@ def x_pipeline_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", money(F.col("total")).alias("total_value"))
 
 
+SALT_HOT_SHARE = 0.05   # keys owning > 5% of the big side get salted
+SALT_BUCKETS = 16
+
+
+@query(
+    "x_pipeline_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type, CAST(length(event_type) AS INT) AS type_weight
+  FROM events
+)
+SELECT e.event_type, d.type_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def x_pipeline_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted JOIN (operators/skew.salted_join) -- the missing
+    sibling of x_pipeline_salted_hot_keys, closing the loop the
+    x_pipeline_skew_report diagnostic opens: events joins its event_type
+    dimension on a key with FIVE distinct values (~20% of the fact per
+    key -- every key hot by the share rule), the exact shape where an
+    unsalted shuffle join tops out at 5 reducers no matter how many
+    executors exist.  The hot-key set derives in-plan from a
+    map-side-combined frequency pass (keys owning > SALT_HOT_SHARE of the
+    fact), the fact side salts those keys deterministically over
+    SALT_BUCKETS reducers, the dim side replicates its hot rows
+    SALT_BUCKETS ways, and the join runs shuffle_hash on (key, salt) --
+    so parallelism is keys x buckets instead of keys.  Cold keys keep
+    salt 0 and pay nothing.
+
+    The oracle is the PLAIN unsalted join: salting is row-identical by
+    construction (every key match meets on exactly one salt), which is
+    the entry's correctness claim; the plan shape (ShuffledHashJoin on
+    (key, _salt), no broadcast on the fact) is pinned in
+    tests/test_plans.py and the equivalence is property-tested on a
+    synthetic hot-key corpus in tests/test_selection_ops.py.  At 100 TB
+    this is the clickstream fact-to-dim join pattern: AQE skew-join
+    handles mild skew after materializing oversized partitions; known-hot
+    keys are cheaper to split BEFORE the shuffle."""
+    from ..operators.skew import salted_join
+
+    t = catalog.load(spark, sf_dir)
+    big = t.events.select("event_type", dec("value").alias("_val"))
+    dim = (
+        t.events.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("int"))
+    )
+    freq = big.groupBy("event_type").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = freq.agg(F.sum("_cnt").alias("_total"))
+    hot = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_cnt").cast("double")
+            > F.col("_total").cast("double") * F.lit(SALT_HOT_SHARE)
+        )
+        .select("event_type")
+    )
+    joined = salted_join(big, dim, "event_type", hot, SALT_BUCKETS)
+    return joined.groupBy("event_type", "type_weight").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        money(F.sum("_val")).alias("total_value"),
+    )
+
+
 # --- eval-set decontamination -----------------------------------------------
 
 TRAIN_PCT = 90          # same id-hash split as x_text_train_test_split

@@ -743,6 +743,65 @@ def sec_r11ops(spark, t, k: int, sf_dir: str) -> None:
         timed(name, lambda name=name: regq[name].fn(spark, d))
 
 
+def sec_r12ops(spark, t, k: int, sf_dir: str) -> None:
+    """Kx probe rows for the round-12 additions.  The batch-serving lanes
+    pay index build + persist + reload + batch serve (the honest worst
+    case; serve-only is the 100 TB point); cep_star adds the optional-arm
+    union to cep_pattern's shape; salted_join is probed against the
+    UNSALTED shuffle join on the same multiplied fact -- events' 5-value
+    event_type key caps an unsalted shuffle join at 5 reducers no matter
+    the executor count, which is exactly what the salt fans out."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pdwx-scale-r12-")
+    multiply(t.documents, "doc_id", k).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    multiply(t.embeddings, "vec_id", k).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    multiply(t.events, ["event_id", "user_id"], k).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+    for tab in ("region", "nation", "supplier", "customer", "part",
+                "orders", "lineitem"):
+        os.symlink(f"{sf_dir}/{tab}.parquet", f"{d}/{tab}.parquet")
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    regq = load_all()
+    print(f"round-12 ops x{k}:", flush=True)
+    for name in (
+        "x_events_cep_star",          # cep_pattern + the skip/consume union
+        "x_text_bm25_batch",          # index build + 8-query batch serve
+        "x_sim_ann_batch_serve",      # index build + 32-query batch serve
+        "x_sim_hybrid_rrf_persist",   # both index builds + fused serve
+        "x_pipeline_salted_join",     # hot-key salted fact-dim join
+        "x_dedup_qgram_policy",       # re-probe: now the 1/4 sampled split
+    ):
+        timed(name, lambda name=name: regq[name].fn(spark, d))
+    # the unsalted control: same join + aggregate, no salt, shuffle_hash
+    # forced the same way (broadcast would hide the skew at this dim size)
+    tt = catalog.load(spark, d)
+    from postgresql_datawarehouse_excercise_spark.functions import dec, money
+
+    def unsalted():
+        big = tt.events.select("event_type", dec("value").alias("_val"))
+        dim = (
+            tt.events.select("event_type").distinct()
+            .withColumn("type_weight", F.length("event_type").cast("int"))
+        )
+        return (
+            big.join(dim.hint("shuffle_hash"), "event_type")
+            .groupBy("event_type", "type_weight")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                money(F.sum("_val")).alias("total_value"),
+            )
+        )
+
+    timed("unsalted_join_control", unsalted)
+
+
 SECTIONS = {
     "docs": sec_docs,
     "pairs": sec_pairs,
@@ -750,6 +809,7 @@ SECTIONS = {
     "r10ops": sec_r10ops,
     "r10bops": sec_r10bops,
     "r11ops": sec_r11ops,
+    "r12ops": sec_r12ops,
     "emb": sec_emb,
     "line": sec_line,
     "tpch": sec_tpch,

@@ -208,6 +208,12 @@ SIDE_EFFECTFUL_PREFIXES = (
     # writes the inverted index at construction; row-identical to the
     # audited x_text_bm25 lane (tests/test_bm25_cep.py)
     "x_text_bm25_index_persist",
+    # round-12 persisted-index serving lanes: each writes its index
+    # parquet at construction; serving plans are pinned against audited
+    # in-plan twins (tests/test_ann_persist.py, tests/test_bm25_cep.py)
+    "x_text_bm25_batch",
+    "x_sim_ann_batch_serve",
+    "x_sim_hybrid_rrf_persist",
 )
 
 # Documented Arrow lanes allowed to carry Python nodes: the blocked-GEMM
@@ -810,3 +816,19 @@ def test_market_basket_keyed_self_join_no_cartesian(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+
+
+def test_salted_join_shuffle_hash_no_fact_broadcast(spark, sf_dir):
+    """x_pipeline_salted_join's physical shape: the (key, _salt) join is a
+    ShuffledHashJoin (the replicated dim must NOT broadcast -- at salting
+    scale it no longer fits, and the hint models that), while the tiny
+    hot-key marker joins stay broadcast.  The fact side is never the
+    build side of any broadcast."""
+    q = load_all()["x_pipeline_salted_join"]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [event_type" in plan and "_salt" in plan
+    # the salted join itself must not be a broadcast join: every
+    # BroadcastHashJoin in the plan is a LeftOuter hot-key marker probe
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftOuter" in line, line

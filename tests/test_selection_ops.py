@@ -493,3 +493,28 @@ def test_edit_join_short_docs_not_missed(spark):
     )
     assert (1, 2, 1) in want and (1, 3, 0) in want and (4, 5, 6) in want
     assert got == want, (sorted(got - want), sorted(want - got))
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    """salted_join is row-identical to the plain equi-join on a synthetic
+    hot-key corpus (one key owns half the fact), including duplicate dim
+    keys (each fact row must meet each matching dim row exactly once)."""
+    from postgresql_datawarehouse_excercise_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(("hot" if i % 2 == 0 else f"k{i % 7}"), i) for i in range(2000)],
+        "k string, v long",
+    )
+    # duplicate dim rows for one key: fanout must be preserved exactly
+    dim = spark.createDataFrame(
+        [("hot", 10), ("k1", 20), ("k2", 30), ("k2", 31), ("k3", 40),
+         ("k5", 60), ("zzz", 99)],
+        "k string, w long",
+    )
+    hot = spark.createDataFrame([("hot",)], "k string")
+    got = sorted(
+        map(tuple, salted_join(fact, dim, "k", hot, buckets=8).collect())
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
+    assert len(want) > 1500  # hot fanout 1000 + cold keys + dup-dim fanout
