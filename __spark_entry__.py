@@ -48,6 +48,10 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # (_persist_bm25_index / _persist_ann_index); values pinned identical
     "x_text_bm25_index_persist",
     "x_sim_ann_index_persist",
+    # round 12: tfall localCheckpoint -- the re-probe found SIX documents
+    # scans (no exchange reuse across pruned consumers); 62.0 -> 26.2 s
+    # at 100x, values identical
+    "x_text_bm25",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -287,6 +287,12 @@ def main() -> None:
         "x_text_pmi_bigrams",
         "x_text_moore_lewis",
         "x_text_countmin_hh",
+        # round 12
+        "x_text_bm25_batch",
+        "x_sim_ann_batch_serve",
+        "x_sim_hybrid_rrf_persist",
+        "x_pipeline_salted_join",
+        "x_events_cep_star",
         # round 11
         "x_text_unigram_lm",
         "x_text_unigram_encode",

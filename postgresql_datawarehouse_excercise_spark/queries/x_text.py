@@ -2387,8 +2387,19 @@ def x_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive from that relation (the 100x probe measured the naive form --
     # dl/df/tf each re-exploding the corpus -- at 57.1 s vs 38.5 s for this
     # shape; it is also exactly the postings relation the persisted-index
-    # lane stores)
-    tfall = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lane stores).  localCheckpoint MATERIALIZES it once: without it the
+    # four consumers (dl/df/qterms-tf/n) re-execute the explode+aggregate
+    # -- the round-12 re-probe found SIX documents scans in the executed
+    # plan (Spark reuses an Exchange only when consumer subplans match
+    # bit-for-bit, and column pruning makes each consumer's scan differ);
+    # checkpointed, the corpus is scanned once and the plan reads the
+    # |distinct (doc, term)| relation, the same thing the persisted lane
+    # proves by writing it to parquet (28.7 s vs 62.0 s at 100x).
+    tfall = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dl = tfall.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -748,9 +748,15 @@ def sec_r12ops(spark, t, k: int, sf_dir: str) -> None:
     pay index build + persist + reload + batch serve (the honest worst
     case; serve-only is the 100 TB point); cep_star adds the optional-arm
     union to cep_pattern's shape; salted_join is probed against the
-    UNSALTED shuffle join on the same multiplied fact -- events' 5-value
-    event_type key caps an unsalted shuffle join at 5 reducers no matter
-    the executor count, which is exactly what the salt fans out."""
+    UNSALTED shuffle join on the same multiplied fact.  Round-12 finding
+    (kept honest): at K=100 the UNSALTED control wins on local[32]
+    (9.6 s vs 23.7 s) -- the 20M-row fact is narrow and the per-row join
+    work is one 5-row hash probe, so the salting extras (diagnostic
+    scan, marker probes, wider shuffle key) outweigh the 5-reducer
+    straggler here; AQE skew-join marks ZERO partitions skewed (five
+    equally-hot keys: median == max), so the 5-reducer cap is a key-
+    CARDINALITY problem only pre-shuffle salting addresses -- see the
+    entry docstring for when each form wins."""
     import tempfile
 
     d = tempfile.mkdtemp(prefix="pdwx-scale-r12-")
