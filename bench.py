@@ -288,6 +288,7 @@ def main() -> None:
         "x_text_moore_lewis",
         "x_text_countmin_hh",
         # round 12
+        "x_text_bm25_index_refresh",
         "x_text_bm25_batch",
         "x_sim_ann_batch_serve",
         "x_sim_hybrid_rrf_persist",

@@ -2728,3 +2728,71 @@ def x_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.read.parquet(f"{loc}/postings.parquet"),
         s2.read.parquet(f"{loc}/doclen.parquet"),
     )
+
+
+BM25_REFRESH_PCT = 80   # base batch = doc_id md5-bucket < 80, delta = rest
+
+
+@query("x_text_bm25_index_refresh", oracle=_BM25_ORACLE)
+def x_text_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the BM25 inverted index -- the
+    reference's INSERT INTO ... SELECT / incremental-MV discipline
+    (SURVEY A4, x_pipeline_incremental_sales) applied to the retrieval
+    index: the index is built from a BASE batch (a deterministic 80% of
+    documents by the shared md5 id-hash split), persisted, and then a
+    DELTA batch arrives and is merged by APPENDING its postings and doc
+    lengths -- no rebuild, no read-modify-write: (doc_id, term) rows are
+    doc-grain, so a new document's postings are disjoint from every
+    existing row by construction, making append the exact merge (the
+    same reasoning that makes the incremental MV equal its rebuild).
+    The CORPUS-level statistics (df, the top-df query set, N, avgdl) are
+    NOT stored -- they re-derive from the postings at serve time, which
+    is what makes the index refreshable: stored df would go stale with
+    every batch, re-derived df is always exact.
+
+    Serving happens in a fresh session off the merged index, and the
+    oracle is the FULL-CORPUS bm25 replay, unchanged: incremental
+    build-then-merge must be indistinguishable from indexing everything
+    at once (also pinned directly against x_text_bm25_index_persist in
+    tests/test_bm25_cep.py).  At 100 TB this is the shape that keeps a
+    corpus-scale index alive under ingest: each batch pays one scan of
+    ITSELF (never the corpus), appended as new parquet files under the
+    term-partitioned layout."""
+    from .x_sources import _scratch
+    from .x_pipeline import _bucket
+
+    t = catalog.load(spark, sf_dir)
+
+    def toks_of(docs):
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("term"),
+        )
+
+    loc = _scratch("pdwx-bm25ref-")
+    base = t.documents.filter(_bucket(F.col("doc_id")) < BM25_REFRESH_PCT)
+    bt = toks_of(base)
+    bt.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")).write.mode(
+        "overwrite"
+    ).parquet(f"{loc}/postings.parquet")
+    bt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{loc}/doclen.parquet")
+
+    # the delta batch: scan ONLY the new documents, append their rows
+    delta = t.documents.filter(_bucket(F.col("doc_id")) >= BM25_REFRESH_PCT)
+    dt = toks_of(delta)
+    dt.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")).write.mode(
+        "append"
+    ).parquet(f"{loc}/postings.parquet")
+    dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{loc}/doclen.parquet")
+
+    s2 = spark.newSession()
+    return _bm25_from_index(
+        s2.read.parquet(f"{loc}/postings.parquet"),
+        s2.read.parquet(f"{loc}/doclen.parquet"),
+    )

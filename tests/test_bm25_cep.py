@@ -173,3 +173,18 @@ def test_bm25_batch_python_model(spark):
             (r["doc_id"], r["n_terms_matched"], r["score_micro"])
         )
     assert got == expect
+
+
+def test_bm25_refresh_identical_to_full_build(spark):
+    """Incremental base+delta index maintenance must be indistinguishable
+    from indexing the full corpus at once (doc-grain postings make append
+    the exact merge; corpus stats re-derive at serve time)."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        x_text_bm25_index_persist,
+        x_text_bm25_index_refresh,
+    )
+
+    full = sorted(map(tuple, x_text_bm25_index_persist(spark, SF).collect()))
+    refreshed = sorted(map(tuple, x_text_bm25_index_refresh(spark, SF).collect()))
+    assert len(full) == BM25_TOPK
+    assert refreshed == full

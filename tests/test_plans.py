@@ -214,6 +214,7 @@ SIDE_EFFECTFUL_PREFIXES = (
     "x_text_bm25_batch",
     "x_sim_ann_batch_serve",
     "x_sim_hybrid_rrf_persist",
+    "x_text_bm25_index_refresh",
 )
 
 # Documented Arrow lanes allowed to carry Python nodes: the blocked-GEMM
