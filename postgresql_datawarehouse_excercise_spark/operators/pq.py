@@ -181,6 +181,24 @@ def pq_train_encode(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cb, codes
 
 
+def pq_train_encode_split(train: DataFrame, full: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pq_train_encode with the training population split from the encode
+    population: codebooks train on `train` only (init + every Lloyd
+    round), then EVERY vector of `full` encodes against the trained
+    codebooks -- the FAISS add / add-without-retrain lifecycle.  With
+    train == full this is exactly pq_train_encode."""
+    qt = quantize(train)
+    tsubs = _subvectors(qt)
+    cb = _init_codebooks(qt)
+    for _ in range(PQ_ROUNDS):
+        a = _assign_gemm(tsubs, cb)
+        cb = _recompute(tsubs, a).localCheckpoint()
+    codes = _assign_gemm(_subvectors(quantize(full)), cb).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    return cb, codes
+
+
 def _refine(scores: DataFrame, q: DataFrame, n_queries: int, k: int) -> DataFrame:
     """FAISS-style refine: keep the ADC top-PQ_REFINE shortlist per query,
     re-rank ONLY those rows by exact integer squared-L2 against the stored
@@ -250,12 +268,16 @@ def pq_topk(embeddings: DataFrame, n_queries: int = PQ_QUERIES, k: int = PQ_TOPK
     return _refine(scores, q, n_queries, k)
 
 
-def _sql_q(P: str = "") -> str:
+def _sql_q(P: str = "", train_pred: str = "TRUE") -> str:
     """The PQ train/encode CTE chain (PQ_ROUNDS Lloyd rounds generated as
     one CTE quartet per round; the final component codebook is ``{P}cbf``);
     ``P`` prefixes every CTE name so the chain composes with the IVF index
     chain (similarity._SQL_IVF_INDEX) without collisions in the ivfpq
-    oracle."""
+    oracle.  ``train_pred`` (a SQL predicate over vec_id) restricts the
+    TRAINING population -- init and every Lloyd round -- while the final
+    encode ({P}dz/{P}codes) always covers every vector: the
+    add-without-retrain lifecycle when an id split is passed
+    (x_sim_ann_index_insert)."""
     parts = [
         f"""
 {P}q AS (
@@ -270,9 +292,13 @@ def _sql_q(P: str = "") -> str:
        (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm,
        (SELECT unnest(generate_series(1, {PQ_SUB})) AS i) ii
 ),
+{P}tsubs AS (
+  SELECT s.* FROM {P}subs s
+  JOIN (SELECT vec_id FROM {P}q WHERE {train_pred}) t USING (vec_id)
+),
 {P}init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv
-  FROM {P}q ORDER BY vec_id LIMIT {PQ_K}
+  FROM {P}q WHERE {train_pred} ORDER BY vec_id LIMIT {PQ_K}
 ),
 {P}cb0 AS (
   SELECT cid, mm.m, ii.i, qv[mm.m * {PQ_SUB} + ii.i] AS c
@@ -286,7 +312,7 @@ def _sql_q(P: str = "") -> str:
             f"""
 {P}d{r} AS (
   SELECT s.vec_id, s.m, cb.cid, CAST(SUM((s.x - cb.c) * (s.x - cb.c)) AS BIGINT) AS d2
-  FROM {P}subs s JOIN {P}cb{r - 1} cb ON s.m = cb.m AND s.i = cb.i
+  FROM {P}tsubs s JOIN {P}cb{r - 1} cb ON s.m = cb.m AND s.i = cb.i
   GROUP BY 1, 2, 3
 ),
 {P}a{r} AS (
@@ -297,7 +323,7 @@ def _sql_q(P: str = "") -> str:
 ),
 {P}sums{r} AS (
   SELECT s.m, a.cid, s.i, CAST(SUM(s.x) AS BIGINT) AS s, COUNT(*) AS n
-  FROM {P}a{r} a JOIN {P}subs s ON a.vec_id = s.vec_id AND a.m = s.m
+  FROM {P}a{r} a JOIN {P}tsubs s ON a.vec_id = s.vec_id AND a.m = s.m
   GROUP BY 1, 2, 3
 ),
 {P}cb{r} AS (
@@ -543,11 +569,15 @@ def ivfpq_serve(
     return _refine(scores, q, n_queries, k)
 
 
-def ivfpq_topk_sql(n_queries: int = PQ_QUERIES, k: int = PQ_TOPK) -> str:
-    from .similarity import _SQL_IVF_INDEX
+def ivfpq_topk_sql(
+    n_queries: int = PQ_QUERIES,
+    k: int = PQ_TOPK,
+    train_pred: str = "TRUE",
+) -> str:
+    from .similarity import _sql_ivf_index
 
     return f"""
-WITH {_SQL_IVF_INDEX},
+WITH {_sql_ivf_index(train_pred)},
 qset AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < {n_queries}),
 qcells AS (
   SELECT query_id, cell FROM (
@@ -564,7 +594,7 @@ cand AS (
   FROM assigned a JOIN qcells qc USING (cell)
   WHERE a.vec_id <> qc.query_id
 ),
-{_sql_q("pq_")},
+{_sql_q("pq_", train_pred)},
 tbl AS (
   SELECT s.vec_id AS query_id, s.m, cbf.cid AS code,
          CAST(SUM((s.x - cbf.c) * (s.x - cbf.c)) AS BIGINT) AS d

@@ -535,14 +535,23 @@ ORDER BY query_id, rn
 # sqrt == isqrt for N < 2^52, see ivf_cells), so the oracle replays the
 # production configuration at ANY corpus size.  `assigned` is
 # (vec_id, e, cell); `cent2` the final centroid components by position.
-_SQL_IVF_INDEX = f"""
+def _sql_ivf_index(train_pred: str = "TRUE") -> str:
+    """The IVF index CTE chain (config, quantization, init, one Lloyd
+    recompute, final assignment).  `train_pred` (a SQL predicate over
+    vec_id) restricts the TRAINING population -- cell count, init, the
+    Lloyd round -- while the final `assigned` relation always covers every
+    vector: with the default TRUE this is the classic train-on-everything
+    index, with an id-split predicate it is the add-without-retrain
+    lifecycle (x_sim_ann_index_insert): new vectors are assigned to the
+    EXISTING centroids exactly as FAISS `add` does."""
+    return f"""
 p AS (
   SELECT cells,
          GREATEST({IVF_MIN_NPROBE},
                   CAST(FLOOR(SQRT(CAST(cells AS DOUBLE))) AS INT)) AS nprobe
   FROM (SELECT GREATEST({IVF_MIN_CELLS},
                         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS INT)) AS cells
-        FROM embeddings)
+        FROM embeddings WHERE {train_pred})
 ),
 qz AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -554,14 +563,18 @@ qz AS (
 init AS (
   SELECT cid, cq FROM (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cq
-    FROM qz
+    FROM qz WHERE {train_pred}
   ) s, p WHERE s.cid < p.cells
 ),
 comp AS (SELECT vec_id, r.i, qv[r.i] AS x FROM qz, range(1, 65) r(i)),
+tcomp AS (
+  SELECT vec_id, r.i, qv[r.i] AS x FROM qz, range(1, 65) r(i)
+  WHERE {train_pred}
+),
 ccomp1 AS (SELECT cid, r.i, cq[r.i] AS c FROM init, range(1, 65) r(i)),
 d1 AS (
-  SELECT comp.vec_id, ccomp1.cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist2
-  FROM comp JOIN ccomp1 ON comp.i = ccomp1.i
+  SELECT tcomp.vec_id, ccomp1.cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist2
+  FROM tcomp JOIN ccomp1 ON tcomp.i = ccomp1.i
   GROUP BY 1, 2
 ),
 m1 AS (
@@ -571,8 +584,8 @@ m1 AS (
     FROM d1) WHERE rn = 1
 ),
 sums AS (
-  SELECT m1.cid, comp.i, CAST(SUM(comp.x) AS BIGINT) AS s, COUNT(*) AS n
-  FROM m1 JOIN comp USING (vec_id) GROUP BY 1, 2
+  SELECT m1.cid, tcomp.i, CAST(SUM(tcomp.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM m1 JOIN tcomp USING (vec_id) GROUP BY 1, 2
 ),
 cent2 AS (
   -- floored half-up mean; DuckDB's // truncates toward zero, so subtract
@@ -592,6 +605,9 @@ assigned AS (
     FROM d2) a JOIN qz USING (vec_id) WHERE a.rn = 1
 )
 """
+
+
+_SQL_IVF_INDEX = _sql_ivf_index()
 
 
 def ann_ivf_topk_sql(query_vec_id: int, k: int = TOP_K) -> str:

@@ -718,3 +718,56 @@ def x_sim_hybrid_rrf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("rank").alias("vs_r")
     )
     return _rrf_fuse(bm, vq, "ivfpq_rank")
+
+
+ANN_INSERT_PCT = 80   # train on the md5-bucket<80 split; insert the rest
+_ANN_INSERT_PRED = (
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {ANN_INSERT_PCT}"
+)
+
+
+@query(
+    "x_sim_ann_index_insert",
+    oracle=pq.ivfpq_topk_sql(train_pred=_ANN_INSERT_PRED),
+)
+def x_sim_ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-without-retrain -- the FAISS `add` lifecycle, the vector twin
+    of x_text_bm25_index_refresh's incremental maintenance: the IVF
+    centroids and PQ codebooks train ONCE on a deterministic 80% base
+    split (the shared md5 id-hash recipe), then the remaining 20% of
+    vectors are INSERTED into the index without touching the trainings --
+    each new vector is assigned to its nearest EXISTING centroid
+    (clustering.assign_gemm against the frozen cents) and encoded with
+    the EXISTING codebooks (pq.pq_train_encode_split), exactly the two
+    point operations a production vector store runs per ingested batch.
+    Serving then answers the standard query set over the merged postings
+    and codes through the unchanged pq.ivfpq_serve path.
+
+    The oracle replays the SPLIT lifecycle bit-for-bit
+    (ivfpq_topk_sql(train_pred=...): cell count, k-means init and the
+    Lloyd round read only the base split; the final assignment and the
+    PQ encode cover every vector).  Answer quality is the honest cost of
+    not retraining -- inserted vectors quantize against codebooks that
+    never saw them -- and the refine pass bounds the damage (exact
+    re-rank of the shortlist); a recall floor vs the exact ranking is
+    pytest-pinned in tests/test_ann_persist.py.  At 100 TB this is what
+    keeps a vector index SERVING under ingest: per-batch cost is one
+    centroid argmin + one codebook argmin per new vector (two broadcast
+    GEMM maps over the batch, never the corpus), with a periodic retrain
+    only when recall drift says so."""
+    from .x_pipeline import _bucket
+    from ..operators import clustering
+
+    t = catalog.load(spark, sf_dir)
+    emb = t.embeddings
+    base = emb.filter(_bucket(F.col("vec_id")) < ANN_INSERT_PCT)
+    cells = similarity.ivf_cells(base.count())
+    cents, _ = similarity._ivf_train(similarity._ivf_base(base), cells)
+    # insert path: EVERY vector (base re-assigns identically; the delta
+    # vectors are the new ones) against the frozen centroids/codebooks
+    postings = clustering.assign_gemm(clustering.quantize(emb), cents).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    cb, codes = pq.pq_train_encode_split(base, emb)
+    return pq.ivfpq_serve(emb, cents, postings, cb, codes, cells)
