@@ -291,6 +291,7 @@ def main() -> None:
         "x_text_bm25_index_refresh",
         "x_sim_ann_index_insert",
         "x_text_bm25_batch",
+        "x_text_bm25_prf",
         "x_sim_ann_batch_serve",
         "x_sim_hybrid_rrf_persist",
         "x_pipeline_salted_join",

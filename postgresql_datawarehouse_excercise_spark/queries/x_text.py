@@ -2796,3 +2796,249 @@ def x_text_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.read.parquet(f"{loc}/postings.parquet"),
         s2.read.parquet(f"{loc}/doclen.parquet"),
     )
+
+
+PRF_FB_DOCS = BM25_TOPK   # feedback set: the BM25 top-10
+PRF_FB_TERMS = 8          # expansion terms taken from the feedback docs
+PRF_ORIG_W = 1_000_000    # original query terms carry weight 1.0 (micro)
+
+_BM25_PRF_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+qterms AS (
+  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {BM25_QTERMS}
+),
+contrib0 AS (
+  SELECT p.doc_id, p.term,
+         CAST(FLOOR(
+           ln((CAST(n.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+              / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(p.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(p.tf AS DOUBLE) + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                 / (CAST(n.total_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))
+           * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM postings p JOIN qterms q USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN n
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY SUM(c_micro) DESC, doc_id ASC) AS rn
+    FROM contrib0 GROUP BY doc_id
+  ) WHERE rn <= {PRF_FB_DOCS}
+),
+exp_terms AS (
+  SELECT term, w_micro FROM (
+    SELECT p.term,
+           CAST(SUM(CAST(FLOOR(1000000.0 * CAST(p.tf AS DOUBLE)
+                               / CAST(d.dl AS DOUBLE) + 0.5) AS BIGINT))
+                AS BIGINT) AS w_micro,
+           ROW_NUMBER() OVER (
+             ORDER BY SUM(CAST(FLOOR(1000000.0 * CAST(p.tf AS DOUBLE)
+                                     / CAST(d.dl AS DOUBLE) + 0.5) AS BIGINT))
+                      DESC, p.term ASC) AS rn
+    FROM postings p JOIN fb USING (doc_id) JOIN dl d USING (doc_id)
+    WHERE p.term NOT IN (SELECT term FROM qterms)
+    GROUP BY p.term
+  ) WHERE rn <= {PRF_FB_TERMS}
+),
+wq AS (
+  SELECT term, CAST({PRF_ORIG_W} AS BIGINT) AS w_micro FROM qterms
+  UNION ALL SELECT term, w_micro FROM exp_terms
+),
+contrib AS (
+  SELECT p.doc_id, w.term, w.w_micro,
+         CAST(FLOOR(
+           ln((CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+              / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(p.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(p.tf AS DOUBLE) + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * CAST(d.dl AS DOUBLE)
+                 / (CAST(n.total_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))
+           * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM postings p JOIN wq w USING (term) JOIN df f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN n
+)
+SELECT doc_id, n_terms_matched, score_milli,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM((w_micro * c_micro
+                   - ((w_micro * c_micro) % 1000000000
+                      + 1000000000) % 1000000000) // 1000000000) AS BIGINT)
+           AS score_milli,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM((w_micro * c_micro
+                         - ((w_micro * c_micro) % 1000000000
+                            + 1000000000) % 1000000000) // 1000000000)
+                    DESC, doc_id ASC) AS rn
+  FROM contrib GROUP BY doc_id
+) WHERE rn <= {BM25_TOPK}
+"""
+
+
+@query("x_text_bm25_prf", oracle=_BM25_PRF_ORACLE)
+def x_text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (the RM3 shape Anserini/Lucene ship as
+    the classical strong lexical baseline): run the BM25 query, take the
+    top-{PRF_FB_DOCS} FEEDBACK documents, mine {PRF_FB_TERMS} expansion
+    terms from them by summed normalized term frequency (tf/dl per
+    feedback doc, quantized to integer micro-units per (term, doc) then
+    exactly summed -- the relevance-model weight with uniform doc prior),
+    exclude the original query terms, and RE-QUERY with the weighted
+    union: original terms at weight 1.0, expansion terms at their mined
+    weight.  Final score per doc = exact int64 sum over matched terms of
+    floor(w_micro * c_micro / 1e9) (milli-units; the product of two
+    micro-quantized factors floored once per (doc, term), so partition
+    order cannot flip ranks).
+
+    Everything derives from the SAME (doc, term) postings relation the
+    bm25 family shares -- checkpointed once, consumed by the base
+    ranking, the feedback mining, and the expanded re-query; the
+    expansion query is <= {BM25_QTERMS} + {PRF_FB_TERMS} rows
+    (broadcast).  At 100 TB PRF costs one extra postings pass over the
+    expansion terms' posting lists -- the classic quality/latency trade
+    retrieval stacks tune; the feedback mining itself touches only
+    {PRF_FB_DOCS} documents' postings."""
+    t = catalog.load(spark, sf_dir)
+    toks = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = df_t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        BM25_QTERMS
+    )
+
+    def contrib_of(wq):
+        """(doc_id, term, w_micro, c_micro) for the weighted query wq
+        (term, w_micro): BM25 contribution per matched (doc, term)."""
+        return (
+            postings.join(F.broadcast(wq), "term")
+            .join(F.broadcast(df_t.join(wq.select("term"), "term")), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "term",
+                "w_micro",
+                F.floor(
+                    F.log(
+                        (
+                            F.col("n_docs").cast("double")
+                            - F.col("df").cast("double")
+                            + 0.5
+                        )
+                        / (F.col("df").cast("double") + 0.5)
+                        + 1.0
+                    )
+                    * (F.col("tf").cast("double") * F.expr(f"{BM25_K1} + 1.0"))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.expr(
+                            f"{BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+                            f" * CAST(dl AS DOUBLE)"
+                            f" / (CAST(total_tokens AS DOUBLE)"
+                            f" / CAST(n_docs AS DOUBLE)))"
+                        )
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                .cast("long")
+                .alias("c_micro"),
+            )
+        )
+
+    from pyspark.sql.window import Window
+
+    base = contrib_of(
+        qterms.select("term", F.lit(PRF_ORIG_W).cast("long").alias("w_micro"))
+    )
+    fb = (
+        base.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp_terms = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qterms.select("term")), "term", "left_anti")
+        .select(
+            "term",
+            F.floor(
+                1000000.0 * F.col("tf").cast("double") / F.col("dl").cast("double")
+                + 0.5
+            )
+            .cast("long")
+            .alias("wd"),
+        )
+        .groupBy("term")
+        .agg(F.sum("wd").cast("long").alias("w_micro"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("w_micro").desc(), F.col("term").asc())
+            ),
+        )
+        .filter(F.col("rn") <= PRF_FB_TERMS)
+        .select("term", "w_micro")
+    )
+    wq = (
+        qterms.select(
+            "term", F.lit(PRF_ORIG_W).cast("long").alias("w_micro")
+        )
+        .unionByName(exp_terms)
+        .localCheckpoint(eager=False)
+    )
+    # floor(w*c / 1e9) exactly on both engines: subtract the mathematical
+    # mod first so truncating division equals floor (the shared idiom;
+    # w*c is nonnegative here -- the +1-idf variant never goes negative --
+    # so this is belt-and-braces)
+    milli = F.expr(
+        "(w_micro * c_micro - ((w_micro * c_micro) % 1000000000"
+        " + 1000000000) % 1000000000) div 1000000000"
+    )
+    scored = (
+        contrib_of(wq)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum(milli).cast("long").alias("score_milli"),
+        )
+    )
+    w = Window.orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("doc_id", "n_terms_matched", "score_milli", "rank")
+    )

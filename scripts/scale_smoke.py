@@ -785,6 +785,7 @@ def sec_r12ops(spark, t, k: int, sf_dir: str) -> None:
         "x_dedup_qgram_policy",       # re-probe: now the 1/4 sampled split
         "x_text_bm25_index_refresh",  # base build + delta append + serve
         "x_sim_ann_index_insert",     # frozen-index add + serve
+        "x_text_bm25_prf",            # feedback mine + weighted re-query
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))
     # the unsalted control: same join + aggregate, no salt, shuffle_hash

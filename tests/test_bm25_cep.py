@@ -188,3 +188,70 @@ def test_bm25_refresh_identical_to_full_build(spark):
     refreshed = sorted(map(tuple, x_text_bm25_index_refresh(spark, SF).collect()))
     assert len(full) == BM25_TOPK
     assert refreshed == full
+
+
+def test_bm25_prf_python_model(spark):
+    """From-scratch PRF model: base BM25 ranking -> feedback docs ->
+    tf/dl-mined expansion terms -> weighted re-query, all in pure Python
+    with the same integer quantization points."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        PRF_FB_DOCS,
+        PRF_FB_TERMS,
+        PRF_ORIG_W,
+        x_text_bm25_prf,
+    )
+
+    k1, b = 1.2, 0.75
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in _docs()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df: Counter = Counter()
+    for ws in toks.values():
+        df.update(set(ws))
+    qterms = [t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_QTERMS]]
+
+    def c_micro(term, d, tf):
+        idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+        c = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+        return int(math.floor(c * 1000000.0 + 0.5))
+
+    base = Counter()
+    for d, ws in toks.items():
+        tf = Counter(ws)
+        for t in qterms:
+            if tf[t]:
+                base[d] += c_micro(t, d, tf[t])
+    fb = [d for d, _ in sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_FB_DOCS]]
+    w: Counter = Counter()
+    for d in fb:
+        tf = Counter(toks[d])
+        for t, c in tf.items():
+            if t not in qterms:
+                w[t] += int(math.floor(1000000.0 * c / dl[d] + 0.5))
+    exp = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_FB_TERMS]
+    wq = {t: PRF_ORIG_W for t in qterms} | dict(exp)
+    scores: dict[int, tuple[int, int]] = {}
+    for d, ws in toks.items():
+        tf = Counter(ws)
+        milli, matched = 0, 0
+        for t, wt in wq.items():
+            if tf[t]:
+                matched += 1
+                milli += (wt * c_micro(t, d, tf[t])) // 1000000000
+        if matched:
+            scores[d] = (milli, matched)
+    expect = [
+        (d, m[1], m[0], i + 1)
+        for i, (d, m) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:BM25_TOPK]
+        )
+    ]
+    got = sorted(
+        (
+            (r["doc_id"], r["n_terms_matched"], r["score_milli"], r["rank"])
+            for r in x_text_bm25_prf(spark, SF).collect()
+        ),
+        key=lambda r: r[3],
+    )
+    assert got == expect and len(got) == BM25_TOPK
