@@ -470,6 +470,7 @@ def main() -> None:
         "x_stream_cdc_latest",
         "x_stream_hll",
         "x_stream_histogram",
+        "x_stream_cep",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 

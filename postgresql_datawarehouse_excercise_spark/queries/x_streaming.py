@@ -436,3 +436,60 @@ def x_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.histogram_cells(se.read_events_stream(spark, sf_dir))
     sunk = se.run_finite_to_sink(stream)
     return se.latest_per_key(sunk, ["bucket"]).select("bucket", "cell")
+
+
+def _stream_cep_oracle() -> str:
+    from .x_events import _CEP_ORACLE
+
+    return _CEP_ORACLE
+
+
+@query("x_stream_cep", oracle=_stream_cep_oracle())
+def x_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP (the FlinkCEP role) by replay-with-revision
+    (streaming/cep_stream.py): the event stream arrives as micro-batches
+    (2 parquet files, maxFilesPerTrigger=1), each batch appends to the
+    accumulated prefix and the `view (click)+ purchase` pattern
+    (operators/cep.py, the same compiler as the batch entries) re-matches
+    over the prefix; the last epoch's emission is the answer.
+
+    Update-not-append is FORCED by the semantics, not a convenience:
+    strictly-consecutive matching is NON-MONOTONE under out-of-order
+    arrival -- a late event landing BETWEEN a matched view and its click
+    run breaks the contiguity and the occurrence must be retracted
+    (pinned with a constructed late-arrival batch in
+    tests/test_cep_compiler.py; FlinkCEP buys monotonicity by buffering
+    to the watermark instead, paying the allowed-lateness in latency).
+    The final snapshot must equal the one-shot batch match -- the oracle
+    is x_events_cep_pattern's, UNCHANGED.  At 100 TB the replayed prefix
+    is the watermark-retained suffix only: with a max_span_us-bounded
+    pattern, events older than watermark - span can neither join nor
+    break a revisable occurrence, so the state table compacts exactly
+    like the engine's other update-mode states."""
+    import tempfile
+
+    from ..streaming.cep_stream import run_cep_stream
+    from .x_events import CEP_MAX_US
+
+    t = catalog.load(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="pdwx-cepstream-src-")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    state = tempfile.mkdtemp(prefix="pdwx-cepstream-state-")
+    out = tempfile.mkdtemp(prefix="pdwx-cepstream-out-")
+    m = run_cep_stream(
+        spark,
+        src,
+        ev.schema,
+        state,
+        out,
+        [("view", "1"), ("click", "+"), ("purchase", "1")],
+        CEP_MAX_US,
+    )
+    return m.select(
+        "user_id",
+        F.col("t_first_us").alias("t_view_us"),
+        F.col("t_last_us").alias("t_purchase_us"),
+        F.col("n_stage1").alias("n_clicks"),
+        "duration_us",
+    ).localCheckpoint()

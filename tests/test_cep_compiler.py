@@ -172,3 +172,36 @@ def test_cep_validate_rejects_bad_patterns(spark):
     cep_match(
         events, [("view", "1"), ("click", "+"), ("view", "1")], MAX_US
     )
+
+
+def test_stream_cep_retracts_on_late_arrival(spark, tmp_path):
+    """Strictly-consecutive CEP is NON-MONOTONE under out-of-order
+    arrival: epoch 0 reports a match; a late event whose timestamp lands
+    between the view and the click breaks contiguity and the revised
+    epoch must RETRACT it (the reason x_stream_cep emits in update mode
+    and the last snapshot is the answer)."""
+    from postgresql_datawarehouse_excercise_spark.streaming.cep_stream import (
+        cep_replay_sink,
+    )
+
+    H = 3600 * 1000000
+    pattern = [("view", "1"), ("click", "+"), ("purchase", "1")]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, t long"
+        ).selectExpr("user_id", "event_id", "event_type",
+                     "timestamp_micros(t) AS ts")
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    sink = cep_replay_sink(spark, state, out, pattern, 24 * H)
+    # epoch 0: view - click - purchase, consecutive => one match
+    sink(df([(1, 1, "view", 1 * H), (1, 2, "click", 2 * H),
+             (1, 3, "purchase", 3 * H)]), 0)
+    e0 = spark.read.parquet(out).filter("_epoch = 0")
+    assert e0.count() == 1
+    # epoch 1: a LATE error event lands between the view and the click
+    sink(df([(1, 4, "error", 3 * H // 2)]), 1)
+    e1 = spark.read.parquet(out).filter("_epoch = 1")
+    assert e1.count() == 0  # the occurrence is retracted, not appended-to
