@@ -290,6 +290,7 @@ def main() -> None:
         # round 12
         "x_text_bm25_index_refresh",
         "x_sim_ann_index_insert",
+        "x_sim_ann_index_delete",
         "x_text_bm25_batch",
         "x_text_bm25_prf",
         "x_sim_ann_batch_serve",

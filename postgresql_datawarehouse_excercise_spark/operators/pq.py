@@ -573,7 +573,13 @@ def ivfpq_topk_sql(
     n_queries: int = PQ_QUERIES,
     k: int = PQ_TOPK,
     train_pred: str = "TRUE",
+    exclude_pred: str = "FALSE",
 ) -> str:
+    """`exclude_pred` (a SQL predicate over vec_id) marks DELETED vectors:
+    they are filtered from the candidate relation -- the tombstone mask of
+    x_sim_ann_index_delete -- so they can never reach the ADC scan or the
+    refine shortlist; the trainings are untouched (deletes do not retrain,
+    exactly like inserts do not)."""
     from .similarity import _sql_ivf_index
 
     return f"""
@@ -592,7 +598,7 @@ qcells AS (
 cand AS (
   SELECT qc.query_id, a.vec_id
   FROM assigned a JOIN qcells qc USING (cell)
-  WHERE a.vec_id <> qc.query_id
+  WHERE a.vec_id <> qc.query_id AND NOT ({exclude_pred})
 ),
 {_sql_q("pq_", train_pred)},
 tbl AS (

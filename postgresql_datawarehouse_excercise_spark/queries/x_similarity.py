@@ -771,3 +771,57 @@ def x_sim_ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb, codes = pq.pq_train_encode_split(base, emb)
     return pq.ivfpq_serve(emb, cents, postings, cb, codes, cells)
+
+
+ANN_DELETE_PCT = 90   # tombstone the md5-bucket >= 90 split (10% of vectors)
+_ANN_DELETE_PRED = (
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 >= {ANN_DELETE_PCT}"
+)
+
+
+@query(
+    "x_sim_ann_index_delete",
+    oracle=pq.ivfpq_topk_sql(exclude_pred=_ANN_DELETE_PRED),
+)
+def x_sim_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE from the vector index without retraining -- the tombstone
+    half of the lifecycle trilogy (x_sim_ann_index_persist builds,
+    x_sim_ann_index_insert adds, this removes): a deterministic 10% of
+    vectors (the shared md5 id-hash split) is marked deleted, and serving
+    masks them by ONE anti-join of the postings relation against the
+    tombstone set -- deleted vectors can then never reach the ADC scan or
+    the refine shortlist, while the trained centroids, codebooks, codes
+    and every live posting stay untouched (FAISS IDSelector /
+    remove_ids semantics: deletes, like inserts, never retrain).
+
+    The oracle replays the same mask (ivfpq_topk_sql(exclude_pred=...):
+    the candidate relation filters the tombstoned ids, nothing else
+    changes).  The pytest pin: no deleted id appears in any result, every
+    query still returns a full ranked top-k, and un-deleted results agree
+    with the full index wherever the deleted set did not intersect its
+    top-k.  At 100 TB this is how vector stores take deletes between
+    compactions: the tombstone set stays small between compactions (and
+    the anti-join is deliberately UN-hinted -- AQE broadcasts while it
+    fits, the registry's de-hinting discipline, guard-enforced); a
+    periodic OPTIMIZE (x_mutation_optimize_zorder's role) rewrites the
+    postings to reclaim space."""
+    from .x_pipeline import _bucket
+
+    t = catalog.load(spark, sf_dir)
+    emb = t.embeddings
+    cells = similarity.ivf_cells(emb.count())
+    cents, assigned = similarity._ivf_train(similarity._ivf_base(emb), cells)
+    cb, codes = pq.pq_train_encode(emb)
+    deleted = emb.select(F.col("vec_id").cast("long").alias("vec_id")).filter(
+        _bucket(F.col("vec_id")) >= ANN_DELETE_PCT
+    )
+    # de-hinted anti-join (the registry discipline): the tombstone set is
+    # SF-proportional here (10% of the corpus), so a static broadcast hint
+    # would be wrong at 100x -- AQE broadcasts while it fits and falls
+    # back to shuffle when it does not; in production compaction bounds
+    # the live tombstone set between OPTIMIZE passes
+    postings = assigned.select("vec_id", "cell").join(
+        deleted, "vec_id", "left_anti"
+    )
+    return pq.ivfpq_serve(emb, cents, postings, cb, codes, cells)

@@ -787,6 +787,7 @@ def sec_r12ops(spark, t, k: int, sf_dir: str) -> None:
         "x_sim_ann_index_insert",     # frozen-index add + serve
         "x_text_bm25_prf",            # feedback mine + weighted re-query
         "x_stream_cep",               # replay-with-revision over 2 batches
+        "x_sim_ann_index_delete",     # tombstone-masked serve
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))
     # the unsalted control: same join + aggregate, no salt, shuffle_hash

@@ -125,3 +125,45 @@ def test_insert_without_retrain_recall_floor(spark):
         recs.append(len(approx & set(exact)) / pq.PQ_TOPK)
     assert sum(recs) / len(recs) >= 0.75
     assert min(recs) >= 0.5
+
+
+def test_delete_tombstones_respected_and_live_results_stable(spark):
+    """x_sim_ann_index_delete: no tombstoned id in any result; every query
+    still returns a full ranked top-k; and wherever the full index's
+    top-k contained no deleted id, the masked index returns it
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        _bucket,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_similarity import (
+        ANN_DELETE_PCT,
+        x_sim_ann_index_delete,
+    )
+
+    t = catalog.load(spark, SF)
+    deleted = {
+        r["vec_id"]
+        for r in t.embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id")
+        )
+        .filter(_bucket(F.col("vec_id")) >= ANN_DELETE_PCT)
+        .collect()
+    }
+    assert deleted  # the split must actually tombstone something
+    rows = x_sim_ann_index_delete(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] not in deleted, r
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == pq.PQ_QUERIES
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, pq.PQ_TOPK + 1))
+    full = pq.ivfpq_topk(t.embeddings).collect()
+    full_by_q: dict[int, list] = {}
+    for r in full:
+        full_by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in full_by_q.items():
+        if not any(r["vec_id"] in deleted for r in rs):
+            assert sorted(map(tuple, rs)) == sorted(map(tuple, by_q[qid])), qid

@@ -224,6 +224,7 @@ SIDE_EFFECTFUL_PREFIXES = (
 ARROW_LANES = {
     "x_sim_ann_ivf", "x_sim_ann_ivfpq", "x_sim_ann_ivfpq_recall",
     "x_sim_ann_index_insert",
+    "x_sim_ann_index_delete",
     "x_sim_ann_pq", "x_sim_ann_pq_recall", "x_sim_ann_recall",
     "x_sim_cosine_neardup", "x_sim_semantic_dedup",
     "x_pipeline_decontaminate_semantic",
