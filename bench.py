@@ -297,6 +297,7 @@ def main() -> None:
         "x_sim_hybrid_rrf_persist",
         "x_pipeline_salted_join",
         "x_events_cep_star",
+        "x_events_cep_optional",
         # round 11
         "x_text_unigram_lm",
         "x_text_unigram_encode",

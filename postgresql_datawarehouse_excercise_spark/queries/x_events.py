@@ -973,3 +973,44 @@ def x_events_cep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stage1").alias("n_views"),
         "n_events",
     )
+
+
+def _cep_opt_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(
+        [("signup", "1"), ("error", "?"), ("purchase", "1")], CEP_MAX_US
+    )
+    return f"""
+SELECT user_id, t_first_us AS t_signup_us, t_last_us AS t_purchase_us,
+       duration_us, n_stage1 AS n_errors
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_optional", oracle=_cep_opt_oracle())
+def x_events_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third CEP pattern -- `signup (error)? purchase` -- putting the
+    compiler's remaining quantifier on the hard gate: `?` consumes exactly
+    ONE event or none (where `*` consumes a maximal run or none), so its
+    consume arm is a single-event bracketing join, not an islands run.
+    With all three entries the gate covers every quantifier the language
+    defines: `1` and `+` (cep_pattern), `*` (cep_star), `?` (here); the
+    skip/consume arms stay mutually exclusive per start position by the
+    adjacent-types-differ rule, so each occurrence is emitted once.
+    Oracle = compile_sql's 2-arm expansion of the same pattern."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(
+        t.events,
+        [("signup", "1"), ("error", "?"), ("purchase", "1")],
+        CEP_MAX_US,
+    )
+    return m.select(
+        "user_id",
+        F.col("t_first_us").alias("t_signup_us"),
+        F.col("t_last_us").alias("t_purchase_us"),
+        "duration_us",
+        F.col("n_stage1").alias("n_errors"),
+    )
