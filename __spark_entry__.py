@@ -35,23 +35,24 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 12: missing-lane rank sentinel 0 -> -1 (ADVICE r11), fusion
-    # factored through _rrf_fuse; VALUES changed (both engines)
-    "x_sim_hybrid_rrf",
-    # round 12: re-expressed over the operators/cep.py pattern compiler
-    # (values pinned by the unchanged oracle)
+    # round 13: replay-with-revision sink rewritten for idempotence
+    # (per-epoch overwritten subdirs) + explicit final-epoch tracking
+    # (ADVICE r12 medium + low); values pinned by the unchanged oracle
+    "x_stream_cep",
+    # round 13: hot_keys deduplicated before the marker joins (ADVICE r12)
+    "x_pipeline_salted_join",
+    # round 13: the cep compiler gained alternation + event-type
+    # validation (ADVICE r12); the three existing quantifier entries ride
+    # the same compile path, values unchanged (3-way property tests)
     "x_events_cep_pattern",
-    # round 12: deterministic 1/4 id-hash sample + scaled mean_df_est
-    # (VERDICT r11 item 7); VALUES changed, chosen q verified unchanged
-    "x_dedup_qgram_policy",
-    # round 12: build/persist factored into shared helpers
-    # (_persist_bm25_index / _persist_ann_index); values pinned identical
-    "x_text_bm25_index_persist",
+    "x_events_cep_star",
+    "x_events_cep_optional",
+    # round 13: index builds memoized per sf_dir and the delete lane
+    # re-expressed over the shared persisted build (VERDICT r12 item 6);
+    # values pinned identical in tests/test_ann_persist.py
+    "x_sim_ann_index_delete",
     "x_sim_ann_index_persist",
-    # round 12: tfall localCheckpoint -- the re-probe found SIX documents
-    # scans (no exchange reuse across pruned consumers); 62.0 -> 26.2 s
-    # at 100x, values identical
-    "x_text_bm25",
+    "x_text_bm25_index_persist",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -9,17 +9,22 @@ small pattern language, so new patterns are data, not new query code:
     Pattern = sequence of stages, each (event_type, quantifier)
     quantifier in {"1", "?", "+", "*"}    (exactly-one / optional /
                                            one-or-more / zero-or-more)
+    event_type may be an ALTERNATION "a|b|c" (SQL:2016 row-pattern
+    alternation, round 13): the stage matches events whose type is ANY
+    of the alternatives -- a quantified alternation consumes a maximal
+    run of events drawn from the whole set (types may interleave inside
+    the run, exactly (a|b)+ regex semantics under contiguity).
 
 Semantics (the ones the round-11 entry pinned, now stated once):
 
 * STRICTLY CONSECUTIVE in the user's seq-numbered stream (row_number over
   (ts, event_id) per user) -- no intervening events, the property that
   separates CEP from x_events_funnel's min-timestamp stages.
-* Quantified stages ("+", "*") consume a MAXIMAL run of their type
+* Quantified stages ("+", "*") consume a MAXIMAL run of their type set
   (greedy-possessive).  Because adjacent stages are required to have
-  DISTINCT event types (enforced below), maximal-run consumption is
+  DISJOINT type sets (enforced below), maximal-run consumption is
   exactly regex-greedy: the event after a run cannot extend it, so any
-  shorter consumption would put a same-type event where a different-type
+  shorter consumption would put an in-set event where a disjoint-set
   stage must match.
 * "?"/"*" stages may match empty; the empty and non-empty arms are
   mutually exclusive at any given start position (the event right after
@@ -43,19 +48,33 @@ chaining the same bracketing joins per arm -- the oracle replays the
 construction, it does not share code with it.
 
 Reference: the pattern language mirrors SQL:2016 MATCH_RECOGNIZE row
-patterns (A B+ C?) restricted to strict contiguity (AFTER MATCH SKIP TO
-NEXT ROW, ALL ROWS PER MATCH collapsed to one summary row per match).
+patterns (A (B|C)+ D?) restricted to strict contiguity (AFTER MATCH SKIP
+TO NEXT ROW, ALL ROWS PER MATCH collapsed to one summary row per match).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-Stage = tuple[str, str]  # (event_type, quantifier)
+Stage = tuple[str, str]  # (event_type or "a|b" alternation, quantifier)
 
 _QUANTS = ("1", "?", "+", "*")
+
+# Event types are interpolated into the generated oracle SQL as both CTE
+# identifiers and quoted literals; restrict them to identifier characters
+# so a quote/space/metacharacter cannot produce invalid (or injectable)
+# SQL with a confusing downstream failure (ADVICE r12).
+_TYPE_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _alts(etype: str) -> tuple[str, ...]:
+    """A stage's alternative type set: 'a' -> ('a',), 'a|b' -> ('a','b'),
+    sorted for canonical SQL relation naming."""
+    return tuple(sorted(etype.split("|")))
 
 
 def _validate(pattern: list[Stage]) -> None:
@@ -64,22 +83,33 @@ def _validate(pattern: list[Stage]) -> None:
     for etype, q in pattern:
         if q not in _QUANTS:
             raise ValueError(f"bad quantifier {q!r} for {etype!r}")
+        alts = _alts(etype)
+        for a in alts:
+            if not _TYPE_RE.match(a):
+                raise ValueError(
+                    f"bad event type {a!r} in stage {etype!r}: types must "
+                    "match ^[A-Za-z0-9_]+$ (they name SQL relations and "
+                    "literals in the compiled oracle)"
+                )
+        if len(set(alts)) != len(alts):
+            raise ValueError(f"duplicate alternative in stage {etype!r}")
     if pattern[0][1] not in ("1", "+") or pattern[-1][1] not in ("1", "+"):
         raise ValueError(
             "first and last stages must be '1' or '+' (anchors for the "
             "time bound)"
         )
-    # Adjacent stages must differ in type -- including stages that BECOME
-    # adjacent when an optional stage between them matches empty --
-    # otherwise maximal-run consumption is not regex-greedy (a run would
-    # need to stop where a same-type stage continues).
+    # Adjacent stages must have DISJOINT type sets -- including stages
+    # that BECOME adjacent when an optional stage between them matches
+    # empty -- otherwise maximal-run consumption is not regex-greedy (a
+    # run would need to stop where an overlapping-set stage continues).
     for i in range(len(pattern) - 1):
         j = i + 1
         while j < len(pattern):
-            if pattern[i][0] == pattern[j][0]:
+            shared = set(_alts(pattern[i][0])) & set(_alts(pattern[j][0]))
+            if shared:
                 raise ValueError(
-                    f"stages {i} and {j} share type {pattern[i][0]!r} and "
-                    "can be adjacent: maximal-run semantics would be "
+                    f"stages {i} and {j} share type(s) {sorted(shared)!r} "
+                    "and can be adjacent: maximal-run semantics would be "
                     "ambiguous"
                 )
             if pattern[j][1] not in ("?", "*"):
@@ -112,7 +142,7 @@ def cep_match(
     ).localCheckpoint(eager=False)
 
     def singles(etype: str) -> DataFrame:
-        return ev.filter(F.col("event_type") == etype).select(
+        return ev.filter(F.col("event_type").isin(*_alts(etype))).select(
             "user_id", "seq", "t_us"
         )
 
@@ -120,9 +150,10 @@ def cep_match(
 
     def runs(etype: str) -> DataFrame:
         # gaps-and-islands: within the per-user stream, consecutive events
-        # of `etype` share (seq - rank-within-type); ordering by t_us is
-        # ordering by ts (unix_micros is monotone, ties broken by event_id)
-        sub = ev.filter(F.col("event_type") == etype).withColumn(
+        # whose type is in the stage's alternative set share (seq -
+        # rank-within-subset); ordering by t_us is ordering by ts
+        # (unix_micros is monotone, ties broken by event_id)
+        sub = ev.filter(F.col("event_type").isin(*_alts(etype))).withColumn(
             "island", F.col("seq") - F.row_number().over(w_sub)
         )
         return sub.groupBy("user_id", "island").agg(
@@ -247,8 +278,17 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
     if len(opt_idx) > 4:
         raise ValueError("more than 4 optional stages: arm expansion too wide")
 
-    run_types = sorted(
-        {t for t, q in pattern if q in ("+", "*")}
+    def in_list(alts: tuple[str, ...]) -> str:
+        return "(" + ", ".join(f"'{a}'" for a in alts) + ")"
+
+    def run_rel(alts: tuple[str, ...]) -> str:
+        # canonical per-type-set relation name; the arity prefix keeps
+        # {'a','b'} and the single type 'a_b' from colliding (alternatives
+        # are _TYPE_RE-validated, so the name is always a legal identifier)
+        return f"runs_{len(alts)}_" + "_".join(alts)
+
+    run_type_sets = sorted(
+        {_alts(t) for t, q in pattern if q in ("+", "*")}
     )
     ctes = [
         """ev AS (
@@ -257,9 +297,9 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
   FROM events
 )"""
     ]
-    for t in run_types:
+    for alts in run_type_sets:
         ctes.append(
-            f"""runs_{t} AS (
+            f"""{run_rel(alts)} AS (
   SELECT user_id, island, MIN(seq) AS s0, MAX(seq) AS s1,
          MIN(t_us) AS rt0, MAX(t_us) AS rt1,
          CAST(COUNT(*) AS BIGINT) AS n
@@ -267,7 +307,7 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
     SELECT user_id, seq, t_us,
            seq - row_number() OVER (PARTITION BY user_id
                                     ORDER BY t_us, event_id) AS island
-    FROM ev WHERE event_type = '{t}'
+    FROM ev WHERE event_type IN {in_list(alts)}
   ) GROUP BY 1, 2
 )"""
         )
@@ -292,7 +332,7 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
                 continue
             alias = f"s{i}"
             if is_run:
-                rel = f"runs_{etype}"
+                rel = run_rel(_alts(etype))
                 start, end = f"{alias}.s0", f"{alias}.s1 + 1"
                 n_exprs.append(f"{alias}.n")
                 t_first, t_last = f"{alias}.rt0", f"{alias}.rt1"
@@ -302,7 +342,7 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
                 start, end = f"{alias}.seq", f"{alias}.seq + 1"
                 n_exprs.append("CAST(1 AS BIGINT)")
                 t_first = t_last = f"{alias}.t_us"
-                cond = [f"{alias}.event_type = '{etype}'"]
+                cond = [f"{alias}.event_type IN {in_list(_alts(etype))}"]
             if prev_end is None:
                 joins.append(f"FROM {rel} {alias}")
                 where.extend(cond)

@@ -62,14 +62,18 @@ def salted_join(
     small-row) key match meets on exactly one salt value.
 
     `hot_keys` is a small one-column (key) relation -- skew_report's top-k
-    or a share-threshold filter -- broadcast into both sides.  The salt
-    must be DETERMINISTIC (task retries: xxhash64 of the whole big row,
-    same rule as salted_sum).  The returned plan is hinted shuffle_hash on
-    the small side: at the scales where salting matters the replicated
-    small side no longer broadcasts, and sort-merge would pay a sort on
-    the salted fanout for nothing.
+    or a share-threshold filter -- broadcast into both sides.  It is
+    DEDUPLICATED here (distinct) before the marker joins: a duplicate key
+    value would fan out both sides and break the row-identical guarantee.
+    The salt must be DETERMINISTIC (task retries: xxhash64 of the whole
+    big row, same rule as salted_sum).  The returned plan is hinted
+    shuffle_hash on the small side: at the scales where salting matters
+    the replicated small side no longer broadcasts, and sort-merge would
+    pay a sort on the salted fanout for nothing.
     """
-    is_hot = F.broadcast(hot_keys.select(key).withColumn("_is_hot", F.lit(True)))
+    is_hot = F.broadcast(
+        hot_keys.select(key).distinct().withColumn("_is_hot", F.lit(True))
+    )
     big_s = (
         big.join(is_hot, key, "left")
         .withColumn(

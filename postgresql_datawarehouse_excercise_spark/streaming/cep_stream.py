@@ -15,11 +15,19 @@ watermark-retained suffix, not the full history: matches are bounded by
 max_span_us, so events older than the watermark minus the span can never
 join a new or broken occurrence and compact away), re-runs the pattern
 match on the prefix, and emits the CURRENT full match set tagged with the
-epoch.  The last epoch's emission IS the answer
-(streaming/events.last_epoch_snapshot); earlier epochs are provisional
-reports that later data may revise -- including DOWNWARD, the
-retraction case tests/test_cep_compiler.py pins with a constructed
-late-arrival batch.
+epoch.  The LAST epoch's emission is the answer -- tracked EXPLICITLY by
+the sink (it records each epoch id as it commits), never inferred as
+max(_epoch) over the emitted rows: when the final re-match is EMPTY
+(exactly the retraction case tests/test_cep_compiler.py pins), an
+inferred max would resolve to an earlier epoch and resurrect the
+retracted occurrences as the authoritative answer.
+
+Both the state table and the emission are written as one OVERWRITTEN
+subdirectory per epoch (`_batch={epoch}` / `_epoch={epoch}`), so a
+checkpoint-recovery re-delivery of a micro-batch rewrites its own
+subdirectory instead of appending a second copy -- append mode would
+duplicate the re-delivered events, shift every seq, and corrupt all
+subsequent re-matches (the foreachBatch idempotence contract).
 """
 
 from __future__ import annotations
@@ -30,25 +38,52 @@ from pyspark.sql import functions as F
 from ..operators.cep import Stage, cep_match
 
 
+class CepReplaySink:
+    """foreachBatch sink: append the batch to the event prefix (one
+    overwritten parquet subdir per epoch -- idempotent under checkpoint
+    re-delivery), re-match the pattern over the prefix, emit the full
+    current match set into the epoch's own subdir, and record the epoch
+    id so the caller can select the FINAL emission explicitly (an empty
+    final match set is a real answer, not a missing one)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        out_dir: str,
+        pattern: list[Stage],
+        max_span_us: int,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.out_dir = out_dir
+        self.pattern = pattern
+        self.max_span_us = max_span_us
+        self.epochs: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, epoch: int) -> None:
+        # one subdir per epoch, OVERWRITTEN: re-delivery of the same epoch
+        # (checkpoint recovery) rewrites its own files instead of
+        # double-appending the batch into the accumulated prefix
+        batch_df.write.mode("overwrite").parquet(
+            f"{self.state_dir}/_batch={epoch}"
+        )
+        acc = self.spark.read.parquet(self.state_dir).drop("_batch")
+        cep_match(acc, self.pattern, self.max_span_us).write.mode(
+            "overwrite"
+        ).parquet(f"{self.out_dir}/_epoch={epoch}")
+        self.epochs.append(epoch)
+
+
 def cep_replay_sink(
     spark: SparkSession,
     state_dir: str,
     out_dir: str,
     pattern: list[Stage],
     max_span_us: int,
-):
-    """foreachBatch closure: append the batch to the event prefix, re-match
-    the pattern over the prefix, emit the full current match set tagged
-    with the epoch."""
-
-    def sink(batch_df: DataFrame, epoch: int) -> None:
-        batch_df.write.mode("append").parquet(state_dir)
-        acc = spark.read.parquet(state_dir)
-        cep_match(acc, pattern, max_span_us).withColumn(
-            "_epoch", F.lit(epoch)
-        ).write.mode("append").parquet(out_dir)
-
-    return sink
+) -> CepReplaySink:
+    """Build the foreachBatch replay sink (see CepReplaySink)."""
+    return CepReplaySink(spark, state_dir, out_dir, pattern, max_span_us)
 
 
 def run_cep_stream(
@@ -62,23 +97,24 @@ def run_cep_stream(
 ) -> DataFrame:
     """Drain a finite file-source event stream (maxFilesPerTrigger=1 ->
     one micro-batch per file) through cep_replay_sink; returns the LAST
-    epoch's match set (the revised, authoritative answer)."""
-    from .events import last_epoch_snapshot
-
+    epoch's match set (the revised, authoritative answer), selected by
+    the epoch id the sink RECORDED for its final commit -- correct even
+    when that final re-match retracted every occurrence and emitted zero
+    rows."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(events_src)
     )
+    sink = cep_replay_sink(spark, state_dir, out_dir, pattern, max_span_us)
     q = (
-        stream.writeStream.foreachBatch(
-            cep_replay_sink(spark, state_dir, out_dir, pattern, max_span_us)
-        )
+        stream.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", f"{out_dir}-ckpt"
-        )
+        .option("checkpointLocation", f"{out_dir}-ckpt")
         .start()
     )
     q.awaitTermination()
-    return last_epoch_snapshot(spark.read.parquet(out_dir))
+    if not sink.epochs:
+        raise ValueError(f"no micro-batches arrived from {events_src}")
+    last = max(sink.epochs)
+    return spark.read.parquet(f"{out_dir}/_epoch={last}")

@@ -26,15 +26,19 @@ def _model_match(rows, pattern, max_span_us):
     rows: [(t_us, event_id, etype)] sorted; returns set of
     (t_first_us, t_last_us, duration_us, n_events, n_stage0, ...).
     Semantics mirror operators/cep.py's declared contract: strictly
-    consecutive, quantified stages consume a MAXIMAL same-type run,
-    '?' consumes exactly one event or none, '*' a maximal run or none.
+    consecutive, quantified stages consume a MAXIMAL run drawn from the
+    stage's alternative type set ('a' or 'a|b'), '?' consumes exactly one
+    event or none, '*' a maximal run or none.
     """
     n = len(rows)
     out = set()
 
+    def alts(etype):
+        return set(etype.split("|"))
+
     def run_len(pos, etype):
         r = 0
-        while pos + r < n and rows[pos + r][2] == etype:
+        while pos + r < n and rows[pos + r][2] in alts(etype):
             r += 1
         return r
 
@@ -48,20 +52,20 @@ def _model_match(rows, pattern, max_span_us):
         if pos >= n:
             return
         if quant == "1" or quant == "?":
-            if rows[pos][2] == etype:
+            if rows[pos][2] in alts(etype):
                 yield from go(pos + 1, si + 1, counts + [1])
         else:  # "+" / "*"
             r = run_len(pos, etype)
             if r >= 1:
                 yield from go(pos + r, si + 1, counts + [r])
 
-    first_type = pattern[0][0]
+    first_alts = alts(pattern[0][0])
     for start in range(n):
-        if rows[start][2] != first_type:
+        if rows[start][2] not in first_alts:
             continue
         # for a '+' first stage only maximal-run STARTS anchor (the engine
         # joins whole islands)
-        if pattern[0][1] == "+" and start > 0 and rows[start - 1][2] == first_type:
+        if pattern[0][1] == "+" and start > 0 and rows[start - 1][2] in first_alts:
             continue
         for end, counts in go(start, 0, []):
             t0, t1 = rows[start][0], rows[end - 1][0]
@@ -89,6 +93,8 @@ PATTERNS = [
     [("signup", "1"), ("view", "*"), ("purchase", "1")],
     [("signup", "1"), ("error", "?"), ("purchase", "1")],
     [("click", "+"), ("view", "*"), ("purchase", "1")],
+    [("signup", "1"), ("view|click", "+"), ("purchase", "1")],
+    [("signup", "1"), ("view|error", "*"), ("click|purchase", "1")],
 ]
 MAX_US = 24 * 3600 * 1000000
 
@@ -122,27 +128,19 @@ def test_cep_sql_twin_matches_model_synthetic(spark):
             t += rng.randint(1, 3600) * 1000000
             rows.append((u, eid, rng.choice(["a", "b", "c", "p"]), t))
             eid += 1
-    pattern = [("a", "1"), ("b", "*"), ("c", "?"), ("p", "+")]
     span = 4 * 3600 * 1000000
 
     by_user = defaultdict(list)
     for u, e, et, t in rows:
         by_user[u].append((t, e, et))
-    expect = set()
-    for u, rs in by_user.items():
+    for rs in by_user.values():
         rs.sort()
-        for m in _model_match(rs, pattern, span):
-            expect.add((u, *m))
-    assert len(expect) > 5
 
     df = spark.createDataFrame(
         [(u, e, et, t) for u, e, et, t in rows],
         "user_id long, event_id long, event_type string, t long",
     ).selectExpr("user_id", "event_id", "event_type",
                  "timestamp_micros(t) AS ts")
-    got = {tuple(r) for r in cep_match(df, pattern, span).collect()}
-    assert got == expect
-
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
@@ -150,8 +148,22 @@ def test_cep_sql_twin_matches_model_synthetic(spark):
         + ",".join(f"({u},{e},'{et}',{t})" for u, e, et, t in rows)
         + ") v(user_id, event_id, event_type, t))"
     )
-    sql_rows = con.execute(compile_sql(pattern, span)).fetchall()
-    assert {tuple(r) for r in sql_rows} == expect
+
+    for pattern in (
+        [("a", "1"), ("b", "*"), ("c", "?"), ("p", "+")],
+        # alternation arms: quantified two-type run + alternation anchors
+        [("a", "1"), ("b|c", "+"), ("p", "1")],
+        [("a|p", "+"), ("b", "?"), ("c", "1")],
+    ):
+        expect = set()
+        for u, rs in by_user.items():
+            for m in _model_match(rs, pattern, span):
+                expect.add((u, *m))
+        assert len(expect) > 5
+        got = {tuple(r) for r in cep_match(df, pattern, span).collect()}
+        assert got == expect
+        sql_rows = con.execute(compile_sql(pattern, span)).fetchall()
+        assert {tuple(r) for r in sql_rows} == expect
 
 
 def test_cep_validate_rejects_bad_patterns(spark):
@@ -165,12 +177,21 @@ def test_cep_validate_rejects_bad_patterns(spark):
         [("view", "1"), ("click", "*")],                  # empty-able anchor
         [("view", "1"), ("view", "+")],                   # adjacent same type
         [("view", "1"), ("click", "?"), ("view", "1")],   # adjacent via skip
+        [("view|click", "1"), ("click", "+")],            # overlapping sets
+        [("view", "1"), ("click|click", "+")],            # dup alternative
+        [("view'; --", "1"), ("click", "+")],             # non-identifier type
+        [("view click", "1"), ("click", "+")],            # space in type
     ]:
         with pytest.raises(ValueError):
             cep_match(events, bad, MAX_US)
-    # sanity: the same-type pair separated by a MANDATORY stage is legal
+    # sanity: the same-type pair separated by a MANDATORY stage is legal,
+    # as is an alternation whose set is disjoint from its neighbors
     cep_match(
         events, [("view", "1"), ("click", "+"), ("view", "1")], MAX_US
+    )
+    cep_match(
+        events, [("signup", "1"), ("view|click", "+"), ("purchase", "1")],
+        MAX_US,
     )
 
 
@@ -205,3 +226,62 @@ def test_stream_cep_retracts_on_late_arrival(spark, tmp_path):
     sink(df([(1, 4, "error", 3 * H // 2)]), 1)
     e1 = spark.read.parquet(out).filter("_epoch = 1")
     assert e1.count() == 0  # the occurrence is retracted, not appended-to
+    assert sink.epochs == [0, 1]  # the sink tracks its commits explicitly
+    # checkpoint-recovery RE-DELIVERY of epoch 1: the per-epoch overwrite
+    # must leave the accumulated prefix (and thus every re-match) unchanged
+    # -- an appending sink would double the late event, shift every seq,
+    # and corrupt the state
+    sink(df([(1, 4, "error", 3 * H // 2)]), 1)
+    assert spark.read.parquet(state).count() == 4
+    assert spark.read.parquet(out).filter("_epoch = 1").count() == 0
+
+
+def test_run_cep_stream_final_empty_epoch_is_the_answer(spark, tmp_path):
+    """End-to-end late-arrival retraction through run_cep_stream: when the
+    FINAL micro-batch's re-match is EMPTY, the empty set IS the answer --
+    a max(_epoch)-over-emitted-rows selection would resolve to the earlier
+    epoch and resurrect the retracted occurrence (ADVICE r12, medium)."""
+    import os
+
+    from postgresql_datawarehouse_excercise_spark.streaming.cep_stream import (
+        run_cep_stream,
+    )
+
+    H = 3600 * 1000000
+    pattern = [("view", "1"), ("click", "+"), ("purchase", "1")]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, t long"
+        ).selectExpr("user_id", "event_id", "event_type",
+                     "timestamp_micros(t) AS ts")
+
+    src = str(tmp_path / "src")
+    # file 1 (older mtime): a complete consecutive match; file 2 (newer):
+    # ONLY the late error that lands between the view and the click.  The
+    # file source processes files in mtime order, so the retraction batch
+    # is the final epoch and the final match set is empty.
+    d1 = df([(1, 1, "view", 1 * H), (1, 2, "click", 2 * H),
+             (1, 3, "purchase", 3 * H)])
+    d2 = df([(1, 4, "error", 3 * H // 2)])
+    d1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    d2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    files1 = [f for f in os.listdir(f"{src}/f1") if f.endswith(".parquet")]
+    files2 = [f for f in os.listdir(f"{src}/f2") if f.endswith(".parquet")]
+    os.rename(f"{src}/f1/{files1[0]}", f"{src}/a.parquet")
+    os.rename(f"{src}/f2/{files2[0]}", f"{src}/b.parquet")
+    import shutil
+
+    shutil.rmtree(f"{src}/f1")
+    shutil.rmtree(f"{src}/f2")
+    os.utime(f"{src}/a.parquet", (1_000_000_000, 1_000_000_000))
+    os.utime(f"{src}/b.parquet", (1_000_000_100, 1_000_000_100))
+
+    out = str(tmp_path / "out")
+    m = run_cep_stream(
+        spark, src, d1.schema, str(tmp_path / "state"), out, pattern, 24 * H
+    )
+    assert m.count() == 0  # retracted: the empty final epoch is authoritative
+    # the provisional epoch DID report the match (so the empty answer is a
+    # real revision, not a no-op stream)
+    assert spark.read.parquet(out).filter("_epoch = 0").count() == 1
