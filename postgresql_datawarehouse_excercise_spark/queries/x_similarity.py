@@ -450,14 +450,30 @@ def x_sim_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_persisted_ann(spark, sf_dir, _persist_ann_index(spark, sf_dir))
 
 
+# One persisted build per corpus directory and process: the training is
+# fully deterministic (exact-integer-grid k-means, deterministic init --
+# the oracle replays it bit-for-bit), so every lifecycle lane
+# (persist / batch_serve / hybrid_rrf_persist / delete / compact) may
+# read the SAME index dir; at the gate the trilogy pays ONE build + three
+# serves instead of retraining per entry (VERDICT r12 item 6).
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
 def _persist_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Train the IVF-PQ index and persist its four relations (+ a 1-row
     meta table) as parquet; returns the index directory.  Shared by
-    x_sim_ann_index_persist, x_sim_ann_batch_serve and
-    x_sim_hybrid_rrf_persist -- the build is the amortized half of the
-    serving story, identical whichever lane reads it back."""
+    x_sim_ann_index_persist, x_sim_ann_batch_serve,
+    x_sim_hybrid_rrf_persist, x_sim_ann_index_delete and
+    x_sim_ann_index_compact -- the build is the amortized half of the
+    serving story, identical whichever lane reads it back, and memoized
+    per sf_dir (deterministic training => one build serves every lane)."""
+    import os
+
     from .x_sources import _scratch
 
+    cached = _ANN_INDEX_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(f"{cached}/meta.parquet"):
+        return cached
     t = catalog.load(spark, sf_dir)
     emb = t.embeddings
     cells = similarity.ivf_cells(emb.count())
@@ -473,6 +489,7 @@ def _persist_ann_index(spark: SparkSession, sf_dir: str) -> str:
     spark.createDataFrame([(cells,)], "cells int").write.mode("overwrite").parquet(
         f"{loc}/meta.parquet"
     )
+    _ANN_INDEX_CACHE[sf_dir] = loc
     return loc
 
 
@@ -482,23 +499,42 @@ def _serve_persisted_ann(
     loc: str,
     n_queries: int = pq.PQ_QUERIES,
     s2: SparkSession | None = None,
+    postings_transform=None,
 ) -> DataFrame:
     """Reload the persisted IVF-PQ index in a FRESH SparkSession and serve
     the first `n_queries` query vectors entirely off the loaded relations
     (pq.ivfpq_serve); only the refine pass touches exact vectors.  Pass
     `s2` to share one fresh session across lanes (frames from different
-    sessions cannot join)."""
+    sessions cannot join); `postings_transform` lets the delete lane
+    apply its tombstone mask to the loaded postings before serving."""
     if s2 is None:
         s2 = spark.newSession()
     meta = s2.read.parquet(f"{loc}/meta.parquet").collect()[0]
+    postings = s2.read.parquet(f"{loc}/postings.parquet")
+    if postings_transform is not None:
+        postings = postings_transform(postings)
     return pq.ivfpq_serve(
         catalog.load(s2, sf_dir).embeddings,
         s2.read.parquet(f"{loc}/centroids.parquet"),
-        s2.read.parquet(f"{loc}/postings.parquet"),
+        postings,
         s2.read.parquet(f"{loc}/codebooks.parquet"),
         s2.read.parquet(f"{loc}/codes.parquet"),
         int(meta["cells"]),
         n_queries,
+    )
+
+
+def _ann_tombstones(s2: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic delete split (the shared md5 id-hash recipe):
+    vec_ids whose bucket lands in the top ANN_DELETE_PCT..100 band --
+    shared by the tombstone-masked serve (x_sim_ann_index_delete) and
+    the compaction rewrite (x_sim_ann_index_compact)."""
+    from .x_pipeline import _bucket
+
+    return (
+        catalog.load(s2, sf_dir)
+        .embeddings.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .filter(_bucket(F.col("vec_id")) >= ANN_DELETE_PCT)
     )
 
 
@@ -803,25 +839,73 @@ def x_sim_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k.  At 100 TB this is how vector stores take deletes between
     compactions: the tombstone set stays small between compactions (and
     the anti-join is deliberately UN-hinted -- AQE broadcasts while it
-    fits, the registry's de-hinting discipline, guard-enforced); a
-    periodic OPTIMIZE (x_mutation_optimize_zorder's role) rewrites the
-    postings to reclaim space."""
-    from .x_pipeline import _bucket
+    fits, the registry's de-hinting discipline, guard-enforced); the
+    periodic OPTIMIZE that reclaims the space is x_sim_ann_index_compact.
 
-    t = catalog.load(spark, sf_dir)
-    emb = t.embeddings
-    cells = similarity.ivf_cells(emb.count())
-    cents, assigned = similarity._ivf_train(similarity._ivf_base(emb), cells)
-    cb, codes = pq.pq_train_encode(emb)
-    deleted = emb.select(F.col("vec_id").cast("long").alias("vec_id")).filter(
-        _bucket(F.col("vec_id")) >= ANN_DELETE_PCT
+    Round 13: the lane reads the SHARED memoized persisted build
+    (_persist_ann_index) instead of retraining in-plan -- the lifecycle
+    entries now pay one build + serves at the gate (VERDICT r12 item 6);
+    values are unchanged (same deterministic training, pinned in
+    tests/test_ann_persist.py)."""
+    loc = _persist_ann_index(spark, sf_dir)
+    s2 = spark.newSession()
+    tomb = _ann_tombstones(s2, sf_dir)
+    return _serve_persisted_ann(
+        spark,
+        sf_dir,
+        loc,
+        s2=s2,
+        postings_transform=lambda p: p.join(tomb, "vec_id", "left_anti"),
     )
-    # de-hinted anti-join (the registry discipline): the tombstone set is
-    # SF-proportional here (10% of the corpus), so a static broadcast hint
-    # would be wrong at 100x -- AQE broadcasts while it fits and falls
-    # back to shuffle when it does not; in production compaction bounds
-    # the live tombstone set between OPTIMIZE passes
-    postings = assigned.select("vec_id", "cell").join(
-        deleted, "vec_id", "left_anti"
-    )
-    return pq.ivfpq_serve(emb, cents, postings, cb, codes, cells)
+
+
+@query(
+    "x_sim_ann_index_compact",
+    oracle=pq.ivfpq_topk_sql(exclude_pred=_ANN_DELETE_PRED),
+)
+def x_sim_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE -- the compaction that completes the index lifecycle
+    (build: x_sim_ann_index_persist; add: x_sim_ann_index_insert;
+    delete: x_sim_ann_index_delete; reclaim: here), keeping the promise
+    the delete lane's docstring makes: after tombstone-deletes
+    accumulate, a periodic rewrite drops the deleted ids from the
+    PERSISTED index so serving no longer pays the per-query anti-join
+    and the dead rows stop occupying storage (FAISS's remove_ids
+    consolidation / Delta's OPTIMIZE role).
+
+    Mechanics: read the shared persisted build (the same memoized
+    _persist_ann_index dir the delete lane masks), rewrite the two
+    vector-grain relations -- postings (vec_id, cell) and PQ codes --
+    with the tombstoned ids anti-joined OUT, copy the vector-count-
+    independent trainings (centroids, codebooks, meta) unchanged, and
+    serve from the compacted directory with NO mask.  Deletes never
+    retrain: the centroids and codebooks are byte-identical before and
+    after, only membership changed.
+
+    Correctness: serving the compacted index must be ROW-IDENTICAL to
+    the tombstone-masked serve (anti-join before persist == anti-join
+    after load; pinned in tests/test_ann_persist.py, which also pins
+    that the compacted relations contain zero tombstoned ids), so the
+    oracle is x_sim_ann_index_delete's replay, unchanged.  At 100 TB the
+    compaction cost is one scan of the index relations (~1/30 the
+    corpus, never the raw vectors), amortized across every query served
+    between compactions; partition-aligned writes make it an
+    embarrassingly parallel rewrite of the cell-partitioned postings."""
+    from .x_sources import _scratch
+
+    loc = _persist_ann_index(spark, sf_dir)
+    tomb = _ann_tombstones(spark, sf_dir)
+    cloc = _scratch("pdwx-anncompact-")
+    # vector-grain relations: rewrite WITHOUT the tombstoned ids
+    spark.read.parquet(f"{loc}/postings.parquet").join(
+        tomb, "vec_id", "left_anti"
+    ).write.mode("overwrite").parquet(f"{cloc}/postings.parquet")
+    spark.read.parquet(f"{loc}/codes.parquet").join(
+        tomb, "vec_id", "left_anti"
+    ).write.mode("overwrite").parquet(f"{cloc}/codes.parquet")
+    # trainings + meta: byte-for-byte carry-over (compaction never retrains)
+    for rel in ("centroids", "codebooks", "meta"):
+        spark.read.parquet(f"{loc}/{rel}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{cloc}/{rel}.parquet")
+    return _serve_persisted_ann(spark, sf_dir, cloc)

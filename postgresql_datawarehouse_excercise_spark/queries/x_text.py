@@ -2308,11 +2308,17 @@ BM25_B = "0.75"
 BM25_QTERMS = 4   # query = the 4 highest-df corpus terms (ties lexicographic)
 BM25_TOPK = 10
 
-_BM25_ORACLE = f"""
+def _bm25_oracle(doc_pred: str = "TRUE") -> str:
+    """The single-query BM25 replay, parameterized by a document-level
+    predicate: `doc_pred` restricts the corpus (the delete lane's
+    surviving-documents oracle -- df, N, avgdl and the query-term set all
+    re-derive from the restricted corpus, exactly what serving a
+    tombstone-masked index computes)."""
+    return f"""
 WITH toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-  FROM documents
+  FROM documents WHERE {doc_pred}
 ),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2353,6 +2359,9 @@ FROM (
   GROUP BY c.doc_id, d.dl
 ) WHERE rn <= {BM25_TOPK}
 """
+
+
+_BM25_ORACLE = _bm25_oracle()
 
 
 @query("x_text_bm25", oracle=_BM25_ORACLE)
@@ -2508,13 +2517,27 @@ def x_text_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted inverted index per corpus directory and process: the build
+# is deterministic (tokenize + count), so every serving lane (persist /
+# batch / hybrid_rrf_persist / delete) reads the SAME index dir -- at the
+# gate the family pays one build + serves (VERDICT r12 item 6, the
+# ann-index precedent applied to the lexical side).
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
 def _persist_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the BM25 inverted index -- postings (term, doc_id, tf) + doc
     lengths (doc_id, dl) -- and persist both as parquet; returns the index
-    directory.  Shared by x_text_bm25_index_persist, x_text_bm25_batch and
-    x_sim_hybrid_rrf_persist."""
+    directory.  Shared by x_text_bm25_index_persist, x_text_bm25_batch,
+    x_text_bm25_index_delete and x_sim_hybrid_rrf_persist; memoized per
+    sf_dir (deterministic build => one index serves every lane)."""
+    import os
+
     from .x_sources import _scratch
 
+    cached = _BM25_INDEX_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(f"{cached}/postings.parquet"):
+        return cached
     t = catalog.load(spark, sf_dir)
     toks = t.documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2529,6 +2552,7 @@ def _persist_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl")
     ).write.mode("overwrite").parquet(f"{loc}/doclen.parquet")
+    _BM25_INDEX_CACHE[sf_dir] = loc
     return loc
 
 
@@ -2796,6 +2820,61 @@ def x_text_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.read.parquet(f"{loc}/postings.parquet"),
         s2.read.parquet(f"{loc}/doclen.parquet"),
     )
+
+
+BM25_DELETE_PCT = 90   # tombstone the doc_id md5-bucket >= 90 split (10%)
+_BM25_SURVIVOR_PRED = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {BM25_DELETE_PCT}"
+)
+
+
+@query("x_text_bm25_index_delete", oracle=_bm25_oracle(_BM25_SURVIVOR_PRED))
+def x_text_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE documents from the BM25 inverted index -- the lexical twin
+    of x_sim_ann_index_delete, closing the round-12 gap: refresh
+    (x_text_bm25_index_refresh) only APPENDS, but the real pipeline shape
+    is dedup-then-reindex -- a near-duplicate sweep REMOVES documents and
+    the retrieval index must follow without a full rebuild.  A
+    deterministic 10% of documents (the shared md5 id-hash split, doc_id
+    edition) is tombstoned, and serving masks BOTH index relations by one
+    anti-join each -- postings rows of a deleted doc can never contribute
+    a score, and its doclen row can never pollute N/avgdl.
+
+    WHY masking both relations is the exact delete: every index relation
+    is doc-grain ((doc_id, term) postings, (doc_id) doclen), so the
+    anti-joined index is PRECISELY the index of the surviving corpus --
+    and because df, the top-df query set, N and avgdl re-derive from the
+    postings at serve time (the refresh lane's stored-nothing-stale
+    discipline), the masked serve is indistinguishable from a from-scratch
+    rebuild on the survivors.  That is the oracle: the full BM25 replay
+    over `documents WHERE md5-bucket < 90`, nothing else changed; the
+    same equality is pinned directly against a from-scratch rebuild in
+    tests/test_bm25_cep.py.  Corpus statistics SHIFT under delete (df and
+    N drop, the query set can change) -- exactly what a stale stored-df
+    design would get wrong.
+
+    At 100 TB: tombstones arrive as a small relation, the serve-time
+    anti-join is AQE-sized (broadcast while it fits, the registry's
+    de-hinting discipline), and the term-partitioned postings rewrite
+    that reclaims the space is the ANN compaction story
+    (x_sim_ann_index_compact) applied to the lexical relations."""
+    from .x_pipeline import _bucket
+
+    loc = _persist_bm25_index(spark, sf_dir)
+    s2 = spark.newSession()
+    tomb = (
+        catalog.load(s2, sf_dir)
+        .documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT)
+    )
+    postings = s2.read.parquet(f"{loc}/postings.parquet").join(
+        tomb, "doc_id", "left_anti"
+    )
+    dl = s2.read.parquet(f"{loc}/doclen.parquet").join(
+        tomb, "doc_id", "left_anti"
+    )
+    return _bm25_from_index(postings, dl)
 
 
 PRF_FB_DOCS = BM25_TOPK   # feedback set: the BM25 top-10

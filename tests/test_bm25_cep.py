@@ -255,3 +255,48 @@ def test_bm25_prf_python_model(spark):
         key=lambda r: r[3],
     )
     assert got == expect and len(got) == BM25_TOPK
+
+
+def test_bm25_delete_identical_to_survivor_rebuild(spark):
+    """Tombstone-masked serving must be indistinguishable from a
+    from-scratch index of the SURVIVING corpus (doc-grain relations make
+    the anti-join the exact delete; df/N/avgdl re-derive at serve time,
+    so the statistics shift correctly instead of going stale)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        _bucket,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        BM25_DELETE_PCT,
+        _bm25_from_index,
+        x_text_bm25_index_delete,
+    )
+
+    got = sorted(map(tuple, x_text_bm25_index_delete(spark, SF).collect()))
+
+    # from-scratch rebuild on the surviving documents only
+    t = catalog.load(spark, SF)
+    survivors = t.documents.filter(_bucket(F.col("doc_id")) < BM25_DELETE_PCT)
+    toks = survivors.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    rebuilt = sorted(map(tuple, _bm25_from_index(postings, dl).collect()))
+
+    assert len(got) == BM25_TOPK
+    assert got == rebuilt
+    # the tombstoned band really is gone from the results
+    deleted = {
+        r["doc_id"]
+        for r in t.documents.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT).collect()
+    }
+    assert deleted
+    assert not deleted & {r[0] for r in got}
