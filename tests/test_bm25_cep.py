@@ -300,3 +300,20 @@ def test_bm25_delete_identical_to_survivor_rebuild(spark):
     }
     assert deleted
     assert not deleted & {r[0] for r in got}
+
+
+def test_stream_bm25_index_identical_to_batch_index(spark):
+    """Streamed build-by-micro-batches must be indistinguishable from
+    indexing the whole corpus at once (batch-disjoint doc-grain rows make
+    per-epoch landing the exact merge; corpus stats re-derive at serve)."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_streaming import (
+        x_stream_bm25_index,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        x_text_bm25_index_persist,
+    )
+
+    batch = sorted(map(tuple, x_text_bm25_index_persist(spark, SF).collect()))
+    streamed = sorted(map(tuple, x_stream_bm25_index(spark, SF).collect()))
+    assert len(batch) == BM25_TOPK
+    assert streamed == batch
