@@ -53,6 +53,13 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "x_sim_ann_index_delete",
     "x_sim_ann_index_persist",
     "x_text_bm25_index_persist",
+    # round 13: session-gap boundary pinned strictly-greater in the three
+    # gaps-and-islands oracles (hypothesis falsifying example: an event at
+    # exactly prev + gap MERGES in Spark); values unchanged on real data
+    # (zero exact-boundary gaps at any SF, measured)
+    "x_events_session_windows",
+    "x_stream_session_windows",
+    "x_range_interval_overlap",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -303,7 +303,9 @@ def main() -> None:
         # -- the production amortization, VERDICT r12 item 6)
         "x_sim_ann_index_compact",
         "x_text_bm25_index_delete",
+        "x_text_bm25_index_compact",
         "x_events_cep_alternation",
+        "x_pipeline_sequence_packing",
         # round 11
         "x_text_unigram_lm",
         "x_text_unigram_encode",

@@ -125,7 +125,7 @@ def x_events_sliding_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ),
@@ -145,8 +145,10 @@ FROM s GROUP BY user_id, sid
 def x_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap session windows (batch session_window; the
     DuckDB oracle is the classic gaps-and-islands formulation, which pins
-    Spark's session semantics: end = last event + gap, new session when the
-    inter-event gap is >= the threshold)."""
+    Spark's session semantics: end = last event + gap, new session only
+    when the inter-event gap is STRICTLY GREATER than the threshold -- an
+    event landing exactly at prev + gap MERGES; a hypothesis sweep caught
+    the >= formulation mis-modelling that boundary, round 13)."""
     t = catalog.load(spark, sf_dir)
     return (
         t.events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -1702,3 +1702,112 @@ def x_pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("priority"), 6).alias("priority"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+PACK_L = 2048        # context-window length in tokens
+PACK_BUCKETS = 32    # ordered id-range buckets for the two-phase prefix sum
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM tok
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {PACK_L} AS first_chunk,
+       CASE WHEN n_tokens > 0
+            THEN (start_tok + n_tokens - 1) // {PACK_L}
+            ELSE start_tok // {PACK_L} END AS last_chunk,
+       CASE WHEN n_tokens > 0
+            THEN (start_tok + n_tokens - 1) // {PACK_L} - start_tok // {PACK_L} + 1
+            ELSE 0 END AS n_chunks,
+       start_tok % {PACK_L} AS chunk_offset
+FROM c
+"""
+
+
+@query("x_pipeline_sequence_packing", oracle=_PACK_ORACLE)
+def x_pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing -- the concat-then-chunk context-window layout LLM
+    pretraining uses (documents concatenated in a deterministic order,
+    the token stream cut into fixed {PACK_L}-token windows): per document,
+    its global token offset, the first/last context window it lands in,
+    how many windows it spans, and its offset inside its first window --
+    the layout table a packing dataloader reads.
+
+    The operator is a GLOBAL cumulative sum over doc-grain rows, which is
+    exactly the thing a naive single window cannot do at 100 TB (one
+    unpartitioned WindowExec = every row through one task).  This runs
+    the textbook TWO-PHASE distributed prefix sum instead: (1) documents
+    bucket into {PACK_BUCKETS} ORDERED doc_id ranges; (2) one map-side
+    aggregate computes per-bucket token totals, and the driver folds the
+    <= {PACK_BUCKETS}-row result into per-bucket prefix OFFSETS (a
+    bounded collect, the kcenter/bloom discipline); (3) each bucket's
+    rows get bucket-local running sums under a bucket-PARTITIONED window
+    plus their bucket's broadcast offset.  No global sort, no
+    single-partition window; the per-bucket windows run in parallel and
+    the cross-bucket dependency is {PACK_BUCKETS} integers through the
+    driver.  The DuckDB oracle is the plain global-window formulation --
+    the semantics -- which the bucketed decomposition must reproduce
+    exactly, empty-document edge included (n_chunks = 0, first =
+    last = the window the boundary falls in).
+
+    Token counts use the BM25 lexicon ([a-z0-9]+ runs, = the dl
+    definition), so the packing table composes with the retrieval index
+    entries over the same corpus."""
+    t = catalog.load(spark, sf_dir)
+    tok = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    # phase 1: ordered id-range buckets (span derived from max id: one
+    # 1-row aggregate, bounded)
+    max_id = tok.agg(F.max("doc_id").alias("m")).first()["m"]
+    span = max_id // PACK_BUCKETS + 1
+    b = tok.withColumn("_b", F.expr(f"doc_id DIV {span}"))
+    # phase 2: per-bucket totals -> driver-side prefix offsets
+    # (<= PACK_BUCKETS rows, bounded by construction)
+    totals = sorted(
+        (r["_b"], r["_t"])
+        for r in b.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    offsets, acc = [], 0
+    for bb, s in totals:
+        offsets.append((bb, acc))
+        acc += s
+    poff = spark.createDataFrame(offsets, "_b long, _boff long")
+    # phase 3: bucket-partitioned running sums + the broadcast offset
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    c = (
+        b.join(F.broadcast(poff), "_b")
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "start_tok", F.col("_boff") + F.col("_cum") - F.col("n_tokens")
+        )
+    )
+    first_chunk = F.expr(f"start_tok DIV {PACK_L}")
+    last_chunk = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(start_tok + n_tokens - 1) DIV {PACK_L}"),
+    ).otherwise(first_chunk)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        F.when(F.col("n_tokens") > 0, last_chunk - first_chunk + 1)
+        .otherwise(F.lit(0)).cast("long").alias("n_chunks"),
+        F.pmod(F.col("start_tok"), F.lit(PACK_L)).cast("long").alias("chunk_offset"),
+    )

@@ -67,7 +67,7 @@ def x_stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 WITH o AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ),

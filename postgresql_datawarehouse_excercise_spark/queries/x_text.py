@@ -2877,6 +2877,52 @@ def x_text_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_from_index(postings, dl)
 
 
+@query("x_text_bm25_index_compact", oracle=_bm25_oracle(_BM25_SURVIVOR_PRED))
+def x_text_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE for the lexical index -- the compaction
+    x_text_bm25_index_delete defers, completing the BM25 lifecycle
+    (build: index_persist; append: index_refresh; delete: index_delete;
+    reclaim: here) exactly as x_sim_ann_index_compact does for the
+    vector index: read the shared memoized build, rewrite BOTH doc-grain
+    relations (postings, doclen) with the tombstoned doc_ids anti-joined
+    OUT into a compacted directory, and serve with NO mask.  After
+    compaction the per-query tombstone anti-join disappears and the dead
+    postings stop occupying storage -- the Lucene segment-merge /
+    Delta OPTIMIZE role.
+
+    Correctness: anti-join before persist == anti-join after load, so
+    the compacted serve must be ROW-IDENTICAL to the masked serve (and
+    both to a from-scratch rebuild of the survivors -- the delete lane's
+    pinned equality); the oracle is the survivor-corpus replay,
+    unchanged.  tests/test_bm25_cep.py pins the identity and that zero
+    tombstoned rows survive in either compacted relation.  At 100 TB
+    the rewrite is one scan of the index relations (|distinct
+    (doc, term)| rows, never the corpus), embarrassingly parallel under
+    the term-partitioned layout, amortized across every query served
+    between compactions."""
+    from .x_pipeline import _bucket
+    from .x_sources import _scratch
+
+    loc = _persist_bm25_index(spark, sf_dir)
+    tomb = (
+        catalog.load(spark, sf_dir)
+        .documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT)
+    )
+    cloc = _scratch("pdwx-bm25compact-")
+    spark.read.parquet(f"{loc}/postings.parquet").join(
+        tomb, "doc_id", "left_anti"
+    ).write.mode("overwrite").parquet(f"{cloc}/postings.parquet")
+    spark.read.parquet(f"{loc}/doclen.parquet").join(
+        tomb, "doc_id", "left_anti"
+    ).write.mode("overwrite").parquet(f"{cloc}/doclen.parquet")
+    s2 = spark.newSession()
+    return _bm25_from_index(
+        s2.read.parquet(f"{cloc}/postings.parquet"),
+        s2.read.parquet(f"{cloc}/doclen.parquet"),
+    )
+
+
 PRF_FB_DOCS = BM25_TOPK   # feedback set: the BM25 top-10
 PRF_FB_TERMS = 8          # expansion terms taken from the feedback docs
 PRF_ORIG_W = 1_000_000    # original query terms carry weight 1.0 (micro)

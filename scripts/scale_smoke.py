@@ -846,8 +846,10 @@ def sec_r13ops(spark, t, k: int, sf_dir: str) -> None:
         "x_sim_ann_index_compact",    # shared build + postings/codes rewrite
         "x_text_bm25_index_persist",  # pays the ONE memoized BM25 build
         "x_text_bm25_index_delete",   # shared build + doc-masked serve
+        "x_text_bm25_index_compact",  # shared build + postings/doclen rewrite
         "x_stream_bm25_index",        # 4-micro-batch streamed build + serve
         "x_events_cep_alternation",   # (view|click)+ mixed-run islands
+        "x_pipeline_sequence_packing",  # two-phase distributed prefix sum
     ):
         timed(name, lambda name=name: regq[name].fn(spark, d))
 

@@ -317,3 +317,48 @@ def test_stream_bm25_index_identical_to_batch_index(spark):
     streamed = sorted(map(tuple, x_stream_bm25_index(spark, SF).collect()))
     assert len(batch) == BM25_TOPK
     assert streamed == batch
+
+
+def test_bm25_compact_identical_to_masked_serve_and_tombstone_free(spark):
+    """x_text_bm25_index_compact: rewriting both doc-grain relations
+    without the tombstoned doc_ids and serving unmasked must equal the
+    tombstone-masked serve, and zero tombstoned rows may survive."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        _bucket,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        BM25_DELETE_PCT,
+        _persist_bm25_index,
+        x_text_bm25_index_compact,
+        x_text_bm25_index_delete,
+    )
+
+    masked = sorted(map(tuple, x_text_bm25_index_delete(spark, SF).collect()))
+    compacted = sorted(
+        map(tuple, x_text_bm25_index_compact(spark, SF).collect())
+    )
+    assert len(masked) == BM25_TOPK
+    assert compacted == masked
+
+    t = catalog.load(spark, SF)
+    tomb = {
+        r["doc_id"]
+        for r in t.documents.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT).collect()
+    }
+    assert tomb
+    loc = _persist_bm25_index(spark, SF)
+    live_postings = spark.read.parquet(f"{loc}/postings.parquet").join(
+        t.documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT),
+        "doc_id",
+        "left_anti",
+    )
+    assert not tomb & {
+        r["doc_id"]
+        for r in live_postings.select("doc_id").distinct().collect()
+    }

@@ -83,7 +83,10 @@ def test_session_window_matches_python_model(spark, evs):
         count = 0
         prev = None
         for ts in tss:
-            if prev is not None and (ts - prev).total_seconds() >= 300:
+            # STRICTLY greater: Spark merges an event landing exactly at
+            # prev + gap into the running session (boundary pinned by the
+            # falsifying example evs=[(1, 0), (1, 300)], round 13)
+            if prev is not None and (ts - prev).total_seconds() > 300:
                 model.append((u, count))
                 count = 0
             count += 1
