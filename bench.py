@@ -482,6 +482,7 @@ def main() -> None:
         "x_stream_histogram",
         "x_stream_cep",
         "x_stream_bm25_index",
+        "x_stream_ann_index",
     ):
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 

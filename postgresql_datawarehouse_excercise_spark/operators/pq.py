@@ -199,6 +199,16 @@ def pq_train_encode_split(train: DataFrame, full: DataFrame) -> tuple[DataFrame,
     return cb, codes
 
 
+def pq_encode(vectors: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode `vectors` against EXISTING codebooks -- the per-batch half of
+    the add-without-retrain lifecycle (pq_train_encode_split's encode leg,
+    exposed for streaming ingest where each micro-batch encodes itself
+    against the frozen trainings).  codes = (vec_id, m, code)."""
+    return _assign_gemm(_subvectors(quantize(vectors)), cb).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+
+
 def _refine(scores: DataFrame, q: DataFrame, n_queries: int, k: int) -> DataFrame:
     """FAISS-style refine: keep the ADC top-PQ_REFINE shortlist per query,
     re-rank ONLY those rows by exact integer squared-L2 against the stored

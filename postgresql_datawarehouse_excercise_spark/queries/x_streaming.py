@@ -575,3 +575,119 @@ def x_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.read.parquet(f"{idx}/postings").drop("_batch"),
         s2.read.parquet(f"{idx}/doclen").drop("_batch"),
     )
+
+
+def _stream_ann_oracle() -> str:
+    from ..operators import pq
+    from .x_similarity import _ANN_INSERT_PRED
+
+    return pq.ivfpq_topk_sql(train_pred=_ANN_INSERT_PRED)
+
+
+@query("x_stream_ann_index", oracle=_stream_ann_oracle())
+def x_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the IVF-PQ vector index -- the
+    add-without-retrain lifecycle (x_sim_ann_index_insert) running under
+    foreachBatch, completing the streaming-index pair beside
+    x_stream_bm25_index: the vector corpus arrives as two micro-batches
+    (the deterministic md5 80% base split first, the 20% delta second --
+    file mtimes order the stream), epoch 0 TRAINS the index on its batch
+    (IVF centroids with the base-derived cell count, PQ codebooks) and
+    persists the trainings, and every epoch -- including the delta, which
+    never retrains -- assigns its own vectors to the frozen centroids and
+    encodes them with the frozen codebooks, landing postings and codes in
+    one OVERWRITTEN `_batch={epoch}` subdir each (the idempotence
+    discipline: re-delivery rewrites, never double-appends; epoch-0
+    re-delivery retrains DETERMINISTICALLY, so even the trainings are
+    idempotent).
+
+    Serving reads the accumulated index in a fresh session through the
+    unchanged pq.ivfpq_serve path.  The oracle is the SPLIT-lifecycle
+    replay (ivfpq_topk_sql(train_pred=base): trainings see only the base,
+    assignment/encode cover every vector) -- exactly
+    x_sim_ann_index_insert's oracle, because streamed per-batch
+    assign/encode must be indistinguishable from the batch entry's
+    one-pass insert (both are the same deterministic per-vector argmins;
+    pinned row-identical in tests/test_ann_persist.py).
+
+    At 100 TB this is how a vector store ingests: per-batch cost is two
+    broadcast GEMM maps over the BATCH (centroid argmin + codebook
+    argmin), never the corpus; the trainings are read once per batch and
+    the index grows by appended files under the cell-partitioned layout,
+    with periodic retrain only when recall drift says so
+    (x_sim_ann_recall's role) and compaction folding the epochs
+    (x_sim_ann_index_compact's role)."""
+    import os
+    import shutil
+
+    from ..operators import clustering, pq, similarity
+    from .x_pipeline import _bucket
+    from .x_similarity import ANN_INSERT_PCT
+    from .x_sources import _scratch
+
+    t = catalog.load(spark, sf_dir)
+    emb = t.embeddings
+    src = _scratch("pdwx-annstream-src-")
+    for sub, pred, name, mtime in (
+        ("b", _bucket(F.col("vec_id")) < ANN_INSERT_PCT, "0_base.parquet",
+         1_000_000_000),
+        ("d", _bucket(F.col("vec_id")) >= ANN_INSERT_PCT, "1_delta.parquet",
+         1_000_000_100),
+    ):
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/{sub}"
+        )
+        part = [
+            f for f in os.listdir(f"{src}/{sub}") if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{src}/{sub}/{part}", f"{src}/{name}")
+        shutil.rmtree(f"{src}/{sub}")
+        os.utime(f"{src}/{name}", (mtime, mtime))
+
+    idx = _scratch("pdwx-annstream-idx-")
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        if epoch == 0:
+            # the base batch trains; cells derive from ITS count (the
+            # split-lifecycle contract the oracle replays)
+            cells = similarity.ivf_cells(batch_df.count())
+            cents, _ = similarity._ivf_train(
+                similarity._ivf_base(batch_df), cells
+            )
+            cb, _ = pq.pq_train_encode(batch_df)
+            cents.write.mode("overwrite").parquet(f"{idx}/centroids.parquet")
+            cb.write.mode("overwrite").parquet(f"{idx}/codebooks.parquet")
+            spark.createDataFrame([(cells,)], "cells int").write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/meta.parquet")
+        cents = spark.read.parquet(f"{idx}/centroids.parquet")
+        cb = spark.read.parquet(f"{idx}/codebooks.parquet")
+        clustering.assign_gemm(clustering.quantize(batch_df), cents).select(
+            "vec_id", F.col("cid").alias("cell")
+        ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")
+        pq.pq_encode(batch_df, cb).write.mode("overwrite").parquet(
+            f"{idx}/codes/_batch={epoch}"
+        )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{idx}-ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    s2 = spark.newSession()
+    meta = s2.read.parquet(f"{idx}/meta.parquet").collect()[0]
+    return pq.ivfpq_serve(
+        catalog.load(s2, sf_dir).embeddings,
+        s2.read.parquet(f"{idx}/centroids.parquet"),
+        s2.read.parquet(f"{idx}/postings").drop("_batch"),
+        s2.read.parquet(f"{idx}/codebooks.parquet"),
+        s2.read.parquet(f"{idx}/codes").drop("_batch"),
+        int(meta["cells"]),
+    )

@@ -213,3 +213,21 @@ def test_lifecycle_build_memoized_per_corpus(spark):
 
     assert _persist_ann_index(spark, SF) == _persist_ann_index(spark, SF)
     assert _persist_bm25_index(spark, SF) == _persist_bm25_index(spark, SF)
+
+
+def test_stream_ann_index_identical_to_batch_insert(spark):
+    """Streamed per-batch assign/encode against the frozen trainings must
+    be indistinguishable from the batch one-pass insert (both are the
+    same deterministic per-vector argmins over the same base-trained
+    index)."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_similarity import (
+        x_sim_ann_index_insert,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_streaming import (
+        x_stream_ann_index,
+    )
+
+    batch = sorted(map(tuple, x_sim_ann_index_insert(spark, SF).collect()))
+    streamed = sorted(map(tuple, x_stream_ann_index(spark, SF).collect()))
+    assert len(batch) == pq.PQ_QUERIES * pq.PQ_TOPK
+    assert streamed == batch
