@@ -501,6 +501,31 @@ def _stream_bm25_oracle() -> str:
     return _BM25_ORACLE
 
 
+def _bm25_index_sink(spark: SparkSession, idx: str):
+    """foreachBatch sink for the streamed BM25 index: tokenize the batch
+    (only the batch) and land its postings (term, doc_id, tf) and doc
+    lengths (doc_id, dl) under ONE overwritten `_batch={epoch}` subdir
+    each -- checkpoint re-delivery rewrites its own subdir instead of
+    double-appending (which would double tf/dl and corrupt every score);
+    idempotence pinned directly in tests/test_streaming.py."""
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        toks = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("term"),
+        )
+        toks.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl")
+        ).write.mode("overwrite").parquet(f"{idx}/doclen/_batch={epoch}")
+
+    return sink
+
+
 @query("x_stream_bm25_index", oracle=_stream_bm25_oracle())
 def x_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING maintenance of the BM25 inverted index -- the marriage
@@ -543,20 +568,7 @@ def x_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _scratch("pdwx-bm25stream-src-")
     docs.repartition(4).write.mode("overwrite").parquet(src)
     idx = _scratch("pdwx-bm25stream-idx-")
-
-    def sink(batch_df: DataFrame, epoch: int) -> None:
-        toks = batch_df.select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-            ).alias("term"),
-        )
-        toks.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).alias("tf")
-        ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")
-        toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("dl")
-        ).write.mode("overwrite").parquet(f"{idx}/doclen/_batch={epoch}")
+    sink = _bm25_index_sink(spark, idx)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -582,6 +594,41 @@ def _stream_ann_oracle() -> str:
     from .x_similarity import _ANN_INSERT_PRED
 
     return pq.ivfpq_topk_sql(train_pred=_ANN_INSERT_PRED)
+
+
+def _ann_index_sink(spark: SparkSession, idx: str):
+    """foreachBatch sink for the streamed IVF-PQ index: epoch 0 trains on
+    its batch (cells derive from ITS count -- the split-lifecycle
+    contract) and persists the trainings; every epoch assigns and encodes
+    its OWN vectors against the frozen centroids/codebooks into one
+    overwritten `_batch={epoch}` subdir per relation.  Idempotent under
+    checkpoint re-delivery including epoch 0: the retrain is
+    deterministic, so rewriting the trainings reproduces them
+    byte-for-byte (pinned in tests/test_streaming.py)."""
+    from ..operators import clustering, pq, similarity
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        if epoch == 0:
+            cells = similarity.ivf_cells(batch_df.count())
+            cents, _ = similarity._ivf_train(
+                similarity._ivf_base(batch_df), cells
+            )
+            cb, _ = pq.pq_train_encode(batch_df)
+            cents.write.mode("overwrite").parquet(f"{idx}/centroids.parquet")
+            cb.write.mode("overwrite").parquet(f"{idx}/codebooks.parquet")
+            spark.createDataFrame([(cells,)], "cells int").write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/meta.parquet")
+        cents = spark.read.parquet(f"{idx}/centroids.parquet")
+        cb = spark.read.parquet(f"{idx}/codebooks.parquet")
+        clustering.assign_gemm(clustering.quantize(batch_df), cents).select(
+            "vec_id", F.col("cid").alias("cell")
+        ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")
+        pq.pq_encode(batch_df, cb).write.mode("overwrite").parquet(
+            f"{idx}/codes/_batch={epoch}"
+        )
+
+    return sink
 
 
 @query("x_stream_ann_index", oracle=_stream_ann_oracle())
@@ -620,7 +667,7 @@ def x_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..operators import clustering, pq, similarity
+    from ..operators import pq
     from .x_pipeline import _bucket
     from .x_similarity import ANN_INSERT_PCT
     from .x_sources import _scratch
@@ -645,29 +692,7 @@ def x_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(f"{src}/{name}", (mtime, mtime))
 
     idx = _scratch("pdwx-annstream-idx-")
-
-    def sink(batch_df: DataFrame, epoch: int) -> None:
-        if epoch == 0:
-            # the base batch trains; cells derive from ITS count (the
-            # split-lifecycle contract the oracle replays)
-            cells = similarity.ivf_cells(batch_df.count())
-            cents, _ = similarity._ivf_train(
-                similarity._ivf_base(batch_df), cells
-            )
-            cb, _ = pq.pq_train_encode(batch_df)
-            cents.write.mode("overwrite").parquet(f"{idx}/centroids.parquet")
-            cb.write.mode("overwrite").parquet(f"{idx}/codebooks.parquet")
-            spark.createDataFrame([(cells,)], "cells int").write.mode(
-                "overwrite"
-            ).parquet(f"{idx}/meta.parquet")
-        cents = spark.read.parquet(f"{idx}/centroids.parquet")
-        cb = spark.read.parquet(f"{idx}/codebooks.parquet")
-        clustering.assign_gemm(clustering.quantize(batch_df), cents).select(
-            "vec_id", F.col("cid").alias("cell")
-        ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")
-        pq.pq_encode(batch_df, cb).write.mode("overwrite").parquet(
-            f"{idx}/codes/_batch={epoch}"
-        )
+    sink = _ann_index_sink(spark, idx)
 
     stream = (
         spark.readStream.schema(emb.schema)

@@ -476,3 +476,52 @@ def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_bm25_index_sink_idempotent_under_redelivery(spark, tmp_path):
+    """Checkpoint-recovery re-delivery of a micro-batch must leave the
+    streamed BM25 index unchanged (per-epoch overwrite, never append --
+    an appending sink would double tf/dl and corrupt every score)."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_streaming import (
+        _bm25_index_sink,
+    )
+
+    idx = str(tmp_path / "bm25idx")
+    sink = _bm25_index_sink(spark, idx)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    p1 = sorted(map(tuple, spark.read.parquet(f"{idx}/postings").collect()))
+    d1 = sorted(map(tuple, spark.read.parquet(f"{idx}/doclen").collect()))
+    sink(batch, 0)  # re-delivery
+    assert sorted(map(tuple, spark.read.parquet(f"{idx}/postings").collect())) == p1
+    assert sorted(map(tuple, spark.read.parquet(f"{idx}/doclen").collect())) == d1
+    assert len(d1) == 2 and ("alpha", 1, 2) in {
+        (r[0], r[1], r[2]) for r in p1
+    }
+
+
+def test_ann_index_sink_idempotent_under_redelivery(spark, tmp_path, sf_dir):
+    """Epoch-0 re-delivery of the streamed vector index retrains
+    DETERMINISTICALLY (same centroids/codebooks byte-for-byte) and
+    rewrites its postings/codes subdirs -- the whole index is unchanged."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_streaming import (
+        _ann_index_sink,
+    )
+
+    idx = str(tmp_path / "annidx")
+    sink = _ann_index_sink(spark, idx)
+    batch = catalog.load(spark, sf_dir).embeddings.limit(40)
+    sink(batch, 0)
+    snap = {
+        rel: sorted(map(tuple, spark.read.parquet(f"{idx}/{rel}").collect()))
+        for rel in ("centroids.parquet", "codebooks.parquet",
+                    "postings", "codes")
+    }
+    sink(batch, 0)  # re-delivery, retrains + rewrites
+    for rel, before in snap.items():
+        after = sorted(map(tuple, spark.read.parquet(f"{idx}/{rel}").collect()))
+        assert after == before, rel
