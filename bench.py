@@ -306,6 +306,7 @@ def main() -> None:
         "x_text_bm25_index_compact",
         "x_events_cep_alternation",
         "x_pipeline_sequence_packing",
+        "x_sim_domain_centroids",
         # round 11
         "x_text_unigram_lm",
         "x_text_unigram_encode",

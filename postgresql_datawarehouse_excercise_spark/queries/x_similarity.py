@@ -909,3 +909,117 @@ def x_sim_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{cloc}/{rel}.parquet")
     return _serve_persisted_ann(spark, sf_dir, cloc)
+
+
+# dim=64 in the driver's embeddings table (TESTDATA.md); the oracle's
+# component range pins it -- the Spark side is dim-agnostic (the
+# x_sim_kmeans precedent).
+_DOMAIN_CENT_ORACLE = """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+m AS (
+  SELECT d.source, q.qv
+  FROM q JOIN documents d ON q.vec_id = CAST(d.doc_id AS BIGINT)
+),
+comp AS (SELECT source, r.i, qv[r.i] AS x FROM m, range(1, 65) r(i)),
+sums AS (
+  SELECT source, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM comp GROUP BY 1, 2
+),
+cent AS (
+  -- floored half-up mean, the shared k-means discipline (see _KMEANS_ORACLE)
+  SELECT source, i,
+         ((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n) AS c
+  FROM sums
+),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot_q,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS na2,
+         CAST(SUM(b.c * b.c) AS BIGINT) AS nb2
+  FROM cent a JOIN cent b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, dot_q,
+       FLOOR((CAST(dot_q AS DOUBLE)
+              / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))))
+             * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+FROM pair
+"""
+
+
+@query("x_sim_domain_centroids", oracle=_DOMAIN_CENT_ORACLE)
+def x_sim_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain similarity matrix -- the mixture-design
+    input x_text_domain_divergence computes lexically (unigram
+    Jensen-Shannon), here in embedding space: each source's centroid is
+    the exact floored-half-up integer mean of its member vectors (the
+    shared k-means grid discipline, so both engines agree bit-for-bit),
+    and every source pair reports the cosine between centroids -- which
+    corpora cover the same region of embedding space, the signal behind
+    mixture re-weighting and source-aware dedup budgets.
+
+    Scale shape: the centroid aggregate is ONE map-side-combined pass
+    over (source, position, component) rows; everything after touches
+    only the (sources x dim) centroid relation -- bounded by the SOURCE
+    COUNT, never the corpus, so the pairwise join is trivially small at
+    any N (the domain_divergence argument, vector edition).  The one
+    quantized float per pair divides int64 dot by the product of IEEE
+    sqrt's in the same literal order in both engines."""
+    from ..operators.clustering import quantize
+
+    t = catalog.load(spark, sf_dir)
+    q = quantize(t.embeddings)
+    m = q.join(
+        t.documents.select(
+            F.col("doc_id").cast("long").alias("vec_id"), "source"
+        ),
+        "vec_id",
+    )
+    comp = m.select("source", F.posexplode("qv").alias("pos", "x"))
+    sums = comp.groupBy("source", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = sums.select(
+        "source",
+        "pos",
+        (2 * F.col("s") + F.col("n")).alias("_a"),
+        (2 * F.col("n")).alias("_b"),
+    ).select(
+        "source",
+        "pos",
+        F.expr("(_a - ((_a % _b + _b) % _b)) div _b").alias("c"),
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "pos", F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(b, "pos")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot_q"),
+            F.sum(F.col("ca") * F.col("ca")).cast("long").alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).cast("long").alias("nb2"),
+        )
+    )
+    return pair.select(
+        "source_a",
+        "source_b",
+        "dot_q",
+        fround(
+            F.col("dot_q").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )

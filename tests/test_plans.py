@@ -835,3 +835,16 @@ def test_salted_join_shuffle_hash_no_fact_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert "LeftOuter" in line, line
+
+
+def test_sequence_packing_no_global_window(spark, sf_dir):
+    """x_pipeline_sequence_packing's point: a GLOBAL cumulative sum with
+    NO single-partition exchange anywhere -- the running sums are
+    bucket-partitioned windows plus a broadcast of the <=32-row bucket
+    offsets (one hash exchange on the bucket key, one broadcast
+    exchange, zero `Exchange SinglePartition` nodes)."""
+    df = REG["x_pipeline_sequence_packing"].fn(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan

@@ -518,3 +518,13 @@ def test_salted_join_identical_to_plain_join(spark):
     want = sorted(map(tuple, fact.join(dim, "k").collect()))
     assert got == want
     assert len(want) > 1500  # hot fanout 1000 + cold keys + dup-dim fanout
+    # DUPLICATE rows in hot_keys itself (ADVICE r12: skew_report-style
+    # inputs can repeat a key) must not fan out the marker joins --
+    # salted_join deduplicates the key relation before broadcasting
+    hot_dup = spark.createDataFrame(
+        [("hot",), ("hot",), ("k1",), ("k1",), ("k1",)], "k string"
+    )
+    got_dup = sorted(
+        map(tuple, salted_join(fact, dim, "k", hot_dup, buckets=8).collect())
+    )
+    assert got_dup == want
