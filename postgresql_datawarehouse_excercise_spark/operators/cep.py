@@ -121,6 +121,7 @@ def cep_match(
     events: DataFrame,
     pattern: list[Stage],
     max_span_us: int,
+    with_seq: bool = False,
 ) -> DataFrame:
     """All strictly-consecutive occurrences of `pattern` per user.
 
@@ -129,7 +130,10 @@ def cep_match(
       (user_id, t_first_us, t_last_us, duration_us, n_events,
        n_stage0..n_stage{k-1})
     where n_stage{i} is how many events stage i consumed (0 for an empty
-    optional stage).
+    optional stage).  `with_seq=True` appends (start_seq, end_seq), the
+    occurrence's consumed position interval in the per-user sequence --
+    what the AFTER MATCH SKIP PAST LAST ROW selection
+    (cep_match_skip_past) chains on.
     """
     _validate(pattern)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -256,6 +260,14 @@ def cep_match(
     total = None
     for c in ncols:
         total = F.col(c) if total is None else total + F.col(c)
+    seq_cols = (
+        [
+            F.col("start_seq").cast("long").alias("start_seq"),
+            (F.col("next_seq") - 1).cast("long").alias("end_seq"),
+        ]
+        if with_seq
+        else []
+    )
     return (
         p.filter(F.col("t_last_us") - F.col("t_first_us") <= F.lit(max_span_us))
         .select(
@@ -265,14 +277,63 @@ def cep_match(
             (F.col("t_last_us") - F.col("t_first_us")).alias("duration_us"),
             total.cast("long").alias("n_events"),
             *ncols,
+            *seq_cols,
         )
     )
 
 
-def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
+def cep_match_skip_past(
+    events: DataFrame,
+    pattern: list[Stage],
+    max_span_us: int,
+) -> DataFrame:
+    """AFTER MATCH SKIP PAST LAST ROW -- the other canonical
+    MATCH_RECOGNIZE after-match mode (cep_match is SKIP TO NEXT ROW, all
+    occurrences): scan each user's stream in order and, whenever an
+    occurrence completes, resume the scan AFTER its last row, so the
+    selected occurrences tile the stream without sharing events.
+    Equivalent formulation over cep_match's full occurrence set (at most
+    ONE occurrence starts at any position -- the compiler's arms are
+    mutually exclusive per start): walk occurrences by ascending
+    start_seq, keep one iff it starts after the last kept occurrence's
+    end_seq -- the greedy leftmost non-overlapping chain.
+
+    The chain is a per-user SEQUENTIAL fold, so it runs as one
+    applyInPandas over user_id groups (a documented Arrow lane; state =
+    that user's occurrence list, already bounded by the per-user stream)
+    -- the same partitioning every other CEP join uses, so at 100 TB the
+    selection adds one Arrow pass inside the existing sessionization
+    shuffle, never a global order.  Output schema = cep_match's (seq
+    bounds dropped)."""
+    _validate(pattern)
+    m = cep_match(events, pattern, max_span_us, with_seq=True)
+
+    def chain(pdf):
+        pdf = pdf.sort_values(["start_seq"])
+        keep, last_end = [], -1
+        for s, e in zip(pdf["start_seq"], pdf["end_seq"]):
+            if s > last_end:
+                keep.append(True)
+                last_end = e
+            else:
+                keep.append(False)
+        return pdf[keep]
+
+    return (
+        m.groupBy("user_id")
+        .applyInPandas(chain, m.schema)
+        .drop("start_seq", "end_seq")
+    )
+
+
+def compile_sql(
+    pattern: list[Stage], max_span_us: int, with_seq: bool = False
+) -> str:
     """DuckDB replay of `cep_match`: expand every "?"/"*" stage into its
     empty/non-empty arms (2^k fixed arms), chain each arm's bracketing
-    joins, UNION ALL."""
+    joins, UNION ALL.  `with_seq=True` appends (start_seq, end_seq) --
+    the replay of cep_match(with_seq=True), which
+    compile_sql_skip_past's recursive chain selects over."""
     _validate(pattern)
     opt_idx = [i for i, (_, q) in enumerate(pattern) if q in ("?", "*")]
     if len(opt_idx) > 4:
@@ -323,6 +384,7 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
         where: list[str] = []
         n_exprs: list[str] = []  # per-stage consumed-count expressions
         first_t = last_t = None
+        first_s: str | None = None  # SQL expr: the occurrence's start seq
         anchor: str | None = None
         prev_end: str | None = None  # SQL expr: seq AFTER the consumed prefix
         for i, (etype, quant) in enumerate(pattern):
@@ -355,11 +417,18 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
                 joins.append(f"JOIN {rel} {alias} ON " + " AND ".join(on))
             if first_t is None:
                 first_t = t_first
+                first_s = start
             last_t = t_last
             prev_end = end
         named_n = [
             f"{expr} AS n_stage{i}" for i, expr in enumerate(n_exprs)
         ]
+        seq_sel = (
+            f",\n       CAST({first_s} AS BIGINT) AS start_seq,"
+            f"\n       CAST({prev_end} - 1 AS BIGINT) AS end_seq"
+            if with_seq
+            else ""
+        )
         tail = "\n".join(joins)
         if where:
             tail += "\nWHERE " + " AND ".join(where)
@@ -368,7 +437,7 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
        {first_t} AS t_first_us, {last_t} AS t_last_us,
        {last_t} - {first_t} AS duration_us,
        CAST({" + ".join(n_exprs)} AS BIGINT) AS n_events,
-       {", ".join(named_n)}
+       {", ".join(named_n)}{seq_sel}
 """
             + tail
         )
@@ -378,3 +447,32 @@ def compile_sql(pattern: list[Stage], max_span_us: int) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT * FROM (\n{body}\n)\nWHERE t_last_us - t_first_us <= {max_span_us}"
     )
+
+
+def compile_sql_skip_past(pattern: list[Stage], max_span_us: int) -> str:
+    """DuckDB replay of `cep_match_skip_past`: the full occurrence set
+    (compile_sql with seq bounds) chained by a recursive CTE -- per user,
+    seed with the earliest-starting occurrence, then repeatedly take the
+    earliest occurrence starting after the last kept one's end.  The
+    greedy chain is well-defined because at most one occurrence starts at
+    any position (arm mutual exclusion), so every MIN below is unique."""
+    inner = compile_sql(pattern, max_span_us, with_seq=True)
+    ncols = ", ".join(f"n_stage{i}" for i in range(len(pattern)))
+    return f"""
+WITH RECURSIVE m AS (
+{inner}
+),
+chain AS (
+  SELECT m1.* FROM m m1
+  WHERE m1.start_seq = (SELECT MIN(m2.start_seq) FROM m m2
+                        WHERE m2.user_id = m1.user_id)
+  UNION ALL
+  SELECT m.* FROM chain c JOIN m
+    ON m.user_id = c.user_id AND m.start_seq > c.end_seq
+  WHERE m.start_seq = (SELECT MIN(m3.start_seq) FROM m m3
+                       WHERE m3.user_id = c.user_id
+                         AND m3.start_seq > c.end_seq)
+)
+SELECT user_id, t_first_us, t_last_us, duration_us, n_events, {ncols}
+FROM chain
+"""

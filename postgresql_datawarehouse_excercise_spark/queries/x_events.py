@@ -1069,3 +1069,56 @@ def x_events_cep_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_us",
         F.col("n_stage1").alias("n_browse"),
     )
+
+
+def _cep_skip_oracle() -> str:
+    from ..operators.cep import compile_sql_skip_past
+
+    inner = compile_sql_skip_past(
+        [("purchase", "1"), ("error", "+"), ("purchase", "1")], CEP_MAX_US
+    )
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage1 AS n_errors, n_events
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_skip_past", oracle=_cep_skip_oracle())
+def x_events_cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP PAST LAST ROW -- the second canonical
+    MATCH_RECOGNIZE after-match mode (every other CEP entry is SKIP TO
+    NEXT ROW: all occurrences): on `purchase (error)+ purchase`, where
+    consecutive occurrences OVERLAP by construction (the closing purchase
+    of one error-bracket is the opening purchase of the next), the
+    selection keeps the greedy leftmost non-overlapping chain -- each
+    event participates in at most one reported occurrence, the accounting
+    mode billing/alerting pipelines need (an error burst between two
+    purchases must be charged once, not once per bracketing).
+
+    Implementation: cep_match(with_seq=True) supplies every occurrence's
+    consumed [start_seq, end_seq] interval; the chain (a per-user
+    SEQUENTIAL fold -- take an occurrence iff it starts after the last
+    kept one's end) runs as one applyInPandas over user_id groups
+    (operators/cep.cep_match_skip_past, a documented Arrow lane) inside
+    the same user partitioning every CEP join already uses.  The oracle
+    replays the chain with a recursive CTE over compile_sql's seq-bounded
+    occurrence set; well-defined because at most one occurrence starts at
+    any position (arm mutual exclusion).  At sf0.01 the full set has 49
+    occurrences with 4 overlapping pairs; the chain keeps 47."""
+    from ..operators.cep import cep_match_skip_past
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match_skip_past(
+        t.events,
+        [("purchase", "1"), ("error", "+"), ("purchase", "1")],
+        CEP_MAX_US,
+    )
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        F.col("n_stage1").alias("n_errors"),
+        "n_events",
+    )

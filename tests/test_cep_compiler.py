@@ -285,3 +285,94 @@ def test_run_cep_stream_final_empty_epoch_is_the_answer(spark, tmp_path):
     # the provisional epoch DID report the match (so the empty answer is a
     # real revision, not a no-op stream)
     assert spark.read.parquet(out).filter("_epoch = 0").count() == 1
+
+
+def _model_skip_past(rows, pattern, max_span_us):
+    """Greedy leftmost non-overlapping chain over the full occurrence
+    set: re-walk _model_match's traversal tracking positions, sort by
+    start, keep an occurrence iff it starts after the last kept end."""
+    n = len(rows)
+
+    def alts(etype):
+        return set(etype.split("|"))
+
+    def run_len(pos, etype):
+        r = 0
+        while pos + r < n and rows[pos + r][2] in alts(etype):
+            r += 1
+        return r
+
+    def go(pos, si, counts):
+        if si == len(pattern):
+            yield pos, counts
+            return
+        etype, quant = pattern[si]
+        if quant in ("?", "*"):
+            yield from go(pos, si + 1, counts + [0])
+        if pos >= n:
+            return
+        if quant in ("1", "?"):
+            if rows[pos][2] in alts(etype):
+                yield from go(pos + 1, si + 1, counts + [1])
+        else:
+            r = run_len(pos, etype)
+            if r >= 1:
+                yield from go(pos + r, si + 1, counts + [r])
+
+    first_alts = alts(pattern[0][0])
+    occ = []
+    for start in range(n):
+        if rows[start][2] not in first_alts:
+            continue
+        if pattern[0][1] == "+" and start > 0 and rows[start - 1][2] in first_alts:
+            continue
+        for end, counts in go(start, 0, []):
+            t0, t1 = rows[start][0], rows[end - 1][0]
+            if t1 - t0 <= max_span_us:
+                occ.append((start, end - 1,
+                            (t0, t1, t1 - t0, sum(counts), *counts)))
+    occ.sort()
+    kept, last_end = [], -1
+    for s, e, payload in occ:
+        if s > last_end:
+            kept.append(payload)
+            last_end = e
+    return kept
+
+
+def test_cep_skip_past_matches_python_model(spark):
+    """AFTER MATCH SKIP PAST LAST ROW, three ways on the real corpus:
+    python greedy chain == Spark applyInPandas chain == the recursive-CTE
+    oracle -- on a pattern whose occurrences genuinely overlap (the
+    closing purchase of one error-bracket opens the next)."""
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_skip_past,
+        compile_sql_skip_past,
+    )
+
+    pattern = [("purchase", "1"), ("error", "+"), ("purchase", "1")]
+    by_user = _real_corpus_by_user()
+    expect = []
+    for u, rows in by_user.items():
+        for m in _model_skip_past(rows, pattern, MAX_US):
+            expect.append((u, *m))
+    # the full set must actually contain overlaps for this to test anything
+    n_all = sum(
+        len(_model_match(rows, pattern, MAX_US)) for rows in by_user.values()
+    )
+    assert n_all > len(expect) > 0
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    got = sorted(
+        tuple(r) for r in cep_match_skip_past(events, pattern, MAX_US).collect()
+    )
+    assert got == sorted(expect)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF}/events.parquet')"
+    )
+    sql_rows = con.execute(compile_sql_skip_past(pattern, MAX_US)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(expect)

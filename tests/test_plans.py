@@ -231,6 +231,10 @@ ARROW_LANES = {
     "x_text_udtf_runs",
     "x_media_features", "x_media_frames", "x_media_metadata",
     "x_media_binary_dedup",
+    # AFTER MATCH SKIP PAST LAST ROW: the greedy leftmost non-overlapping
+    # chain is a per-user sequential fold -- one applyInPandas over
+    # user_id groups (operators/cep.cep_match_skip_past)
+    "x_events_cep_skip_past",
 }
 
 
