@@ -306,6 +306,7 @@ def main() -> None:
         "x_text_bm25_index_compact",
         "x_events_cep_alternation",
         "x_events_cep_skip_past",
+        "x_events_cep_permute",
         "x_pipeline_sequence_packing",
         "x_sim_domain_centroids",
         # round 11

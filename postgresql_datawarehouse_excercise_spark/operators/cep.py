@@ -449,6 +449,62 @@ def compile_sql(
     )
 
 
+def cep_match_permute(
+    events: DataFrame,
+    prefix: list[Stage],
+    types: list[str],
+    suffix: list[Stage],
+    max_span_us: int,
+) -> DataFrame:
+    """PERMUTE(t1, .., tk) -- SQL:2016's any-order group (FlinkCEP's
+    followedBy-in-any-order): the k types must each occur exactly once,
+    strictly consecutively, in ANY order, between `prefix` and `suffix`.
+    Expands to the union of k! fixed arms (k <= 4, same bound as the
+    optional-arm expansion), each arm one cep_match plan tagged with the
+    order it matched; arms are mutually exclusive at any start position
+    (the event window after a start has ONE type sequence, and distinct
+    orderings disagree at their first differing position), so no dedup is
+    needed and each occurrence is emitted exactly once with its witness
+    order.  Output = cep_match's columns + `perm` (the comma-joined
+    matched order)."""
+    import itertools
+    from functools import reduce
+
+    if not 2 <= len(types) <= 4:
+        raise ValueError("PERMUTE takes 2..4 types (k! arm expansion)")
+    if len(set(types)) != len(types):
+        raise ValueError("PERMUTE types must be distinct")
+    arms = []
+    for perm in itertools.permutations(types):
+        pat = list(prefix) + [(t, "1") for t in perm] + list(suffix)
+        arms.append(
+            cep_match(events, pat, max_span_us).withColumn(
+                "perm", F.lit(",".join(perm))
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+def compile_sql_permute(
+    prefix: list[Stage],
+    types: list[str],
+    suffix: list[Stage],
+    max_span_us: int,
+) -> str:
+    """DuckDB replay of cep_match_permute: UNION ALL of compile_sql over
+    every ordering, each tagged with its order literal."""
+    import itertools
+
+    arms = []
+    for perm in itertools.permutations(types):
+        pat = list(prefix) + [(t, "1") for t in perm] + list(suffix)
+        tag = ",".join(perm)
+        arms.append(
+            f"SELECT *, '{tag}' AS perm FROM (\n{compile_sql(pat, max_span_us)}\n)"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 def compile_sql_skip_past(pattern: list[Stage], max_span_us: int) -> str:
     """DuckDB replay of `cep_match_skip_past`: the full occurrence set
     (compile_sql with seq bounds) chained by a recursive CTE -- per user,

@@ -1122,3 +1122,57 @@ def x_events_cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stage1").alias("n_errors"),
         "n_events",
     )
+
+
+def _cep_permute_oracle() -> str:
+    from ..operators.cep import compile_sql_permute
+
+    inner = compile_sql_permute(
+        [("signup", "1")], ["view", "click"], [("purchase", "1")], CEP_MAX_US
+    )
+    return f"""
+SELECT user_id, t_first_us AS t_signup_us, t_last_us AS t_purchase_us,
+       duration_us, n_events, perm
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_permute", oracle=_cep_permute_oracle())
+def x_events_cep_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTE -- the third SQL:2016 row-pattern construct on the gate
+    (after quantifiers and alternation): `signup PERMUTE(view, click)
+    purchase` matches when BOTH a view and a click occur, each exactly
+    once, strictly consecutively after the signup, in EITHER order --
+    the any-order group alternation cannot express (`(view|click)+`
+    accepts two clicks and no view; `view click | click view` is what
+    PERMUTE abbreviates, and the expansion is exactly how the operator
+    compiles: k! fixed arms, each one cep_match plan, unioned with a
+    witness-order tag).  Arms are mutually exclusive at any start
+    position -- the event window after a start has ONE type sequence and
+    distinct orderings disagree at their first differing position -- so
+    each occurrence is emitted exactly once, tagged with the order that
+    matched (at sf0.01: 5 view-first + 5 click-first).
+
+    Scale shape: k! bounded small (k <= 4, the same expansion bound as
+    the optional arms), each arm the standard no-global-sort islands +
+    keyed-join plan, the union a bounded fanout of per-user-partitioned
+    relations.  Oracle = compile_sql_permute's independent UNION ALL
+    replay."""
+    from ..operators.cep import cep_match_permute
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match_permute(
+        t.events,
+        [("signup", "1")],
+        ["view", "click"],
+        [("purchase", "1")],
+        CEP_MAX_US,
+    )
+    return m.select(
+        "user_id",
+        F.col("t_first_us").alias("t_signup_us"),
+        F.col("t_last_us").alias("t_purchase_us"),
+        "duration_us",
+        "n_events",
+        "perm",
+    )

@@ -851,6 +851,7 @@ def sec_r13ops(spark, t, k: int, sf_dir: str) -> None:
         "x_stream_ann_index",         # base-train + streamed frozen-add
         "x_events_cep_alternation",   # (view|click)+ mixed-run islands
         "x_events_cep_skip_past",     # non-overlap chain via applyInPandas
+        "x_events_cep_permute",       # k! any-order arm union
         "x_pipeline_sequence_packing",  # two-phase distributed prefix sum
         "x_sim_domain_centroids",     # source-centroid cosine matrix
     ):

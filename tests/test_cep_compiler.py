@@ -376,3 +376,72 @@ def test_cep_skip_past_matches_python_model(spark):
     )
     sql_rows = con.execute(compile_sql_skip_past(pattern, MAX_US)).fetchall()
     assert sorted(map(tuple, sql_rows)) == sorted(expect)
+
+
+def test_cep_permute_three_way(spark):
+    """PERMUTE(b, c): python model (union of the orderings with an order
+    tag) == Spark arm union == the compile_sql_permute replay, on a
+    seeded synthetic stream dense enough that BOTH orderings fire (the
+    sf0.001 real corpus has no 4-event strict-contiguity permute hits --
+    the sf0.01 gate corpus has 10)."""
+    import itertools
+
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_permute,
+        compile_sql_permute,
+    )
+
+    rng = random.Random(31337)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(500):
+            t += rng.randint(1, 1800) * 1000000
+            rows.append((u, eid, rng.choice(["a", "b", "c", "p"]), t))
+            eid += 1
+    span = 6 * 3600 * 1000000
+    prefix, types, suffix = [("a", "1")], ["b", "c"], [("p", "1")]
+
+    by_user = defaultdict(list)
+    for u, e, et, t in rows:
+        by_user[u].append((t, e, et))
+    for rs in by_user.values():
+        rs.sort()
+    expect = set()
+    for perm in itertools.permutations(types):
+        pat = list(prefix) + [(t, "1") for t in perm] + list(suffix)
+        tag = ",".join(perm)
+        for u, rs in by_user.items():
+            for m in _model_match(rs, pat, span):
+                expect.add((u, *m, tag))
+    tags = {e[-1] for e in expect}
+    assert tags == {"b,c", "c,b"}  # both orders fire
+
+    df = spark.createDataFrame(
+        [(u, e, et, t) for u, e, et, t in rows],
+        "user_id long, event_id long, event_type string, t long",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts")
+    got = {
+        tuple(r)
+        for r in cep_match_permute(df, prefix, types, suffix, span).collect()
+    }
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t})" for u, e, et, t in rows)
+        + ") v(user_id, event_id, event_type, t))"
+    )
+    sql_rows = con.execute(
+        compile_sql_permute(prefix, types, suffix, span)
+    ).fetchall()
+    assert {tuple(r) for r in sql_rows} == expect
+
+    with pytest.raises(ValueError):
+        cep_match_permute(df, prefix, ["b"], suffix, span)
+    with pytest.raises(ValueError):
+        cep_match_permute(df, prefix, ["b", "b"], suffix, span)
