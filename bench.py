@@ -304,6 +304,7 @@ def main() -> None:
         "x_sim_ann_index_compact",
         "x_text_bm25_index_delete",
         "x_text_bm25_index_compact",
+        "x_text_bm25_index_update",
         "x_events_cep_alternation",
         "x_events_cep_skip_past",
         "x_events_cep_permute",

@@ -3167,3 +3167,88 @@ def x_text_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOPK)
         .select("doc_id", "n_terms_matched", "score_milli", "rank")
     )
+
+
+_BM25_UPDATE_DOCS = f"""
+SELECT doc_id,
+       CASE WHEN NOT ({_BM25_SURVIVOR_PRED})
+            THEN text || ' revisedcontent revisedcontent'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def _bm25_update_oracle() -> str:
+    """The full-corpus replay over the REVISED documents: substitute the
+    edited relation for the base table (fail loud if the anchor text in
+    _bm25_oracle ever drifts)."""
+    base = _bm25_oracle()
+    anchor = "FROM documents WHERE TRUE"
+    assert anchor in base, "bm25 oracle anchor drifted"
+    return base.replace(anchor, f"FROM ({_BM25_UPDATE_DOCS}) WHERE TRUE")
+
+
+@query("x_text_bm25_index_update", oracle=_bm25_update_oracle())
+def x_text_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-INGEST -- the read-modify-write the round-12 verdict named as
+    the case that breaks append-only refresh ("the doc-grain
+    disjointness argument breaks the moment a document is re-ingested"):
+    the md5-band 10% of documents are EDITED (a deterministic content
+    revision appended to their text) and the index must follow.  The
+    update is its two primitives composed, exactly how search engines
+    take document updates: (1) DELETE -- the stale postings/doclen rows
+    of the edited docs are tombstone-masked out of the shared persisted
+    build (x_text_bm25_index_delete's anti-join); (2) INSERT -- the
+    edited documents are re-tokenized (a scan of the EDITED BAND ONLY,
+    never the corpus) and their fresh rows unioned in.  After the mask,
+    doc-grain disjointness holds again by construction -- the masked
+    index has no row for an edited doc -- so union is the exact merge
+    (the refresh argument, restored by the delete).
+
+    The oracle is the full BM25 replay over the REVISED corpus (the same
+    deterministic edit applied in SQL), and the same equality is pinned
+    against a from-scratch index of the revised corpus in
+    tests/test_bm25_cep.py: update-in-place must be indistinguishable
+    from rebuilding on the new content -- df/N/avgdl shift with the
+    edit, correctly, because serving re-derives them.  At 100 TB the
+    per-update cost is one anti-join (AQE-sized tombstones) plus one
+    scan of the updated batch; compaction (x_text_bm25_index_compact)
+    periodically folds the masked rows away."""
+    from .x_pipeline import _bucket
+
+    loc = _persist_bm25_index(spark, sf_dir)
+    s2 = spark.newSession()
+    t2 = catalog.load(s2, sf_dir)
+    edited_ids = t2.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT)
+    # DELETE: mask every stale row of the edited docs
+    postings = s2.read.parquet(f"{loc}/postings.parquet").join(
+        edited_ids, "doc_id", "left_anti"
+    )
+    dl = s2.read.parquet(f"{loc}/doclen.parquet").join(
+        edited_ids, "doc_id", "left_anti"
+    )
+    # INSERT: re-tokenize ONLY the edited band, with its revised content
+    revised = (
+        t2.documents.filter(_bucket(F.col("doc_id")) >= BM25_DELETE_PCT)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" revisedcontent revisedcontent")
+            ).alias("text"),
+        )
+    )
+    rt = revised.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    postings = postings.unionByName(
+        rt.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = dl.unionByName(
+        rt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
+    return _bm25_from_index(postings, dl)

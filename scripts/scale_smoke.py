@@ -847,6 +847,7 @@ def sec_r13ops(spark, t, k: int, sf_dir: str) -> None:
         "x_text_bm25_index_persist",  # pays the ONE memoized BM25 build
         "x_text_bm25_index_delete",   # shared build + doc-masked serve
         "x_text_bm25_index_compact",  # shared build + postings/doclen rewrite
+        "x_text_bm25_index_update",   # re-ingest: mask stale + union revised
         "x_stream_bm25_index",        # 4-micro-batch streamed build + serve
         "x_stream_ann_index",         # base-train + streamed frozen-add
         "x_events_cep_alternation",   # (view|click)+ mixed-run islands

@@ -362,3 +362,50 @@ def test_bm25_compact_identical_to_masked_serve_and_tombstone_free(spark):
         r["doc_id"]
         for r in live_postings.select("doc_id").distinct().collect()
     }
+
+
+def test_bm25_update_identical_to_revised_rebuild(spark):
+    """Re-ingest (delete stale rows + insert re-tokenized revised rows)
+    must be indistinguishable from a from-scratch index of the REVISED
+    corpus -- the read-modify-write case append-only refresh cannot take."""
+    from pyspark.sql import functions as F
+
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        _bucket,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries.x_text import (
+        BM25_DELETE_PCT,
+        _bm25_from_index,
+        x_text_bm25_index_update,
+    )
+
+    got = sorted(map(tuple, x_text_bm25_index_update(spark, SF).collect()))
+
+    t = catalog.load(spark, SF)
+    revised = t.documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            _bucket(F.col("doc_id")) >= BM25_DELETE_PCT,
+            F.concat(F.col("text"), F.lit(" revisedcontent revisedcontent")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    toks = revised.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            _bm25_from_index(
+                toks.groupBy("term", "doc_id").agg(
+                    F.count(F.lit(1)).alias("tf")
+                ),
+                toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+            ).collect(),
+        )
+    )
+    assert len(got) == BM25_TOPK
+    assert got == rebuilt
