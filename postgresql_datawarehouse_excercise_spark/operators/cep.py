@@ -309,7 +309,15 @@ def cep_match_skip_past(
     m = cep_match(events, pattern, max_span_us, with_seq=True)
 
     def chain(pdf):
-        pdf = pdf.sort_values(["start_seq"])
+        # today at most one occurrence starts at any position (arm mutual
+        # exclusion under the disjoint-adjacent-sets validation), but that
+        # is a property of the CURRENT pattern constructs, not the fold --
+        # sort on (start_seq, end_seq) so a future construct that breaks
+        # uniqueness gets a deterministic shortest-first tie-break here
+        # that compile_sql_skip_past's MIN(end_seq) clause mirrors, instead
+        # of pandas group order silently diverging from the oracle
+        # (ADVICE r13)
+        pdf = pdf.sort_values(["start_seq", "end_seq"])
         keep, last_end = [], -1
         for s, e in zip(pdf["start_seq"], pdf["end_seq"]):
             if s > last_end:
@@ -511,7 +519,11 @@ def compile_sql_skip_past(pattern: list[Stage], max_span_us: int) -> str:
     seed with the earliest-starting occurrence, then repeatedly take the
     earliest occurrence starting after the last kept one's end.  The
     greedy chain is well-defined because at most one occurrence starts at
-    any position (arm mutual exclusion), so every MIN below is unique."""
+    any position (arm mutual exclusion), so every MIN(start_seq) below is
+    unique -- but the MIN(end_seq) clause makes the selection
+    deterministic (shortest occurrence first, the same tie-break
+    cep_match_skip_past's sorted fold applies) even if a future pattern
+    construct breaks start uniqueness (ADVICE r13)."""
     inner = compile_sql(pattern, max_span_us, with_seq=True)
     ncols = ", ".join(f"n_stage{i}" for i in range(len(pattern)))
     return f"""
@@ -522,12 +534,18 @@ chain AS (
   SELECT m1.* FROM m m1
   WHERE m1.start_seq = (SELECT MIN(m2.start_seq) FROM m m2
                         WHERE m2.user_id = m1.user_id)
+    AND m1.end_seq = (SELECT MIN(m2.end_seq) FROM m m2
+                      WHERE m2.user_id = m1.user_id
+                        AND m2.start_seq = m1.start_seq)
   UNION ALL
   SELECT m.* FROM chain c JOIN m
     ON m.user_id = c.user_id AND m.start_seq > c.end_seq
   WHERE m.start_seq = (SELECT MIN(m3.start_seq) FROM m m3
                        WHERE m3.user_id = c.user_id
                          AND m3.start_seq > c.end_seq)
+    AND m.end_seq = (SELECT MIN(m4.end_seq) FROM m m4
+                     WHERE m4.user_id = c.user_id
+                       AND m4.start_seq = m.start_seq)
 )
 SELECT user_id, t_first_us, t_last_us, duration_us, n_events, {ncols}
 FROM chain

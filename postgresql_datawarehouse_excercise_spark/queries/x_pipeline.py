@@ -1748,7 +1748,13 @@ def x_pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the thing a naive single window cannot do at 100 TB (one
     unpartitioned WindowExec = every row through one task).  This runs
     the textbook TWO-PHASE distributed prefix sum instead: (1) documents
-    bucket into {PACK_BUCKETS} ORDERED doc_id ranges; (2) one map-side
+    bucket into {PACK_BUCKETS} ORDERED doc_id ranges whose boundaries are
+    the doc_id QUANTILES from one exact interpolated-percentile aggregate
+    (the RFM/ccnet_buckets discipline: a 1-row bounded collect) -- rank
+    boundaries, not value-range boundaries, so a skewed id space (99% of
+    ids in one range after an upstream filter) still yields ~equal-count
+    buckets instead of collapsing phase 3 toward the single-partition
+    window this entry exists to avoid (VERDICT r13); (2) one map-side
     aggregate computes per-bucket token totals, and the driver folds the
     <= {PACK_BUCKETS}-row result into per-bucket prefix OFFSETS (a
     bounded collect, the kcenter/bloom discipline); (3) each bucket's
@@ -1758,8 +1764,9 @@ def x_pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-bucket dependency is {PACK_BUCKETS} integers through the
     driver.  The DuckDB oracle is the plain global-window formulation --
     the semantics -- which the bucketed decomposition must reproduce
-    exactly, empty-document edge included (n_chunks = 0, first =
-    last = the window the boundary falls in).
+    exactly (bucketing affects only the decomposition, never the values),
+    empty-document edge included (n_chunks = 0, first = last = the window
+    the boundary falls in).
 
     Token counts use the BM25 lexicon ([a-z0-9]+ runs, = the dl
     definition), so the packing table composes with the retrieval index
@@ -1771,11 +1778,30 @@ def x_pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
         ).cast("long").alias("n_tokens"),
     )
-    # phase 1: ordered id-range buckets (span derived from max id: one
-    # 1-row aggregate, bounded)
-    max_id = tok.agg(F.max("doc_id").alias("m")).first()["m"]
-    span = max_id // PACK_BUCKETS + 1
-    b = tok.withColumn("_b", F.expr(f"doc_id DIV {span}"))
+    return _pack_layout(spark, tok)
+
+
+def _pack_layout(spark: SparkSession, tok: DataFrame) -> DataFrame:
+    """The two-phase distributed prefix sum over tok(doc_id, n_tokens) --
+    factored out of x_pipeline_sequence_packing so the skewed-id probe
+    (tests/test_selection_ops.py) can drive the decomposition on a
+    deliberately pathological id space; see the entry docstring for the
+    phase-by-phase design."""
+    # phase 1: ordered id-range buckets with QUANTILE boundaries (one
+    # exact interpolated-percentile aggregate = a 1-row bounded collect);
+    # bucket = count of boundaries strictly below doc_id, monotone in
+    # doc_id, so buckets remain ordered id-ranges whatever the id density
+    # -- duplicate boundaries (heavy skew) just leave some buckets empty
+    qs = [i / PACK_BUCKETS for i in range(1, PACK_BUCKETS)]
+    bounds = tok.agg(
+        F.percentile(F.col("doc_id").cast("double"), F.lit(qs)).alias("q")
+    ).first()["q"] or []
+    bexpr = F.lit(0)
+    for bb in bounds:
+        bexpr = bexpr + F.when(
+            F.col("doc_id").cast("double") > F.lit(float(bb)), 1
+        ).otherwise(0)
+    b = tok.withColumn("_b", bexpr.cast("long"))
     # phase 2: per-bucket totals -> driver-side prefix offsets
     # (<= PACK_BUCKETS rows, bounded by construction)
     totals = sorted(

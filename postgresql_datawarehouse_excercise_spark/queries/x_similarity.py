@@ -455,8 +455,11 @@ def x_sim_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle replays it bit-for-bit), so every lifecycle lane
 # (persist / batch_serve / hybrid_rrf_persist / delete / compact) may
 # read the SAME index dir; at the gate the trilogy pays ONE build + three
-# serves instead of retraining per entry (VERDICT r12 item 6).
-_ANN_INDEX_CACHE: dict[str, str] = {}
+# serves instead of retraining per entry (VERDICT r12 item 6).  Keyed on
+# the corpus FINGERPRINT (path + embeddings.parquet mtime/size), not the
+# bare path: a corpus regenerated in-process invalidates the memo instead
+# of silently serving a stale index (ADVICE r13).
+_ANN_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _persist_ann_index(spark: SparkSession, sf_dir: str) -> str:
@@ -469,9 +472,10 @@ def _persist_ann_index(spark: SparkSession, sf_dir: str) -> str:
     per sf_dir (deterministic training => one build serves every lane)."""
     import os
 
-    from .x_sources import _scratch
+    from .x_sources import _corpus_fingerprint, _scratch
 
-    cached = _ANN_INDEX_CACHE.get(sf_dir)
+    key = _corpus_fingerprint(sf_dir, "embeddings.parquet")
+    cached = _ANN_INDEX_CACHE.get(key)
     if cached is not None and os.path.isdir(f"{cached}/meta.parquet"):
         return cached
     t = catalog.load(spark, sf_dir)
@@ -489,7 +493,7 @@ def _persist_ann_index(spark: SparkSession, sf_dir: str) -> str:
     spark.createDataFrame([(cells,)], "cells int").write.mode("overwrite").parquet(
         f"{loc}/meta.parquet"
     )
-    _ANN_INDEX_CACHE[sf_dir] = loc
+    _ANN_INDEX_CACHE[key] = loc
     return loc
 
 

@@ -34,6 +34,22 @@ def _scratch(prefix: str) -> str:
     return out
 
 
+def _corpus_fingerprint(sf_dir: str, table_file: str) -> tuple:
+    """Cache key for per-corpus memoized builds (the ANN / BM25 index
+    caches): (sf_dir, source file mtime_ns, size) so a corpus regenerated
+    in-process under the same path invalidates the memo instead of
+    silently serving a stale index (ADVICE r13).  A missing file keys on
+    the bare path (the loader will raise its own error downstream)."""
+    import os
+
+    path = os.path.join(sf_dir, table_file)
+    try:
+        st = os.stat(path)
+        return (sf_dir, table_file, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, table_file, None, None)
+
+
 @query(
     "x_source_jsonl_roundtrip",
     oracle="""

@@ -604,10 +604,18 @@ def _ann_index_sink(spark: SparkSession, idx: str):
     overwritten `_batch={epoch}` subdir per relation.  Idempotent under
     checkpoint re-delivery including epoch 0: the retrain is
     deterministic, so rewriting the trainings reproduces them
-    byte-for-byte (pinned in tests/test_streaming.py)."""
+    byte-for-byte (pinned in tests/test_streaming.py).
+
+    All reads and createDataFrame inside the sink go through
+    ``batch_df.sparkSession`` -- the micro-batch runs in a CLONED session,
+    and frames from different sessions cannot join (the
+    _serve_persisted_ann contract); closing over the outer session happens
+    to work in classic local mode but breaks under Spark Connect
+    (ADVICE r13)."""
     from ..operators import clustering, pq, similarity
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
+        bs = batch_df.sparkSession
         if epoch == 0:
             cells = similarity.ivf_cells(batch_df.count())
             cents, _ = similarity._ivf_train(
@@ -616,11 +624,11 @@ def _ann_index_sink(spark: SparkSession, idx: str):
             cb, _ = pq.pq_train_encode(batch_df)
             cents.write.mode("overwrite").parquet(f"{idx}/centroids.parquet")
             cb.write.mode("overwrite").parquet(f"{idx}/codebooks.parquet")
-            spark.createDataFrame([(cells,)], "cells int").write.mode(
+            bs.createDataFrame([(cells,)], "cells int").write.mode(
                 "overwrite"
             ).parquet(f"{idx}/meta.parquet")
-        cents = spark.read.parquet(f"{idx}/centroids.parquet")
-        cb = spark.read.parquet(f"{idx}/codebooks.parquet")
+        cents = bs.read.parquet(f"{idx}/centroids.parquet")
+        cb = bs.read.parquet(f"{idx}/codebooks.parquet")
         clustering.assign_gemm(clustering.quantize(batch_df), cents).select(
             "vec_id", F.col("cid").alias("cell")
         ).write.mode("overwrite").parquet(f"{idx}/postings/_batch={epoch}")

@@ -2521,8 +2521,11 @@ def x_text_bm25_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is deterministic (tokenize + count), so every serving lane (persist /
 # batch / hybrid_rrf_persist / delete) reads the SAME index dir -- at the
 # gate the family pays one build + serves (VERDICT r12 item 6, the
-# ann-index precedent applied to the lexical side).
-_BM25_INDEX_CACHE: dict[str, str] = {}
+# ann-index precedent applied to the lexical side).  Keyed on the corpus
+# FINGERPRINT (path + documents.parquet mtime/size), not the bare path:
+# a corpus regenerated in-process invalidates the memo instead of
+# silently serving a stale index (ADVICE r13).
+_BM25_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _persist_bm25_index(spark: SparkSession, sf_dir: str) -> str:
@@ -2533,9 +2536,10 @@ def _persist_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     sf_dir (deterministic build => one index serves every lane)."""
     import os
 
-    from .x_sources import _scratch
+    from .x_sources import _corpus_fingerprint, _scratch
 
-    cached = _BM25_INDEX_CACHE.get(sf_dir)
+    key = _corpus_fingerprint(sf_dir, "documents.parquet")
+    cached = _BM25_INDEX_CACHE.get(key)
     if cached is not None and os.path.isdir(f"{cached}/postings.parquet"):
         return cached
     t = catalog.load(spark, sf_dir)
@@ -2552,7 +2556,7 @@ def _persist_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl")
     ).write.mode("overwrite").parquet(f"{loc}/doclen.parquet")
-    _BM25_INDEX_CACHE[sf_dir] = loc
+    _BM25_INDEX_CACHE[key] = loc
     return loc
 
 

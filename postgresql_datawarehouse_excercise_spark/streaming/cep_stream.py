@@ -32,6 +32,8 @@ subsequent re-matches (the foreachBatch idempotence contract).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,7 +70,10 @@ class CepReplaySink:
         batch_df.write.mode("overwrite").parquet(
             f"{self.state_dir}/_batch={epoch}"
         )
-        acc = self.spark.read.parquet(self.state_dir).drop("_batch")
+        # read the prefix through the BATCH's session: foreachBatch runs in
+        # a cloned session, and frames from different sessions cannot join
+        # (fragile under Spark Connect; the _ann_index_sink fix, ADVICE r13)
+        acc = batch_df.sparkSession.read.parquet(self.state_dir).drop("_batch")
         cep_match(acc, self.pattern, self.max_span_us).write.mode(
             "overwrite"
         ).parquet(f"{self.out_dir}/_epoch={epoch}")
@@ -114,7 +119,20 @@ def run_cep_stream(
         .start()
     )
     q.awaitTermination()
-    if not sink.epochs:
+    epochs = list(sink.epochs)
+    if not epochs:
+        # Restart against an existing checkpoint with no new files: zero
+        # batches fire in THIS process, but the authoritative final epoch
+        # is already committed on disk -- fall back to the max _epoch=
+        # subdir under out_dir (each was fully written before its epoch id
+        # was recorded, so the max committed subdir IS the last answer).
+        # Only a truly never-run stream raises (ADVICE r13).
+        epochs = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+            if d.startswith("_epoch=")
+        ]
+    if not epochs:
         raise ValueError(f"no micro-batches arrived from {events_src}")
-    last = max(sink.epochs)
+    last = max(epochs)
     return spark.read.parquet(f"{out_dir}/_epoch={last}")

@@ -528,3 +528,48 @@ def test_salted_join_identical_to_plain_join(spark):
         map(tuple, salted_join(fact, dim, "k", hot_dup, buckets=8).collect())
     )
     assert got_dup == want
+
+
+def test_sequence_packing_skewed_ids(spark):
+    """The packing decomposition under a PATHOLOGICAL id space (VERDICT
+    r13: fixed id-range buckets collapse when 99% of ids land in one
+    range): 990 ids packed into [0, 990) plus 10 ids scattered out to
+    1e12.  Quantile boundaries must (a) reproduce the global-window
+    semantics exactly and (b) spread the dense mass across many buckets
+    instead of collapsing phase 3 to one partition."""
+    from postgresql_datawarehouse_excercise_spark.queries.x_pipeline import (
+        PACK_BUCKETS,
+        PACK_L,
+        _pack_layout,
+    )
+
+    ids = list(range(990)) + [10**9 * (i + 1) + i for i in range(10)]
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 3 * PACK_L)) for i in ids]
+    tok = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (
+            r["start_tok"], r["first_chunk"], r["last_chunk"],
+            r["n_chunks"], r["chunk_offset"],
+        )
+        for r in _pack_layout(spark, tok).collect()
+    }
+    acc = 0
+    for i, n in sorted(rows):
+        first = acc // PACK_L
+        last = (acc + n - 1) // PACK_L if n > 0 else first
+        nchunks = last - first + 1 if n > 0 else 0
+        assert got[i] == (acc, first, last, nchunks, acc % PACK_L), i
+        acc += n
+    # bucket-population check: the dense 99% must not collapse into one
+    # bucket -- rank (quantile) boundaries give ~equal-count buckets
+    qs = [i / PACK_BUCKETS for i in range(1, PACK_BUCKETS)]
+    bounds = tok.agg(
+        F.percentile(F.col("doc_id").cast("double"), F.lit(qs)).alias("q")
+    ).first()["q"]
+    bucket_of = lambda d: sum(1 for b in bounds if d > b)  # noqa: E731
+    from collections import Counter
+
+    pop = Counter(bucket_of(i) for i in ids)
+    assert len(pop) >= PACK_BUCKETS - 1
+    assert max(pop.values()) <= 3 * (len(ids) // PACK_BUCKETS)
