@@ -6,7 +6,8 @@ FlinkCEP shape, batch edition).
 construction.  This module factors that construction into a compiler over a
 small pattern language, so new patterns are data, not new query code:
 
-    Pattern = sequence of stages, each (event_type, quantifier)
+    Pattern = sequence of stages, each (event_type, quantifier) or
+    (event_type, quantifier, predicate)
     quantifier in {"1", "?", "+", "*"}    (exactly-one / optional /
                                            one-or-more / zero-or-more)
     event_type may be an ALTERNATION "a|b|c" (SQL:2016 row-pattern
@@ -14,6 +15,19 @@ small pattern language, so new patterns are data, not new query code:
     of the alternatives -- a quantified alternation consumes a maximal
     run of events drawn from the whole set (types may interleave inside
     the run, exactly (a|b)+ regex semantics under contiguity).
+    predicate (round 14) is SQL:2016's DEFINE clause restricted to a
+    small decidable language: a conjunction of comparisons
+    ``col OP (PREV(col2) | numeric-literal)`` with an optional whole
+    negation ``NOT (...)``; OP in {>, >=, <, <=, =, !=}.  PREV(col)
+    is the previous row of the USER'S FULL STREAM in (ts, event_id)
+    order -- exactly the standard's PREV under strict contiguity, where
+    the previous stream row IS the previous row of the match (or, for
+    the match's first row, the row just before the match).  Three-valued
+    logic collapses at the stage boundary: a predicate holds iff its raw
+    value IS TRUE (so PREV at the stream head -> NULL -> false), and
+    ``NOT (p)`` holds iff p does NOT hold -- the two forms PARTITION the
+    stage's type set, which is what makes negated pairs provably
+    disjoint for the adjacency validation below.
 
 Semantics (the ones the round-11 entry pinned, now stated once):
 
@@ -60,7 +74,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-Stage = tuple[str, str]  # (event_type or "a|b" alternation, quantifier)
+# (event_type or "a|b" alternation, quantifier[, DEFINE predicate])
+Stage = tuple
 
 _QUANTS = ("1", "?", "+", "*")
 
@@ -77,10 +92,166 @@ def _alts(etype: str) -> tuple[str, ...]:
     return tuple(sorted(etype.split("|")))
 
 
-def _validate(pattern: list[Stage]) -> None:
-    if len(pattern) < 2:
+# --- DEFINE predicates (round 14) ----------------------------------------
+# One comparison: col OP (PREV(col) | numeric literal).  Column names are
+# identifier-restricted for the same reason event types are: they are
+# interpolated into the generated oracle SQL.
+
+_CMP_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|!=|>|<|=)\s*"
+    r"(?:PREV\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)|(-?\d+(?:\.\d+)?))\s*$"
+)
+
+# canonical AST: (negated: bool, cmps: sorted tuple of
+#                 (col, op, ("prev", col2) | ("lit", float)))
+Pred = tuple
+
+
+def _parse_pred(text: str) -> Pred:
+    """Parse a DEFINE predicate into its canonical AST.  Canonical form
+    (sorted conjuncts, explicit negation flag) makes exact-negation pairs
+    -- the rising/non-rising idiom -- syntactically comparable for the
+    adjacency disjointness proof."""
+    s = text.strip()
+    negated = False
+    m = re.match(r"^NOT\s*\((.*)\)\s*$", s, flags=re.IGNORECASE | re.DOTALL)
+    if m:
+        negated = True
+        s = m.group(1)
+    cmps = []
+    for part in re.split(r"\s+AND\s+", s, flags=re.IGNORECASE):
+        cm = _CMP_RE.match(part)
+        if not cm:
+            raise ValueError(
+                f"bad DEFINE comparison {part!r} in {text!r}: expected "
+                "`col OP PREV(col)` or `col OP <number>` with OP in "
+                ">, >=, <, <=, =, !="
+            )
+        col, op, prev_col, lit = cm.groups()
+        rhs = ("prev", prev_col) if prev_col is not None else ("lit", float(lit))
+        cmps.append((col, op, rhs))
+    return (negated, tuple(sorted(cmps)))
+
+
+def _pred_cols(pred: Pred | None) -> tuple[set, set]:
+    """(direct attribute columns, PREV()-lagged attribute columns) a
+    predicate reads -- what cep_match/compile_sql must surface on ev."""
+    direct: set = set()
+    prev: set = set()
+    if pred is not None:
+        for col, _, rhs in pred[1]:
+            direct.add(col)
+            if rhs[0] == "prev":
+                prev.add(rhs[1])
+    return direct, prev
+
+
+def _pred_spark(pred: Pred):
+    """Compile a predicate to a Spark Column over ev's surface (attribute
+    columns plus `_prev_<col>` lag columns).  IS-TRUE collapse: NULL
+    comparisons (PREV at the stream head) evaluate to false, and negation
+    applies AFTER the collapse so a pred and its NOT() partition rows."""
+    negated, cmps = pred
+    raw = None
+    for col, op, rhs in cmps:
+        r = (
+            F.col(f"_prev_{rhs[1]}") if rhs[0] == "prev" else F.lit(rhs[1])
+        )
+        lhs = F.col(col)
+        c = {
+            ">": lhs > r, ">=": lhs >= r, "<": lhs < r,
+            "<=": lhs <= r, "=": lhs == r, "!=": lhs != r,
+        }[op]
+        raw = c if raw is None else (raw & c)
+    res = F.coalesce(raw, F.lit(False))
+    return ~res if negated else res
+
+
+def _pred_sql(pred: Pred, prefix: str = "") -> str:
+    """The DuckDB twin of _pred_spark over the same ev surface; `prefix`
+    qualifies columns when the predicate is applied through a joined
+    alias (`s2.value`) rather than inside the runs subselect."""
+    negated, cmps = pred
+    parts = []
+    for col, op, rhs in cmps:
+        r = f"{prefix}_prev_{rhs[1]}" if rhs[0] == "prev" else repr(rhs[1])
+        parts.append(f"{prefix}{col} {'<>' if op == '!=' else op} {r}")
+    base = f"COALESCE(({' AND '.join(parts)}), FALSE)"
+    return f"(NOT {base})" if negated else base
+
+
+def _intervals_disjoint(op1: str, a: float, op2: str, b: float) -> bool:
+    """Whether {v: v op1 a} and {v: v op2 b} are disjoint over the reals
+    (NULL rows are excluded from BOTH by the IS-TRUE collapse)."""
+    inf = float("inf")
+
+    def interval(op, x):
+        return {
+            ">": (x, False, inf, False),
+            ">=": (x, True, inf, False),
+            "<": (-inf, False, x, False),
+            "<=": (-inf, False, x, True),
+            "=": (x, True, x, True),
+        }.get(op)
+
+    i1, i2 = interval(op1, a), interval(op2, b)
+    if i1 is None or i2 is None:  # "!=" is not an interval
+        # the only provable pair involving "!=": its complement point
+        return {op1, op2} == {"!=", "="} and a == b
+    lo1, lo1i, hi1, hi1i = i1
+    lo2, lo2i, hi2, hi2i = i2
+    if hi1 < lo2 or hi2 < lo1:
+        return True
+    if hi1 == lo2 and not (hi1i and lo2i):
+        return True
+    if hi2 == lo1 and not (hi2i and lo1i):
+        return True
+    return False
+
+
+def _preds_provably_disjoint(p1: Pred | None, p2: Pred | None) -> bool:
+    """Can we PROVE two stage predicates never hold on the same row?
+    Decidable fragment: (a) one is the exact negation of the other
+    (IS-TRUE collapse makes them partition every row set); (b) both are
+    single un-negated literal comparisons on the same column with
+    disjoint value sets.  Anything else -> not provable -> the adjacency
+    validation rejects, keeping greedy-maximal == regex-greedy honest."""
+    if p1 is None or p2 is None:
+        return False
+    n1, c1 = p1
+    n2, c2 = p2
+    if c1 == c2 and n1 != n2:
+        return True
+    if not n1 and not n2 and len(c1) == 1 and len(c2) == 1:
+        (a_col, a_op, a_rhs) = c1[0]
+        (b_col, b_op, b_rhs) = c2[0]
+        if a_col == b_col and a_rhs[0] == "lit" and b_rhs[0] == "lit":
+            return _intervals_disjoint(a_op, a_rhs[1], b_op, b_rhs[1])
+    return False
+
+
+def _norm(pattern: list[Stage]) -> list[tuple]:
+    """Normalize stages to (etype, quant, parsed-pred-or-None)."""
+    out = []
+    for st in pattern:
+        if len(st) == 2:
+            etype, q = st
+            pred = None
+        elif len(st) == 3:
+            etype, q, ptext = st
+            pred = _parse_pred(ptext) if ptext else None
+        else:
+            raise ValueError(f"stage must be 2- or 3-tuple, got {st!r}")
+        out.append((etype, q, pred))
+    return out
+
+
+def _validate(pattern: list[Stage]) -> list[tuple]:
+    """Validate and return the normalized (etype, quant, pred) stages."""
+    norm = _norm(pattern)
+    if len(norm) < 2:
         raise ValueError("pattern needs at least two stages")
-    for etype, q in pattern:
+    for etype, q, _ in norm:
         if q not in _QUANTS:
             raise ValueError(f"bad quantifier {q!r} for {etype!r}")
         alts = _alts(etype)
@@ -93,28 +264,36 @@ def _validate(pattern: list[Stage]) -> None:
                 )
         if len(set(alts)) != len(alts):
             raise ValueError(f"duplicate alternative in stage {etype!r}")
-    if pattern[0][1] not in ("1", "+") or pattern[-1][1] not in ("1", "+"):
+    if norm[0][1] not in ("1", "+") or norm[-1][1] not in ("1", "+"):
         raise ValueError(
             "first and last stages must be '1' or '+' (anchors for the "
             "time bound)"
         )
-    # Adjacent stages must have DISJOINT type sets -- including stages
+    # Adjacent stages must have DISJOINT row sets -- including stages
     # that BECOME adjacent when an optional stage between them matches
     # empty -- otherwise maximal-run consumption is not regex-greedy (a
-    # run would need to stop where an overlapping-set stage continues).
-    for i in range(len(pattern) - 1):
+    # run would need to stop where an overlapping-set stage continues),
+    # and a run island could START at the previous stage's row, making
+    # the s0 = next_seq bracketing join silently miss the occurrence.
+    # Disjointness holds when the TYPE sets are disjoint, or (DEFINE,
+    # round 14) when both stages carry predicates PROVABLY disjoint on
+    # the shared types (exact negation, or disjoint literal intervals on
+    # one column).
+    for i in range(len(norm) - 1):
         j = i + 1
-        while j < len(pattern):
-            shared = set(_alts(pattern[i][0])) & set(_alts(pattern[j][0]))
-            if shared:
+        while j < len(norm):
+            shared = set(_alts(norm[i][0])) & set(_alts(norm[j][0]))
+            if shared and not _preds_provably_disjoint(norm[i][2], norm[j][2]):
                 raise ValueError(
-                    f"stages {i} and {j} share type(s) {sorted(shared)!r} "
-                    "and can be adjacent: maximal-run semantics would be "
+                    f"stages {i} and {j} share type(s) {sorted(shared)!r}, "
+                    "can be adjacent, and their DEFINE predicates are not "
+                    "provably disjoint: maximal-run semantics would be "
                     "ambiguous"
                 )
-            if pattern[j][1] not in ("?", "*"):
+            if norm[j][1] not in ("?", "*"):
                 break  # stage j always consumes >=1 event: blocks i from j+1
             j += 1
+    return norm
 
 
 def cep_match(
@@ -135,29 +314,49 @@ def cep_match(
     what the AFTER MATCH SKIP PAST LAST ROW selection
     (cep_match_skip_past) chains on.
     """
-    _validate(pattern)
+    norm = _validate(pattern)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # DEFINE predicates read attribute columns (direct) and their
+    # one-row-back lags (PREV) -- both computed ONCE on ev under the same
+    # user-partitioned sequence window, so every stage filter stays a
+    # row-local boolean over the checkpointed stream (zero extra columns
+    # when the pattern has no predicates)
+    direct: set = set()
+    prev: set = set()
+    for _, _, pred in norm:
+        d, pv = _pred_cols(pred)
+        direct |= d
+        prev |= pv
+    extra = [F.col(c) for c in sorted(direct)] + [
+        F.lag(c).over(w).alias(f"_prev_{c}") for c in sorted(prev)
+    ]
     ev = events.select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("t_us"),
         F.row_number().over(w).alias("seq"),
+        *extra,
     ).localCheckpoint(eager=False)
 
-    def singles(etype: str) -> DataFrame:
-        return ev.filter(F.col("event_type").isin(*_alts(etype))).select(
+    def stage_filter(etype: str, pred):
+        cond = F.col("event_type").isin(*_alts(etype))
+        return cond & _pred_spark(pred) if pred is not None else cond
+
+    def singles(etype: str, pred) -> DataFrame:
+        return ev.filter(stage_filter(etype, pred)).select(
             "user_id", "seq", "t_us"
         )
 
     w_sub = Window.partitionBy("user_id").orderBy("t_us", "event_id")
 
-    def runs(etype: str) -> DataFrame:
+    def runs(etype: str, pred) -> DataFrame:
         # gaps-and-islands: within the per-user stream, consecutive events
-        # whose type is in the stage's alternative set share (seq -
-        # rank-within-subset); ordering by t_us is ordering by ts
-        # (unix_micros is monotone, ties broken by event_id)
-        sub = ev.filter(F.col("event_type").isin(*_alts(etype))).withColumn(
+        # whose type is in the stage's alternative set (and satisfy its
+        # DEFINE predicate) share (seq - rank-within-subset); ordering by
+        # t_us is ordering by ts (unix_micros is monotone, ties broken by
+        # event_id)
+        sub = ev.filter(stage_filter(etype, pred)).withColumn(
             "island", F.col("seq") - F.row_number().over(w_sub)
         )
         return sub.groupBy("user_id", "island").agg(
@@ -171,11 +370,11 @@ def cep_match(
     # Fold state: (user_id, start_seq, t_first_us, t_last_us, next_seq,
     # n_stage0..n_stage{i-1}).  next_seq = first UNCONSUMED position.
     p: DataFrame | None = None
-    for i, (etype, quant) in enumerate(pattern):
+    for i, (etype, quant, pred) in enumerate(norm):
         ncol = f"n_stage{i}"
         if i == 0:
             if quant == "1":
-                p = singles(etype).select(
+                p = singles(etype, pred).select(
                     "user_id",
                     F.col("seq").alias("start_seq"),
                     F.col("t_us").alias("t_first_us"),
@@ -184,7 +383,7 @@ def cep_match(
                     F.lit(1).cast("long").alias(ncol),
                 )
             else:  # "+"
-                p = runs(etype).select(
+                p = runs(etype, pred).select(
                     "user_id",
                     F.col("s0").alias("start_seq"),
                     F.col("rt0").alias("t_first_us"),
@@ -196,7 +395,7 @@ def cep_match(
         assert p is not None
         carried = [c for c in p.columns if c.startswith("n_stage")]
         if quant in ("1", "?"):
-            s = singles(etype).select(
+            s = singles(etype, pred).select(
                 F.col("user_id").alias("m_user"),
                 F.col("seq").alias("m_seq"),
                 F.col("t_us").alias("m_t"),
@@ -218,7 +417,7 @@ def cep_match(
                 )
             )
         else:  # "+" / "*"
-            r = runs(etype).select(
+            r = runs(etype, pred).select(
                 F.col("user_id").alias("m_user"),
                 F.col("s0").alias("m_s0"),
                 F.col("s1").alias("m_s1"),
@@ -342,33 +541,58 @@ def compile_sql(
     joins, UNION ALL.  `with_seq=True` appends (start_seq, end_seq) --
     the replay of cep_match(with_seq=True), which
     compile_sql_skip_past's recursive chain selects over."""
-    _validate(pattern)
-    opt_idx = [i for i, (_, q) in enumerate(pattern) if q in ("?", "*")]
+    norm = _validate(pattern)
+    opt_idx = [i for i, (_, q, _) in enumerate(norm) if q in ("?", "*")]
     if len(opt_idx) > 4:
         raise ValueError("more than 4 optional stages: arm expansion too wide")
 
     def in_list(alts: tuple[str, ...]) -> str:
         return "(" + ", ".join(f"'{a}'" for a in alts) + ")"
 
-    def run_rel(alts: tuple[str, ...]) -> str:
-        # canonical per-type-set relation name; the arity prefix keeps
-        # {'a','b'} and the single type 'a_b' from colliding (alternatives
-        # are _TYPE_RE-validated, so the name is always a legal identifier)
-        return f"runs_{len(alts)}_" + "_".join(alts)
+    # distinct DEFINE predicates get stable p{i} ids (sorted canonical
+    # order) for run-relation naming; the ev CTE surfaces the attribute
+    # and lag columns every predicate reads
+    all_preds = sorted(
+        {p for _, _, p in norm if p is not None}, key=repr
+    )
+    pred_id = {p: f"p{i}" for i, p in enumerate(all_preds)}
+    direct: set = set()
+    prev: set = set()
+    for _, _, pred in norm:
+        d, pv = _pred_cols(pred)
+        direct |= d
+        prev |= pv
+    attr_sql = "".join(f", {c}" for c in sorted(direct)) + "".join(
+        f",\n         lag({c}) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS _prev_{c}"
+        for c in sorted(prev)
+    )
 
-    run_type_sets = sorted(
-        {_alts(t) for t, q in pattern if q in ("+", "*")}
+    def run_rel(alts: tuple[str, ...], pred) -> str:
+        # canonical per-(type-set, predicate) relation name; the arity
+        # prefix keeps {'a','b'} and the single type 'a_b' from colliding
+        # (alternatives are _TYPE_RE-validated, so the name is always a
+        # legal identifier)
+        base = f"runs_{len(alts)}_" + "_".join(alts)
+        return base + (f"_{pred_id[pred]}" if pred is not None else "")
+
+    run_keys = sorted(
+        {(_alts(t), p) for t, q, p in norm if q in ("+", "*")},
+        key=lambda k: (k[0], repr(k[1])),
     )
     ctes = [
-        """ev AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+        f"""ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us{attr_sql},
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
   FROM events
 )"""
     ]
-    for alts in run_type_sets:
+    for alts, pred in run_keys:
+        pred_cond = (
+            f" AND {_pred_sql(pred)}" if pred is not None else ""
+        )
         ctes.append(
-            f"""{run_rel(alts)} AS (
+            f"""{run_rel(alts, pred)} AS (
   SELECT user_id, island, MIN(seq) AS s0, MAX(seq) AS s1,
          MIN(t_us) AS rt0, MAX(t_us) AS rt1,
          CAST(COUNT(*) AS BIGINT) AS n
@@ -376,7 +600,7 @@ def compile_sql(
     SELECT user_id, seq, t_us,
            seq - row_number() OVER (PARTITION BY user_id
                                     ORDER BY t_us, event_id) AS island
-    FROM ev WHERE event_type IN {in_list(alts)}
+    FROM ev WHERE event_type IN {in_list(alts)}{pred_cond}
   ) GROUP BY 1, 2
 )"""
         )
@@ -395,14 +619,14 @@ def compile_sql(
         first_s: str | None = None  # SQL expr: the occurrence's start seq
         anchor: str | None = None
         prev_end: str | None = None  # SQL expr: seq AFTER the consumed prefix
-        for i, (etype, quant) in enumerate(pattern):
+        for i, (etype, quant, pred) in enumerate(norm):
             is_run = quant in ("+", "*")
             if quant in ("?", "*") and not present[i]:
                 n_exprs.append("CAST(0 AS BIGINT)")
                 continue
             alias = f"s{i}"
             if is_run:
-                rel = run_rel(_alts(etype))
+                rel = run_rel(_alts(etype), pred)
                 start, end = f"{alias}.s0", f"{alias}.s1 + 1"
                 n_exprs.append(f"{alias}.n")
                 t_first, t_last = f"{alias}.rt0", f"{alias}.rt1"
@@ -413,6 +637,8 @@ def compile_sql(
                 n_exprs.append("CAST(1 AS BIGINT)")
                 t_first = t_last = f"{alias}.t_us"
                 cond = [f"{alias}.event_type IN {in_list(_alts(etype))}"]
+                if pred is not None:
+                    cond.append(_pred_sql(pred, f"{alias}."))
             if prev_end is None:
                 joins.append(f"FROM {rel} {alias}")
                 where.extend(cond)
@@ -543,6 +769,144 @@ chain AS (
   WHERE m.start_seq = (SELECT MIN(m3.start_seq) FROM m m3
                        WHERE m3.user_id = c.user_id
                          AND m3.start_seq > c.end_seq)
+    AND m.end_seq = (SELECT MIN(m4.end_seq) FROM m m4
+                     WHERE m4.user_id = c.user_id
+                       AND m4.start_seq = m.start_seq)
+)
+SELECT user_id, t_first_us, t_last_us, duration_us, n_events, {ncols}
+FROM chain
+"""
+
+
+def _validate_skip_to(
+    pattern: list[Stage], target: int, which: str
+) -> list[tuple]:
+    """Static checks for AFTER MATCH SKIP TO FIRST/LAST <symbol> (the
+    checks SQL:2016 makes runtime errors, rejected up front):
+
+    * the target stage must always map >= 1 row ('1' or '+'), so the
+      resume row exists for EVERY occurrence (the standard's 'skip to a
+      symbol that matched no rows' error);
+    * some stage BEFORE the target must always consume a row ('1'/'+'),
+      so the resume row is strictly after the match start -- otherwise
+      the scan could resume where it began and loop forever (the
+      standard's 'skip to first row of match' error, e.g. SKIP TO FIRST
+      A in PATTERN (A B)).  This also rejects target 0 outright, exactly
+      as the standard does for the first symbol.
+    """
+    norm = _validate(pattern)
+    if not 0 <= target < len(norm):
+        raise ValueError(f"target stage {target} out of range")
+    if which not in ("first", "last"):
+        raise ValueError(f"which must be 'first' or 'last', got {which!r}")
+    if norm[target][1] not in ("1", "+"):
+        raise ValueError(
+            "SKIP TO target must be a '1' or '+' stage (it must map at "
+            "least one row in every occurrence)"
+        )
+    if not any(q in ("1", "+") for _, q, _ in norm[:target]):
+        raise ValueError(
+            "SKIP TO target needs a non-empty-able stage before it: "
+            "resuming at (or before) the match's own first row would "
+            "re-attempt the same match forever"
+        )
+    return norm
+
+
+def cep_match_skip_to(
+    events: DataFrame,
+    pattern: list[Stage],
+    max_span_us: int,
+    target: int,
+    which: str = "first",
+) -> DataFrame:
+    """AFTER MATCH SKIP TO FIRST/LAST <symbol> -- the remaining canonical
+    pair of after-match modes (cep_match = SKIP TO NEXT ROW,
+    cep_match_skip_past = SKIP PAST LAST ROW): when an occurrence is
+    kept, the scan resumes AT the first (resp. last) row the target
+    stage consumed, so kept occurrences may legally OVERLAP -- the mode
+    production deployments use for chained patterns (the W-shape /
+    double-bottom idiom, where each match restarts at the previous
+    match's pivot row).
+
+    Selection over cep_match's full occurrence set: per user, walk
+    occurrences by ascending (start_seq, end_seq) keeping the first one
+    starting at or after the resume position, which then advances to the
+    kept occurrence's FIRST/LAST target-stage row:
+      resume = start_seq + n_stage0 + .. + n_stage{target-1}          (first)
+      resume = start_seq + n_stage0 + .. + n_stage{target}  - 1       (last)
+    (stage rows are contiguous under strict contiguity, so prefix sums
+    of the consumed counts locate every stage's rows exactly).
+    _validate_skip_to guarantees resume > start_seq, so the kept start
+    positions strictly increase and the fold terminates.  Same Arrow
+    lane and partitioning as cep_match_skip_past: one applyInPandas over
+    user_id groups inside the sessionization shuffle.  Output schema =
+    cep_match's (seq bounds dropped)."""
+    norm = _validate_skip_to(pattern, target, which)
+    m = cep_match(events, pattern, max_span_us, with_seq=True)
+    upto = target if which == "first" else target + 1
+    resume = F.col("start_seq")
+    for i in range(upto):
+        resume = resume + F.col(f"n_stage{i}")
+    if which == "last":
+        resume = resume - 1
+    m = m.withColumn("_resume", resume.cast("long"))
+
+    def chain(pdf):
+        pdf = pdf.sort_values(["start_seq", "end_seq"])
+        keep, pos = [], 0
+        for s, r in zip(pdf["start_seq"], pdf["_resume"]):
+            if s >= pos:
+                keep.append(True)
+                assert r > s, "resume must advance past the match start"
+                pos = r
+            else:
+                keep.append(False)
+        return pdf[keep]
+
+    return (
+        m.groupBy("user_id")
+        .applyInPandas(chain, m.schema)
+        .drop("start_seq", "end_seq", "_resume")
+    )
+
+
+def compile_sql_skip_to(
+    pattern: list[Stage], max_span_us: int, target: int, which: str = "first"
+) -> str:
+    """DuckDB replay of `cep_match_skip_to`: the full occurrence set with
+    a _resume column (the same prefix-sum-of-counts row locator), chained
+    by a recursive CTE -- per user, seed with the earliest occurrence,
+    then repeatedly take the earliest occurrence starting AT OR AFTER the
+    last kept one's resume row (>=, where SKIP PAST LAST ROW uses >).
+    Both MINs carry the (start_seq, end_seq) tie-break the pandas fold
+    applies."""
+    _validate_skip_to(pattern, target, which)
+    inner = compile_sql(pattern, max_span_us, with_seq=True)
+    upto = target if which == "first" else target + 1
+    nsum = " + ".join(f"n_stage{i}" for i in range(upto)) or "0"
+    minus = " - 1" if which == "last" else ""
+    ncols = ", ".join(f"n_stage{i}" for i in range(len(pattern)))
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT *, CAST(start_seq + {nsum}{minus} AS BIGINT) AS _resume
+  FROM (
+{inner}
+  )
+),
+chain AS (
+  SELECT m1.* FROM m m1
+  WHERE m1.start_seq = (SELECT MIN(m2.start_seq) FROM m m2
+                        WHERE m2.user_id = m1.user_id)
+    AND m1.end_seq = (SELECT MIN(m2.end_seq) FROM m m2
+                      WHERE m2.user_id = m1.user_id
+                        AND m2.start_seq = m1.start_seq)
+  UNION ALL
+  SELECT m.* FROM chain c JOIN m
+    ON m.user_id = c.user_id AND m.start_seq >= c._resume
+  WHERE m.start_seq = (SELECT MIN(m3.start_seq) FROM m m3
+                       WHERE m3.user_id = c.user_id
+                         AND m3.start_seq >= c._resume)
     AND m.end_seq = (SELECT MIN(m4.end_seq) FROM m m4
                      WHERE m4.user_id = c.user_id
                        AND m4.start_seq = m.start_seq)

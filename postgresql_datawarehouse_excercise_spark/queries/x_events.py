@@ -1176,3 +1176,166 @@ def x_events_cep_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "perm",
     )
+
+
+# SQL:2016 DEFINE: symbols are row PREDICATES, not just types.  The gated
+# pattern is the canonical rising-value run every production
+# MATCH_RECOGNIZE deployment uses (Oracle/Flink's stock-ticker example):
+# an anchor purchase that does NOT exceed the previous stream row's value
+# (or sits at the stream head, where PREV is NULL -> false), followed by
+# a maximal run of strictly-consecutive purchases each exceeding the
+# previous row's value.  Under contiguity PREV(value) of every consumed
+# row IS the previous occurrence row, so each match is a maximal chain of
+# consecutive purchases with strictly increasing values.
+CEP_DEFINE_PATTERN = [
+    ("purchase", "1", "NOT (value > PREV(value))"),
+    ("purchase", "+", "value > PREV(value)"),
+]
+
+
+def _cep_define_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(CEP_DEFINE_PATTERN, CEP_MAX_US)
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage1 AS n_rising, n_events
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_define", oracle=_cep_define_oracle())
+def x_events_cep_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-DEFINEd CEP symbols (VERDICT r13 item 2) -- the step from
+    "pattern over event types" to real SQL:2016 MATCH_RECOGNIZE, where
+    DEFINE gives each symbol a row predicate that may reference PREV():
+    `purchase (value > PREV(value))+` rising-value runs, anchored at a
+    non-rising purchase so anchor and run are PROVABLY disjoint row sets
+    (exact predicate negation -- the validation that keeps greedy-maximal
+    == regex-greedy and keeps the bracketing join's island-start anchor
+    exact).
+
+    Compilation: the DEFINE predicate becomes ONE lag-window boolean
+    computed on the per-user sequence pass the compiler already runs (no
+    new shuffle -- PREV rides the sessionization window), and the islands
+    construction is unchanged: the run subset is `type IN (...) AND
+    pred`.  NULL discipline: a predicate holds iff its raw comparison IS
+    TRUE, so PREV at the stream head (NULL) anchors instead of matching
+    the rising symbol, and NOT() is complement-after-collapse -- the two
+    forms partition the purchases, which the adjacency validator checks
+    syntactically (canonical AST negation).
+
+    The DuckDB oracle is compile_sql's independent arm replay with the
+    same lag column in its ev CTE; the 3-way model/Spark/SQL property
+    test (tests/test_cep_compiler.py) runs DEFINE patterns over seeded
+    synthetic streams where rising ties and stream-head NULLs are
+    engineered dense."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(t.events, CEP_DEFINE_PATTERN, CEP_MAX_US)
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        F.col("n_stage1").alias("n_rising"),
+        "n_events",
+    )
+
+
+# AFTER MATCH SKIP TO FIRST <symbol>: `purchase view+ purchase view+`
+# resuming at the MIDDLE purchase (stage 2) -- the W-shape / double-bottom
+# idiom, where consecutive kept matches legally OVERLAP by sharing the
+# pivot row (the middle purchase anchors the next match).
+CEP_SKIP_FIRST_PATTERN = [
+    ("purchase", "1"), ("view", "+"), ("purchase", "1"), ("view", "+"),
+]
+CEP_SKIP_FIRST_TARGET = 2
+
+# AFTER MATCH SKIP TO LAST <symbol>: `purchase view+ purchase` resuming at
+# the LAST view (stage 1) -- a multi-row symbol, so FIRST and LAST
+# genuinely differ; the closing purchase (one past the resume row) may
+# anchor the next kept match, chaining journeys through shared boundaries.
+CEP_SKIP_LAST_PATTERN = [("purchase", "1"), ("view", "+"), ("purchase", "1")]
+CEP_SKIP_LAST_TARGET = 1
+
+
+def _cep_skip_to_oracle(pattern, target, which, n1_alias) -> str:
+    from ..operators.cep import compile_sql_skip_to
+
+    inner = compile_sql_skip_to(pattern, CEP_MAX_US, target, which)
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage1 AS {n1_alias}, n_events
+FROM ({inner})
+"""
+
+
+@query(
+    "x_events_cep_skip_to_first",
+    oracle=_cep_skip_to_oracle(
+        CEP_SKIP_FIRST_PATTERN, CEP_SKIP_FIRST_TARGET, "first", "n_views_1"
+    ),
+)
+def x_events_cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO FIRST <symbol> (VERDICT r13 item 3) -- with
+    SKIP TO LAST below, this completes the SQL:2016 after-match quartet
+    (NEXT ROW = cep_match, PAST LAST ROW = cep_match_skip_past).  The
+    scan resumes AT the first row the target stage consumed, so kept
+    occurrences OVERLAP: in `purchase view+ purchase view+` resuming at
+    the middle purchase (stage 2), each kept match's pivot row anchors
+    the next -- the W-shape selection that neither all-occurrences nor
+    disjoint tiling expresses.
+
+    Selection = a per-user greedy fold over cep_match's occurrence set
+    where the resume position is start_seq + n_stage0 + n_stage1 (prefix
+    sums locate every stage's rows exactly under strict contiguity);
+    _validate_skip_to statically rejects the standard's two runtime
+    errors (target could map zero rows / resume could equal the match
+    start).  Same Arrow lane and user partitioning as skip_past; the
+    oracle is an independent recursive-CTE replay chaining on
+    start_seq >= resume (where skip_past chains on > end_seq)."""
+    from ..operators.cep import cep_match_skip_to
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match_skip_to(
+        t.events, CEP_SKIP_FIRST_PATTERN, CEP_MAX_US,
+        CEP_SKIP_FIRST_TARGET, "first",
+    )
+    return m.select(
+        "user_id", "t_first_us", "t_last_us", "duration_us",
+        F.col("n_stage1").alias("n_views_1"), "n_events",
+    )
+
+
+@query(
+    "x_events_cep_skip_to_last",
+    oracle=_cep_skip_to_oracle(
+        CEP_SKIP_LAST_PATTERN, CEP_SKIP_LAST_TARGET, "last", "n_views"
+    ),
+)
+def x_events_cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST <symbol> over `purchase view+ purchase`,
+    resuming at the LAST row of the view run (stage 1) -- targeting a
+    MULTI-ROW '+' symbol, where FIRST and LAST genuinely pick different
+    resume rows (resume = start_seq + n_stage0 + n_stage1 - 1, one short
+    of the closing purchase, which may then anchor the next kept match:
+    journeys chained through shared boundary purchases -- a selection
+    SKIP PAST LAST ROW forbids, since its chain requires strictly
+    disjoint occurrences).
+
+    Machinery shared with x_events_cep_skip_to_first (one operator
+    parameterized by target stage and first/last); oracle = the same
+    recursive-CTE replay with the LAST resume locator."""
+    from ..operators.cep import cep_match_skip_to
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match_skip_to(
+        t.events, CEP_SKIP_LAST_PATTERN, CEP_MAX_US,
+        CEP_SKIP_LAST_TARGET, "last",
+    )
+    return m.select(
+        "user_id", "t_first_us", "t_last_us", "duration_us",
+        F.col("n_stage1").alias("n_views"), "n_events",
+    )

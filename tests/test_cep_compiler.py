@@ -445,3 +445,300 @@ def test_cep_permute_three_way(spark):
         cep_match_permute(df, prefix, ["b"], suffix, span)
     with pytest.raises(ValueError):
         cep_match_permute(df, prefix, ["b", "b"], suffix, span)
+
+
+def _model_match_members(rows, members, quants, max_span_us):
+    """Generalized model: stage membership is an arbitrary function of
+    (row, previous stream row) -- the independent leg for DEFINE
+    predicates.  rows: [(t_us, eid, etype, value)] sorted; members[i] =
+    f(row, prev_row_or_None) -> bool; quants[i] in 1 ? + *."""
+    n = len(rows)
+
+    def member(i, pos):
+        prev = rows[pos - 1] if pos > 0 else None
+        return members[i](rows[pos], prev)
+
+    def run_len(i, pos):
+        r = 0
+        while pos + r < n and member(i, pos + r):
+            r += 1
+        return r
+
+    def go(pos, si, counts):
+        if si == len(members):
+            yield pos, counts
+            return
+        q = quants[si]
+        if q in ("?", "*"):
+            yield from go(pos, si + 1, counts + [0])
+        if pos >= n:
+            return
+        if q in ("1", "?"):
+            if member(si, pos):
+                yield from go(pos + 1, si + 1, counts + [1])
+        else:
+            r = run_len(si, pos)
+            if r >= 1:
+                yield from go(pos + r, si + 1, counts + [r])
+
+    out = set()
+    for start in range(n):
+        if not member(0, start):
+            continue
+        if quants[0] == "+" and start > 0 and member(0, start - 1):
+            continue  # only maximal-run starts anchor (whole-island joins)
+        for end, counts in go(start, 0, []):
+            t0, t1 = rows[start][0], rows[end - 1][0]
+            if t1 - t0 <= max_span_us:
+                out.add((t0, t1, t1 - t0, sum(counts), *counts))
+    return out
+
+
+def test_cep_define_three_way(spark):
+    """DEFINE predicate symbols (round 14), three ways on a seeded
+    synthetic stream with a small value alphabet (dense rising ties and
+    stream-head NULLs): independent membership-function model == Spark
+    lag-column lane == compile_sql's DuckDB replay.  The IS-TRUE collapse
+    is modelled independently: PREV at the stream head makes the raw
+    comparison NULL -> the positive symbol is false, its NOT() true."""
+    rng = random.Random(20240814)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 1800) * 1000000
+            rows.append(
+                (u, eid, rng.choice(["a", "p"]), t, float(rng.randint(1, 5)))
+            )
+            eid += 1
+    span = 8 * 3600 * 1000000
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, t long, value double",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts", "value")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts, value FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+        + ") v(user_id, event_id, event_type, t, value))"
+    )
+
+    def rising(row, prev):
+        return prev is not None and row[3] > prev[3]
+
+    cases = [
+        # the rising-run idiom: anchor = non-rising purchase (or stream
+        # head), run = strictly rising purchases
+        (
+            [("p", "1", "NOT (value > PREV(value))"),
+             ("p", "+", "value > PREV(value)")],
+            [lambda r, p: r[2] == "p" and not rising(r, p),
+             lambda r, p: r[2] == "p" and rising(r, p)],
+        ),
+        # literal threshold on a quantified stage
+        (
+            [("a", "1"), ("p", "+", "value >= 3.0")],
+            [lambda r, p: r[2] == "a",
+             lambda r, p: r[2] == "p" and r[3] >= 3.0],
+        ),
+        # optional pred stage plus a conjunction with PREV; the two "a"
+        # anchors become adjacent when the "*" is empty, so they carry
+        # provably-disjoint literal intervals (> 2 vs <= 2)
+        (
+            [("a", "1", "value > 2.0"),
+             ("p", "*", "value > PREV(value) AND value >= 2.0"),
+             ("a", "1", "value <= 2.0")],
+            [lambda r, p: r[2] == "a" and r[3] > 2.0,
+             lambda r, p: r[2] == "p" and rising(r, p) and r[3] >= 2.0,
+             lambda r, p: r[2] == "a" and r[3] <= 2.0],
+        ),
+    ]
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match as _cm,
+    )
+
+    for pattern, members in cases:
+        quants = [st[1] for st in pattern]
+        expect = set()
+        for u, rs in by_user.items():
+            for m in _model_match_members(rs, members, quants, span):
+                expect.add((u, *m))
+        assert len(expect) > 5, pattern
+        got = {tuple(r) for r in _cm(df, pattern, span).collect()}
+        assert got == expect, pattern
+        sql_rows = con.execute(compile_sql(pattern, span)).fetchall()
+        assert {tuple(r) for r in sql_rows} == expect, pattern
+
+
+def test_cep_define_validation(spark):
+    """DEFINE-specific validation: overlapping types are legal ONLY under
+    provably-disjoint predicates (exact negation / disjoint literal
+    intervals); anything unprovable is rejected; bad predicate syntax and
+    non-identifier columns are rejected at parse time."""
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match as _cm,
+    )
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    ok = [
+        [("purchase", "1", "NOT (value > PREV(value))"),
+         ("purchase", "+", "value > PREV(value)")],
+        [("purchase", "1", "value < 100"), ("purchase", "+", "value >= 100")],
+        [("purchase", "1", "value = 5"), ("purchase", "+", "value != 5")],
+    ]
+    for pat in ok:
+        assert _cm(events, pat, MAX_US).columns  # validates + compiles
+    bad = [
+        # same types, predicates overlap (not provably disjoint)
+        [("purchase", "1", "value > 10"), ("purchase", "+", "value > 20")],
+        # one side has no predicate at all
+        [("purchase", "1"), ("purchase", "+", "value > PREV(value)")],
+        # closed boundary point shared
+        [("purchase", "1", "value >= 100"), ("purchase", "+", "value <= 100")],
+        # PREV comparisons that are not exact negations
+        [("purchase", "1", "value < PREV(value)"),
+         ("purchase", "+", "value > PREV(value)")],
+    ]
+    for pat in bad:
+        with pytest.raises(ValueError):
+            _cm(events, pat, MAX_US)
+    for text in ["value ~ 5", "value > PREV(value'); --", "1value > 2",
+                 "value > value2 + 1"]:
+        with pytest.raises(ValueError):
+            _cm(events, [("view", "1", text), ("click", "+")], MAX_US)
+
+
+def _model_skip_to(rows, pattern, max_span_us, target, which):
+    """SKIP TO FIRST/LAST model: full occurrence set with positions, then
+    the per-user greedy fold whose resume row is the prefix-sum locator
+    of the target stage's first/last consumed row."""
+    n = len(rows)
+
+    def alts(etype):
+        return set(etype.split("|"))
+
+    def run_len(pos, etype):
+        r = 0
+        while pos + r < n and rows[pos + r][2] in alts(etype):
+            r += 1
+        return r
+
+    def go(pos, si, counts):
+        if si == len(pattern):
+            yield pos, counts
+            return
+        etype, quant = pattern[si]
+        if quant in ("?", "*"):
+            yield from go(pos, si + 1, counts + [0])
+        if pos >= n:
+            return
+        if quant in ("1", "?"):
+            if rows[pos][2] in alts(etype):
+                yield from go(pos + 1, si + 1, counts + [1])
+        else:
+            r = run_len(pos, etype)
+            if r >= 1:
+                yield from go(pos + r, si + 1, counts + [r])
+
+    first_alts = alts(pattern[0][0])
+    occ = []
+    for start in range(n):
+        if rows[start][2] not in first_alts:
+            continue
+        if pattern[0][1] == "+" and start > 0 and rows[start - 1][2] in first_alts:
+            continue
+        for end, counts in go(start, 0, []):
+            t0, t1 = rows[start][0], rows[end - 1][0]
+            if t1 - t0 <= max_span_us:
+                upto = target if which == "first" else target + 1
+                resume = start + sum(counts[:upto]) - (
+                    1 if which == "last" else 0
+                )
+                occ.append((start, end - 1, resume,
+                            (t0, t1, t1 - t0, sum(counts), *counts)))
+    occ.sort()
+    kept, pos = [], 0
+    for s, e, r, payload in occ:
+        if s >= pos:
+            kept.append(payload)
+            assert r > s
+            pos = r
+    return kept
+
+
+@pytest.mark.parametrize("pattern,target,which", [
+    ([("purchase", "1"), ("view", "+"), ("purchase", "1"), ("view", "+")],
+     2, "first"),
+    ([("purchase", "1"), ("view", "+"), ("purchase", "1")], 1, "last"),
+    ([("purchase", "1"), ("error", "+"), ("purchase", "1")], 2, "first"),
+])
+def test_cep_skip_to_three_way(spark, pattern, target, which):
+    """SKIP TO FIRST/LAST, three ways on the real corpus: python fold ==
+    Spark applyInPandas fold == the >=-chained recursive-CTE oracle; and
+    on the 3-stage patterns the selection must KEEP more than SKIP PAST
+    LAST ROW would (overlap through the shared boundary row is the whole
+    point of the mode)."""
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_skip_to,
+        compile_sql_skip_to,
+    )
+
+    by_user = _real_corpus_by_user()
+    expect = []
+    for u, rows in by_user.items():
+        for m in _model_skip_to(rows, pattern, MAX_US, target, which):
+            expect.append((u, *m))
+    assert len(expect) > 0
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in cep_match_skip_to(
+            events, pattern, MAX_US, target, which
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF}/events.parquet')"
+    )
+    sql_rows = con.execute(
+        compile_sql_skip_to(pattern, MAX_US, target, which)
+    ).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(expect)
+
+
+def test_cep_skip_to_validation(spark):
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_skip_to,
+    )
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    pat = [("purchase", "1"), ("view", "+"), ("purchase", "1")]
+    for target, which in [
+        (0, "first"),   # no non-empty-able stage before the target
+        (0, "last"),
+        (3, "first"),   # out of range
+        (1, "both"),    # bad mode
+    ]:
+        with pytest.raises(ValueError):
+            cep_match_skip_to(events, pat, MAX_US, target, which)
+    # an empty-able target is rejected even mid-pattern
+    pat2 = [("purchase", "1"), ("view", "*"), ("purchase", "1")]
+    with pytest.raises(ValueError):
+        cep_match_skip_to(events, pat2, MAX_US, 1, "first")
