@@ -209,12 +209,17 @@ def pq_encode(vectors: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _refine(scores: DataFrame, q: DataFrame, n_queries: int, k: int) -> DataFrame:
+def _refine(
+    scores: DataFrame, q: DataFrame, n_queries: int, k: int, qset=None
+) -> DataFrame:
     """FAISS-style refine: keep the ADC top-PQ_REFINE shortlist per query,
     re-rank ONLY those rows by exact integer squared-L2 against the stored
     vectors, return the top-k.  Output (query_id, vec_id, adc_dist2, dist2,
     rank); the shortlist window and the exact join both touch
-    n_queries x PQ_REFINE rows -- a constant, never |V|."""
+    n_queries x PQ_REFINE rows -- a constant, never |V|.  Pass `qset`
+    ((query_id, qqv), already bounded) to evaluate a query population
+    other than the default lowest-id set (the retrain-policy drift
+    probes)."""
     from pyspark.sql.window import Window
 
     wa = Window.partitionBy("query_id").orderBy(
@@ -225,9 +230,10 @@ def _refine(scores: DataFrame, q: DataFrame, n_queries: int, k: int) -> DataFram
         .filter(F.col("_arn") <= PQ_REFINE)
         .drop("_arn")
     )
-    qset = q.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
-    )
+    if qset is None:
+        qset = q.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+        )
     exact = (
         shortlist.join(q, "vec_id")
         .join(F.broadcast(qset), "query_id")
@@ -538,6 +544,7 @@ def ivfpq_serve(
     cells: int,
     n_queries: int = PQ_QUERIES,
     k: int = PQ_TOPK,
+    qids: DataFrame | None = None,
 ) -> DataFrame:
     """The SERVING half of the IVF-PQ index, taking the four trained index
     relations as inputs (centroids, (vec_id, cell) postings, PQ codebooks,
@@ -546,14 +553,19 @@ def ivfpq_serve(
     (queries/x_similarity.x_sim_ann_index_persist) -- the answers must be
     bit-identical because every index component is exact BIGINT (parquet
     round-trips integers losslessly).  Query vectors and the refine pass's
-    exact vectors come from `embeddings` (the cold store)."""
+    exact vectors come from `embeddings` (the cold store).  Pass `qids`
+    (a bounded (vec_id) relation) to serve a query population other than
+    the default lowest-id evaluation set -- the retrain-policy entry
+    probes the index with queries drawn from the DRIFTED split."""
     from . import similarity
 
     q = quantize(embeddings)
-    qset = (
-        q.filter(F.col("vec_id") < n_queries)
-        .limit(n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    if qids is None:
+        qvecs = q.filter(F.col("vec_id") < n_queries).limit(n_queries)
+    else:
+        qvecs = q.join(F.broadcast(qids), "vec_id")
+    qset = qvecs.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
     qcells = similarity._probe_cells(qset, cents, similarity.ivf_nprobe(cells))
     cand = (
@@ -561,9 +573,9 @@ def ivfpq_serve(
         .select("query_id", "vec_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    qsubs = _subvectors(
-        q.filter(F.col("vec_id") < n_queries).limit(n_queries)
-    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    qsubs = _subvectors(qvecs).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
     tbl = qsubs.join(F.broadcast(cb), "m").select(
         "query_id",
         "m",
@@ -576,7 +588,9 @@ def ivfpq_serve(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("adc_dist2"))
     )
-    return _refine(scores, q, n_queries, k)
+    return _refine(
+        scores, q, n_queries, k, qset=None if qids is None else qset
+    )
 
 
 def ivfpq_topk_sql(
@@ -584,17 +598,33 @@ def ivfpq_topk_sql(
     k: int = PQ_TOPK,
     train_pred: str = "TRUE",
     exclude_pred: str = "FALSE",
+    query_filter: str | None = None,
 ) -> str:
     """`exclude_pred` (a SQL predicate over vec_id) marks DELETED vectors:
     they are filtered from the candidate relation -- the tombstone mask of
     x_sim_ann_index_delete -- so they can never reach the ADC scan or the
     refine shortlist; the trainings are untouched (deletes do not retrain,
-    exactly like inserts do not)."""
+    exactly like inserts do not).  `query_filter` (a SQL predicate over
+    vec_id) replaces the default lowest-id evaluation set with the
+    n_queries lowest ids SATISFYING it -- the retrain-policy entry's
+    drifted-split query population."""
     from .similarity import _sql_ivf_index
 
+    if query_filter is None:
+        qset_sql = (
+            f"SELECT vec_id AS query_id, qv AS qqv FROM qz"
+            f" WHERE vec_id < {n_queries}"
+        )
+        tbl_filter = f"s.vec_id < {n_queries}"
+    else:
+        qset_sql = (
+            f"SELECT vec_id AS query_id, qv AS qqv FROM qz"
+            f" WHERE {query_filter} ORDER BY vec_id LIMIT {n_queries}"
+        )
+        tbl_filter = "s.vec_id IN (SELECT query_id FROM qset)"
     return f"""
 WITH {_sql_ivf_index(train_pred)},
-qset AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < {n_queries}),
+qset AS ({qset_sql}),
 qcells AS (
   SELECT query_id, cell FROM (
     SELECT qset.query_id, cent2.cid AS cell,
@@ -615,7 +645,7 @@ tbl AS (
   SELECT s.vec_id AS query_id, s.m, cbf.cid AS code,
          CAST(SUM((s.x - cbf.c) * (s.x - cbf.c)) AS BIGINT) AS d
   FROM pq_subs s JOIN pq_cbf cbf ON s.m = cbf.m AND s.i = cbf.i
-  WHERE s.vec_id < {n_queries}
+  WHERE {tbl_filter}
   GROUP BY 1, 2, 3
 ),
 scores AS (

@@ -231,3 +231,53 @@ def test_stream_ann_index_identical_to_batch_insert(spark):
     streamed = sorted(map(tuple, x_stream_ann_index(spark, SF).collect()))
     assert len(batch) == pq.PQ_QUERIES * pq.PQ_TOPK
     assert streamed == batch
+
+
+def test_retrain_policy_drift_flips_decision(spark, tmp_path):
+    """x_sim_ann_retrain_policy's contract: on a corpus whose delta split
+    (the drifted query population) is EASY -- near-duplicates of trained
+    cluster centers -- the measured recall clears the floor and the
+    decision is 'keep'; on a corpus whose delta is an unseen
+    near-orthogonal random region (assignments carry no signal, probed
+    cells miss the true neighbors) recall collapses below the floor and
+    the decision FLIPS to 'retrain' (VERDICT r13 item 5)."""
+    import hashlib
+    import random
+
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    rng = random.Random(99)
+    dim, n = 64, 600
+    centers = [[rng.uniform(0.0, 1.0) for _ in range(dim)] for _ in range(8)]
+
+    def near(c, eps):
+        return [x + rng.uniform(-eps, eps) for x in c]
+
+    rows_keep = [(i, near(centers[i % 8], 0.02), 0) for i in range(n)]
+    # the drifted delta is UNCLUSTERED noise spanning the trained region:
+    # its nearest-centroid assignment carries no signal (near-equidistant
+    # to every trained center), so a drifted query's true neighbors
+    # scatter across cells the probe never visits -- NOT a far-away tight
+    # cluster, which would land whole in one cell and keep recall at 1.0
+    rows_drift = [
+        (i, near(centers[i % 8], 0.02), 0)
+        if bucket(i) < 80
+        else (i, [rng.uniform(0.0, 1.0) for _ in range(dim)], 0)
+        for i in range(n)
+    ]
+    fn = load_all()["x_sim_ann_retrain_policy"].fn
+    for name, rows, want in [("keep", rows_keep, "keep"),
+                             ("drift", rows_drift, "retrain")]:
+        d = tmp_path / name
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], lb) for i, v, lb in rows],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(f"{d}/embeddings.parquet")
+        out = fn(spark, str(d)).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["n_queries"] == 8 and row["n_possible"] == 80
+        assert row["decision"] == want, (name, row)
