@@ -35,31 +35,24 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 13: replay-with-revision sink rewritten for idempotence
-    # (per-epoch overwritten subdirs) + explicit final-epoch tracking
-    # (ADVICE r12 medium + low); values pinned by the unchanged oracle
-    "x_stream_cep",
-    # round 13: hot_keys deduplicated before the marker joins (ADVICE r12)
-    "x_pipeline_salted_join",
-    # round 13: the cep compiler gained alternation + event-type
-    # validation (ADVICE r12); the three existing quantifier entries ride
-    # the same compile path, values unchanged (3-way property tests)
+    # round 14: bucket boundaries now derive from the interpolated-
+    # percentile aggregate (rank buckets, skew-proof) instead of fixed
+    # id ranges; oracle unchanged (bucketing affects only decomposition)
+    "x_pipeline_sequence_packing",
+    # round 14: deterministic (start_seq, end_seq) tie-break added to the
+    # skip-past chain AND its recursive-CTE oracle (ADVICE r13)
+    "x_events_cep_skip_past",
+    # round 14: the cep compiler gained DEFINE predicates (no-pred
+    # patterns ride the same normalized path, zero extra ev columns);
+    # one representative of the existing quantifier entries re-gated
     "x_events_cep_pattern",
-    "x_events_cep_star",
-    "x_events_cep_optional",
-    # round 13: index builds memoized per sf_dir and the delete lane
-    # re-expressed over the shared persisted build (VERDICT r12 item 6);
-    # values pinned identical in tests/test_ann_persist.py
-    "x_sim_ann_index_delete",
-    "x_sim_ann_index_persist",
-    "x_text_bm25_index_persist",
-    # round 13: session-gap boundary pinned strictly-greater in the three
-    # gaps-and-islands oracles (hypothesis falsifying example: an event at
-    # exactly prev + gap MERGES in Spark); values unchanged on real data
-    # (zero exact-boundary gaps at any SF, measured)
-    "x_events_session_windows",
-    "x_stream_session_windows",
-    "x_range_interval_overlap",
+    # round 14: batch insert lane reads the shared memoized split-trained
+    # build instead of training in-plan; values pinned identical
+    "x_sim_ann_index_insert",
+    # round 14: foreachBatch sinks read through batch_df.sparkSession and
+    # run_cep_stream gained the on-disk final-epoch fallback (ADVICE r13)
+    "x_stream_ann_index",
+    "x_stream_cep",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget
