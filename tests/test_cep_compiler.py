@@ -742,3 +742,223 @@ def test_cep_skip_to_validation(spark):
     pat2 = [("purchase", "1"), ("view", "*"), ("purchase", "1")]
     with pytest.raises(ValueError):
         cep_match_skip_to(events, pat2, MAX_US, 1, "first")
+
+
+def test_cep_measures_three_way(spark):
+    """MEASURES (round 14), three ways on a seeded synthetic stream:
+    independent model (per-stage consumed index intervals -> cents
+    aggregates) == Spark run-aggregate lane == compile_sql's
+    min_by/max_by replay.  Covers: first/sum/min/last on '1' and '+'
+    stages, NULL on an empty '?' arm, measures composed WITH a DEFINE
+    predicate."""
+    import math
+
+    rng = random.Random(777)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 1800) * 1000000
+            rows.append(
+                (u, eid, rng.choice(["a", "b", "p"]), t,
+                 round(rng.uniform(0.5, 30.0), 2))
+            )
+            eid += 1
+    span = 8 * 3600 * 1000000
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, t long, value double",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts", "value")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts, value FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+        + ") v(user_id, event_id, event_type, t, value))"
+    )
+
+    def cents(v):
+        return int(math.floor(v * 100 + 0.5))
+
+    def model(rs, members, quants, measures):
+        """Occurrences with per-stage measures over consumed intervals."""
+        n = len(rs)
+
+        def member(i, pos):
+            return members[i](rs[pos], rs[pos - 1] if pos > 0 else None)
+
+        def go(pos, si, segs):
+            if si == len(members):
+                yield pos, segs
+                return
+            q = quants[si]
+            if q in ("?", "*"):
+                yield from go(pos, si + 1, segs + [(pos, 0)])
+            if pos >= n:
+                return
+            if q in ("1", "?"):
+                if member(si, pos):
+                    yield from go(pos + 1, si + 1, segs + [(pos, 1)])
+            else:
+                r = 0
+                while pos + r < n and member(si, pos + r):
+                    r += 1
+                if r >= 1:
+                    yield from go(pos + r, si + 1, segs + [(pos, r)])
+
+        out = set()
+        for start in range(n):
+            if not member(0, start):
+                continue
+            if quants[0] == "+" and start > 0 and member(0, start - 1):
+                continue
+            for end, segs in go(start, 0, []):
+                t0, t1 = rs[start][0], rs[end - 1][0]
+                if t1 - t0 > span:
+                    continue
+                mvals = []
+                for idx, agg, _c, _a in measures:
+                    s0, cnt = segs[idx]
+                    vals = [cents(rs[s0 + j][3]) for j in range(cnt)]
+                    if not vals:
+                        mvals.append(None)
+                    else:
+                        mvals.append({
+                            "sum": sum(vals), "min": min(vals),
+                            "max": max(vals), "first": vals[0],
+                            "last": vals[-1],
+                        }[agg])
+                counts = [c for _, c in segs]
+                out.add((t0, t1, t1 - t0, sum(counts), *counts, *mvals))
+        return out
+
+    cases = [
+        (
+            [("a", "1"), ("b", "?"), ("p", "+")],
+            [lambda r, p: r[2] == "a", lambda r, p: r[2] == "b",
+             lambda r, p: r[2] == "p"],
+            [(0, "first", "value", "a_c"), (1, "sum", "value", "b_c"),
+             (2, "sum", "value", "p_sum_c"), (2, "last", "value", "p_last_c")],
+        ),
+        (
+            [("p", "1", "NOT (value > PREV(value))"),
+             ("p", "+", "value > PREV(value)")],
+            [lambda r, p: r[2] == "p" and not (p is not None and r[3] > p[3]),
+             lambda r, p: r[2] == "p" and (p is not None and r[3] > p[3])],
+            [(1, "sum", "value", "run_sum_c"), (1, "min", "value", "run_min_c"),
+             (0, "first", "value", "anchor_c")],
+        ),
+    ]
+    for pattern, members, measures in cases:
+        quants = [st[1] for st in pattern]
+        expect = set()
+        for u, rs in by_user.items():
+            for m in model(rs, members, quants, measures):
+                expect.add((u, *m))
+        assert len(expect) > 5, pattern
+        got = {
+            tuple(r)
+            for r in cep_match(df, pattern, span, measures=measures).collect()
+        }
+        assert got == expect, pattern
+        sql_rows = con.execute(
+            compile_sql(pattern, span, measures=measures)
+        ).fetchall()
+        assert {tuple(r) for r in sql_rows} == expect, pattern
+    # NULL-on-empty actually exercised in case 1
+    pattern, members, measures = cases[0]
+    some_null = any(
+        m is None
+        for u, rs in by_user.items()
+        for occ in model(rs, members, [s[1] for s in pattern], measures)
+        for m in occ[-len(measures):]
+    )
+    assert some_null
+
+
+def test_cep_measures_validation(spark):
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    pat = [("view", "1"), ("click", "+"), ("purchase", "1")]
+    for bad in [
+        [(5, "sum", "value", "x")],            # stage out of range
+        [(1, "avg", "value", "x")],            # unknown agg
+        [(1, "sum", "value; --", "x")],        # non-identifier col
+        [(1, "sum", "value", "x"), (2, "min", "value", "x")],  # dup alias
+        [(1, "sum")],                          # wrong arity
+    ]:
+        with pytest.raises(ValueError):
+            cep_match(events, pat, MAX_US, measures=bad)
+
+
+def test_cep_all_rows_three_way(spark):
+    """ALL ROWS PER MATCH, three ways on the real corpus: an independent
+    model (occurrence positions -> per-row classifier via prefix sums,
+    match_no by start order) == Spark join-back lane == compile_sql_rows.
+    Overlapping occurrences must repeat shared rows once per match."""
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_rows,
+        compile_sql_rows,
+    )
+
+    # overlapping pattern: the closing purchase opens the next bracket
+    pattern = [("purchase", "1"), ("error", "+"), ("purchase", "1")]
+    by_user = _real_corpus_by_user()
+    expect = []
+    for u, rows in by_user.items():
+        occ = []
+        n = len(rows)
+
+        def run_len(pos):
+            r = 0
+            while pos + r < n and rows[pos + r][2] == "error":
+                r += 1
+            return r
+
+        for start in range(n):
+            if rows[start][2] != "purchase":
+                continue
+            r = run_len(start + 1)
+            if r >= 1 and start + 1 + r < n and rows[start + 1 + r][2] == "purchase":
+                end = start + 1 + r
+                if rows[end][0] - rows[start][0] <= MAX_US:
+                    occ.append((start, end, [1, r, 1]))
+        occ.sort()
+        for mno, (s, e, counts) in enumerate(occ, start=1):
+            for pos in range(s, e + 1):
+                off = pos - s
+                acc, clf = 0, None
+                for i, c in enumerate(counts):
+                    acc += c
+                    if off < acc:
+                        clf = i
+                        break
+                t, eid, et = rows[pos]
+                expect.append((u, mno, pos + 1, eid, et, t, clf))
+    assert len(expect) > 0
+
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    got = sorted(
+        tuple(r) for r in cep_match_rows(events, pattern, MAX_US).collect()
+    )
+    assert got == sorted(expect)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF}/events.parquet')"
+    )
+    sql_rows = con.execute(compile_sql_rows(pattern, MAX_US)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(expect)
