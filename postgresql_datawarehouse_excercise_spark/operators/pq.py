@@ -563,7 +563,10 @@ def ivfpq_serve(
     if qids is None:
         qvecs = q.filter(F.col("vec_id") < n_queries).limit(n_queries)
     else:
-        qvecs = q.join(F.broadcast(qids), "vec_id")
+        # qids must carry <= n_queries ids; the limit is then a no-op that
+        # puts an explicit GlobalLimit between the downstream broadcast
+        # hints and the corpus scan (the fact_broadcast_hints discipline)
+        qvecs = q.join(F.broadcast(qids), "vec_id").limit(n_queries)
     qset = qvecs.select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )

@@ -1193,7 +1193,9 @@ def x_sim_ann_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id")
 
     q = clustering.quantize(emb)
-    qs = q.join(F.broadcast(qids), "vec_id").select(
+    # the no-op limit is the explicit GlobalLimit the broadcast-hint
+    # guard requires between the hint and the corpus scan
+    qs = q.join(F.broadcast(qids), "vec_id").limit(pq.PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
     d = (

@@ -235,6 +235,10 @@ ARROW_LANES = {
     # chain is a per-user sequential fold -- one applyInPandas over
     # user_id groups (operators/cep.cep_match_skip_past)
     "x_events_cep_skip_past",
+    # AFTER MATCH SKIP TO FIRST/LAST: the same per-user sequential fold
+    # with the prefix-sum resume locator (operators/cep.cep_match_skip_to)
+    "x_events_cep_skip_to_first",
+    "x_events_cep_skip_to_last",
 }
 
 
