@@ -962,3 +962,192 @@ def test_cep_all_rows_three_way(spark):
     )
     sql_rows = con.execute(compile_sql_rows(pattern, MAX_US)).fetchall()
     assert sorted(map(tuple, sql_rows)) == sorted(expect)
+
+
+def test_stream_cep_with_define_pattern(spark, tmp_path):
+    """The streaming replay sink composes with DEFINE predicates for free
+    (patterns are data): a rising-value run is reported at epoch 0, and a
+    late event landing INSIDE the run both breaks contiguity and resets
+    the PREV() chain -- the revised epoch must retract it."""
+    from postgresql_datawarehouse_excercise_spark.streaming.cep_stream import (
+        cep_replay_sink,
+    )
+
+    H = 3600 * 1000000
+    pattern = [("p", "1", "NOT (value > PREV(value))"),
+               ("p", "+", "value > PREV(value)")]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, event_type string, t long,"
+            " value double",
+        ).selectExpr("user_id", "event_id", "event_type",
+                     "timestamp_micros(t) AS ts", "value")
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    sink = cep_replay_sink(spark, state, out, pattern, 24 * H)
+    # epoch 0: anchor 5.0, rising 6.0 -> 9.0: one occurrence, n_stage1=2
+    sink(df([(1, 1, "p", 1 * H, 5.0), (1, 2, "p", 2 * H, 6.0),
+             (1, 3, "p", 3 * H, 9.0)]), 0)
+    e0 = spark.read.parquet(out).filter("_epoch = 0").collect()
+    assert len(e0) == 1 and e0[0]["n_stage1"] == 2
+    # epoch 1: a LATE low value lands between the 6.0 and the 9.0 --
+    # the run breaks (6.0 -> 2.0 not rising); the revision is two shorter
+    # occurrences: [5,6] (anchor 5, rising 6) and [2,9] (anchor 2, rising 9)
+    sink(df([(1, 4, "p", 5 * H // 2, 2.0)]), 1)
+    e1 = sorted(
+        (r["n_stage1"], r["t_first_us"])
+        for r in spark.read.parquet(out).filter("_epoch = 1").collect()
+    )
+    assert e1 == [(1, 1 * H), (1, 5 * H // 2)]
+
+
+def _model_members_measures(rs, members, quants, measures, span):
+    """Standalone membership-function model WITH measures (the hypothesis
+    sweep's leg; mirrors the nested model in test_cep_measures_three_way)."""
+    import math
+
+    n = len(rs)
+
+    def member(i, pos):
+        return members[i](rs[pos], rs[pos - 1] if pos > 0 else None)
+
+    def cents(v):
+        return int(math.floor(v * 100 + 0.5))
+
+    def go(pos, si, segs):
+        if si == len(members):
+            yield pos, segs
+            return
+        q = quants[si]
+        if q in ("?", "*"):
+            yield from go(pos, si + 1, segs + [(pos, 0)])
+        if pos >= n:
+            return
+        if q in ("1", "?"):
+            if member(si, pos):
+                yield from go(pos + 1, si + 1, segs + [(pos, 1)])
+        else:
+            r = 0
+            while pos + r < n and member(si, pos + r):
+                r += 1
+            if r >= 1:
+                yield from go(pos + r, si + 1, segs + [(pos, r)])
+
+    out = set()
+    for start in range(n):
+        if not member(0, start):
+            continue
+        if quants[0] == "+" and start > 0 and member(0, start - 1):
+            continue
+        for end, segs in go(start, 0, []):
+            t0, t1 = rs[start][0], rs[end - 1][0]
+            if t1 - t0 > span:
+                continue
+            mvals = []
+            for idx, agg, _c, _a in measures:
+                s0, cnt = segs[idx]
+                vals = [cents(rs[s0 + j][3]) for j in range(cnt)]
+                mvals.append(
+                    None if not vals else {
+                        "sum": sum(vals), "min": min(vals), "max": max(vals),
+                        "first": vals[0], "last": vals[-1],
+                    }[agg]
+                )
+            counts = [c for _, c in segs]
+            out.add((t0, t1, t1 - t0, sum(counts), *counts, *mvals))
+    return out
+
+
+def test_cep_extensions_hypothesis_sweep():
+    """Randomized model-vs-DuckDB sweep over the round-14 CEP extensions
+    (DEFINE + measures + skip-to): tiny alphabets and a 3-value grid force
+    dense rising TIES, stream-head NULLs, empty optional arms, and
+    overlapping skip-to chains -- the regime where boundary semantics
+    hide (the discipline that caught the round-13 session-gap bug).  No
+    Spark per example (the 3-way tests pin the Spark lane on fixed
+    streams); this sweeps the COMPILED ORACLE against the independent
+    model on ~60 random streams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        compile_sql_skip_to,
+    )
+
+    span = 7200 * 1000000
+
+    stream = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),      # user
+            st.sampled_from(["a", "p"]),                # type
+            st.integers(min_value=1, max_value=600),    # inter-event secs
+            st.sampled_from([1.0, 2.0, 3.0]),           # value grid (ties)
+        ),
+        min_size=4,
+        max_size=40,
+    )
+
+    def rising(r, p):
+        return p is not None and r[3] > p[3]
+
+    DEFINE_PAT = [("p", "1", "NOT (value > PREV(value))"),
+                  ("p", "+", "value > PREV(value)")]
+    DEFINE_MEMBERS = [
+        lambda r, p: r[2] == "p" and not rising(r, p),
+        lambda r, p: r[2] == "p" and rising(r, p),
+    ]
+    MEAS = [(0, "first", "value", "anchor_c"), (1, "sum", "value", "run_sum_c"),
+            (1, "last", "value", "run_last_c")]
+    SKIP_PAT = [("a", "1"), ("p", "+"), ("a", "1")]
+
+    @settings(max_examples=60, deadline=None)
+    @given(evs=stream)
+    def sweep(evs):
+        rows = []
+        clocks = {}
+        for i, (u, et, dt, v) in enumerate(evs):
+            clocks[u] = clocks.get(u, 0) + dt * 1000000
+            rows.append((u, i, et, clocks[u], v))
+        by_user = defaultdict(list)
+        for u, e, et, t, v in rows:
+            by_user[u].append((t, e, et, v))
+        for rs in by_user.values():
+            rs.sort()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+            " make_timestamp(t) AS ts, value FROM (SELECT * FROM (VALUES "
+            + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+            + ") v(user_id, event_id, event_type, t, value))"
+        )
+        # DEFINE + measures
+        expect = set()
+        for u, rs in by_user.items():
+            for m in _model_members_measures(
+                rs, DEFINE_MEMBERS, ["1", "+"], MEAS, span
+            ):
+                expect.add((u, *m))
+        got = {
+            tuple(r)
+            for r in con.execute(
+                compile_sql(DEFINE_PAT, span, measures=MEAS)
+            ).fetchall()
+        }
+        assert got == expect
+        # SKIP TO LAST on the multi-row middle symbol
+        expect2 = []
+        for u, rs in by_user.items():
+            rs3 = [(t, e, et) for t, e, et, _ in rs]
+            for m in _model_skip_to(rs3, SKIP_PAT, span, 1, "last"):
+                expect2.append((u, *m))
+        got2 = sorted(
+            map(tuple, con.execute(
+                compile_sql_skip_to(SKIP_PAT, span, 1, "last")
+            ).fetchall())
+        )
+        assert got2 == sorted(expect2)
+
+    sweep()
