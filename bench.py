@@ -298,6 +298,14 @@ def main() -> None:
         "x_pipeline_salted_join",
         "x_events_cep_star",
         "x_events_cep_optional",
+        # round 14 (retrain_policy shares the memoized SPLIT-trained build
+        # with ann_index_insert -- whichever runs first pays it)
+        "x_sim_ann_retrain_policy",
+        "x_events_cep_define",
+        "x_events_cep_measures",
+        "x_events_cep_all_rows",
+        "x_events_cep_skip_to_first",
+        "x_events_cep_skip_to_last",
         # round 13 (the lifecycle entries share the memoized per-corpus
         # index build, so after the first build the others time as serves
         # -- the production amortization, VERDICT r12 item 6)
