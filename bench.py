@@ -300,6 +300,7 @@ def main() -> None:
         "x_events_cep_optional",
         # round 14 (retrain_policy shares the memoized SPLIT-trained build
         # with ann_index_insert -- whichever runs first pays it)
+        "x_mv_catalyst_rewrite",
         "x_sim_ann_retrain_policy",
         "x_events_cep_define",
         "x_events_cep_measures",

@@ -307,3 +307,98 @@ def x_mv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.05
         ).alias("estimate_ok"),
     )
+
+
+_CATALYST_ORACLE = """
+WITH mv AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS orderdate,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS spending
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT custkey,
+       CAST(ROUND(SUM(CAST(spending AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_spending
+FROM mv GROUP BY 1
+"""
+
+
+@query("x_mv_catalyst_rewrite", oracle=_CATALYST_ORACLE)
+def x_mv_catalyst_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPILED Catalyst MV-rewrite rule (SURVEY section 4 option b,
+    the deferred stretch goal): pdwx.MvSubstituteRule -- a real
+    org.apache.spark.sql.catalyst.rules.Rule written in Java, compiled at
+    first use against the installed Spark jars (no Scala toolchain
+    needed: Catalyst's rule API is JVM API), loaded into the LIVE driver
+    JVM and installed through spark.experimental.extraOptimizations,
+    Spark's documented hook for user optimizer rules on a running
+    session.
+
+    The demonstration is the reference's own View2 decision executed at
+    the PLAN level: a per-(customer, orderdate) spending MV materializes
+    to parquet; the user query is the per-customer roll-up written
+    ENTIRELY against the base tables (orders join lineitem, two stacked
+    aggregates); the rule matches the embedded defining subtree with
+    Catalyst's own sameResult (the CacheManager mechanism) and swaps in
+    the MV scan with an ExprId-preserving Project -- the surrounding
+    Aggregate then re-aggregates the MV, i.e. aggregate NAVIGATION falls
+    out of subtree substitution with zero aggregate-rewriting logic.
+    The entry RAISES unless the rule actually fired (hits >= 1) AND the
+    executed plan no longer scans lineitem -- a green driver row
+    therefore proves the rewrite happened and preserved values against
+    the relationally-stated DuckDB oracle (which, as everywhere, states
+    the semantics over the base tables: rewrite-preserves-semantics IS
+    the gated claim).
+
+    Runs in a fresh spark.newSession() so the driver's session is never
+    mutated; the rule set is restored even on that session (the
+    `installed` context manager).  The pure-Python RewritingSession
+    entries (x_mv_sql_rewrite*) remain the text-layer mirror of the same
+    methodology."""
+    from .. import catalyst as cat
+    from ..functions import dec
+    from .x_sources import _scratch
+
+    s2 = spark.newSession()
+    t = catalog.load(s2, sf_dir)
+    defining = (
+        t.orders.join(
+            t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .agg(money(F.sum(dec("l_extendedprice"))).alias("spending"))
+    )
+    mv_path = _scratch("pdwx-mvcat-") + "/customer_day_spending.parquet"
+    defining.write.mode("overwrite").parquet(mv_path)
+    replacement = s2.read.parquet(mv_path)
+
+    rule = cat.load_rule(s2)
+    cat.register_mv(rule, defining, replacement)
+    with cat.installed(s2, rule):
+        user = (
+            t.orders.join(
+                t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+            )
+            .groupBy(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderdate").cast("date").alias("orderdate"),
+            )
+            .agg(money(F.sum(dec("l_extendedprice"))).alias("spending"))
+            .groupBy("custkey")
+            .agg(money(F.sum(dec("spending"))).alias("total_spending"))
+        )
+        # materialize UNDER the rule; the returned frame reads the
+        # checkpoint, so the driver's later collect is rewrite-independent
+        out = user.localCheckpoint()
+        plan = user._jdf.queryExecution().executedPlan().toString()
+    if rule.hits() < 1:
+        raise AssertionError("catalyst MV rule did not fire")
+    if "lineitem" in plan:
+        raise AssertionError(
+            "executed plan still scans lineitem after MV substitution"
+        )
+    return out

@@ -7,7 +7,9 @@ via DuckDB at sf0.01.  Run before a round closes so the hard gate's
 window -- sentinels, touched, new, and the stale tail the rotation
 fronts -- is known-green in advance.
 
-Usage: python scripts/gate_preflight.py [N]   (default 52)
+Usage: python scripts/gate_preflight.py [N] [START]   (default 52 0;
+START slices deeper into the ordering -- e.g. `110 50` pre-checks the
+NEXT rotation's stale tail before the driver ever reaches it)
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ SF = "/root/testdata/sf0.01"
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 52
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     from pyspark.sql import SparkSession
 
     spark = (
@@ -43,7 +46,7 @@ def main() -> None:
     qs, osql = e.queries(), e.oracle_sql()
     con = duck_connect(SF)
     failed = []
-    for i, name in enumerate(list(qs)[:n]):
+    for i, name in enumerate(list(qs)[start:n], start=start):
         t0 = time.perf_counter()
         try:
             if name in osql:
@@ -59,7 +62,7 @@ def main() -> None:
               flush=True)
     if failed:
         sys.exit(f"{len(failed)} FAILED: {failed}")
-    print(f"all {n} window entries green at sf0.01")
+    print(f"all entries [{start}:{n}) green at sf0.01")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,119 @@
+"""The compiled JVM Catalyst MV-substitution rule (catalyst/), pinned:
+fires on both the direct and roll-up shapes, preserves values exactly,
+never rewrites unsoundly (unmappable outputs), and always restores the
+session's rule set -- including on exceptions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_datawarehouse_excercise_spark import catalyst as cat
+
+
+@pytest.fixture(scope="module")
+def fixture(spark, tmp_path_factory):
+    base_dir = str(tmp_path_factory.mktemp("cat") / "base.parquet")
+    mv_dir = str(tmp_path_factory.mktemp("cat") / "mv.parquet")
+    spark.range(0, 2000).select(
+        (F.col("id") % 11).alias("cust"),
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") * 3 % 97).alias("amount"),
+    ).write.parquet(base_dir)
+
+    def defining(s):
+        return (
+            s.read.parquet(base_dir)
+            .groupBy("cust", "day")
+            .agg(F.sum("amount").alias("spending"))
+        )
+
+    defining(spark).write.parquet(mv_dir)
+    return base_dir, mv_dir, defining
+
+
+def _fresh(spark, fixture):
+    base_dir, mv_dir, defining = fixture
+    s2 = spark.newSession()
+    rule = cat.load_rule(s2)
+    cat.register_mv(rule, defining(s2), s2.read.parquet(mv_dir))
+    return s2, rule, base_dir, defining
+
+
+def test_direct_substitution_and_rollup(spark, fixture):
+    s2, rule, base_dir, defining = _fresh(spark, fixture)
+    plain_direct = sorted(map(tuple, defining(s2).collect()))
+    plain_rollup = sorted(
+        map(
+            tuple,
+            defining(s2)
+            .groupBy("cust")
+            .agg(F.sum("spending").alias("total"))
+            .collect(),
+        )
+    )
+    with cat.installed(s2, rule):
+        # direct: the user plan IS the defining query
+        d = defining(s2)
+        got_direct = sorted(map(tuple, d.collect()))
+        assert rule.hits() >= 1
+        # roll-up: aggregate NAVIGATION via subtree substitution -- the
+        # outer Aggregate re-aggregates the swapped-in MV scan
+        h0 = rule.hits()
+        r = defining(s2).groupBy("cust").agg(F.sum("spending").alias("total"))
+        got_rollup = sorted(map(tuple, r.collect()))
+        assert rule.hits() > h0
+        plan = r._jdf.queryExecution().executedPlan().toString()
+        assert "base.parquet" not in plan
+        assert "mv.parquet" in plan or "mv" in plan
+    assert got_direct == plain_direct
+    assert got_rollup == plain_rollup
+
+
+def test_restoration_even_on_exception(spark, fixture):
+    s2, rule, _, _ = _fresh(spark, fixture)
+    em = s2._jsparkSession.experimental()
+    assert em.extraOptimizations().size() == 0
+    with pytest.raises(RuntimeError):
+        with cat.installed(s2, rule):
+            assert em.extraOptimizations().size() == 1
+            raise RuntimeError("boom")
+    assert em.extraOptimizations().size() == 0
+
+
+def test_unmappable_output_is_left_untouched(spark, fixture):
+    """Soundness fallback: if the replacement cannot supply a matched
+    subtree's output names, the subtree stays as written (never a broken
+    rewrite)."""
+    base_dir, mv_dir, defining = fixture
+    s2 = spark.newSession()
+    rule = cat.load_rule(s2)
+    # replacement with RENAMED columns: sameResult still matches the
+    # defining plan, but the remap cannot find the output names
+    renamed = (
+        s2.read.parquet(mv_dir)
+        .select(
+            F.col("cust").alias("c2"),
+            F.col("day").alias("d2"),
+            F.col("spending").alias("s2"),
+        )
+    )
+    rule.register(
+        defining(s2)._jdf.queryExecution().optimizedPlan(),
+        renamed._jdf.queryExecution().optimizedPlan(),
+    )
+    plain = sorted(map(tuple, defining(s2).collect()))
+    with cat.installed(s2, rule):
+        got = sorted(map(tuple, defining(s2).collect()))
+        assert rule.hits() == 0
+    assert got == plain
+
+
+def test_clear_resets_registry_and_counter(spark, fixture):
+    s2, rule, _, defining = _fresh(spark, fixture)
+    with cat.installed(s2, rule):
+        defining(s2).collect()
+        assert rule.hits() >= 1
+        rule.clear()
+        defining(s2).collect()
+        assert rule.hits() == 0  # nothing registered -> identity
