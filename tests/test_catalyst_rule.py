@@ -117,3 +117,29 @@ def test_clear_resets_registry_and_counter(spark, fixture):
         rule.clear()
         defining(s2).collect()
         assert rule.hits() == 0  # nothing registered -> identity
+
+
+def test_substitution_under_filter_and_sort(spark, fixture):
+    """The rule matches SUBTREES, so shapes the text-layer rewriter needs
+    explicit handling for (Filter / Sort / Limit above the aggregate)
+    work with no extra code: the defining subtree swaps wherever it
+    appears."""
+    s2, rule, base_dir, defining = _fresh(spark, fixture)
+
+    def shape(s):
+        return (
+            defining(s)
+            .filter(F.col("spending") > 50)
+            .groupBy("cust")
+            .agg(F.sum("spending").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("cust"))
+            .limit(5)
+        )
+
+    plain = [tuple(r) for r in shape(s2).collect()]
+    with cat.installed(s2, rule):
+        df = shape(s2)
+        got = [tuple(r) for r in df.collect()]
+        assert rule.hits() >= 1
+        assert "base.parquet" not in df._jdf.queryExecution().executedPlan().toString()
+    assert got == plain

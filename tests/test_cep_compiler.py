@@ -1149,5 +1149,17 @@ def test_cep_extensions_hypothesis_sweep():
             ).fetchall())
         )
         assert got2 == sorted(expect2)
+        # SKIP TO FIRST of the same symbol (resume at the run's first row)
+        expect3 = []
+        for u, rs in by_user.items():
+            rs3 = [(t, e, et) for t, e, et, _ in rs]
+            for m in _model_skip_to(rs3, SKIP_PAT, span, 1, "first"):
+                expect3.append((u, *m))
+        got3 = sorted(
+            map(tuple, con.execute(
+                compile_sql_skip_to(SKIP_PAT, span, 1, "first")
+            ).fetchall())
+        )
+        assert got3 == sorted(expect3)
 
     sweep()
