@@ -143,3 +143,46 @@ def test_substitution_under_filter_and_sort(spark, fixture):
         assert rule.hits() >= 1
         assert "base.parquet" not in df._jdf.queryExecution().executedPlan().toString()
     assert got == plain
+
+
+def test_compiled_rule_on_reference_view2(spark, sf_dir, tmp_path):
+    """The compiled rule executes the REFERENCE's View2 decision at the
+    plan level: View2's own defining query (per-(customer, name, year)
+    spending over the derived sales fact -- queries/q4_views._view2, the
+    same shape the gated q4_view2 entry materializes) registers against
+    its parquet materialization, and the Q4a-style per-customer roll-up
+    written against the BASE lineage is answered from the MV scan --
+    the plan-layer twin of the gated x_mv_sql_rewrite text entries."""
+    from postgresql_datawarehouse_excercise_spark import catalog
+    from postgresql_datawarehouse_excercise_spark.queries.q4_views import _view2
+
+    s2 = spark.newSession()
+    t = catalog.load(s2, sf_dir)
+
+    def defining():
+        return _view2(t).withColumnRenamed("sum_d", "amnt")
+
+    mv_path = str(tmp_path / "view2.parquet")
+    defining().write.parquet(mv_path)
+    rule = cat.load_rule(s2)
+    cat.register_mv(rule, defining(), s2.read.parquet(mv_path))
+
+    def q4a_rollup():
+        return (
+            defining()
+            .groupBy("customerid", "name")
+            .agg(F.sum("amnt").alias("total"))
+        )
+
+    plain = sorted(map(tuple, q4a_rollup().collect()))
+    with cat.installed(s2, rule):
+        df = q4a_rollup()
+        got = sorted(map(tuple, df.collect()))
+        assert rule.hits() >= 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the base lineage scans lineitem/orders; after substitution the
+        # aggregate reads only the materialized view2 parquet (toString
+        # truncates file locations, so pin the scan's ReadSchema instead)
+        assert "lineitem" not in plan
+        assert "ReadSchema: struct<customerid:bigint,name:string,amnt:" in plan
+    assert got == plain and len(got) > 0
