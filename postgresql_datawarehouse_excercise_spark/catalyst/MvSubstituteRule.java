@@ -47,11 +47,27 @@ public class MvSubstituteRule extends Rule<LogicalPlan> {
   private static final class Registration {
     final LogicalPlan defining;
     final LogicalPlan replacement;
+    // cheap pre-filter: sameResult canonicalizes and compares whole
+    // trees, so candidates are first screened by their output-name
+    // signature -- at registry scale (many MVs x column-subset variants)
+    // almost every (node, registration) pair is rejected by this string
+    // compare instead of a tree walk
+    final String outputSignature;
 
     Registration(LogicalPlan defining, LogicalPlan replacement) {
       this.defining = defining;
       this.replacement = replacement;
+      this.outputSignature = signature(defining);
     }
+  }
+
+  private static String signature(LogicalPlan plan) {
+    scala.collection.immutable.Seq<Attribute> out = plan.output();
+    StringBuilder sb = new StringBuilder();
+    for (int i = 0; i < out.size(); i++) {
+      sb.append(out.apply(i).name()).append('');
+    }
+    return sb.toString();
   }
 
   private final List<Registration> registry = new ArrayList<>();
@@ -81,8 +97,9 @@ public class MvSubstituteRule extends Rule<LogicalPlan> {
   }
 
   private LogicalPlan rewrite(LogicalPlan node) {
+    String sig = signature(node);
     for (Registration reg : registry) {
-      if (node.sameResult(reg.defining)) {
+      if (sig.equals(reg.outputSignature) && node.sameResult(reg.defining)) {
         LogicalPlan remapped = remap(reg.replacement, node);
         if (remapped != node) {
           hits += 1;
