@@ -1161,5 +1161,27 @@ def test_cep_extensions_hypothesis_sweep():
             ).fetchall())
         )
         assert got3 == sorted(expect3)
+        # MEASURES over an optional stage (NULL-on-empty under randomness);
+        # the two "a" anchors become adjacent when the '?' is empty, so
+        # they carry provably-disjoint literal intervals
+        OPT_PAT = [("a", "1", "value <= 2.0"), ("p", "?"),
+                   ("a", "1", "value > 2.0")]
+        OPT_MEMBERS = [lambda r, q: r[2] == "a" and r[3] <= 2.0,
+                       lambda r, q: r[2] == "p",
+                       lambda r, q: r[2] == "a" and r[3] > 2.0]
+        OPT_MEAS = [(1, "sum", "value", "p_c"), (2, "last", "value", "a2_c")]
+        expect4 = set()
+        for u, rs in by_user.items():
+            for m in _model_members_measures(
+                rs, OPT_MEMBERS, ["1", "?", "1"], OPT_MEAS, span
+            ):
+                expect4.add((u, *m))
+        got4 = {
+            tuple(r)
+            for r in con.execute(
+                compile_sql(OPT_PAT, span, measures=OPT_MEAS)
+            ).fetchall()
+        }
+        assert got4 == expect4
 
     sweep()
