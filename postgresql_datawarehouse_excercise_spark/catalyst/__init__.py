@@ -71,11 +71,15 @@ def build_classes() -> str:
             "mv/sql_rewrite.py covers the same semantics without one)"
         )
     out = tempfile.mkdtemp(prefix="pdwx-catalyst-")
-    subprocess.run(
+    proc = subprocess.run(
         [javac, "-cp", _spark_jars_classpath(), "-d", out, _SRC],
-        check=True,
         capture_output=True,
+        text=True,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"javac failed compiling MvSubstituteRule.java:\n{proc.stderr}"
+        )
     if not glob.glob(os.path.join(out, "pdwx", "*.class")):
         raise RuntimeError("javac produced no classes")
     _CLASSES[key] = out
