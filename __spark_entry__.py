@@ -39,17 +39,16 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # percentile aggregate (rank buckets, skew-proof) instead of fixed
     # id ranges; oracle unchanged (bucketing affects only decomposition)
     "x_pipeline_sequence_packing",
-    # round 14: deterministic (start_seq, end_seq) tie-break added to the
-    # skip-past chain AND its recursive-CTE oracle (ADVICE r13)
-    "x_events_cep_skip_past",
     # round 14: batch insert lane reads the shared memoized split-trained
     # build instead of training in-plan; values pinned identical.
     # (The other round-14 touches -- batch_df.sparkSession in the
     # foreachBatch sinks, the run_cep_stream on-disk fallback, the
-    # no-pred compiler path -- are behavior-identical at the gate and
-    # were re-verified green by this round's 52-entry preflight; kept
-    # OUT of the front so the six never-gated entries plus ALL 38
-    # r7-stale entries fit one ~50-entry driver window.)
+    # no-pred compiler path, and skip_past's provably-no-op-today
+    # (start_seq, end_seq) tie-break -- are behavior-identical at the
+    # gate and were re-verified green by this round's FULL-registry
+    # builder-side preflight; kept OUT of the front so the eight
+    # never-gated entries plus ALL 38 r7-stale entries fit one
+    # ~50-entry driver window.)
     "x_sim_ann_index_insert",
 )
 

@@ -301,6 +301,7 @@ def main() -> None:
         # round 14 (retrain_policy shares the memoized SPLIT-trained build
         # with ann_index_insert -- whichever runs first pays it)
         "x_mv_catalyst_rewrite",
+        "x_dedup_banding_policy",
         "x_sim_ann_retrain_policy",
         "x_events_cep_define",
         "x_events_cep_measures",

@@ -1473,3 +1473,132 @@ def x_dedup_qgram_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.coalesce(F.col("chosen_q"), F.lit(max(ED_Q_CANDIDATES)))
         ).alias("chosen"),
     )
+
+
+# --- LSH banding planner (round 14) ---------------------------------------
+# The datasketch-style optimal-(bands, rows) computation for the MinHash
+# signature width, as an executable POLICY entry beside the empirical legs
+# (x_dedup_lsh_recall measures recall, x_dedup_threshold_sweep the
+# threshold sensitivity; this is the ANALYTIC planner both consult).
+#
+# For each factorization b*r = NUM_PERM, the s-curve P(s) = 1-(1-s^r)^b
+# integrates into a false-positive mass below the target threshold and a
+# false-negative mass above it; the chosen banding minimizes their sum.
+# Cross-engine exactness discipline: powers are REPEATED LEFT-FOLD
+# MULTIPLICATIONS (each a correctly-rounded IEEE op on identical inputs,
+# so Spark and DuckDB agree bit-for-bit, where libm pow() would not be
+# guaranteed to), and per-point error terms quantize to integer
+# NANO-units before summation so the aggregate is order-free exact.
+
+BANDING_T = 0.5          # the dedup family's near-dup Jaccard threshold
+BANDING_GRID = 99        # s = i/100 for i in 1..99 (fixed midpoint grid)
+
+
+def _banding_candidates(n: int = dedup.NUM_PERM) -> list[tuple[int, int]]:
+    return [(b, n // b) for b in range(1, n + 1) if n % b == 0]
+
+
+def _chain_mul_sql(base: str, k: int) -> str:
+    """base^k as an explicit left-fold multiplication chain."""
+    expr = base
+    for _ in range(k - 1):
+        expr = f"({expr} * {base})"
+    return expr
+
+
+def _banding_policy_oracle() -> str:
+    arms = []
+    for b, r in _banding_candidates():
+        sr = _chain_mul_sql("s", r)
+        p = f"(1.0 - {_chain_mul_sql(f'(1.0 - {sr})', b)})"
+        arms.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(SUM(CASE WHEN s <= {BANDING_T}
+                     THEN CAST(FLOOR({p} * 1000000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS fp_nano,
+       CAST(SUM(CASE WHEN s > {BANDING_T}
+                     THEN CAST(FLOOR((1.0 - {p}) * 1000000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS fn_nano
+FROM (SELECT i / 100.0 AS s FROM range(1, {BANDING_GRID + 1}) t(i))""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH costs AS (
+{body}
+)
+SELECT bands, rows_per_band, fp_nano, fn_nano,
+       CAST(fp_nano + fn_nano AS BIGINT) AS cost_nano,
+       (fp_nano + fn_nano) = (SELECT MIN(fp_nano + fn_nano) FROM costs)
+         AND bands = (SELECT MIN(c2.bands) FROM costs c2
+                      WHERE c2.fp_nano + c2.fn_nano =
+                            (SELECT MIN(fp_nano + fn_nano) FROM costs))
+         AS chosen
+FROM costs
+"""
+
+
+@query("x_dedup_banding_policy", oracle=_banding_policy_oracle())
+def x_dedup_banding_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding PLANNER: for every (bands, rows) factorization of
+    the NUM_PERM MinHash width, integrate the s-curve's false-positive
+    mass below the Jaccard-0.5 dedup threshold and false-negative mass
+    above it on a fixed 99-point grid, and mark the factorization
+    minimizing their sum -- the analytic computation (datasketch's
+    optimal_param shape) behind the 8x4 production banding, made an
+    executable policy entry beside the empirical evaluators
+    (x_dedup_lsh_recall measures what the chosen banding actually
+    recalls; x_dedup_threshold_sweep what moving the threshold costs).
+
+    Exactness: s^r and (1-s^r)^b are explicit left-fold multiplication
+    CHAINS (every step a correctly-rounded IEEE multiply on identical
+    inputs, bit-equal across engines -- libm pow() carries no such
+    guarantee), and each grid point's error quantizes to integer
+    nano-units BEFORE the sum, so the aggregate is order-free exact and
+    the chosen flag can never drift.  Pure plan-side arithmetic over a
+    99-row range -- no corpus scan, one tiny aggregate per candidate;
+    the decision is corpus-INDEPENDENT by design (it plans the index
+    before the corpus exists; recall on the actual corpus is the gated
+    empirical leg)."""
+    from pyspark.sql.window import Window
+
+    def chain(col, k: int):
+        expr = col
+        for _ in range(k - 1):
+            expr = expr * col
+        return expr
+
+    pts = spark.range(1, BANDING_GRID + 1).select(
+        (F.col("id") / F.lit(100.0)).alias("s")
+    )
+    arms = []
+    for b, r in _banding_candidates():
+        sr = chain(F.col("s"), r)
+        p = F.lit(1.0) - chain(F.lit(1.0) - sr, b)
+        nano = lambda c: F.floor(c * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+        arms.append(
+            pts.agg(
+                F.sum(
+                    F.when(F.col("s") <= BANDING_T, nano(p)).otherwise(F.lit(0))
+                ).cast("long").alias("fp_nano"),
+                F.sum(
+                    F.when(F.col("s") > BANDING_T, nano(F.lit(1.0) - p))
+                    .otherwise(F.lit(0))
+                ).cast("long").alias("fn_nano"),
+            ).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "fp_nano",
+                "fn_nano",
+            )
+        )
+    from functools import reduce
+
+    costs = reduce(lambda a, c: a.unionByName(c), arms)
+    w = Window.orderBy(
+        (F.col("fp_nano") + F.col("fn_nano")).asc(), F.col("bands").asc()
+    )
+    return (
+        costs.withColumn("cost_nano", (F.col("fp_nano") + F.col("fn_nano")).cast("long"))
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("chosen", F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -573,3 +573,31 @@ def test_sequence_packing_skewed_ids(spark):
     pop = Counter(bucket_of(i) for i in ids)
     assert len(pop) >= PACK_BUCKETS - 1
     assert max(pop.values()) <= 3 * (len(ids) // PACK_BUCKETS)
+
+
+def test_banding_policy_derives_production_banding(spark):
+    """The analytic planner independently derives the production 8x4
+    banding as the minimizer at the Jaccard-0.5 dedup threshold (the
+    32-permutation width admits 6 factorizations; 8x4's s-curve midpoint
+    ~0.59 balances the FP mass below 0.5 against the FN mass above it)."""
+    from postgresql_datawarehouse_excercise_spark.operators.dedup import (
+        BANDS,
+        ROWS_PER_BAND,
+    )
+    from postgresql_datawarehouse_excercise_spark.queries import load_all
+
+    rows = load_all()["x_dedup_banding_policy"].fn(spark, "unused").collect()
+    assert len(rows) == 6
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    assert (chosen[0]["bands"], chosen[0]["rows_per_band"]) == (
+        BANDS,
+        ROWS_PER_BAND,
+    )
+    # the error masses are monotone in the expected directions: more
+    # bands -> more FP mass, fewer bands -> more FN mass
+    by_bands = sorted(rows, key=lambda r: r["bands"])
+    fps = [r["fp_nano"] for r in by_bands]
+    fns = [r["fn_nano"] for r in by_bands]
+    assert fps == sorted(fps)
+    assert fns == sorted(fns, reverse=True)
