@@ -65,7 +65,7 @@ public class MvSubstituteRule extends Rule<LogicalPlan> {
     scala.collection.immutable.Seq<Attribute> out = plan.output();
     StringBuilder sb = new StringBuilder();
     for (int i = 0; i < out.size(); i++) {
-      sb.append(out.apply(i).name()).append('');
+      sb.append(out.apply(i).name()).append('\u0001');
     }
     return sb.toString();
   }
