@@ -140,6 +140,57 @@ def register_mv(rule, defining: DataFrame, replacement: DataFrame) -> int:
     return n
 
 
+def register_fd_rollup(
+    rule,
+    defining_coarse: DataFrame,
+    mv_scan: DataFrame,
+    bridge_scan: DataFrame,
+    fine_key: str,
+    coarse_key: str,
+    rollup,
+) -> int:
+    """Register the FD-HIERARCHY rollup pair (the reference's Q4b View3
+    rescue -- assignment-5.md:822-825, assignment-5.sql:465-469 -- at the
+    compiled-rule layer): a query grouping by `coarse_key` can be
+    answered from an MV grouped by `fine_key` when a functional
+    dependency fine -> coarse holds, by joining the MV to a (fine,
+    coarse) BRIDGE and re-aggregating.
+
+    Division of labor: the FD reasoning happens HERE, at registration
+    time -- the bridge is verified functional (every fine value maps to
+    exactly one coarse value; an unverified bridge join would duplicate
+    MV rows and silently double-count), and the bridged replacement plan
+    is derived -- while plan-time matching stays Catalyst-native
+    `sameResult` against `defining_coarse` (the coarse rollup STATED
+    OVER THE BASE TABLES).  A general plan-level FD matcher would be
+    containment matching (Calcite-grade plan analysis); deriving the
+    (defining, replacement) pair per declared FD gets the reference's
+    decision with zero bespoke equality code, the same registration
+    discipline the column-subset contract uses.
+
+    `rollup` builds the coarse re-aggregate from the bridged MV scan
+    (the caller owns measure semantics -- e.g. the exact-decimal re-sum
+    that makes two-level aggregation bit-equal to one-level).  Returns
+    the number of registered plan pairs."""
+    from pyspark.sql import functions as F
+
+    n_bad = (
+        bridge_scan.groupBy(fine_key)
+        .agg(F.countDistinct(coarse_key).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise ValueError(
+            f"bridge is not functional: some {fine_key!r} maps to more "
+            f"than one {coarse_key!r}; the FD rollup registration would "
+            "double-count"
+        )
+    replacement = rollup(mv_scan.join(F.broadcast(bridge_scan), fine_key))
+    return register_mv(rule, defining_coarse, replacement)
+
+
 @contextlib.contextmanager
 def installed(spark: SparkSession, rule):
     """Install `rule` into this session's experimental.extraOptimizations

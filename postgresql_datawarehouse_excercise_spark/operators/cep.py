@@ -17,17 +17,28 @@ small pattern language, so new patterns are data, not new query code:
     the run, exactly (a|b)+ regex semantics under contiguity).
     predicate (round 14) is SQL:2016's DEFINE clause restricted to a
     small decidable language: a conjunction of comparisons
-    ``col OP (PREV(col2) | numeric-literal)`` with an optional whole
-    negation ``NOT (...)``; OP in {>, >=, <, <=, =, !=}.  PREV(col)
-    is the previous row of the USER'S FULL STREAM in (ts, event_id)
-    order -- exactly the standard's PREV under strict contiguity, where
-    the previous stream row IS the previous row of the match (or, for
-    the match's first row, the row just before the match).  Three-valued
-    logic collapses at the stage boundary: a predicate holds iff its raw
-    value IS TRUE (so PREV at the stream head -> NULL -> false), and
-    ``NOT (p)`` holds iff p does NOT hold -- the two forms PARTITION the
-    stage's type set, which is what makes negated pairs provably
-    disjoint for the adjacency validation below.
+    ``col OP (PREV(col2) | <symbol>.<col2> | numeric-literal)`` with an
+    optional whole negation ``NOT (...)``; OP in {>, >=, <, <=, =, !=}.
+    PREV(col) is the previous row of the USER'S FULL STREAM in
+    (ts, event_id) order -- exactly the standard's PREV under strict
+    contiguity, where the previous stream row IS the previous row of
+    the match (or, for the match's first row, the row just before the
+    match).  ``<symbol>.<col>`` (round 15) is a CROSS-SYMBOL reference
+    -- the standard's ``B.value > A.value`` idiom: it reads the value of
+    the row the referenced stage consumed.  Compilation is row-local: an
+    ANCHOR column (last value of the referenced TYPE at or before the
+    row, one more expression on the same user window -- no new shuffle),
+    valid because _validate requires the referenced type to belong to
+    exactly ONE stage, single-type, quantifier '1', before the
+    referencing stage: under strict contiguity no in-occurrence row can
+    reset the anchor, so the anchor every candidate row sees IS the
+    referenced stage's consumed row.  Three-valued logic collapses at
+    the stage boundary: a predicate holds iff its raw value IS TRUE (so
+    PREV at the stream head -> NULL -> false, and a symbol reference
+    with no preceding anchor row -> false), and ``NOT (p)`` holds iff p
+    does NOT hold -- the two forms PARTITION the stage's type set, which
+    is what makes negated pairs provably disjoint for the adjacency
+    validation below.
 
 Semantics (the ones the round-11 entry pinned, now stated once):
 
@@ -99,11 +110,13 @@ def _alts(etype: str) -> tuple[str, ...]:
 
 _CMP_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|!=|>|<|=)\s*"
-    r"(?:PREV\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)|(-?\d+(?:\.\d+)?))\s*$"
+    r"(?:PREV\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"|([A-Za-z0-9_]+)\.([A-Za-z_][A-Za-z0-9_]*)"
+    r"|(-?\d+(?:\.\d+)?))\s*$"
 )
 
 # canonical AST: (negated: bool, cmps: sorted tuple of
-#                 (col, op, ("prev", col2) | ("lit", float)))
+#                 (col, op, ("prev", col2) | ("sym", type, col2) | ("lit", float)))
 Pred = tuple
 
 
@@ -124,26 +137,35 @@ def _parse_pred(text: str) -> Pred:
         if not cm:
             raise ValueError(
                 f"bad DEFINE comparison {part!r} in {text!r}: expected "
-                "`col OP PREV(col)` or `col OP <number>` with OP in "
-                ">, >=, <, <=, =, !="
+                "`col OP PREV(col)`, `col OP <symbol>.<col>` or "
+                "`col OP <number>` with OP in >, >=, <, <=, =, !="
             )
-        col, op, prev_col, lit = cm.groups()
-        rhs = ("prev", prev_col) if prev_col is not None else ("lit", float(lit))
+        col, op, prev_col, sym, sym_col, lit = cm.groups()
+        if prev_col is not None:
+            rhs = ("prev", prev_col)
+        elif sym is not None:
+            rhs = ("sym", sym, sym_col)
+        else:
+            rhs = ("lit", float(lit))
         cmps.append((col, op, rhs))
     return (negated, tuple(sorted(cmps)))
 
 
-def _pred_cols(pred: Pred | None) -> tuple[set, set]:
-    """(direct attribute columns, PREV()-lagged attribute columns) a
-    predicate reads -- what cep_match/compile_sql must surface on ev."""
+def _pred_cols(pred: Pred | None) -> tuple[set, set, set]:
+    """(direct attribute columns, PREV()-lagged attribute columns,
+    cross-symbol (type, col) references) a predicate reads -- what
+    cep_match/compile_sql must surface on ev."""
     direct: set = set()
     prev: set = set()
+    sym: set = set()
     if pred is not None:
         for col, _, rhs in pred[1]:
             direct.add(col)
             if rhs[0] == "prev":
                 prev.add(rhs[1])
-    return direct, prev
+            elif rhs[0] == "sym":
+                sym.add((rhs[1], rhs[2]))
+    return direct, prev, sym
 
 
 def _pred_spark(pred: Pred):
@@ -154,9 +176,12 @@ def _pred_spark(pred: Pred):
     negated, cmps = pred
     raw = None
     for col, op, rhs in cmps:
-        r = (
-            F.col(f"_prev_{rhs[1]}") if rhs[0] == "prev" else F.lit(rhs[1])
-        )
+        if rhs[0] == "prev":
+            r = F.col(f"_prev_{rhs[1]}")
+        elif rhs[0] == "sym":
+            r = F.col(f"_sym_{rhs[1]}_{rhs[2]}")
+        else:
+            r = F.lit(rhs[1])
         lhs = F.col(col)
         c = {
             ">": lhs > r, ">=": lhs >= r, "<": lhs < r,
@@ -174,7 +199,12 @@ def _pred_sql(pred: Pred, prefix: str = "") -> str:
     negated, cmps = pred
     parts = []
     for col, op, rhs in cmps:
-        r = f"{prefix}_prev_{rhs[1]}" if rhs[0] == "prev" else repr(rhs[1])
+        if rhs[0] == "prev":
+            r = f"{prefix}_prev_{rhs[1]}"
+        elif rhs[0] == "sym":
+            r = f"{prefix}_sym_{rhs[1]}_{rhs[2]}"
+        else:
+            r = repr(rhs[1])
         parts.append(f"{prefix}{col} {'<>' if op == '!=' else op} {r}")
     base = f"COALESCE(({' AND '.join(parts)}), FALSE)"
     return f"(NOT {base})" if negated else base
@@ -266,6 +296,37 @@ def _validate_measures(measures, n_stages: int) -> list[tuple]:
     return out
 
 
+# RUNNING measures (round 15): SQL:2016's RUNNING semantics only differ
+# from FINAL in ALL ROWS PER MATCH output mode -- the aggregate over the
+# match's rows UP TO AND INCLUDING the one being emitted.  Computed as a
+# plain window over the all-rows output partitioned by (user, match) in
+# stream order; same integer-cents quantization as MEASURES.
+
+_RUN_AGGS = ("sum", "min", "max")
+
+Running = tuple  # (agg, col, alias)
+
+
+def _validate_running(running) -> list[tuple]:
+    out = []
+    for r in running or []:
+        if len(r) != 3:
+            raise ValueError(f"running measure must be (agg, col, alias): {r!r}")
+        agg, col, alias = r
+        if agg not in _RUN_AGGS:
+            raise ValueError(f"running agg {agg!r} not in {_RUN_AGGS}")
+        for ident in (col, alias):
+            if not _IDENT_RE.match(ident):
+                raise ValueError(
+                    f"running identifier {ident!r} must match "
+                    "^[A-Za-z_][A-Za-z0-9_]*$ (it names SQL columns)"
+                )
+        out.append((agg, col, alias))
+    if len({a for _, _, a in out}) != len(out):
+        raise ValueError("duplicate running alias")
+    return out
+
+
 def _norm(pattern: list[Stage]) -> list[tuple]:
     """Normalize stages to (etype, quant, parsed-pred-or-None)."""
     out = []
@@ -329,6 +390,45 @@ def _validate(pattern: list[Stage]) -> list[tuple]:
             if norm[j][1] not in ("?", "*"):
                 break  # stage j always consumes >=1 event: blocks i from j+1
             j += 1
+    # Cross-symbol DEFINE references (round 15): `col OP <sym>.<col>`
+    # compiles to a row-local ANCHOR column (last value of the referenced
+    # TYPE at or before the row, on the same user window).  Soundness
+    # needs the anchor seen by every row the referencing stage could
+    # consume to BE the row the referenced stage consumed, which holds
+    # exactly when (a) the referenced type belongs to ONE stage only --
+    # no other stage (referencing one included) can consume a row of
+    # that type, so no in-occurrence row resets the anchor -- and (b)
+    # that stage is single-type, quantifier '1' (a unique consumed row,
+    # so "<sym>.<col>" is well-defined; SQL:2016's running last-row
+    # semantics for quantified symbols is out of scope), and (c) it
+    # precedes the referencing stage.  Contiguity then pins the anchor:
+    # between the referenced row and any referencing-stage row every
+    # position is consumed by stages whose type sets exclude the
+    # referenced type.
+    for i, (_, _, pred) in enumerate(norm):
+        _, _, syms = _pred_cols(pred)
+        for s, _c in syms:
+            owners = [
+                j for j, (et, _, _) in enumerate(norm) if s in _alts(et)
+            ]
+            if len(owners) != 1:
+                raise ValueError(
+                    f"cross-symbol reference {s!r} in stage {i}: type must "
+                    f"belong to exactly one stage (found {owners!r}) so the "
+                    "anchor row is unambiguous"
+                )
+            j = owners[0]
+            if j >= i:
+                raise ValueError(
+                    f"cross-symbol reference {s!r} in stage {i} must point "
+                    f"to an EARLIER stage (stage {j} is not before {i})"
+                )
+            if _alts(norm[j][0]) != (s,) or norm[j][1] != "1":
+                raise ValueError(
+                    f"cross-symbol reference {s!r} in stage {i}: the "
+                    f"referenced stage {j} must be single-type {s!r} with "
+                    "quantifier '1' (a unique consumed row)"
+                )
     return norm
 
 
@@ -370,14 +470,29 @@ def cep_match(
     # cents on the same pass
     direct: set = set()
     prev: set = set()
+    sym: set = set()
     for _, _, pred in norm:
-        d, pv = _pred_cols(pred)
+        d, pv, sy = _pred_cols(pred)
         direct |= d
         prev |= pv
+        sym |= sy
     mcols = sorted({c for _, _, c, _ in meas})
+    w_anchor = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     extra = (
         [F.col(c) for c in sorted(direct)]
         + [F.lag(c).over(w).alias(f"_prev_{c}") for c in sorted(prev)]
+        # cross-symbol anchor: last value of the referenced TYPE at or
+        # before this row -- row-local after ONE pass over the same user
+        # window (validated so the anchor IS the referenced stage's row
+        # for every row the referencing stage can consume)
+        + [
+            F.last(
+                F.when(F.col("event_type") == s, F.col(c)), ignorenulls=True
+            )
+            .over(w_anchor)
+            .alias(f"_sym_{s}_{c}")
+            for s, c in sorted(sym)
+        ]
         + [
             F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").alias(f"_m_{c}")
             for c in mcols
@@ -656,10 +771,12 @@ def compile_sql(
     pred_id = {p: f"p{i}" for i, p in enumerate(all_preds)}
     direct: set = set()
     prev: set = set()
+    sym: set = set()
     for _, _, pred in norm:
-        d, pv = _pred_cols(pred)
+        d, pv, sy = _pred_cols(pred)
         direct |= d
         prev |= pv
+        sym |= sy
     mcols = sorted({c for _, _, c, _ in meas})
     attr_sql = (
         "".join(f", {c}" for c in sorted(direct))
@@ -667,6 +784,13 @@ def compile_sql(
             f",\n         lag({c}) OVER (PARTITION BY user_id "
             f"ORDER BY ts, event_id) AS _prev_{c}"
             for c in sorted(prev)
+        )
+        + "".join(
+            f",\n         last_value(CASE WHEN event_type = '{s}' THEN {c} "
+            f"END IGNORE NULLS) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"CURRENT ROW) AS _sym_{s}_{c}"
+            for s, c in sorted(sym)
         )
         + "".join(
             f",\n         CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS _m_{c}"
@@ -1058,7 +1182,10 @@ FROM chain
 
 
 def cep_match_rows(
-    events: DataFrame, pattern: list[Stage], max_span_us: int
+    events: DataFrame,
+    pattern: list[Stage],
+    max_span_us: int,
+    running: list[Running] | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH -- SQL:2016's row-level output mode (cep_match
     is ONE ROW PER MATCH): one output row per INPUT row per occurrence
@@ -1069,13 +1196,22 @@ def cep_match_rows(
     occurrences legally repeat a row, once per match, exactly as the
     standard specifies.
 
+    `running` (round 15) appends SQL:2016 RUNNING measures -- the only
+    output mode where RUNNING differs from FINAL: each (agg in
+    sum|min|max, col, alias) emits the aggregate over the match's rows
+    up to AND including the emitted row, as integer cents (the MEASURES
+    quantization), via one window over (user, match) in stream order --
+    no new shuffle beyond the existing user-keyed join, and the window
+    partitioning still leads with user_id.
+
     Output: (user_id, match_no, seq, event_id, event_type, t_us,
-    classifier).  Scale shape: the occurrence set joins back to the
-    sequenced stream on user_id equality with the seq-interval predicate
-    as a residual filter (both sides ride the sessionization
-    partitioning -- no theta join, no global sort), and the match_no
-    window is user-partitioned."""
+    classifier[, running aliases]).  Scale shape: the occurrence set
+    joins back to the sequenced stream on user_id equality with the
+    seq-interval predicate as a residual filter (both sides ride the
+    sessionization partitioning -- no theta join, no global sort), and
+    the match_no window is user-partitioned."""
     norm = _validate(pattern)
+    run = _validate_running(running)
     m = cep_match(events, pattern, max_span_us, with_seq=True)
     wm = Window.partitionBy("user_id").orderBy("start_seq", "end_seq")
     mm = m.withColumn(
@@ -1088,12 +1224,17 @@ def cep_match_rows(
         *[f"n_stage{i}" for i in range(len(norm))],
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rcols = sorted({c for _, c, _ in run})
     ev = events.select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("t_us"),
         F.row_number().over(w).alias("seq"),
+        *[
+            F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").alias(f"_m_{c}")
+            for c in rcols
+        ],
     )
     joined = ev.join(
         mm,
@@ -1112,6 +1253,18 @@ def cep_match_rows(
         )
         cond = off < acc
         clf = F.when(cond, F.lit(i)) if clf is None else clf.when(cond, F.lit(i))
+    w_run = (
+        Window.partitionBy("user_id", "match_no")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_cols = [
+        {"sum": F.sum, "min": F.min, "max": F.max}[agg](F.col(f"_m_{c}"))
+        .over(w_run)
+        .cast("long")
+        .alias(alias)
+        for agg, c, alias in run
+    ]
     return joined.select(
         "user_id",
         "match_no",
@@ -1120,14 +1273,22 @@ def cep_match_rows(
         "event_type",
         "t_us",
         clf.cast("int").alias("classifier"),
+        *run_cols,
     )
 
 
-def compile_sql_rows(pattern: list[Stage], max_span_us: int) -> str:
+def compile_sql_rows(
+    pattern: list[Stage],
+    max_span_us: int,
+    running: list[Running] | None = None,
+) -> str:
     """DuckDB replay of `cep_match_rows`: the seq-bounded occurrence set
     numbered per user, joined back to an independently sequenced stream,
-    with the classifier recovered by the same prefix-sum CASE."""
+    with the classifier recovered by the same prefix-sum CASE; `running`
+    replays the RUNNING measures as the same per-(user, match) stream-
+    order window over integer-cents values."""
     norm = _validate(pattern)
+    run = _validate_running(running)
     inner = compile_sql(pattern, max_span_us, with_seq=True)
     cases = []
     acc_terms: list[str] = []
@@ -1137,6 +1298,18 @@ def compile_sql_rows(pattern: list[Stage], max_span_us: int) -> str:
             f"WHEN e.seq - mm.start_seq < {' + '.join(acc_terms)} THEN {i}"
         )
     case_sql = "CASE " + " ".join(cases) + " END"
+    rcols = sorted({c for _, c, _ in run})
+    m_sql = "".join(
+        f",\n         CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS _m_{c}"
+        for c in rcols
+    )
+    run_sql = "".join(
+        f",\n       CAST({agg.upper()}(e._m_{c}) OVER ("
+        f"PARTITION BY mm.user_id, mm.match_no ORDER BY e.seq "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        f" AS {alias}"
+        for agg, c, alias in run
+    )
     return f"""
 WITH m AS (
   SELECT * FROM (
@@ -1150,12 +1323,12 @@ mm AS (
 ),
 ev2 AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq{m_sql}
   FROM events
 )
 SELECT mm.user_id, mm.match_no, CAST(e.seq AS BIGINT) AS seq,
        e.event_id, e.event_type, e.t_us,
-       CAST({case_sql} AS INT) AS classifier
+       CAST({case_sql} AS INT) AS classifier{run_sql}
 FROM mm JOIN ev2 e
   ON e.user_id = mm.user_id AND e.seq BETWEEN mm.start_seq AND mm.end_seq
 """

@@ -186,3 +186,83 @@ def test_compiled_rule_on_reference_view2(spark, sf_dir, tmp_path):
         assert "lineitem" not in plan
         assert "ReadSchema: struct<customerid:bigint,name:string,amnt:" in plan
     assert got == plain and len(got) > 0
+
+
+def test_fd_rollup_rewrite(spark, tmp_path):
+    """register_fd_rollup (round 15): a coarse-key rollup stated over the
+    base table is answered from the fine-grain MV joined to a verified
+    (fine, coarse) bridge -- value-identical to plain execution, executed
+    plan free of the base scan."""
+    base_dir = str(tmp_path / "fd_base.parquet")
+    mv_dir = str(tmp_path / "fd_mv.parquet")
+    bridge_dir = str(tmp_path / "fd_bridge.parquet")
+    # fine key `district` (20 values), FD district -> country (4 values)
+    spark.range(0, 5000).select(
+        (F.col("id") % 20).alias("district"),
+        ((F.col("id") % 20) % 4).alias("country"),
+        (F.col("id") * 7 % 101).alias("amount"),
+    ).write.parquet(base_dir)
+
+    def fine(s):
+        return (
+            s.read.parquet(base_dir)
+            .groupBy("district")
+            .agg(F.sum("amount").alias("spending"))
+        )
+
+    def coarse(s):
+        return (
+            s.read.parquet(base_dir)
+            .groupBy("country")
+            .agg(F.sum("amount").alias("spending"))
+        )
+
+    fine(spark).write.parquet(mv_dir)
+    spark.read.parquet(base_dir).select(
+        "district", "country"
+    ).distinct().write.parquet(bridge_dir)
+
+    s2 = spark.newSession()
+    plain = sorted(map(tuple, coarse(s2).collect()))
+    rule = cat.load_rule(s2)
+    cat.register_fd_rollup(
+        rule,
+        coarse(s2),
+        s2.read.parquet(mv_dir),
+        s2.read.parquet(bridge_dir),
+        "district",
+        "country",
+        lambda bridged: bridged.groupBy("country").agg(
+            F.sum("spending").alias("spending")
+        ),
+    )
+    with cat.installed(s2, rule):
+        q = coarse(s2)
+        got = sorted(map(tuple, q.collect()))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+    assert rule.hits() >= 1
+    assert got == plain
+    assert "fd_base" not in plan
+    assert "fd_mv" in plan and "fd_bridge" in plan
+
+
+def test_fd_rollup_rejects_non_functional_bridge(spark, tmp_path):
+    """A bridge where one fine value maps to two coarse values would
+    double-count MV rows -- registration must refuse."""
+    rows = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x")], "district int, country string"
+    )
+    bridge_dir = str(tmp_path / "bad_bridge.parquet")
+    rows.write.parquet(bridge_dir)
+    s2 = spark.newSession()
+    rule = cat.load_rule(s2)
+    with pytest.raises(ValueError, match="not functional"):
+        cat.register_fd_rollup(
+            rule,
+            rows,  # placeholder defining; the FD check fires first
+            rows,
+            s2.read.parquet(bridge_dir),
+            "district",
+            "country",
+            lambda b: b,
+        )

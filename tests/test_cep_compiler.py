@@ -1185,3 +1185,194 @@ def test_cep_extensions_hypothesis_sweep():
         assert got4 == expect4
 
     sweep()
+
+
+# --- round 15: cross-symbol DEFINE + RUNNING measures ---------------------
+
+
+def _valued_synthetic(seed=7, users=3, n=300):
+    """Seeded stream with a value column; returns (rows, spark_rows)."""
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for u in range(users):
+        t = 0
+        for _ in range(n):
+            t += rng.randint(1, 3600) * 1000000
+            rows.append(
+                (u, eid, rng.choice(["p", "v", "c"]), t,
+                 round(rng.uniform(1, 50), 2))
+            )
+            eid += 1
+    return rows
+
+
+def _valued_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, t long, value double",
+    ).selectExpr(
+        "user_id", "event_id", "event_type", "timestamp_micros(t) AS ts",
+        "value",
+    )
+
+
+def _valued_duck(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts, value FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+        + ") v(user_id, event_id, event_type, t, value)"
+    )
+    return con
+
+
+def test_cep_cross_symbol_define_three_way(spark):
+    """`p (v: value > p.value)+` three ways: an independent anchor-walk
+    model == Spark == compile_sql on DuckDB.  The model re-derives the
+    semantics from the STANDARD's reading (each consumed v must exceed
+    the value of the row stage p consumed), not from the anchor-column
+    construction -- so agreement checks the compilation trick, not just
+    two copies of it."""
+    rows = _valued_synthetic()
+    span = 6 * 3600 * 1000000
+    pat = [("p", "1"), ("v", "+", "value > p.value")]
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+    model = []
+    for u, rs in by_user.items():
+        n = len(rs)
+        for s in range(n):
+            if rs[s][2] != "p":
+                continue
+            anchor = rs[s][3]
+            r = 0
+            while (
+                s + 1 + r < n
+                and rs[s + 1 + r][2] == "v"
+                and rs[s + 1 + r][3] > anchor
+            ):
+                r += 1
+            if r >= 1 and rs[s + r][0] - rs[s][0] <= span:
+                model.append(
+                    (u, rs[s][0], rs[s + r][0], rs[s + r][0] - rs[s][0],
+                     1 + r, 1, r)
+                )
+    assert len(model) > 10
+
+    got = sorted(
+        tuple(r)
+        for r in cep_match(_valued_df(spark, rows), pat, span).collect()
+    )
+    assert got == sorted(model)
+
+    con = _valued_duck(rows)
+    sql_rows = con.execute(compile_sql(pat, span)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(model)
+
+
+def test_cep_cross_symbol_null_anchor(spark):
+    """Views BEFORE any purchase have a NULL anchor: IS-TRUE collapse
+    must exclude them (no occurrence can start at the stream head)."""
+    H = 3600 * 1000000
+    rows = [
+        (1, 0, "v", 1 * H, 99.0),   # head views, no anchor yet
+        (1, 1, "v", 2 * H, 99.0),
+        (1, 2, "p", 3 * H, 10.0),
+        (1, 3, "v", 4 * H, 20.0),   # > 10 -> consumed
+        (1, 4, "v", 5 * H, 5.0),    # <= 10 -> stops the run
+    ]
+    pat = [("p", "1"), ("v", "+", "value > p.value")]
+    got = cep_match(_valued_df(spark, rows), pat, 24 * H).collect()
+    assert len(got) == 1
+    assert got[0]["n_stage1"] == 1 and got[0]["t_first_us"] == 3 * H
+    con = _valued_duck(rows)
+    sql_rows = con.execute(compile_sql(pat, 24 * H)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, got))
+
+
+def test_cep_cross_symbol_validation(spark):
+    rows = _valued_synthetic(n=20)
+    df = _valued_df(spark, rows)
+    span = 6 * 3600 * 1000000
+    for bad in [
+        [("p", "1"), ("v", "+", "value > x.value")],    # unknown symbol
+        [("v", "+", "value > p.value"), ("p", "1")],    # forward reference
+        [("p", "+"), ("v", "+", "value > p.value")],    # quantified target
+        [("p", "1"), ("p|v", "+", "value > p.value")],  # type in two stages
+        [("p|c", "1"), ("v", "+", "value > p.value")],  # multi-type target
+        [("p", "1"), ("v", "+", "value > p.value; --")],  # injection
+    ]:
+        with pytest.raises(ValueError):
+            cep_match(df, bad, span)
+
+
+def test_cep_running_measures_three_way(spark):
+    """RUNNING SUM/MIN/MAX over ALL ROWS output, three ways: Spark ==
+    compile_sql_rows on DuckDB == an independent per-(user, match)
+    cumulative fold over the emitted rows' source values."""
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_rows,
+        compile_sql_rows,
+    )
+
+    rows = _valued_synthetic(seed=11)
+    span = 6 * 3600 * 1000000
+    pat = [("v", "1"), ("c", "+"), ("p", "1")]
+    running = [
+        ("sum", "value", "run_sum_c"),
+        ("min", "value", "run_min_c"),
+        ("max", "value", "run_max_c"),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in cep_match_rows(
+            _valued_df(spark, rows), pat, span, running=running
+        ).collect()
+    )
+    assert len(got) > 20
+    con = _valued_duck(rows)
+    sql_rows = con.execute(
+        compile_sql_rows(pat, span, running=running)
+    ).fetchall()
+    assert sorted(map(tuple, sql_rows)) == got
+
+    # independent fold: group by (user, match), walk in seq order, and
+    # re-derive each running value from the raw event values
+    vmap = {(u, e): v for u, e, et, t, v in rows}
+    groups = defaultdict(list)
+    for r in got:
+        groups[(r[0], r[1])].append(r)
+    for g in groups.values():
+        g.sort(key=lambda r: r[2])
+        acc, mn, mx = 0, None, None
+        for r in g:
+            c = int(vmap[(r[0], r[3])] * 100 + 0.5)
+            acc += c
+            mn = c if mn is None else min(mn, c)
+            mx = c if mx is None else max(mx, c)
+            assert (r[7], r[8], r[9]) == (acc, mn, mx)
+
+
+def test_cep_running_validation(spark):
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_rows,
+    )
+
+    rows = _valued_synthetic(n=20)
+    df = _valued_df(spark, rows)
+    span = 6 * 3600 * 1000000
+    pat = [("v", "1"), ("p", "1")]
+    for bad in [
+        [("avg", "value", "x")],                         # unknown agg
+        [("sum", "value; --", "x")],                     # non-identifier col
+        [("sum", "value", "x"), ("min", "value", "x")],  # dup alias
+        [("sum", "value")],                              # wrong arity
+    ]:
+        with pytest.raises(ValueError):
+            cep_match_rows(df, pat, span, running=bad)
