@@ -35,21 +35,19 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 14: bucket boundaries now derive from the interpolated-
-    # percentile aggregate (rank buckets, skew-proof) instead of fixed
-    # id ranges; oracle unchanged (bucketing affects only decomposition)
-    "x_pipeline_sequence_packing",
-    # round 14: batch insert lane reads the shared memoized split-trained
-    # build instead of training in-plan; values pinned identical.
-    # (The other round-14 touches -- batch_df.sparkSession in the
-    # foreachBatch sinks, the run_cep_stream on-disk fallback, the
-    # no-pred compiler path, and skip_past's provably-no-op-today
-    # (start_seq, end_seq) tie-break -- are behavior-identical at the
-    # gate and were re-verified green by this round's FULL-registry
-    # builder-side preflight; kept OUT of the front so the eight
-    # never-gated entries plus ALL 38 r7-stale entries fit one
-    # ~50-entry driver window.)
-    "x_sim_ann_index_insert",
+    # round 15: the DEFINE machinery under these entries changed (the
+    # predicate grammar gained cross-symbol references; _pred_cols'
+    # arity changed at every call site) -- behavior-identical for the
+    # r14 patterns, but the code path is shared, so they re-gate ahead
+    # of their natural rotation
+    "x_events_cep_define",
+    "x_events_cep_measures",
+    "x_events_cep_all_rows",
+    "x_events_cep_skip_to_first",
+    "x_events_cep_skip_to_last",
+    # round 15: MvSubstituteRule.java recompiled (the u0001 escape fix,
+    # value-identical) and the registration module gained the FD path
+    "x_mv_catalyst_rewrite",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

@@ -298,6 +298,10 @@ def main() -> None:
         "x_pipeline_salted_join",
         "x_events_cep_star",
         "x_events_cep_optional",
+        # round 15
+        "x_events_cep_cross_define",
+        "x_events_cep_running",
+        "x_mv_catalyst_rewrite_fd",
         # round 14 (retrain_policy shares the memoized SPLIT-trained build
         # with ann_index_insert -- whichever runs first pays it)
         "x_mv_catalyst_rewrite",
@@ -486,7 +490,7 @@ def main() -> None:
     # best-of-N would triple the ~seconds-long fixed cost for no signal);
     # x_stream_dedup doubles the input and drains via the distributed
     # parquet sink -- the entry that used to collect O(N) rows to the driver
-    for name in (
+    stream_entries = (
         "x_stream_tumbling_hourly",
         "x_stream_dedup",
         "x_stream_incremental_mv",
@@ -497,7 +501,29 @@ def main() -> None:
         "x_stream_cep",
         "x_stream_bm25_index",
         "x_stream_ann_index",
-    ):
+        # round 15: the four stateful-stream entries the sweep below
+        # would otherwise pick up -- they belong in the single-run tier
+        "x_stream_user_totals_stateful",
+        "x_stream_session_windows",
+        "x_stream_segment_hourly",
+        "x_stream_funnel_stages",
+    )
+
+    # --- full-registry micro sweep (VERDICT r14 item 6) -------------------
+    # Every registry entry not already timed above runs ONCE here, so
+    # BENCH_full.json covers the ENTIRE registry and a future entry can
+    # never be silently unbenched.  These are the sub-second micro
+    # variants (the q2/q3 report steps, the x_sql surface, the MV
+    # definitions) plus the three self-fixturing x_mv_sql_rewrite_*
+    # variants whose in-entry MV build dominates (their steady-state
+    # rewrite cost is the fam_mv block above); single-run because
+    # best-of-N would triple fixture cost for no signal on entries this
+    # small.  The tier rules live in BENCH.md.
+    for name in registry:
+        if name not in results and name not in stream_entries:
+            results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
+
+    for name in stream_entries:
         results[name] = timed(lambda name=name: q[name](spark, sf_dir), iters=1)
 
     total = round(sum(results.values()), 4)
