@@ -301,6 +301,8 @@ def main() -> None:
         # round 15
         "x_events_cep_cross_define",
         "x_events_cep_running",
+        "x_events_cep_vshape",
+        "x_events_cep_next_define",
         "x_mv_catalyst_rewrite_fd",
         # round 14 (retrain_policy shares the memoized SPLIT-trained build
         # with ann_index_insert -- whichever runs first pays it)

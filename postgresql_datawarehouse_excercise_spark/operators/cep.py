@@ -17,13 +17,18 @@ small pattern language, so new patterns are data, not new query code:
     the run, exactly (a|b)+ regex semantics under contiguity).
     predicate (round 14) is SQL:2016's DEFINE clause restricted to a
     small decidable language: a conjunction of comparisons
-    ``col OP (PREV(col2) | <symbol>.<col2> | numeric-literal)`` with an
-    optional whole negation ``NOT (...)``; OP in {>, >=, <, <=, =, !=}.
+    ``col OP (PREV(col2) | NEXT(col2) | <symbol>.<col2> |
+    numeric-literal)`` with an optional whole negation ``NOT (...)``;
+    OP in {>, >=, <, <=, =, !=}.
     PREV(col) is the previous row of the USER'S FULL STREAM in
     (ts, event_id) order -- exactly the standard's PREV under strict
     contiguity, where the previous stream row IS the previous row of
     the match (or, for the match's first row, the row just before the
-    match).  ``<symbol>.<col>`` (round 15) is a CROSS-SYMBOL reference
+    match).  NEXT(col) (round 15) is its mirror -- the standard's
+    one-row LOOKAHEAD, a lead on the same window: row-local over the
+    fixed stream, so islands and the greedy-maximal argument are
+    untouched; at the stream end NEXT is NULL and the IS-TRUE collapse
+    makes the comparison false.  ``<symbol>.<col>`` (round 15) is a CROSS-SYMBOL reference
     -- the standard's ``B.value > A.value`` idiom: it reads the value of
     the row the referenced stage consumed.  Compilation is row-local: an
     ANCHOR column (last value of the referenced TYPE at or before the
@@ -110,7 +115,7 @@ def _alts(etype: str) -> tuple[str, ...]:
 
 _CMP_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|!=|>|<|=)\s*"
-    r"(?:PREV\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"(?:(PREV|NEXT)\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"|([A-Za-z0-9_]+)\.([A-Za-z_][A-Za-z0-9_]*)"
     r"|(-?\d+(?:\.\d+)?))\s*$"
 )
@@ -137,12 +142,13 @@ def _parse_pred(text: str) -> Pred:
         if not cm:
             raise ValueError(
                 f"bad DEFINE comparison {part!r} in {text!r}: expected "
-                "`col OP PREV(col)`, `col OP <symbol>.<col>` or "
+                "`col OP PREV(col)`, `col OP NEXT(col)`, "
+                "`col OP <symbol>.<col>` or "
                 "`col OP <number>` with OP in >, >=, <, <=, =, !="
             )
-        col, op, prev_col, sym, sym_col, lit = cm.groups()
-        if prev_col is not None:
-            rhs = ("prev", prev_col)
+        col, op, nav, nav_col, sym, sym_col, lit = cm.groups()
+        if nav is not None:
+            rhs = (nav.lower(), nav_col)
         elif sym is not None:
             rhs = ("sym", sym, sym_col)
         else:
@@ -151,21 +157,25 @@ def _parse_pred(text: str) -> Pred:
     return (negated, tuple(sorted(cmps)))
 
 
-def _pred_cols(pred: Pred | None) -> tuple[set, set, set]:
+def _pred_cols(pred: Pred | None) -> tuple[set, set, set, set]:
     """(direct attribute columns, PREV()-lagged attribute columns,
-    cross-symbol (type, col) references) a predicate reads -- what
-    cep_match/compile_sql must surface on ev."""
+    NEXT()-led attribute columns, cross-symbol (type, col) references)
+    a predicate reads -- what cep_match/compile_sql must surface on
+    ev."""
     direct: set = set()
     prev: set = set()
+    nxt: set = set()
     sym: set = set()
     if pred is not None:
         for col, _, rhs in pred[1]:
             direct.add(col)
             if rhs[0] == "prev":
                 prev.add(rhs[1])
+            elif rhs[0] == "next":
+                nxt.add(rhs[1])
             elif rhs[0] == "sym":
                 sym.add((rhs[1], rhs[2]))
-    return direct, prev, sym
+    return direct, prev, nxt, sym
 
 
 def _pred_spark(pred: Pred):
@@ -178,6 +188,8 @@ def _pred_spark(pred: Pred):
     for col, op, rhs in cmps:
         if rhs[0] == "prev":
             r = F.col(f"_prev_{rhs[1]}")
+        elif rhs[0] == "next":
+            r = F.col(f"_next_{rhs[1]}")
         elif rhs[0] == "sym":
             r = F.col(f"_sym_{rhs[1]}_{rhs[2]}")
         else:
@@ -201,6 +213,8 @@ def _pred_sql(pred: Pred, prefix: str = "") -> str:
     for col, op, rhs in cmps:
         if rhs[0] == "prev":
             r = f"{prefix}_prev_{rhs[1]}"
+        elif rhs[0] == "next":
+            r = f"{prefix}_next_{rhs[1]}"
         elif rhs[0] == "sym":
             r = f"{prefix}_sym_{rhs[1]}_{rhs[2]}"
         else:
@@ -244,7 +258,14 @@ def _preds_provably_disjoint(p1: Pred | None, p2: Pred | None) -> bool:
     Decidable fragment: (a) one is the exact negation of the other
     (IS-TRUE collapse makes them partition every row set); (b) both are
     single un-negated literal comparisons on the same column with
-    disjoint value sets.  Anything else -> not provable -> the adjacency
+    disjoint value sets; (c) round 15: both are single un-negated
+    comparisons of the same column against the SAME row-local bound
+    (identical PREV()/symbol rhs) with disjoint operator regions --
+    for any one row both predicates compare one lhs value to one shared
+    rhs value, so e.g. `v < PREV(v)` and `v > PREV(v)` can never hold
+    together (this is what admits the standard's own V-shape ticker,
+    STRT DOWN+ UP+; NULL rows are excluded from both sides by the
+    IS-TRUE collapse).  Anything else -> not provable -> the adjacency
     validation rejects, keeping greedy-maximal == regex-greedy honest."""
     if p1 is None or p2 is None:
         return False
@@ -257,6 +278,8 @@ def _preds_provably_disjoint(p1: Pred | None, p2: Pred | None) -> bool:
         (b_col, b_op, b_rhs) = c2[0]
         if a_col == b_col and a_rhs[0] == "lit" and b_rhs[0] == "lit":
             return _intervals_disjoint(a_op, a_rhs[1], b_op, b_rhs[1])
+        if a_col == b_col and a_rhs == b_rhs and a_rhs[0] in ("prev", "sym"):
+            return _intervals_disjoint(a_op, 0.0, b_op, 0.0)
     return False
 
 
@@ -406,7 +429,7 @@ def _validate(pattern: list[Stage]) -> list[tuple]:
     # position is consumed by stages whose type sets exclude the
     # referenced type.
     for i, (_, _, pred) in enumerate(norm):
-        _, _, syms = _pred_cols(pred)
+        _, _, _, syms = _pred_cols(pred)
         for s, _c in syms:
             owners = [
                 j for j, (et, _, _) in enumerate(norm) if s in _alts(et)
@@ -470,17 +493,20 @@ def cep_match(
     # cents on the same pass
     direct: set = set()
     prev: set = set()
+    nxt: set = set()
     sym: set = set()
     for _, _, pred in norm:
-        d, pv, sy = _pred_cols(pred)
+        d, pv, nx, sy = _pred_cols(pred)
         direct |= d
         prev |= pv
+        nxt |= nx
         sym |= sy
     mcols = sorted({c for _, _, c, _ in meas})
     w_anchor = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     extra = (
         [F.col(c) for c in sorted(direct)]
         + [F.lag(c).over(w).alias(f"_prev_{c}") for c in sorted(prev)]
+        + [F.lead(c).over(w).alias(f"_next_{c}") for c in sorted(nxt)]
         # cross-symbol anchor: last value of the referenced TYPE at or
         # before this row -- row-local after ONE pass over the same user
         # window (validated so the anchor IS the referenced stage's row
@@ -771,11 +797,13 @@ def compile_sql(
     pred_id = {p: f"p{i}" for i, p in enumerate(all_preds)}
     direct: set = set()
     prev: set = set()
+    nxt: set = set()
     sym: set = set()
     for _, _, pred in norm:
-        d, pv, sy = _pred_cols(pred)
+        d, pv, nx, sy = _pred_cols(pred)
         direct |= d
         prev |= pv
+        nxt |= nx
         sym |= sy
     mcols = sorted({c for _, _, c, _ in meas})
     attr_sql = (
@@ -784,6 +812,11 @@ def compile_sql(
             f",\n         lag({c}) OVER (PARTITION BY user_id "
             f"ORDER BY ts, event_id) AS _prev_{c}"
             for c in sorted(prev)
+        )
+        + "".join(
+            f",\n         lead({c}) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id) AS _next_{c}"
+            for c in sorted(nxt)
         )
         + "".join(
             f",\n         last_value(CASE WHEN event_type = '{s}' THEN {c} "

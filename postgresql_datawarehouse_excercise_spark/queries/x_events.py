@@ -1551,3 +1551,116 @@ def x_events_cep_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         CEP_MAX_US,
         running=CEP_RUNNING,
     )
+
+
+# The SQL:2016 standard's own headline MATCH_RECOGNIZE example: the
+# V-shape ticker (STRT DOWN+ UP+).  Expressible once the disjointness
+# prover handles SAME-BOUND operator regions (round 15): `value <
+# PREV(value)` and `value > PREV(value)` compare one lhs to one shared
+# row-local bound, so they can never hold on the same row -- a proof the
+# literal-interval arm could not see.
+CEP_VSHAPE_PATTERN = [
+    ("purchase", "1", "NOT (value < PREV(value))"),
+    ("purchase", "+", "value < PREV(value)"),
+    ("purchase", "+", "value > PREV(value)"),
+]
+
+
+def _cep_vshape_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(CEP_VSHAPE_PATTERN, CEP_MAX_US)
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage1 AS n_down, n_stage2 AS n_up, n_events
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_vshape", oracle=_cep_vshape_oracle())
+def x_events_cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The V-shape / double-bottom ticker -- the SQL:2016 standard's own
+    MATCH_RECOGNIZE flagship (`PATTERN (STRT DOWN+ UP+)` with
+    DOWN.price < PREV(price), UP.price > PREV(price)): a non-falling
+    anchor purchase, a maximal strictly-falling run, then a maximal
+    strictly-rising run, all strictly consecutive in the user's stream.
+
+    What round 15 unlocked: all three stages share ONE event type, so
+    the adjacency validator must PROVE the predicates pairwise disjoint
+    -- anchor-vs-down is the exact-negation arm (round 14), but
+    down-vs-up (`< PREV` vs `> PREV`) needed the new SAME-BOUND
+    interval arm: both compare the row's value to the SAME row-local
+    bound (the _prev_value column), so disjoint operator regions are
+    disjoint row sets for ANY bound value; `<=` vs `>=` (sharing
+    equality) is still rejected.  The islands + bracketing machinery
+    is unchanged -- the pattern is pure data.
+
+    Oracle = compile_sql's independent arm replay; 3-way model test in
+    tests/test_cep_compiler.py re-derives V-occurrences by direct
+    walk."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(t.events, CEP_VSHAPE_PATTERN, CEP_MAX_US)
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        F.col("n_stage1").alias("n_down"),
+        F.col("n_stage2").alias("n_up"),
+        "n_events",
+    )
+
+
+# NEXT() -- SQL:2016's one-row lookahead in DEFINE, PREV's mirror: a
+# maximal run of purchases each followed by a HIGHER value (lookahead),
+# closed by the local peak (the first purchase NOT followed by a higher
+# value -- which includes the stream end, where NEXT is NULL and the
+# IS-TRUE collapse fires).  Exact-negation disjointness, as with the
+# rising-PREV pattern.
+CEP_NEXT_PATTERN = [
+    ("purchase", "+", "value < NEXT(value)"),
+    ("purchase", "1", "NOT (value < NEXT(value))"),
+]
+
+
+def _cep_next_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(CEP_NEXT_PATTERN, CEP_MAX_US)
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage0 AS n_rising, n_events
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_next_define", oracle=_cep_next_oracle())
+def x_events_cep_next_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT() in DEFINE (round 15) -- the standard's one-row LOOKAHEAD,
+    completing the PREV/NEXT navigation pair: `purchase (value <
+    NEXT(value))+ purchase (NOT ...)` -- a maximal run of purchases each
+    followed by a higher value, closed at the local peak.
+
+    NEXT compiles to one lead() on the same per-user sequence window
+    PREV's lag rides -- row-local over the FIXED stream, so the islands
+    construction and the greedy-maximal proof are untouched; per the
+    standard, NEXT navigates the INPUT (the next stream row, whatever
+    its type), and at the stream end NEXT is NULL, so the negated peak
+    predicate correctly admits a stream-final purchase.  Disjointness
+    between run and peak is the round-14 exact-negation proof -- NEXT
+    adds a navigation form, not new validation machinery.  Oracle =
+    compile_sql's replay with the same lead column in its ev CTE."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(t.events, CEP_NEXT_PATTERN, CEP_MAX_US)
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        F.col("n_stage0").alias("n_rising"),
+        "n_events",
+    )

@@ -1376,3 +1376,178 @@ def test_cep_running_validation(spark):
     ]:
         with pytest.raises(ValueError):
             cep_match_rows(df, pat, span, running=bad)
+
+
+def test_cep_vshape_three_way(spark):
+    """The standard's V-shape ticker (STRT DOWN+ UP+ over ONE type with
+    PREV predicates) three ways -- the pattern the same-bound
+    disjointness arm admits.  Dense single-type stream so falling and
+    rising runs are long and adjacent."""
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(250):
+            t += rng.randint(1, 1800) * 1000000
+            rows.append((u, eid, "p", t, float(rng.randint(1, 12))))
+            eid += 1
+    span = 24 * 3600 * 1000000
+    pat = [
+        ("p", "1", "NOT (value < PREV(value))"),
+        ("p", "+", "value < PREV(value)"),
+        ("p", "+", "value > PREV(value)"),
+    ]
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+    model = []
+    for u, rs in by_user.items():
+        n = len(rs)
+
+        def prev_v(i):
+            return rs[i - 1][3] if i > 0 else None
+
+        for s in range(n):
+            pv = prev_v(s)
+            # NOT(value < PREV) with IS-TRUE collapse: head row anchors
+            if pv is not None and rs[s][3] < pv:
+                continue
+            i = s + 1
+            down = 0
+            while i < n and rs[i][3] < rs[i - 1][3]:
+                down += 1
+                i += 1
+            if down < 1:
+                continue
+            up = 0
+            while i < n and rs[i][3] > rs[i - 1][3]:
+                up += 1
+                i += 1
+            if up < 1:
+                continue
+            t0, t1 = rs[s][0], rs[s + down + up][0]
+            if t1 - t0 <= span:
+                model.append((u, t0, t1, t1 - t0, 1 + down + up, 1, down, up))
+    assert len(model) > 10
+
+    got = sorted(
+        tuple(r)
+        for r in cep_match(_valued_df(spark, rows), pat, span).collect()
+    )
+    assert got == sorted(model)
+    con = _valued_duck(rows)
+    sql_rows = con.execute(compile_sql(pat, span)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(model)
+
+
+def test_cep_same_bound_disjointness_prover(spark):
+    """`< PREV` vs `> PREV` on one column is provably disjoint (the
+    V-shape arm); `<= PREV` vs `>= PREV` shares the equality point and
+    must still be rejected, as must different bounds."""
+    rows = _valued_synthetic(n=20)
+    df = _valued_df(spark, rows)
+    span = 6 * 3600 * 1000000
+    # admitted: strict same-bound split
+    cep_match(
+        df,
+        [("p", "1", "NOT (value < PREV(value))"),
+         ("p", "+", "value < PREV(value)"),
+         ("p", "+", "value > PREV(value)")],
+        span,
+    )
+    # admitted: same-bound split on a cross-symbol anchor
+    cep_match(
+        df,
+        [("c", "1"),
+         ("p", "+", "value < c.value"),
+         ("p", "+", "value > c.value")],
+        span,
+    )
+    for bad in [
+        # shares the equality point
+        [("p", "1", "NOT (value <= PREV(value))"),
+         ("p", "+", "value <= PREV(value)"),
+         ("p", "+", "value >= PREV(value)")],
+        # different bounds (PREV of different columns)
+        [("p", "1", "NOT (value < PREV(value))"),
+         ("p", "+", "value < PREV(value)"),
+         ("p", "+", "value > PREV(t)")],
+    ]:
+        with pytest.raises(ValueError):
+            cep_match(df, bad, span)
+
+
+def test_cep_next_define_three_way(spark):
+    """NEXT() lookahead three ways on a MIXED-type stream: the model
+    reads the next STREAM row (any type), exactly the standard's input
+    navigation -- which distinguishes NEXT from a within-run lookahead."""
+    rows = _valued_synthetic(seed=31)
+    span = 6 * 3600 * 1000000
+    pat = [
+        ("p", "+", "value < NEXT(value)"),
+        ("p", "1", "NOT (value < NEXT(value))"),
+    ]
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+    model = []
+    for u, rs in by_user.items():
+        n = len(rs)
+
+        def next_ok(i):
+            # value < NEXT(value), IS-TRUE collapse at the stream end
+            return i + 1 < n and rs[i][3] < rs[i + 1][3]
+
+        for s in range(n):
+            # maximal run start: previous row must not be in the run set
+            if rs[s][2] != "p" or not next_ok(s):
+                continue
+            if s > 0 and rs[s - 1][2] == "p" and next_ok(s - 1):
+                continue
+            i = s
+            run = 0
+            while i < n and rs[i][2] == "p" and next_ok(i):
+                run += 1
+                i += 1
+            if i < n and rs[i][2] == "p" and not next_ok(i):
+                t0, t1 = rs[s][0], rs[i][0]
+                if t1 - t0 <= span:
+                    model.append((u, t0, t1, t1 - t0, run + 1, run, 1))
+    assert len(model) > 10
+
+    got = sorted(
+        tuple(r)
+        for r in cep_match(_valued_df(spark, rows), pat, span).collect()
+    )
+    assert got == sorted(model)
+    con = _valued_duck(rows)
+    sql_rows = con.execute(compile_sql(pat, span)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(model)
+
+
+def test_cep_next_stream_end_collapse(spark):
+    """A stream-final purchase has NULL NEXT: the negated peak predicate
+    must admit it (NULL comparison -> false -> NOT -> true)."""
+    H = 3600 * 1000000
+    rows = [
+        (1, 0, "p", 1 * H, 1.0),
+        (1, 1, "p", 2 * H, 2.0),
+        (1, 2, "p", 3 * H, 3.0),  # stream ends here: peak by collapse
+    ]
+    pat = [
+        ("p", "+", "value < NEXT(value)"),
+        ("p", "1", "NOT (value < NEXT(value))"),
+    ]
+    got = cep_match(_valued_df(spark, rows), pat, 24 * H).collect()
+    assert len(got) == 1
+    assert got[0]["n_stage0"] == 2 and got[0]["t_last_us"] == 3 * H
+    con = _valued_duck(rows)
+    sql_rows = con.execute(compile_sql(pat, 24 * H)).fetchall()
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, got))
