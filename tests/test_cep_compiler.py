@@ -583,7 +583,8 @@ def test_cep_define_three_way(spark):
 def test_cep_define_validation(spark):
     """DEFINE-specific validation: overlapping types are legal ONLY under
     provably-disjoint predicates (exact negation / disjoint literal
-    intervals); anything unprovable is rejected; bad predicate syntax and
+    intervals / disjoint operator regions on the SAME row-local bound);
+    anything unprovable is rejected; bad predicate syntax and
     non-identifier columns are rejected at parse time."""
     from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
     from postgresql_datawarehouse_excercise_spark.operators.cep import (
@@ -596,6 +597,9 @@ def test_cep_define_validation(spark):
          ("purchase", "+", "value > PREV(value)")],
         [("purchase", "1", "value < 100"), ("purchase", "+", "value >= 100")],
         [("purchase", "1", "value = 5"), ("purchase", "+", "value != 5")],
+        # round 15: disjoint operator regions on the SAME row-local bound
+        [("purchase", "1", "value < PREV(value)"),
+         ("purchase", "+", "value > PREV(value)")],
     ]
     for pat in ok:
         assert _cm(events, pat, MAX_US).columns  # validates + compiles
@@ -606,9 +610,12 @@ def test_cep_define_validation(spark):
         [("purchase", "1"), ("purchase", "+", "value > PREV(value)")],
         # closed boundary point shared
         [("purchase", "1", "value >= 100"), ("purchase", "+", "value <= 100")],
-        # PREV comparisons that are not exact negations
+        # same row-local bound but operator regions share the equality point
+        [("purchase", "1", "value <= PREV(value)"),
+         ("purchase", "+", "value >= PREV(value)")],
+        # disjoint operator regions but DIFFERENT row-local bounds
         [("purchase", "1", "value < PREV(value)"),
-         ("purchase", "+", "value > PREV(value)")],
+         ("purchase", "+", "value > NEXT(value)")],
     ]
     for pat in bad:
         with pytest.raises(ValueError):
