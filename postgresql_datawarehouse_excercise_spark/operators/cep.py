@@ -10,6 +10,16 @@ small pattern language, so new patterns are data, not new query code:
     (event_type, quantifier, predicate)
     quantifier in {"1", "?", "+", "*"}    (exactly-one / optional /
                                            one-or-more / zero-or-more)
+    or "{n,m}" / "{n,}" (round 15): SQL:2016 BOUNDED repetition, n >= 1.
+    Semantics follow the engine's greedy-maximal discipline: the stage's
+    maximal run must have length in [n, m] and is consumed WHOLE -- for
+    non-final stages this is forced, not chosen (adjacent stages are
+    provably disjoint, so partial consumption strands an in-set event
+    where a disjoint stage must match); only a FINAL stage with finite m
+    consumes greedily-capped min(run, m) rows (match iff run >= n), at
+    the cost of one extra (user_id, seq)-keyed position join.  Measures
+    on that one capped shape are rejected (the per-run aggregates cannot
+    see a prefix); everywhere else they stay exact.
     event_type may be an ALTERNATION "a|b|c" (SQL:2016 row-pattern
     alternation, round 13): the stage matches events whose type is ANY
     of the alternatives -- a quantified alternation consumes a maximal
@@ -94,6 +104,35 @@ from pyspark.sql.window import Window
 Stage = tuple
 
 _QUANTS = ("1", "?", "+", "*")
+
+# Bounded quantifiers (round 15): "{n,m}" / "{n,}" -- SQL:2016 row-pattern
+# bounded repetition.  Semantics follow the engine's established
+# greedy-maximal discipline: the stage's MAXIMAL run must have length in
+# [n, m] and is consumed whole.  That full-run rule is not a choice for
+# non-final stages, it is FORCED: adjacent stages are provably disjoint,
+# so a partially-consumed run would leave an in-set event exactly where a
+# disjoint-set stage must match -- no shorter consumption can ever
+# complete.  Only a FINAL stage with a finite upper bound differs: there
+# greedy consumption caps at m rows of a longer run (min(run, m), match
+# iff run >= n), which costs one extra (user_id, seq)-keyed position join
+# to read the capped end's timestamp.  Lower bound must be >= 1 ('?'/'*'
+# cover the may-match-empty shapes, and the optional-arm machinery is
+# theirs).
+_RANGE_RE = re.compile(r"^\{(\d+),(\d*)\}$")
+
+
+def _quant_range(q: str):
+    """(lo, hi-or-None) for a bounded quantifier '{n,m}' / '{n,}', else
+    None."""
+    m = _RANGE_RE.match(q)
+    if not m:
+        return None
+    return (int(m.group(1)), int(m.group(2)) if m.group(2) else None)
+
+
+def _is_run_quant(q: str) -> bool:
+    """Quantifiers compiled through the gaps-and-islands run machinery."""
+    return q in ("+", "*") or _quant_range(q) is not None
 
 # Event types are interpolated into the generated oracle SQL as both CTE
 # identifiers and quoted literals; restrict them to identifier characters
@@ -319,6 +358,27 @@ def _validate_measures(measures, n_stages: int) -> list[tuple]:
     return out
 
 
+def _check_rng_measures(norm, meas) -> None:
+    """A FINAL '{n,m}' stage with a finite upper bound consumes only a
+    PREFIX of its maximal run (greedy cap: min(run, m) rows), so the
+    per-run aggregates the islands machinery computes are not the
+    consumed-rows aggregates there -- measures on such a stage are
+    rejected rather than silently wrong.  Every other bounded position
+    consumes its run whole (see _validate's adjacency discipline), so
+    measures remain exact."""
+    last = len(norm) - 1
+    rng = _quant_range(norm[last][1])
+    if rng is not None and rng[1] is not None:
+        for mm in meas:
+            if mm[0] == last:
+                raise ValueError(
+                    "measures on a final '{n,m}' stage with a finite "
+                    "upper bound are out of scope: the stage consumes "
+                    "min(run, m) rows, a prefix the per-run aggregates "
+                    "cannot see"
+                )
+
+
 # RUNNING measures (round 15): SQL:2016's RUNNING semantics only differ
 # from FINAL in ALL ROWS PER MATCH output mode -- the aggregate over the
 # match's rows UP TO AND INCLUDING the one being emitted.  Computed as a
@@ -373,7 +433,20 @@ def _validate(pattern: list[Stage]) -> list[tuple]:
         raise ValueError("pattern needs at least two stages")
     for etype, q, _ in norm:
         if q not in _QUANTS:
-            raise ValueError(f"bad quantifier {q!r} for {etype!r}")
+            rng = _quant_range(q)
+            if rng is None:
+                raise ValueError(f"bad quantifier {q!r} for {etype!r}")
+            lo, hi = rng
+            if lo < 1:
+                raise ValueError(
+                    f"bounded quantifier {q!r} for {etype!r}: lower bound "
+                    "must be >= 1 ('?'/'*' cover the may-match-empty shapes)"
+                )
+            if hi is not None and hi < lo:
+                raise ValueError(
+                    f"bounded quantifier {q!r} for {etype!r}: upper bound "
+                    "below lower bound"
+                )
         alts = _alts(etype)
         for a in alts:
             if not _TYPE_RE.match(a):
@@ -384,10 +457,13 @@ def _validate(pattern: list[Stage]) -> list[tuple]:
                 )
         if len(set(alts)) != len(alts):
             raise ValueError(f"duplicate alternative in stage {etype!r}")
-    if norm[0][1] not in ("1", "+") or norm[-1][1] not in ("1", "+"):
+    def _nonempty(q: str) -> bool:
+        return q in ("1", "+") or _quant_range(q) is not None
+
+    if not _nonempty(norm[0][1]) or not _nonempty(norm[-1][1]):
         raise ValueError(
-            "first and last stages must be '1' or '+' (anchors for the "
-            "time bound)"
+            "first and last stages must be '1', '+' or '{n,m}' (anchors "
+            "for the time bound)"
         )
     # Adjacent stages must have DISJOINT row sets -- including stages
     # that BECOME adjacent when an optional stage between them matches
@@ -481,6 +557,7 @@ def cep_match(
     """
     norm = _validate(pattern)
     meas = _validate_measures(measures, len(norm))
+    _check_rng_measures(norm, meas)
     meas_by_stage: dict[int, list[tuple]] = {}
     for mm in meas:
         meas_by_stage.setdefault(mm[0], []).append(mm)
@@ -594,8 +671,17 @@ def cep_match(
                     F.lit(1).cast("long").alias(ncol),
                     *mv_new,
                 )
-            else:  # "+"
-                p = runs(etype, pred, smeas).select(
+            else:  # "+" / "{n,m}" (a first stage is never final: >= 2
+                # stages, so a bounded first stage always consumes its
+                # maximal run whole -- bounds filter the run length)
+                r0 = runs(etype, pred, smeas)
+                rng = _quant_range(quant)
+                if rng is not None:
+                    cond = F.col("n") >= rng[0]
+                    if rng[1] is not None:
+                        cond = cond & (F.col("n") <= rng[1])
+                    r0 = r0.filter(cond)
+                p = r0.select(
                     "user_id",
                     F.col("s0").alias("start_seq"),
                     F.col("rt0").alias("t_first_us"),
@@ -635,8 +721,24 @@ def cep_match(
                     *mv_new,
                 )
             )
-        else:  # "+" / "*"
-            r = runs(etype, pred, smeas).select(
+        else:  # "+" / "*" / "{n,m}"
+            rng = _quant_range(quant)
+            final_cap = (
+                rng is not None
+                and rng[1] is not None
+                and i == len(norm) - 1
+            )
+            r0 = runs(etype, pred, smeas)
+            if rng is not None:
+                # every non-final bounded stage consumes its maximal run
+                # whole (forced by adjacent disjointness), so bounds are
+                # a run-length filter; a final capped stage only needs
+                # the lower bound here -- the cap is applied below
+                cond = F.col("n") >= rng[0]
+                if rng[1] is not None and not final_cap:
+                    cond = cond & (F.col("n") <= rng[1])
+                r0 = r0.filter(cond)
+            r = r0.select(
                 F.col("user_id").alias("m_user"),
                 F.col("s0").alias("m_s0"),
                 F.col("s1").alias("m_s1"),
@@ -644,23 +746,56 @@ def cep_match(
                 F.col("n").alias("m_n"),
                 *[F.col(f"mv_{a}") for _, _, _, a in smeas],
             )
-            consumed = (
-                p.join(
-                    r,
-                    (F.col("user_id") == F.col("m_user"))
-                    & (F.col("next_seq") == F.col("m_s0")),
+            if final_cap:
+                # greedy cap: consume min(run, m) rows; the capped end's
+                # timestamp comes from one more (user_id, seq)-keyed
+                # equi-join against the sequenced stream -- same
+                # sessionization partitioning, no new shuffle key
+                take = F.least(F.col("m_n"), F.lit(rng[1]))
+                pos = ev.select(
+                    F.col("user_id").alias("e_user"),
+                    F.col("seq").alias("e_seq"),
+                    F.col("t_us").alias("e_t"),
                 )
-                .select(
-                    "user_id",
-                    "start_seq",
-                    "t_first_us",
-                    F.col("m_t1").alias("t_last_us"),
-                    (F.col("m_s1") + 1).alias("next_seq"),
-                    *carried,
-                    F.col("m_n").alias(ncol),
-                    *mv_new,
+                consumed = (
+                    p.join(
+                        r,
+                        (F.col("user_id") == F.col("m_user"))
+                        & (F.col("next_seq") == F.col("m_s0")),
+                    )
+                    .join(
+                        pos,
+                        (F.col("user_id") == F.col("e_user"))
+                        & (F.col("m_s0") + take - 1 == F.col("e_seq")),
+                    )
+                    .select(
+                        "user_id",
+                        "start_seq",
+                        "t_first_us",
+                        F.col("e_t").alias("t_last_us"),
+                        (F.col("m_s0") + take).alias("next_seq"),
+                        *carried,
+                        take.cast("long").alias(ncol),
+                    )
                 )
-            )
+            else:
+                consumed = (
+                    p.join(
+                        r,
+                        (F.col("user_id") == F.col("m_user"))
+                        & (F.col("next_seq") == F.col("m_s0")),
+                    )
+                    .select(
+                        "user_id",
+                        "start_seq",
+                        "t_first_us",
+                        F.col("m_t1").alias("t_last_us"),
+                        (F.col("m_s1") + 1).alias("next_seq"),
+                        *carried,
+                        F.col("m_n").alias(ncol),
+                        *mv_new,
+                    )
+                )
         if quant in ("?", "*"):
             skipped = p.select(
                 "user_id",
@@ -777,6 +912,7 @@ def compile_sql(
     NULL on empty optional arms)."""
     norm = _validate(pattern)
     meas = _validate_measures(measures, len(norm))
+    _check_rng_measures(norm, meas)
     meas_by_stage: dict[int, list[tuple]] = {}
     for mm in meas:
         meas_by_stage.setdefault(mm[0], []).append(mm)
@@ -834,7 +970,7 @@ def compile_sql(
     # stages that share its (type set, predicate) key
     run_meas: dict[tuple, list[tuple]] = {}
     for i, (etype, quant, pred) in enumerate(norm):
-        if quant in ("+", "*"):
+        if _is_run_quant(quant):
             run_meas.setdefault((_alts(etype), pred), [])
             for mm in meas_by_stage.get(i, []):
                 if mm not in run_meas[(_alts(etype), pred)]:
@@ -858,7 +994,7 @@ def compile_sql(
         return base + (f"_{pred_id[pred]}" if pred is not None else "")
 
     run_keys = sorted(
-        {(_alts(t), p) for t, q, p in norm if q in ("+", "*")},
+        {(_alts(t), p) for t, q, p in norm if _is_run_quant(q)},
         key=lambda k: (k[0], repr(k[1])),
     )
     ctes = [
@@ -908,19 +1044,47 @@ def compile_sql(
         anchor: str | None = None
         prev_end: str | None = None  # SQL expr: seq AFTER the consumed prefix
         for i, (etype, quant, pred) in enumerate(norm):
-            is_run = quant in ("+", "*")
+            is_run = _is_run_quant(quant)
             if quant in ("?", "*") and not present[i]:
                 n_exprs.append("CAST(0 AS BIGINT)")
                 for _, _, _, a in meas_by_stage.get(i, []):
                     meas_exprs[a] = "CAST(NULL AS BIGINT)"
                 continue
             alias = f"s{i}"
+            extra_join: str | None = None
             if is_run:
                 rel = run_rel(_alts(etype), pred)
-                start, end = f"{alias}.s0", f"{alias}.s1 + 1"
-                n_exprs.append(f"{alias}.n")
-                t_first, t_last = f"{alias}.rt0", f"{alias}.rt1"
+                rng = _quant_range(quant)
+                final_cap = (
+                    rng is not None
+                    and rng[1] is not None
+                    and i == len(norm) - 1
+                )
                 cond: list[str] = []
+                if rng is not None:
+                    # non-final bounded stages consume the maximal run
+                    # whole (forced by adjacent disjointness): bounds are
+                    # run-length conditions; a final capped stage keeps
+                    # only the lower bound and caps consumption below
+                    cond.append(f"{alias}.n >= {rng[0]}")
+                    if rng[1] is not None and not final_cap:
+                        cond.append(f"{alias}.n <= {rng[1]}")
+                if final_cap:
+                    take = f"LEAST({alias}.n, {rng[1]})"
+                    start, end = f"{alias}.s0", f"{alias}.s0 + {take}"
+                    n_exprs.append(f"CAST({take} AS BIGINT)")
+                    # the capped end's timestamp: one more seq-keyed join
+                    # against the sequenced stream, the SQL twin of
+                    # cep_match's position join
+                    extra_join = (
+                        f"JOIN ev e{i} ON e{i}.user_id = {alias}.user_id "
+                        f"AND e{i}.seq = {alias}.s0 + {take} - 1"
+                    )
+                    t_first, t_last = f"{alias}.rt0", f"e{i}.t_us"
+                else:
+                    start, end = f"{alias}.s0", f"{alias}.s1 + 1"
+                    n_exprs.append(f"{alias}.n")
+                    t_first, t_last = f"{alias}.rt0", f"{alias}.rt1"
                 for _, _, _, a in meas_by_stage.get(i, []):
                     meas_exprs[a] = f"{alias}.mv_{a}"
             else:
@@ -944,6 +1108,8 @@ def compile_sql(
                     f"{start} = {prev_end}",
                 ] + cond
                 joins.append(f"JOIN {rel} {alias} ON " + " AND ".join(on))
+            if extra_join is not None:
+                joins.append(extra_join)
             if first_t is None:
                 first_t = t_first
                 first_s = start

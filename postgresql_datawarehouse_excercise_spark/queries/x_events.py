@@ -1613,6 +1613,82 @@ def x_events_cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded quantifiers (round 15): SQL:2016 row-pattern bounded repetition
+# {n,m}.  The pattern exercises all three bounded behaviors at once: the
+# middle stage's maximal run must have length in [1,3] and is consumed
+# WHOLE (full-run consumption is forced at non-final positions by the
+# adjacent-disjointness discipline), the FINAL stage greedily caps a
+# longer purchase run at 2 rows (min(run, m), one extra seq-keyed
+# position join for the capped end's timestamp), and the middle stage
+# carries a MEASURE -- exact, because full-run consumption means the
+# per-run aggregate IS the consumed-rows aggregate.
+CEP_BOUNDED_PATTERN = [
+    ("view|signup", "1"),
+    ("click|error", "{1,3}"),
+    ("purchase", "{1,2}"),
+]
+CEP_BOUNDED_MEAS = [(1, "sum", "value", "mid_sum_c")]
+
+
+def _cep_bounded_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(
+        CEP_BOUNDED_PATTERN, CEP_MAX_US, measures=CEP_BOUNDED_MEAS
+    )
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage1 AS n_mid, n_stage2 AS n_purchases, n_events, mid_sum_c
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_bounded", oracle=_cep_bounded_oracle())
+def x_events_cep_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED quantifiers {n,m} (round 15) -- SQL:2016 row-pattern
+    bounded repetition, the last quantifier form the compiler lacked
+    (after 1 ? + * and alternation/PERMUTE): `(view|signup)
+    (click|error){1,3} purchase{1,2}` with a sum measure on the bounded
+    middle stage.
+
+    Semantics ride the engine's established greedy-maximal discipline:
+    a bounded stage's MAXIMAL run must have length in [n, m] and is
+    consumed whole.  For non-final stages that full-run rule is FORCED,
+    not chosen -- adjacent stages are provably disjoint, so a partially
+    consumed run would strand an in-set event exactly where a
+    disjoint-set stage must match; the bound therefore compiles to a
+    pure run-length FILTER on the existing islands relation (zero new
+    joins, zero new shuffles).  Only a FINAL stage with finite m
+    differs: SQL greedy consumption caps at m rows of a longer run
+    (min(run, m), match iff run >= n), costing exactly one more
+    (user_id, seq)-keyed equi-join to read the capped end's timestamp
+    -- still inside the sessionization partitioning.  Measures on that
+    one capped shape are rejected at validation (a per-run aggregate
+    cannot see a prefix) rather than silently wrong; everywhere else
+    they stay exact, as the middle-stage measure here gates.
+
+    Oracle = compile_sql's independent replay (run-length conditions in
+    the bracketing joins; LEAST(n, m) cap + seq-keyed end join for the
+    final stage); 3-way model test + pinned final-cap semantics in
+    tests/test_cep_compiler.py."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(
+        t.events, CEP_BOUNDED_PATTERN, CEP_MAX_US, measures=CEP_BOUNDED_MEAS
+    )
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        F.col("n_stage1").alias("n_mid"),
+        F.col("n_stage2").alias("n_purchases"),
+        "n_events",
+        "mid_sum_c",
+    )
+
+
 # NEXT() -- SQL:2016's one-row lookahead in DEFINE, PREV's mirror: a
 # maximal run of purchases each followed by a HIGHER value (lookahead),
 # closed by the local peak (the first purchase NOT followed by a higher

@@ -28,8 +28,13 @@ def _model_match(rows, pattern, max_span_us):
     Semantics mirror operators/cep.py's declared contract: strictly
     consecutive, quantified stages consume a MAXIMAL run drawn from the
     stage's alternative type set ('a' or 'a|b'), '?' consumes exactly one
-    event or none, '*' a maximal run or none.
+    event or none, '*' a maximal run or none; bounded '{n,m}'/'{n,}'
+    (round 15) requires the maximal run's length in [n, m] and consumes
+    it whole -- except a FINAL stage with finite m, which greedily caps
+    at min(run, m) rows (match iff run >= n).
     """
+    import re as _re
+
     n = len(rows)
     out = set()
 
@@ -47,6 +52,18 @@ def _model_match(rows, pattern, max_span_us):
             yield pos, counts
             return
         etype, quant = pattern[si]
+        rng = _re.match(r"^\{(\d+),(\d*)\}$", quant)
+        if rng:
+            lo = int(rng.group(1))
+            hi = int(rng.group(2)) if rng.group(2) else None
+            r = run_len(pos, etype)
+            if si == len(pattern) - 1 and hi is not None:
+                if r >= lo:
+                    take = min(r, hi)
+                    yield from go(pos + take, si + 1, counts + [take])
+            elif r >= lo and (hi is None or r <= hi):
+                yield from go(pos + r, si + 1, counts + [r])
+            return
         if quant in ("?", "*"):
             yield from go(pos, si + 1, counts + [0])
         if pos >= n:
@@ -60,12 +77,13 @@ def _model_match(rows, pattern, max_span_us):
                 yield from go(pos + r, si + 1, counts + [r])
 
     first_alts = alts(pattern[0][0])
+    first_is_run = pattern[0][1] == "+" or pattern[0][1].startswith("{")
     for start in range(n):
         if rows[start][2] not in first_alts:
             continue
-        # for a '+' first stage only maximal-run STARTS anchor (the engine
-        # joins whole islands)
-        if pattern[0][1] == "+" and start > 0 and rows[start - 1][2] in first_alts:
+        # for a '+'/bounded first stage only maximal-run STARTS anchor
+        # (the engine joins whole islands)
+        if first_is_run and start > 0 and rows[start - 1][2] in first_alts:
             continue
         for end, counts in go(start, 0, []):
             t0, t1 = rows[start][0], rows[end - 1][0]
@@ -164,6 +182,146 @@ def test_cep_sql_twin_matches_model_synthetic(spark):
         assert got == expect
         sql_rows = con.execute(compile_sql(pattern, span)).fetchall()
         assert {tuple(r) for r in sql_rows} == expect
+
+
+def test_cep_bounded_quantifiers_three_way(spark):
+    """Bounded repetition '{n,m}'/'{n,}' (round 15), three ways on a
+    seeded synthetic stream whose alphabet is weighted toward 'b' so
+    b-runs of every length 1..6 appear: model == Spark == compile_sql
+    on DuckDB.  Covers runs shorter than n (rejected), inside [n, m]
+    (consumed whole), and longer than m -- rejected at non-final
+    positions (full-run consumption forced by adjacent disjointness)
+    but greedily CAPPED at a final stage (min(run, m) rows)."""
+    rng = random.Random(4242)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 3600) * 1000000
+            rows.append((u, eid, rng.choice(["a", "b", "b", "b", "p"]), t))
+            eid += 1
+    span = 12 * 3600 * 1000000
+
+    by_user = defaultdict(list)
+    for u, e, et, t in rows:
+        by_user[u].append((t, e, et))
+    for rs in by_user.values():
+        rs.sort()
+
+    df = spark.createDataFrame(
+        [(u, e, et, t) for u, e, et, t in rows],
+        "user_id long, event_id long, event_type string, t long",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t})" for u, e, et, t in rows)
+        + ") v(user_id, event_id, event_type, t))"
+    )
+
+    for pattern in (
+        [("a", "1"), ("b", "{2,3}"), ("p", "1")],
+        [("a", "1"), ("b", "{2,}"), ("p", "1")],
+        [("a", "1"), ("b", "{1,2}")],            # final greedy cap
+        [("b", "{2,4}"), ("p", "1")],            # bounded first stage
+        [("a", "1"), ("b", "*"), ("p", "{1,2}")],  # optional arm + final cap
+        [("a", "1"), ("b", "{1,1}")],            # {1,1} = run of exactly 1
+    ):
+        expect = set()
+        for u, rs in by_user.items():
+            for m in _model_match(rs, pattern, span):
+                expect.add((u, *m))
+        assert len(expect) > 5, pattern
+        got = {tuple(r) for r in cep_match(df, pattern, span).collect()}
+        assert got == expect, pattern
+        sql_rows = con.execute(compile_sql(pattern, span)).fetchall()
+        assert {tuple(r) for r in sql_rows} == expect, pattern
+
+
+def test_cep_bounded_final_cap_pinned(spark):
+    """Hand-built stream pinning the final-cap semantics exactly:
+    a b b b b  with pattern `a b{1,2}` consumes the a and exactly TWO
+    bs (greedy cap), t_last is the SECOND b's timestamp, and the
+    all-rows output classifies precisely those three rows."""
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_rows,
+    )
+
+    H = 3600 * 1000000
+    evs = [(1, i, et, (i + 1) * H) for i, et in enumerate("abbbb")]
+    df = spark.createDataFrame(
+        evs, "user_id long, event_id long, event_type string, t long"
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts")
+    span = 24 * H
+    got = cep_match(df, [("a", "1"), ("b", "{1,2}")], span).collect()
+    assert len(got) == 1
+    m = got[0]
+    assert (m.n_stage0, m.n_stage1, m.n_events) == (1, 2, 3)
+    assert m.t_first_us == 1 * H and m.t_last_us == 3 * H  # 2nd b, not 4th
+    # all-rows flow-through: end_seq = start_seq + consumed - 1 must hold
+    rows_out = cep_match_rows(
+        df, [("a", "1"), ("b", "{1,2}")], span
+    ).collect()
+    assert sorted((r.event_id, r.classifier) for r in rows_out) == [
+        (0, 0), (1, 1), (2, 1)
+    ]
+    # a run SHORTER than the lower bound never matches
+    assert (
+        cep_match(df, [("a", "1"), ("b", "{5,}")], span).count() == 0
+    )
+
+
+def test_cep_bounded_validation(spark):
+    """Bounded-quantifier validation: zero lower bound, inverted bounds
+    and measures on a final capped stage are rejected; measures on a
+    non-final bounded stage stay exact (full-run consumption)."""
+    from postgresql_datawarehouse_excercise_spark.catalog import (
+        normalize_event_ts,
+    )
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    for pat in (
+        [("view", "1"), ("click", "{0,3}"), ("purchase", "1")],
+        [("view", "1"), ("click", "{3,2}"), ("purchase", "1")],
+        [("view", "1"), ("click", "{2,x}"), ("purchase", "1")],
+    ):
+        with pytest.raises(ValueError):
+            cep_match(events, pat, MAX_US)
+    with pytest.raises(ValueError, match="final"):
+        cep_match(
+            events,
+            [("view", "1"), ("click", "{1,2}")],
+            MAX_US,
+            measures=[(1, "sum", "value", "s")],
+        )
+    with pytest.raises(ValueError, match="final"):
+        compile_sql(
+            [("view", "1"), ("click", "{1,2}")],
+            MAX_US,
+            measures=[(1, "sum", "value", "s")],
+        )
+    # non-final bounded stage: measures legal, Spark == DuckDB
+    pat = [("view", "1"), ("click", "{1,3}"), ("purchase", "1")]
+    meas = [(1, "sum", "value", "click_sum_c")]
+    got = {
+        tuple(r)
+        for r in cep_match(events, pat, MAX_US, measures=meas).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    exp = {
+        tuple(r)
+        for r in con.execute(
+            compile_sql(pat, MAX_US, measures=meas)
+        ).fetchall()
+    }
+    assert got == exp and len(got) > 0
 
 
 def test_cep_validate_rejects_bad_patterns(spark):
