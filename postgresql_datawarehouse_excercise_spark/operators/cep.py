@@ -26,10 +26,16 @@ small pattern language, so new patterns are data, not new query code:
     run of events drawn from the whole set (types may interleave inside
     the run, exactly (a|b)+ regex semantics under contiguity).
     predicate (round 14) is SQL:2016's DEFINE clause restricted to a
-    small decidable language: a conjunction of comparisons
-    ``col OP (PREV(col2) | NEXT(col2) | <symbol>.<col2> |
+    small decidable language: a conjunction OR a disjunction of
+    comparisons ``col OP (PREV(col2) | NEXT(col2) | <symbol>.<col2> |
     numeric-literal)`` with an optional whole negation ``NOT (...)``;
-    OP in {>, >=, <, <=, =, !=}.
+    OP in {>, >=, <, <=, =, !=}.  OR (round 15) is a pure top-level
+    disjunction (mixing AND with OR is rejected); it is admitted by the
+    adjacency validation exactly when its row set is provable as a
+    UNION of literal intervals over one column -- disjointness of two
+    interval sets is decidable, which is what the round-14 scope-out
+    was missing.  OR over PREV/NEXT/symbol bounds stays out of scope
+    (no interval representation), rejected with the same honesty.
     PREV(col) is the previous row of the USER'S FULL STREAM in
     (ts, event_id) order -- exactly the standard's PREV under strict
     contiguity, where the previous stream row IS the previous row of
@@ -160,23 +166,42 @@ _CMP_RE = re.compile(
 )
 
 # canonical AST: (negated: bool, cmps: sorted tuple of
-#                 (col, op, ("prev", col2) | ("sym", type, col2) | ("lit", float)))
+#                 (col, op, ("prev", col2) | ("sym", type, col2) | ("lit", float)),
+#                 conn: "and" | "or")
+# conn (round 15) is the top-level connective: a pure conjunction or a
+# pure DISJUNCTION of comparisons -- mixing AND with OR is rejected (no
+# precedence ambiguity to litigate, and the disjointness prover reasons
+# about one connective at a time).  A single comparison normalizes to
+# "and" so exact-negation pairing stays syntactic for singletons.
 Pred = tuple
 
 
 def _parse_pred(text: str) -> Pred:
     """Parse a DEFINE predicate into its canonical AST.  Canonical form
-    (sorted conjuncts, explicit negation flag) makes exact-negation pairs
-    -- the rising/non-rising idiom -- syntactically comparable for the
-    adjacency disjointness proof."""
+    (sorted comparisons, explicit negation flag, normalized connective)
+    makes exact-negation pairs -- the rising/non-rising idiom --
+    syntactically comparable for the adjacency disjointness proof."""
     s = text.strip()
     negated = False
     m = re.match(r"^NOT\s*\((.*)\)\s*$", s, flags=re.IGNORECASE | re.DOTALL)
     if m:
         negated = True
         s = m.group(1)
+    or_parts = re.split(r"\s+OR\s+", s, flags=re.IGNORECASE)
+    if len(or_parts) > 1:
+        if any(
+            re.search(r"\s+AND\s+", p, flags=re.IGNORECASE)
+            for p in or_parts
+        ):
+            raise ValueError(
+                f"mixed AND/OR in DEFINE predicate {text!r}: a predicate "
+                "is a pure conjunction or a pure disjunction"
+            )
+        conn, parts = "or", or_parts
+    else:
+        conn, parts = "and", re.split(r"\s+AND\s+", s, flags=re.IGNORECASE)
     cmps = []
-    for part in re.split(r"\s+AND\s+", s, flags=re.IGNORECASE):
+    for part in parts:
         cm = _CMP_RE.match(part)
         if not cm:
             raise ValueError(
@@ -193,7 +218,9 @@ def _parse_pred(text: str) -> Pred:
         else:
             rhs = ("lit", float(lit))
         cmps.append((col, op, rhs))
-    return (negated, tuple(sorted(cmps)))
+    if len(cmps) == 1:
+        conn = "and"  # singleton: connective is vacuous, normalize
+    return (negated, tuple(sorted(cmps)), conn)
 
 
 def _pred_cols(pred: Pred | None) -> tuple[set, set, set, set]:
@@ -222,7 +249,7 @@ def _pred_spark(pred: Pred):
     columns plus `_prev_<col>` lag columns).  IS-TRUE collapse: NULL
     comparisons (PREV at the stream head) evaluate to false, and negation
     applies AFTER the collapse so a pred and its NOT() partition rows."""
-    negated, cmps = pred
+    negated, cmps, conn = pred
     raw = None
     for col, op, rhs in cmps:
         if rhs[0] == "prev":
@@ -238,7 +265,10 @@ def _pred_spark(pred: Pred):
             ">": lhs > r, ">=": lhs >= r, "<": lhs < r,
             "<=": lhs <= r, "=": lhs == r, "!=": lhs != r,
         }[op]
-        raw = c if raw is None else (raw & c)
+        if raw is None:
+            raw = c
+        else:
+            raw = (raw | c) if conn == "or" else (raw & c)
     res = F.coalesce(raw, F.lit(False))
     return ~res if negated else res
 
@@ -247,7 +277,7 @@ def _pred_sql(pred: Pred, prefix: str = "") -> str:
     """The DuckDB twin of _pred_spark over the same ev surface; `prefix`
     qualifies columns when the predicate is applied through a joined
     alias (`s2.value`) rather than inside the runs subselect."""
-    negated, cmps = pred
+    negated, cmps, conn = pred
     parts = []
     for col, op, rhs in cmps:
         if rhs[0] == "prev":
@@ -259,28 +289,27 @@ def _pred_sql(pred: Pred, prefix: str = "") -> str:
         else:
             r = repr(rhs[1])
         parts.append(f"{prefix}{col} {'<>' if op == '!=' else op} {r}")
-    base = f"COALESCE(({' AND '.join(parts)}), FALSE)"
+    glue = " OR " if conn == "or" else " AND "
+    base = f"COALESCE(({glue.join(parts)}), FALSE)"
     return f"(NOT {base})" if negated else base
 
 
-def _intervals_disjoint(op1: str, a: float, op2: str, b: float) -> bool:
-    """Whether {v: v op1 a} and {v: v op2 b} are disjoint over the reals
-    (NULL rows are excluded from BOTH by the IS-TRUE collapse)."""
-    inf = float("inf")
+_INF = float("inf")
 
-    def interval(op, x):
-        return {
-            ">": (x, False, inf, False),
-            ">=": (x, True, inf, False),
-            "<": (-inf, False, x, False),
-            "<=": (-inf, False, x, True),
-            "=": (x, True, x, True),
-        }.get(op)
 
-    i1, i2 = interval(op1, a), interval(op2, b)
-    if i1 is None or i2 is None:  # "!=" is not an interval
-        # the only provable pair involving "!=": its complement point
-        return {op1, op2} == {"!=", "="} and a == b
+def _iv(op: str, x: float):
+    """{v: v op x} as a (lo, lo_incl, hi, hi_incl) real interval; None
+    for '!=' (not an interval)."""
+    return {
+        ">": (x, False, _INF, False),
+        ">=": (x, True, _INF, False),
+        "<": (-_INF, False, x, False),
+        "<=": (-_INF, False, x, True),
+        "=": (x, True, x, True),
+    }.get(op)
+
+
+def _iv_disjoint(i1, i2) -> bool:
     lo1, lo1i, hi1, hi1i = i1
     lo2, lo2i, hi2, hi2i = i2
     if hi1 < lo2 or hi2 < lo1:
@@ -292,32 +321,108 @@ def _intervals_disjoint(op1: str, a: float, op2: str, b: float) -> bool:
     return False
 
 
+def _iv_intersect(i1, i2):
+    """Intersection of two intervals, None when empty."""
+    lo1, lo1i, hi1, hi1i = i1
+    lo2, lo2i, hi2, hi2i = i2
+    if lo1 > lo2:
+        lo, loi = lo1, lo1i
+    elif lo2 > lo1:
+        lo, loi = lo2, lo2i
+    else:
+        lo, loi = lo1, lo1i and lo2i
+    if hi1 < hi2:
+        hi, hii = hi1, hi1i
+    elif hi2 < hi1:
+        hi, hii = hi2, hi2i
+    else:
+        hi, hii = hi1, hi1i and hi2i
+    if lo > hi or (lo == hi and not (loi and hii)):
+        return None
+    return (lo, loi, hi, hii)
+
+
+def _intervals_disjoint(op1: str, a: float, op2: str, b: float) -> bool:
+    """Whether {v: v op1 a} and {v: v op2 b} are disjoint over the reals
+    (NULL rows are excluded from BOTH by the IS-TRUE collapse)."""
+    i1, i2 = _iv(op1, a), _iv(op2, b)
+    if i1 is None or i2 is None:  # "!=" is not an interval
+        # the only provable pair involving "!=": its complement point
+        return {op1, op2} == {"!=", "="} and a == b
+    return _iv_disjoint(i1, i2)
+
+
+def _pred_interval_set(pred: Pred):
+    """(col, [intervals]) -- the predicate's row set as a finite set of
+    real intervals over ONE column, when the predicate lies in the
+    decidable fragment: un-negated, every comparison on the same column
+    against a literal, ops in > >= < <= = (no '!=').  conn 'and' folds
+    to the single intersection (empty list when unsatisfiable); conn
+    'or' (round 15) is one interval per disjunct -- a UNION of
+    intervals, which is what makes OR provable at all.  None when
+    outside the fragment."""
+    negated, cmps, conn = pred
+    if negated:
+        return None
+    cols = {c for c, _, _ in cmps}
+    if len(cols) != 1:
+        return None
+    ivs = []
+    for _, op, rhs in cmps:
+        if rhs[0] != "lit":
+            return None
+        iv = _iv(op, rhs[1])
+        if iv is None:
+            return None
+        ivs.append(iv)
+    if conn == "or":
+        return (cols.pop(), ivs)
+    cur = ivs[0]
+    for iv in ivs[1:]:
+        cur = _iv_intersect(cur, iv)
+        if cur is None:
+            return (cols.pop(), [])
+    return (cols.pop(), [cur])
+
+
 def _preds_provably_disjoint(p1: Pred | None, p2: Pred | None) -> bool:
     """Can we PROVE two stage predicates never hold on the same row?
     Decidable fragment: (a) one is the exact negation of the other
-    (IS-TRUE collapse makes them partition every row set); (b) both are
-    single un-negated literal comparisons on the same column with
-    disjoint value sets; (c) round 15: both are single un-negated
-    comparisons of the same column against the SAME row-local bound
-    (identical PREV()/symbol rhs) with disjoint operator regions --
-    for any one row both predicates compare one lhs value to one shared
-    rhs value, so e.g. `v < PREV(v)` and `v > PREV(v)` can never hold
+    (IS-TRUE collapse makes them partition every row set); (b) both
+    denote INTERVAL SETS over one shared column -- un-negated all-literal
+    comparisons, where AND intersects to one interval and OR (round 15)
+    unions one interval per disjunct -- and every cross pair of
+    intervals is disjoint (an unsatisfiable AND is the empty set,
+    vacuously disjoint); (c) both are single un-negated comparisons of
+    the same column against the SAME row-local bound (identical
+    PREV()/NEXT()/symbol rhs) with disjoint operator regions -- for any
+    one row both predicates compare one lhs value to one shared rhs
+    value, so e.g. `v < PREV(v)` and `v > PREV(v)` can never hold
     together (this is what admits the standard's own V-shape ticker,
-    STRT DOWN+ UP+; NULL rows are excluded from both sides by the
-    IS-TRUE collapse).  Anything else -> not provable -> the adjacency
+    STRT DOWN+ UP+); plus the '='/'!=' same-point complement.  NULL
+    rows are excluded from every un-negated side by the IS-TRUE
+    collapse.  Anything else -> not provable -> the adjacency
     validation rejects, keeping greedy-maximal == regex-greedy honest."""
     if p1 is None or p2 is None:
         return False
-    n1, c1 = p1
-    n2, c2 = p2
-    if c1 == c2 and n1 != n2:
+    n1, c1, k1 = p1
+    n2, c2, k2 = p2
+    if c1 == c2 and k1 == k2 and n1 != n2:
         return True
+    s1, s2 = _pred_interval_set(p1), _pred_interval_set(p2)
+    if s1 is not None and s2 is not None and s1[0] == s2[0]:
+        if all(_iv_disjoint(a, b) for a in s1[1] for b in s2[1]):
+            return True
     if not n1 and not n2 and len(c1) == 1 and len(c2) == 1:
         (a_col, a_op, a_rhs) = c1[0]
         (b_col, b_op, b_rhs) = c2[0]
         if a_col == b_col and a_rhs[0] == "lit" and b_rhs[0] == "lit":
             return _intervals_disjoint(a_op, a_rhs[1], b_op, b_rhs[1])
-        if a_col == b_col and a_rhs == b_rhs and a_rhs[0] in ("prev", "sym"):
+        if a_col == b_col and a_rhs == b_rhs and a_rhs[0] in (
+            "prev",
+            "next",
+            "sym",
+        ):
             return _intervals_disjoint(a_op, 0.0, b_op, 0.0)
     return False
 

@@ -1613,6 +1613,68 @@ def x_events_cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OR in DEFINE (round 15): the band-escape detector -- a maximal run of
+# in-band purchases followed by a maximal run of OUT-of-band purchases.
+# Same-type adjacency is proven disjoint as interval SETS: the OR side is
+# the union (-inf,10) u (100,inf), the AND side the intersection
+# [10,100]; every cross pair of intervals is disjoint.
+CEP_OR_PATTERN = [
+    ("view", "+", "value >= 10 AND value <= 100"),
+    ("view", "+", "value < 10 OR value > 100"),
+]
+
+
+def _cep_or_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(CEP_OR_PATTERN, CEP_MAX_US)
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us,
+       n_stage0 AS n_in_band, n_stage1 AS n_out_band, n_events
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_or_define", oracle=_cep_or_oracle())
+def x_events_cep_or_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR in DEFINE (round 15) -- closing the round-14 scope-out under a
+    decidable fragment: `view (10 <= value <= 100)+ view (value < 10 OR
+    value > 100)+`, a band-escape detector whose two same-type stages
+    carry an AND-conjunction and an OR-disjunction.
+
+    The round-14 argument was that OR breaks the interval disjointness
+    proof; the round-15 resolution is that it only breaks the
+    SINGLE-interval proof.  An un-negated all-literal predicate over one
+    column denotes an interval SET -- AND folds to the single
+    intersection, OR unions one interval per disjunct -- and
+    disjointness of two interval sets is decidable (every cross pair
+    disjoint).  The validator admits exactly that fragment: here
+    (-inf,10) u (100,inf) vs [10,100].  OR over PREV()/NEXT()/symbol
+    bounds has no interval representation and stays rejected; mixed
+    AND/OR is a parse error (no precedence to litigate).  Compilation
+    is unchanged -- a disjunctive predicate is still one row-local
+    boolean on the same user window (| instead of & in the fold), so
+    islands, bracketing joins and the shuffle count are identical to
+    every other DEFINE pattern.
+
+    Oracle = compile_sql's independent replay (OR-joined COALESCE
+    boolean in the runs CTE); 3-way membership-model test + prover
+    positive/negative cases in tests/test_cep_compiler.py."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(t.events, CEP_OR_PATTERN, CEP_MAX_US)
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        F.col("n_stage0").alias("n_in_band"),
+        F.col("n_stage1").alias("n_out_band"),
+        "n_events",
+    )
+
+
 # Bounded quantifiers (round 15): SQL:2016 row-pattern bounded repetition
 # {n,m}.  The pattern exercises all three bounded behaviors at once: the
 # middle stage's maximal run must have length in [1,3] and is consumed

@@ -720,6 +720,22 @@ def test_cep_define_three_way(spark):
              lambda r, p: r[2] == "p" and rising(r, p) and r[3] >= 2.0,
              lambda r, p: r[2] == "a" and r[3] <= 2.0],
         ),
+        # round 15: OR disjunction -- in-band run then OUT-of-band run,
+        # provably disjoint as interval sets (out = (-inf,2) u (4,inf)
+        # vs in = [2,4]: every cross pair of intervals disjoint)
+        (
+            [("p", "+", "value >= 2.0 AND value <= 4.0"),
+             ("p", "+", "value < 2.0 OR value > 4.0")],
+            [lambda r, p: r[2] == "p" and 2.0 <= r[3] <= 4.0,
+             lambda r, p: r[2] == "p" and (r[3] < 2.0 or r[3] > 4.0)],
+        ),
+        # OR with its exact negation (partition regardless of shape)
+        (
+            [("p", "1", "NOT (value < 2.0 OR value > 4.0)"),
+             ("p", "+", "value < 2.0 OR value > 4.0")],
+            [lambda r, p: r[2] == "p" and not (r[3] < 2.0 or r[3] > 4.0),
+             lambda r, p: r[2] == "p" and (r[3] < 2.0 or r[3] > 4.0)],
+        ),
     ]
     from postgresql_datawarehouse_excercise_spark.operators.cep import (
         cep_match as _cm,
@@ -758,6 +774,11 @@ def test_cep_define_validation(spark):
         # round 15: disjoint operator regions on the SAME row-local bound
         [("purchase", "1", "value < PREV(value)"),
          ("purchase", "+", "value > PREV(value)")],
+        # round 15: OR unions of literal intervals
+        [("purchase", "1", "value < 10 OR value > 100"),
+         ("purchase", "+", "value >= 10 AND value <= 100")],
+        [("purchase", "1", "value = 1 OR value = 3"),
+         ("purchase", "+", "value = 2 OR value = 4")],
     ]
     for pat in ok:
         assert _cm(events, pat, MAX_US).columns  # validates + compiles
@@ -774,12 +795,19 @@ def test_cep_define_validation(spark):
         # disjoint operator regions but DIFFERENT row-local bounds
         [("purchase", "1", "value < PREV(value)"),
          ("purchase", "+", "value > NEXT(value)")],
+        # OR union overlapping the other side's interval
+        [("purchase", "1", "value < 30 OR value > 100"),
+         ("purchase", "+", "value >= 10 AND value <= 100")],
+        # OR over a PREV bound: outside the interval-set fragment
+        [("purchase", "1", "value < PREV(value) OR value > 100"),
+         ("purchase", "+", "value >= 10 AND value <= 100")],
     ]
     for pat in bad:
         with pytest.raises(ValueError):
             _cm(events, pat, MAX_US)
     for text in ["value ~ 5", "value > PREV(value'); --", "1value > 2",
-                 "value > value2 + 1"]:
+                 "value > value2 + 1",
+                 "value < 10 OR value > 100 AND value < 200"]:
         with pytest.raises(ValueError):
             _cm(events, [("view", "1", text), ("click", "+")], MAX_US)
 
