@@ -484,6 +484,61 @@ def _check_rng_measures(norm, meas) -> None:
                 )
 
 
+def _desugar_subsets(measures, subsets, n_stages):
+    """SQL:2016 SUBSET union symbols for MEASURES (round 15): a measure
+    whose stage reference is a subset NAME aggregates over the UNION of
+    the rows its member stages consumed.  Desugared into hidden
+    per-stage measures plus a zero-join combination at output time --
+    sound because per-stage aggregates COMPOSE exactly over a disjoint
+    union: sum = sum of the non-NULL stage sums (NULL iff every member
+    matched empty, the standard's aggregate-over-no-rows), min/max =
+    least/greatest skipping NULLs, and first/last = stage-order
+    coalesce, which is stream order because stages consume contiguous
+    stream spans in pattern order.  Returns (stage_measures, plan):
+    stage_measures has int stage indices only (hidden aliases
+    `_sub_<alias>_<i>`), plan is the output-ordered column recipe of
+    ('stage', alias) / ('combo', alias, agg, hidden_aliases)."""
+    subsets = subsets or {}
+    for name, idxs in subsets.items():
+        if not _IDENT_RE.match(name):
+            raise ValueError(f"subset name {name!r} must be an identifier")
+        if not idxs:
+            raise ValueError(f"subset {name!r} is empty")
+        if len(set(idxs)) != len(idxs):
+            raise ValueError(f"subset {name!r} has duplicate stages")
+        for i in idxs:
+            if not isinstance(i, int) or not (0 <= i < n_stages):
+                raise ValueError(
+                    f"subset {name!r}: stage index {i!r} out of range"
+                )
+    stage_meas: list[tuple] = []
+    plan: list[tuple] = []
+    for mm in measures or []:
+        if len(mm) != 4:
+            raise ValueError(
+                f"measure must be (stage, agg, col, alias): {mm!r}"
+            )
+        idx, agg, col, alias = mm
+        if isinstance(idx, str):
+            if idx not in subsets:
+                raise ValueError(
+                    f"measure {alias!r} references unknown subset {idx!r}"
+                )
+            idxs = sorted(subsets[idx])
+            hidden = [f"_sub_{alias}_{i}" for i in idxs]
+            stage_meas.extend(
+                (i, agg, col, h) for i, h in zip(idxs, hidden)
+            )
+            plan.append(("combo", alias, agg, hidden))
+        else:
+            stage_meas.append(mm)
+            plan.append(("stage", alias))
+    out_aliases = [item[1] for item in plan]
+    if len(set(out_aliases)) != len(out_aliases):
+        raise ValueError("duplicate measure alias")
+    return stage_meas, plan
+
+
 # RUNNING measures (round 15): SQL:2016's RUNNING semantics only differ
 # from FINAL in ALL ROWS PER MATCH output mode -- the aggregate over the
 # match's rows UP TO AND INCLUDING the one being emitted.  Computed as a
@@ -642,6 +697,7 @@ def cep_match(
     max_span_us: int,
     with_seq: bool = False,
     measures: list[Measure] | None = None,
+    subsets: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """All strictly-consecutive occurrences of `pattern` per user.
 
@@ -659,9 +715,15 @@ def cep_match(
     consumed -- (stage_idx, agg in sum|min|max|first|last, col, alias) --
     as integer-cents BIGINTs (NULL when an optional stage matched
     empty); first/last follow stream order, i.e. min_by/max_by on seq.
+    `subsets` (SQL:2016 SUBSET, round 15) declares union symbols --
+    {"name": [stage indices]} -- that measures may reference by NAME in
+    place of a stage index, aggregating over the union of the member
+    stages' consumed rows (see _desugar_subsets for the exact
+    composition semantics; NULL iff every member matched empty).
     """
     norm = _validate(pattern)
-    meas = _validate_measures(measures, len(norm))
+    stage_meas, meas_plan = _desugar_subsets(measures, subsets, len(norm))
+    meas = _validate_measures(stage_meas, len(norm))
     _check_rng_measures(norm, meas)
     meas_by_stage: dict[int, list[tuple]] = {}
     for mm in meas:
@@ -934,7 +996,34 @@ def cep_match(
         if with_seq
         else []
     )
-    meas_cols = [F.col(f"meas_{a}").alias(a) for _, _, _, a in meas]
+    meas_cols = []
+    for item in meas_plan:
+        if item[0] == "stage":
+            a = item[1]
+            meas_cols.append(F.col(f"meas_{a}").alias(a))
+            continue
+        # SUBSET combo: compose the member stages' hidden aggregates --
+        # zero extra joins, pure column arithmetic over the fold output
+        _, a, agg, hidden = item
+        hs = [F.col(f"meas_{h}") for h in hidden]
+        if agg == "sum":
+            all_null = hs[0].isNull()
+            for h in hs[1:]:
+                all_null = all_null & h.isNull()
+            tot = None
+            for h in hs:
+                ch = F.coalesce(h, F.lit(0))
+                tot = ch if tot is None else tot + ch
+            expr = F.when(all_null, F.lit(None)).otherwise(tot)
+        elif agg == "min":
+            expr = F.least(*hs) if len(hs) > 1 else hs[0]
+        elif agg == "max":
+            expr = F.greatest(*hs) if len(hs) > 1 else hs[0]
+        elif agg == "first":
+            expr = F.coalesce(*hs) if len(hs) > 1 else hs[0]
+        else:  # "last": reversed stage order
+            expr = F.coalesce(*reversed(hs)) if len(hs) > 1 else hs[0]
+        meas_cols.append(expr.cast("long").alias(a))
     return (
         p.filter(F.col("t_last_us") - F.col("t_first_us") <= F.lit(max_span_us))
         .select(
@@ -1007,6 +1096,7 @@ def compile_sql(
     max_span_us: int,
     with_seq: bool = False,
     measures: list[Measure] | None = None,
+    subsets: dict[str, list[int]] | None = None,
 ) -> str:
     """DuckDB replay of `cep_match`: expand every "?"/"*" stage into its
     empty/non-empty arms (2^k fixed arms), chain each arm's bracketing
@@ -1014,9 +1104,12 @@ def compile_sql(
     the replay of cep_match(with_seq=True), which
     compile_sql_skip_past's recursive chain selects over.  `measures`
     replays cep_match's MEASURES columns (integer-cents aggregates,
-    NULL on empty optional arms)."""
+    NULL on empty optional arms); `subsets` replays the SUBSET
+    union-symbol combination (CASE/LEAST/GREATEST/COALESCE over the
+    member stages' per-arm expressions)."""
     norm = _validate(pattern)
-    meas = _validate_measures(measures, len(norm))
+    stage_meas, meas_plan = _desugar_subsets(measures, subsets, len(norm))
+    meas = _validate_measures(stage_meas, len(norm))
     _check_rng_measures(norm, meas)
     meas_by_stage: dict[int, list[tuple]] = {}
     for mm in meas:
@@ -1229,9 +1322,41 @@ def compile_sql(
             if with_seq
             else ""
         )
-        meas_sel = "".join(
-            f",\n       {meas_exprs[a]} AS {a}" for _, _, _, a in meas
-        )
+        meas_parts: list[str] = []
+        for item in meas_plan:
+            if item[0] == "stage":
+                a = item[1]
+                meas_parts.append(f",\n       {meas_exprs[a]} AS {a}")
+                continue
+            _, a, agg, hidden = item
+            hs = [meas_exprs[h] for h in hidden]
+            if agg == "sum":
+                nulls = " AND ".join(f"{h} IS NULL" for h in hs)
+                tot = " + ".join(f"COALESCE({h}, 0)" for h in hs)
+                expr = (
+                    f"CAST(CASE WHEN {nulls} THEN NULL ELSE {tot} END "
+                    "AS BIGINT)"
+                )
+            elif agg == "min":
+                expr = (
+                    f"LEAST({', '.join(hs)})" if len(hs) > 1 else hs[0]
+                )
+            elif agg == "max":
+                expr = (
+                    f"GREATEST({', '.join(hs)})" if len(hs) > 1 else hs[0]
+                )
+            elif agg == "first":
+                expr = (
+                    f"COALESCE({', '.join(hs)})" if len(hs) > 1 else hs[0]
+                )
+            else:  # "last": reversed stage order
+                expr = (
+                    f"COALESCE({', '.join(reversed(hs))})"
+                    if len(hs) > 1
+                    else hs[0]
+                )
+            meas_parts.append(f",\n       {expr} AS {a}")
+        meas_sel = "".join(meas_parts)
         tail = "\n".join(joins)
         if where:
             tail += "\nWHERE " + " AND ".join(where)

@@ -1613,6 +1613,79 @@ def x_events_cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SUBSET union symbols (round 15): SQL:2016's SUBSET clause declares a
+# union symbol over several pattern symbols; MEASURES may aggregate over
+# the union of the rows those stages consumed.
+CEP_SUBSET_PATTERN = [("signup", "1"), ("view", "*"), ("purchase", "1")]
+CEP_SUBSETS = {"pre": [0, 1]}
+CEP_SUBSET_MEAS = [
+    ("pre", "sum", "value", "pre_sum_c"),
+    ("pre", "last", "value", "pre_last_c"),
+    ("pre", "max", "value", "pre_max_c"),
+    (2, "first", "value", "purchase_c"),
+]
+
+
+def _cep_subset_oracle() -> str:
+    from ..operators.cep import compile_sql
+
+    inner = compile_sql(
+        CEP_SUBSET_PATTERN,
+        CEP_MAX_US,
+        measures=CEP_SUBSET_MEAS,
+        subsets=CEP_SUBSETS,
+    )
+    return f"""
+SELECT user_id, t_first_us, t_last_us, duration_us, n_events,
+       n_stage1 AS n_views, pre_sum_c, pre_last_c, pre_max_c, purchase_c
+FROM ({inner})
+"""
+
+
+@query("x_events_cep_subset", oracle=_cep_subset_oracle())
+def x_events_cep_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET union symbols (round 15) -- SQL:2016's `SUBSET W = (A, B)`
+    clause: MEASURES referencing a subset aggregate over the UNION of
+    the rows its member stages consumed.  Gated as `signup view*
+    purchase` with pre = (signup, views): sum, last and max of the
+    pre-purchase activity plus a plain per-stage measure beside it.
+
+    Compilation is a pure POST-HOC composition -- zero new joins or
+    shuffles: per-stage aggregates compose exactly over a disjoint
+    union (sum of the non-NULL stage sums, least/greatest skipping
+    NULLs, first/last = stage-order coalesce, which IS stream order
+    because stages consume contiguous spans in pattern order), and an
+    all-empty union yields NULL, the standard's aggregate-over-no-rows.
+    The `view*` empty arm exercises the NULL path on every
+    signup-directly-before-purchase match.  The 3-way test's model
+    aggregates the union DIRECTLY from the consumed rows, so agreement
+    proves the composition itself.  Oracle = compile_sql's replay
+    (CASE/LEAST/GREATEST/COALESCE over the per-arm stage
+    expressions)."""
+    from ..operators.cep import cep_match
+
+    t = catalog.load(spark, sf_dir)
+    m = cep_match(
+        t.events,
+        CEP_SUBSET_PATTERN,
+        CEP_MAX_US,
+        measures=CEP_SUBSET_MEAS,
+        subsets=CEP_SUBSETS,
+    )
+    return m.select(
+        "user_id",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+        "n_events",
+        F.col("n_stage1").alias("n_views"),
+        "pre_sum_c",
+        "pre_last_c",
+        "pre_max_c",
+        "purchase_c",
+    )
+
+
 # OR in DEFINE (round 15): the band-escape detector -- a maximal run of
 # in-band purchases followed by a maximal run of OUT-of-band purchases.
 # Same-type adjacency is proven disjoint as interval SETS: the OR side is

@@ -1254,6 +1254,162 @@ def _model_members_measures(rs, members, quants, measures, span):
     return out
 
 
+def test_cep_subset_measures_three_way(spark):
+    """SUBSET union symbols for MEASURES (round 15), three ways on a
+    seeded valued stream.  The independent model aggregates the UNION of
+    consumed rows DIRECTLY (member stages' spans concatenated in stream
+    order), while the engine COMPOSES per-stage aggregates (sum of sums,
+    least/greatest, stage-order coalesce) -- agreement proves the
+    composition exact, including NULL on an all-empty union and
+    first/last crossing an empty middle member."""
+    import math
+
+    rng = random.Random(91507)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 1800) * 1000000
+            rows.append(
+                (u, eid, rng.choice(["a", "b", "p"]), t,
+                 float(rng.randint(1, 5)))
+            )
+            eid += 1
+    span = 8 * 3600 * 1000000
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, t long, value double",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts", "value")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts, value FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+        + ") v(user_id, event_id, event_type, t, value))"
+    )
+
+    pattern = [("a", "1"), ("b", "*"), ("p", "1")]
+    members = [lambda r, q: r[2] == "a",
+               lambda r, q: r[2] == "b",
+               lambda r, q: r[2] == "p"]
+    quants = ["1", "*", "1"]
+    subsets = {"w": [0, 1], "bp": [1, 2], "only_b": [1]}
+    measures = [
+        ("w", "sum", "value", "w_sum_c"),
+        ("w", "last", "value", "w_last_c"),       # crosses empty b
+        ("bp", "min", "value", "bp_min_c"),
+        ("bp", "first", "value", "bp_first_c"),   # NULL b => first from p
+        ("only_b", "sum", "value", "b_sum_c"),    # NULL on empty union
+        ("only_b", "max", "value", "b_max_c"),
+        (2, "first", "value", "p_c"),             # plain stage ref beside
+    ]
+
+    def cents(v):
+        return int(math.floor(v * 100 + 0.5))
+
+    def model(rs):
+        n = len(rs)
+
+        def member(i, pos):
+            return members[i](rs[pos], rs[pos - 1] if pos > 0 else None)
+
+        def go(pos, si, segs):
+            if si == len(members):
+                yield pos, segs
+                return
+            q = quants[si]
+            if q in ("?", "*"):
+                yield from go(pos, si + 1, segs + [(pos, 0)])
+            if pos >= n:
+                return
+            if q in ("1", "?"):
+                if member(si, pos):
+                    yield from go(pos + 1, si + 1, segs + [(pos, 1)])
+            else:
+                r = 0
+                while pos + r < n and member(si, pos + r):
+                    r += 1
+                if r >= 1:
+                    yield from go(pos + r, si + 1, segs + [(pos, r)])
+
+        out = set()
+        for start in range(n):
+            if not member(0, start):
+                continue
+            for end, segs in go(start, 0, []):
+                t0, t1 = rs[start][0], rs[end - 1][0]
+                if t1 - t0 > span:
+                    continue
+                mvals = []
+                for idx, agg, _c, _a in measures:
+                    stage_list = (
+                        sorted(subsets[idx]) if isinstance(idx, str)
+                        else [idx]
+                    )
+                    vals = []
+                    for i in stage_list:
+                        s0, cnt = segs[i]
+                        vals.extend(
+                            cents(rs[s0 + j][3]) for j in range(cnt)
+                        )
+                    mvals.append(
+                        None if not vals else {
+                            "sum": sum(vals), "min": min(vals),
+                            "max": max(vals), "first": vals[0],
+                            "last": vals[-1],
+                        }[agg]
+                    )
+                counts = [c for _, c in segs]
+                out.add((t0, t1, t1 - t0, sum(counts), *counts, *mvals))
+        return out
+
+    expect = set()
+    for u, rs in by_user.items():
+        for m in model(rs):
+            expect.add((u, *m))
+    assert len(expect) > 20
+    assert any(r[-3] is None for r in expect)  # empty-union NULLs occur
+    got = {
+        tuple(r)
+        for r in cep_match(
+            df, pattern, span, measures=measures, subsets=subsets
+        ).collect()
+    }
+    assert got == expect
+    sql_rows = con.execute(
+        compile_sql(pattern, span, measures=measures, subsets=subsets)
+    ).fetchall()
+    assert {tuple(r) for r in sql_rows} == expect
+
+
+def test_cep_subset_validation():
+    """SUBSET validation: unknown name, empty member list, duplicate
+    members, out-of-range index, alias collision with a plain measure."""
+    pat = [("a", "1"), ("b", "*"), ("p", "1")]
+    span = 1000
+    cases = [
+        ({"w": [0]}, [("x", "sum", "value", "s")]),       # unknown name
+        ({"w": []}, [("w", "sum", "value", "s")]),        # empty
+        ({"w": [0, 0]}, [("w", "sum", "value", "s")]),    # duplicate
+        ({"w": [0, 7]}, [("w", "sum", "value", "s")]),    # out of range
+        ({"w w": [0]}, [("w w", "sum", "value", "s")]),   # bad identifier
+        ({"w": [0, 1]},
+         [("w", "sum", "value", "s"), (2, "sum", "value", "s")]),  # dup alias
+    ]
+    for subsets, measures in cases:
+        with pytest.raises(ValueError):
+            compile_sql(pat, span, measures=measures, subsets=subsets)
+
+
 def test_cep_extensions_hypothesis_sweep():
     """Randomized model-vs-DuckDB sweep over the round-14 CEP extensions
     (DEFINE + measures + skip-to): tiny alphabets and a 3-value grid force
