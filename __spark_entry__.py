@@ -45,6 +45,18 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "x_events_cep_all_rows",
     "x_events_cep_skip_to_first",
     "x_events_cep_skip_to_last",
+    # round 15 (second wave): bounded quantifiers refactored the
+    # run-stage dispatch in cep_match/compile_sql, the Pred AST gained
+    # a connective, and plain measures now flow through the SUBSET
+    # desugar.  Behavior-identical for existing patterns (the 3-way
+    # model suite pins every arm), and the round's gate budget must
+    # also fit the 3 new entries plus the full 33-entry r8-stale tail
+    # (VERDICT r14 item 1), so ONE flagship re-gates the shared
+    # dispatch path for the record instead of all six pred-less CEP
+    # entries; the define/measures path is already covered by the
+    # first-wave list above, and the round-15 entries front as
+    # never-green without being listed here.
+    "x_events_cep_pattern",
     # round 15: MvSubstituteRule.java recompiled (the u0001 escape fix,
     # value-identical) and the registration module gained the FD path
     "x_mv_catalyst_rewrite",
