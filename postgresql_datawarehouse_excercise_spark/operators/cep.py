@@ -45,15 +45,20 @@ small pattern language, so new patterns are data, not new query code:
     fixed stream, so islands and the greedy-maximal argument are
     untouched; at the stream end NEXT is NULL and the IS-TRUE collapse
     makes the comparison false.  ``<symbol>.<col>`` (round 15) is a CROSS-SYMBOL reference
-    -- the standard's ``B.value > A.value`` idiom: it reads the value of
-    the row the referenced stage consumed.  Compilation is row-local: an
-    ANCHOR column (last value of the referenced TYPE at or before the
-    row, one more expression on the same user window -- no new shuffle),
-    valid because _validate requires the referenced type to belong to
-    exactly ONE stage, single-type, quantifier '1', before the
-    referencing stage: under strict contiguity no in-occurrence row can
-    reset the anchor, so the anchor every candidate row sees IS the
-    referenced stage's consumed row.  Three-valued logic collapses at
+    -- the standard's ``B.value > A.value`` idiom: it reads the
+    referenced stage's LAST consumed row (SQL:2016's running last-row
+    semantics; for a quantifier-'1' stage that is simply its one row).
+    Compilation is row-local: an ANCHOR column (last value of the
+    referenced TYPE at or before the row, one more expression on the
+    same user window -- no new shuffle), valid because _validate
+    requires the referenced type to belong to exactly ONE stage,
+    single-type, NON-EMPTY-ABLE ('1', '+' or '{n,m}'), before the
+    referencing stage: under strict contiguity + single ownership no
+    in-occurrence row between the run's end and the referencing row
+    can carry the type, so the anchor every candidate row sees IS the
+    run's last consumed row; empty-able targets ('?'/'*') are rejected
+    -- an empty match would leave the anchor on a stale pre-occurrence
+    row where the standard says NULL.  Three-valued logic collapses at
     the stage boundary: a predicate holds iff its raw value IS TRUE (so
     PREV at the stream head -> NULL -> false, and a symbol reference
     with no preceding anchor row -> false), and ``NOT (p)`` holds iff p
@@ -653,17 +658,19 @@ def _validate(pattern: list[Stage]) -> list[tuple]:
     # compiles to a row-local ANCHOR column (last value of the referenced
     # TYPE at or before the row, on the same user window).  Soundness
     # needs the anchor seen by every row the referencing stage could
-    # consume to BE the row the referenced stage consumed, which holds
-    # exactly when (a) the referenced type belongs to ONE stage only --
-    # no other stage (referencing one included) can consume a row of
-    # that type, so no in-occurrence row resets the anchor -- and (b)
-    # that stage is single-type, quantifier '1' (a unique consumed row,
-    # so "<sym>.<col>" is well-defined; SQL:2016's running last-row
-    # semantics for quantified symbols is out of scope), and (c) it
-    # precedes the referencing stage.  Contiguity then pins the anchor:
-    # between the referenced row and any referencing-stage row every
-    # position is consumed by stages whose type sets exclude the
-    # referenced type.
+    # consume to BE the referenced stage's LAST consumed row -- the
+    # standard's running last-row semantics -- which holds exactly when
+    # (a) the referenced type belongs to ONE stage only -- no other
+    # stage (referencing one included) can consume a row of that type,
+    # so no in-occurrence row resets the anchor -- and (b) that stage is
+    # single-type with a NON-EMPTY-ABLE quantifier ('1', '+', '{n,m}':
+    # within any valid occurrence, contiguity + single ownership force
+    # the last in-stream row of the type before the referencing row to
+    # be the run's last consumed row; a '?'/'*' target that matched
+    # EMPTY would leave the anchor pointing at a stale pre-occurrence
+    # row, so empty-able targets are rejected -- the standard makes the
+    # reference NULL there, which this compilation cannot see), and (c)
+    # it precedes the referencing stage.
     for i, (_, _, pred) in enumerate(norm):
         _, _, _, syms = _pred_cols(pred)
         for s, _c in syms:
@@ -682,11 +689,15 @@ def _validate(pattern: list[Stage]) -> list[tuple]:
                     f"cross-symbol reference {s!r} in stage {i} must point "
                     f"to an EARLIER stage (stage {j} is not before {i})"
                 )
-            if _alts(norm[j][0]) != (s,) or norm[j][1] != "1":
+            j_quant = norm[j][1]
+            j_nonempty = j_quant in ("1", "+") or _quant_range(j_quant)
+            if _alts(norm[j][0]) != (s,) or not j_nonempty:
                 raise ValueError(
                     f"cross-symbol reference {s!r} in stage {i}: the "
                     f"referenced stage {j} must be single-type {s!r} with "
-                    "quantifier '1' (a unique consumed row)"
+                    "a non-empty-able quantifier ('1', '+' or '{n,m}') -- "
+                    "the reference reads the stage's LAST consumed row, "
+                    "undefined when the stage can match empty"
                 )
     return norm
 

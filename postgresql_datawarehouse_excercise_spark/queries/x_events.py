@@ -1439,11 +1439,13 @@ def x_events_cep_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Cross-symbol DEFINE (round 15): the standard's own headline idiom --
 # Oracle/Flink's ticker example writes UP AS UP.price > STRT.price, a
-# predicate on one symbol referencing the row ANOTHER symbol consumed.
-# Gated pattern: an anchoring purchase followed by a maximal run of
-# strictly-consecutive views each priced ABOVE that purchase's value.
+# predicate on one symbol referencing another symbol's rows.  Gated
+# pattern (second wave: QUANTIFIED target): a maximal purchase RUN
+# followed by a maximal run of strictly-consecutive views each priced
+# ABOVE the run's LAST purchase -- SQL:2016's running last-row
+# semantics for `purchase.value`.
 CEP_CROSS_PATTERN = [
-    ("purchase", "1"),
+    ("purchase", "+"),
     ("view", "+", "value > purchase.value"),
 ]
 
@@ -1454,7 +1456,7 @@ def _cep_cross_oracle() -> str:
     inner = compile_sql(CEP_CROSS_PATTERN, CEP_MAX_US)
     return f"""
 SELECT user_id, t_first_us, t_last_us, duration_us,
-       n_stage1 AS n_above, n_events
+       n_stage0 AS n_purchases, n_stage1 AS n_above, n_events
 FROM ({inner})
 """
 
@@ -1463,9 +1465,12 @@ FROM ({inner})
 def x_events_cep_cross_define(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-SYMBOL DEFINE references (VERDICT r14 item 5 -- the largest
     remaining MATCH_RECOGNIZE gap): `B.value > A.value`, a symbol
-    predicate reading the row ANOTHER symbol consumed.  Gated as
-    `purchase (view: value > purchase.value)+` -- the standard's
-    UP.price > STRT.price ticker idiom.
+    predicate reading ANOTHER symbol's rows.  Gated as `purchase+
+    (view: value > purchase.value)+` -- the ticker idiom with a
+    QUANTIFIED target: `purchase.value` reads the purchase RUN's LAST
+    row, SQL:2016's running last-row semantics (the round-15 first
+    wave restricted targets to quantifier '1'; the second wave lifted
+    that, because the same proof covers any non-empty-able target).
 
     Compilation stays row-local (no join-time predicates needed): an
     ANCHOR column -- last value of the referenced TYPE at or before the
@@ -1473,21 +1478,22 @@ def x_events_cep_cross_define(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiler already runs, so the islands construction and the
     bracketing joins are UNCHANGED and no new shuffle appears.
     Soundness is a validation theorem, not a hope: the referenced type
-    must belong to exactly ONE stage, single-type, quantifier '1',
-    before the referencing stage -- then under strict contiguity no
-    in-occurrence row can reset the anchor, so the anchor every
-    candidate row sees IS the referenced stage's consumed row (an
-    island of candidate rows cannot contain an anchor-typed row: it
-    would break the island's position contiguity).  Anything outside
-    the provable fragment -- two stages sharing the type, quantified or
-    alternation targets, forward references -- is REJECTED, the same
-    decidability discipline as the round-14 DEFINE disjointness proof.
+    must belong to exactly ONE stage, single-type, NON-EMPTY-ABLE
+    ('1', '+' or '{n,m}'), before the referencing stage -- then under
+    strict contiguity + single ownership no in-occurrence row between
+    the run's end and a referencing row can carry the type, so the
+    anchor every candidate row sees IS the run's last consumed row.
+    Empty-able targets ('?'/'*') are REJECTED: an empty match would
+    leave the anchor on a stale pre-occurrence row where the standard
+    says NULL -- the same decidability discipline as the round-14
+    DEFINE disjointness proof.
 
     NULL discipline unchanged: a view with no preceding purchase has a
     NULL anchor, and IS-TRUE collapse makes the predicate false.
     Oracle = compile_sql's independent replay with the same
     last_value(CASE ...) IGNORE NULLS anchor in its ev CTE; 3-way
-    model/Spark/SQL property test in tests/test_cep_compiler.py."""
+    model/Spark/SQL tests incl. an independent run-last anchor walk in
+    tests/test_cep_compiler.py."""
     from ..operators.cep import cep_match
 
     t = catalog.load(spark, sf_dir)
@@ -1497,6 +1503,7 @@ def x_events_cep_cross_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_first_us",
         "t_last_us",
         "duration_us",
+        F.col("n_stage0").alias("n_purchases"),
         F.col("n_stage1").alias("n_above"),
         "n_events",
     )

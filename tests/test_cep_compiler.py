@@ -1625,6 +1625,61 @@ def test_cep_cross_symbol_define_three_way(spark):
     assert sorted(map(tuple, sql_rows)) == sorted(model)
 
 
+def test_cep_cross_symbol_quantified_target_three_way(spark):
+    """Quantified cross-symbol targets (round 15, second wave): `p+ (v:
+    value > p.value)+` reads the p-RUN's LAST row -- SQL:2016's running
+    last-row semantics.  The model walks the stream independently
+    (maximal p-run, anchor = its last row, then the maximal qualifying
+    v-run), so agreement proves the anchor-column compilation gives the
+    run-last row, not an arbitrary member.  A bounded {1,2} target
+    exercises the same path under a run-length filter."""
+    rows = _valued_synthetic(seed=23)
+    span = 6 * 3600 * 1000000
+
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+
+    for p_quant, lo, hi in (("+", 1, None), ("{1,2}", 1, 2)):
+        pat = [("p", p_quant), ("v", "+", "value > p.value")]
+        model = []
+        for u, rs in by_user.items():
+            n = len(rs)
+            for s in range(n):
+                if rs[s][2] != "p" or (s > 0 and rs[s - 1][2] == "p"):
+                    continue  # maximal p-run starts only
+                k = 0
+                while s + k < n and rs[s + k][2] == "p":
+                    k += 1
+                if k < lo or (hi is not None and k > hi):
+                    continue
+                anchor = rs[s + k - 1][3]  # the run's LAST row
+                r = 0
+                while (
+                    s + k + r < n
+                    and rs[s + k + r][2] == "v"
+                    and rs[s + k + r][3] > anchor
+                ):
+                    r += 1
+                end = s + k + r - 1
+                if r >= 1 and rs[end][0] - rs[s][0] <= span:
+                    model.append(
+                        (u, rs[s][0], rs[end][0], rs[end][0] - rs[s][0],
+                         k + r, k, r)
+                    )
+        assert len(model) > 10, p_quant
+        got = sorted(
+            tuple(r)
+            for r in cep_match(_valued_df(spark, rows), pat, span).collect()
+        )
+        assert got == sorted(model), p_quant
+        con = _valued_duck(rows)
+        sql_rows = con.execute(compile_sql(pat, span)).fetchall()
+        assert sorted(map(tuple, sql_rows)) == sorted(model), p_quant
+
+
 def test_cep_cross_symbol_null_anchor(spark):
     """Views BEFORE any purchase have a NULL anchor: IS-TRUE collapse
     must exclude them (no occurrence can start at the stream head)."""
@@ -1652,13 +1707,23 @@ def test_cep_cross_symbol_validation(spark):
     for bad in [
         [("p", "1"), ("v", "+", "value > x.value")],    # unknown symbol
         [("v", "+", "value > p.value"), ("p", "1")],    # forward reference
-        [("p", "+"), ("v", "+", "value > p.value")],    # quantified target
+        # EMPTY-ABLE targets: an empty match leaves the anchor on a
+        # stale pre-occurrence row (the standard says NULL there)
+        [("c", "1"), ("p", "*"), ("v", "+", "value > p.value")],
+        [("c", "1"), ("p", "?"), ("v", "+", "value > p.value")],
         [("p", "1"), ("p|v", "+", "value > p.value")],  # type in two stages
         [("p|c", "1"), ("v", "+", "value > p.value")],  # multi-type target
         [("p", "1"), ("v", "+", "value > p.value; --")],  # injection
     ]:
         with pytest.raises(ValueError):
             cep_match(df, bad, span)
+    # quantified NON-EMPTY-ABLE targets are legal since the round-15
+    # extension (running last-row semantics)
+    for ok in [
+        [("p", "+"), ("v", "+", "value > p.value")],
+        [("p", "{1,2}"), ("v", "+", "value > p.value")],
+    ]:
+        assert cep_match(df, ok, span).columns
 
 
 def test_cep_running_measures_three_way(spark):
