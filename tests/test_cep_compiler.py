@@ -1410,6 +1410,215 @@ def test_cep_subset_validation():
             compile_sql(pat, span, measures=measures, subsets=subsets)
 
 
+def test_cep_round15_hypothesis_sweep():
+    """Randomized model-vs-DuckDB sweep over the round-15 second-wave
+    constructs: bounded {n,m} (non-final run-length filter AND the final
+    greedy cap), OR in DEFINE, SUBSET union measures, and quantified
+    cross-symbol targets.  Same discipline as the round-14 sweep: a
+    2-type alphabet and 3-value grid force dense runs, band-boundary
+    hits, empty optional arms and multi-row target runs; the compiled
+    oracle is checked against independent models on ~50 random
+    streams (the Spark lane is pinned by the fixed-stream 3-way
+    tests)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    span = 7200 * 1000000
+    stream = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),      # user
+            st.sampled_from(["a", "p"]),                # type
+            st.integers(min_value=1, max_value=600),    # inter-event secs
+            st.sampled_from([1.0, 2.0, 3.0]),           # value grid
+        ),
+        min_size=4,
+        max_size=40,
+    )
+
+    def cents(v):
+        return int(math.floor(v * 100 + 0.5))
+
+    def gen_model(rs, members, quants, measures, subsets, span):
+        """General model: membership functions, quantifiers incl.
+        bounded (final greedy cap), subset-aware measures aggregated
+        DIRECTLY over the union of consumed rows."""
+        import re as _re
+
+        n = len(rs)
+
+        def member(i, pos):
+            return members[i](rs[pos], rs[pos - 1] if pos > 0 else None)
+
+        def go(pos, si, segs):
+            if si == len(members):
+                yield pos, segs
+                return
+            q = quants[si]
+            rng = _re.match(r"^\{(\d+),(\d*)\}$", q)
+            if rng:
+                lo = int(rng.group(1))
+                hi = int(rng.group(2)) if rng.group(2) else None
+                r = 0
+                while pos + r < n and member(si, pos + r):
+                    r += 1
+                if si == len(members) - 1 and hi is not None:
+                    if r >= lo:
+                        take = min(r, hi)
+                        yield from go(pos + take, si + 1, segs + [(pos, take)])
+                elif r >= lo and (hi is None or r <= hi):
+                    yield from go(pos + r, si + 1, segs + [(pos, r)])
+                return
+            if q in ("?", "*"):
+                yield from go(pos, si + 1, segs + [(pos, 0)])
+            if pos >= n:
+                return
+            if q in ("1", "?"):
+                if member(si, pos):
+                    yield from go(pos + 1, si + 1, segs + [(pos, 1)])
+            else:
+                r = 0
+                while pos + r < n and member(si, pos + r):
+                    r += 1
+                if r >= 1:
+                    yield from go(pos + r, si + 1, segs + [(pos, r)])
+
+        first_is_run = quants[0] == "+" or quants[0].startswith("{")
+        out = set()
+        for start in range(n):
+            if not member(0, start):
+                continue
+            if first_is_run and start > 0 and member(0, start - 1):
+                continue
+            for end, segs in go(start, 0, []):
+                t0, t1 = rs[start][0], rs[end - 1][0]
+                if t1 - t0 > span:
+                    continue
+                mvals = []
+                for idx, agg, _c, _a in measures:
+                    stage_list = (
+                        sorted(subsets[idx]) if isinstance(idx, str)
+                        else [idx]
+                    )
+                    vals = []
+                    for i in stage_list:
+                        s0, cnt = segs[i]
+                        vals.extend(
+                            cents(rs[s0 + j][3]) for j in range(cnt)
+                        )
+                    mvals.append(
+                        None if not vals else {
+                            "sum": sum(vals), "min": min(vals),
+                            "max": max(vals), "first": vals[0],
+                            "last": vals[-1],
+                        }[agg]
+                    )
+                counts = [c for _, c in segs]
+                out.add((t0, t1, t1 - t0, sum(counts), *counts, *mvals))
+        return out
+
+    @settings(max_examples=50, deadline=None)
+    @given(evs=stream)
+    def sweep(evs):
+        rows = []
+        clocks = {}
+        for i, (u, et, dt, v) in enumerate(evs):
+            clocks[u] = clocks.get(u, 0) + dt * 1000000
+            rows.append((u, i, et, clocks[u], v))
+        by_user = defaultdict(list)
+        for u, e, et, t, v in rows:
+            by_user[u].append((t, e, et, v))
+        for rs in by_user.values():
+            rs.sort()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+            " make_timestamp(t) AS ts, value FROM (SELECT * FROM (VALUES "
+            + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+            + ") v(user_id, event_id, event_type, t, value))"
+        )
+
+        is_a = lambda r, q: r[2] == "a"          # noqa: E731
+        is_p = lambda r, q: r[2] == "p"          # noqa: E731
+
+        # 1. bounded: non-final run-length filter / final greedy cap /
+        #    open upper bound, pred-less
+        for pat, members in (
+            ([("a", "1"), ("p", "{2,3}"), ("a", "1")], [is_a, is_p, is_a]),
+            ([("a", "1"), ("p", "{1,2}")], [is_a, is_p]),
+            ([("p", "{2,}"), ("a", "1")], [is_p, is_a]),
+        ):
+            quants = [st[1] for st in pat]
+            expect = set()
+            for u, rs in by_user.items():
+                for m in gen_model(rs, members, quants, [], {}, span):
+                    expect.add((u, *m))
+            got = {
+                tuple(r)
+                for r in con.execute(compile_sql(pat, span)).fetchall()
+            }
+            assert got == expect, pat
+
+        # 2. OR in DEFINE (band split on the 3-value grid) + SUBSET
+        #    union measures over both same-type stages
+        OR_PAT = [("p", "+", "value >= 2.0 AND value <= 2.0"),
+                  ("p", "+", "value < 2.0 OR value > 2.0")]
+        OR_MEMBERS = [lambda r, q: r[2] == "p" and r[3] == 2.0,
+                      lambda r, q: r[2] == "p" and r[3] != 2.0]
+        SUBS = {"w": [0, 1]}
+        SMEAS = [("w", "sum", "value", "w_sum_c"),
+                 ("w", "last", "value", "w_last_c"),
+                 (0, "first", "value", "in_first_c")]
+        expect = set()
+        for u, rs in by_user.items():
+            for m in gen_model(
+                rs, OR_MEMBERS, ["+", "+"], SMEAS, SUBS, span
+            ):
+                expect.add((u, *m))
+        got = {
+            tuple(r)
+            for r in con.execute(
+                compile_sql(OR_PAT, span, measures=SMEAS, subsets=SUBS)
+            ).fetchall()
+        }
+        assert got == expect
+
+        # 3. quantified cross-symbol target: a-run each above the
+        #    p-RUN's LAST value (running last-row semantics)
+        X_PAT = [("p", "+"), ("a", "+", "value > p.value")]
+        expect = set()
+        for u, rs in by_user.items():
+            n = len(rs)
+            for s in range(n):
+                if rs[s][2] != "p" or (s > 0 and rs[s - 1][2] == "p"):
+                    continue
+                k = 0
+                while s + k < n and rs[s + k][2] == "p":
+                    k += 1
+                anchor = rs[s + k - 1][3]
+                r = 0
+                while (
+                    s + k + r < n
+                    and rs[s + k + r][2] == "a"
+                    and rs[s + k + r][3] > anchor
+                ):
+                    r += 1
+                end = s + k + r - 1
+                if r >= 1 and rs[end][0] - rs[s][0] <= span:
+                    expect.add(
+                        (u, rs[s][0], rs[end][0], rs[end][0] - rs[s][0],
+                         k + r, k, r)
+                    )
+        got = {
+            tuple(r)
+            for r in con.execute(compile_sql(X_PAT, span)).fetchall()
+        }
+        assert got == expect
+
+    sweep()
+
+
 def test_cep_extensions_hypothesis_sweep():
     """Randomized model-vs-DuckDB sweep over the round-14 CEP extensions
     (DEFINE + measures + skip-to): tiny alphabets and a 3-value grid force
