@@ -35,31 +35,26 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 15: the DEFINE machinery under these entries changed (the
-    # predicate grammar gained cross-symbol references; _pred_cols'
-    # arity changed at every call site) -- behavior-identical for the
-    # r14 patterns, but the code path is shared, so they re-gate ahead
-    # of their natural rotation
-    "x_events_cep_define",
-    "x_events_cep_measures",
-    "x_events_cep_all_rows",
+    # round 16: the six pred-less CEP entries ride the round-15
+    # second-wave dispatch refactor with only LOCAL preflight on the
+    # record (VERDICT r15 item 2 asks the driver to confirm) -- fronted
+    # so the driver's own gate closes that loop
+    "x_events_cep_star",
+    "x_events_cep_optional",
+    "x_events_cep_alternation",
+    "x_events_cep_skip_past",
+    "x_events_cep_permute",
     "x_events_cep_skip_to_first",
     "x_events_cep_skip_to_last",
-    # round 15 (second wave): bounded quantifiers refactored the
-    # run-stage dispatch in cep_match/compile_sql, the Pred AST gained
-    # a connective, and plain measures now flow through the SUBSET
-    # desugar.  Behavior-identical for existing patterns (the 3-way
-    # model suite pins every arm), and the round's gate budget must
-    # also fit the 3 new entries plus the full 33-entry r8-stale tail
-    # (VERDICT r14 item 1), so ONE flagship re-gates the shared
-    # dispatch path for the record instead of all six pred-less CEP
-    # entries; the define/measures path is already covered by the
-    # first-wave list above, and the round-15 entries front as
-    # never-green without being listed here.
-    "x_events_cep_pattern",
-    # round 15: MvSubstituteRule.java recompiled (the u0001 escape fix,
-    # value-identical) and the registration module gained the FD path
-    "x_mv_catalyst_rewrite",
+    # round 16: the cross-symbol anchor columns were renamed to the
+    # length-prefixed _sym_<len>_<type>_<col> form (ADVICE r15
+    # collision fix) -- value-identical, but the column plumbing under
+    # this entry changed in both compilers
+    "x_events_cep_cross_define",
+    # round 16: register_fd_rollup's bridge verification hardened
+    # (count(*) per fine key + MV coverage check, ADVICE r15) -- the
+    # registration path under this entry changed
+    "x_mv_catalyst_rewrite_fd",
 )
 
 # Family priority for never-verified entries (the driver's correctness budget

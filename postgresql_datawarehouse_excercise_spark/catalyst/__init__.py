@@ -174,18 +174,39 @@ def register_fd_rollup(
     the number of registered plan pairs."""
     from pyspark.sql import functions as F
 
+    # The safety check must reject DUPLICATE (fine, coarse) rows as well
+    # as one-to-many mappings (ADVICE r15): a bridge with a repeated pair
+    # passes a countDistinct(coarse) test yet still duplicates MV rows in
+    # the join and double-counts.  count(*) > 1 per fine key rejects both
+    # failure modes at once.
     n_bad = (
         bridge_scan.groupBy(fine_key)
-        .agg(F.countDistinct(coarse_key).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .limit(1)
         .count()
     )
     if n_bad:
         raise ValueError(
-            f"bridge is not functional: some {fine_key!r} maps to more "
-            f"than one {coarse_key!r}; the FD rollup registration would "
-            "double-count"
+            f"bridge is not functional: some {fine_key!r} value appears "
+            f"on more than one bridge row (a one-to-many mapping OR a "
+            f"duplicated (fine, coarse) pair); the FD rollup "
+            "registration would double-count"
+        )
+    # Coverage: a bridge missing fine keys present in the MV silently
+    # UNDERCOUNTS through the inner join -- rejected here so the
+    # registered pair can never drop measure rows.
+    n_missing = (
+        mv_scan.select(fine_key)
+        .join(bridge_scan.select(fine_key), fine_key, "left_anti")
+        .limit(1)
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"bridge does not cover the MV: some {fine_key!r} value in "
+            "the MV has no bridge row; the inner join would drop its "
+            "measures and the FD rollup would undercount"
         )
     replacement = rollup(mv_scan.join(F.broadcast(bridge_scan), fine_key))
     return register_mv(rule, defining_coarse, replacement)

@@ -20,6 +20,13 @@ small pattern language, so new patterns are data, not new query code:
     the cost of one extra (user_id, seq)-keyed position join.  Measures
     on that one capped shape are rejected (the per-run aggregates cannot
     see a prefix); everywhere else they stay exact.
+    NOTE this is a SEMANTIC RESTRICTION, not an equivalence claim
+    (ADVICE r15): SQL:2016 backtracking would also attempt matches
+    starting MID-RUN -- ``A{1,2} B`` on stream ``A A A B`` matches at
+    the second A under the standard, while this engine rejects the
+    maximal 3-run outright and reports no match (matches anchor only at
+    maximal-run starts).  The DuckDB oracle and the 3-way model tests
+    pin the engine's greedy-maximal reading, identically.
     event_type may be an ALTERNATION "a|b|c" (SQL:2016 row-pattern
     alternation, round 13): the stage matches events whose type is ANY
     of the alternatives -- a quantified alternation consumes a maximal
@@ -228,6 +235,16 @@ def _parse_pred(text: str) -> Pred:
     return (negated, tuple(sorted(cmps)), conn)
 
 
+def _sym_alias(sym_type: str, col: str) -> str:
+    """Anchor-column name for a cross-symbol reference.  Length-prefixed
+    so distinct (type, col) pairs can never alias: with a bare
+    ``_sym_<type>_<col>`` both parts may contain underscores, so
+    ('a_b', 'c') and ('a', 'b_c') would collide (ADVICE r15) -- the
+    digit prefix pins where the type ends (identifiers cannot start
+    with a digit, so the parse is unambiguous)."""
+    return f"_sym_{len(sym_type)}_{sym_type}_{col}"
+
+
 def _pred_cols(pred: Pred | None) -> tuple[set, set, set, set]:
     """(direct attribute columns, PREV()-lagged attribute columns,
     NEXT()-led attribute columns, cross-symbol (type, col) references)
@@ -262,7 +279,7 @@ def _pred_spark(pred: Pred):
         elif rhs[0] == "next":
             r = F.col(f"_next_{rhs[1]}")
         elif rhs[0] == "sym":
-            r = F.col(f"_sym_{rhs[1]}_{rhs[2]}")
+            r = F.col(_sym_alias(rhs[1], rhs[2]))
         else:
             r = F.lit(rhs[1])
         lhs = F.col(col)
@@ -290,7 +307,7 @@ def _pred_sql(pred: Pred, prefix: str = "") -> str:
         elif rhs[0] == "next":
             r = f"{prefix}_next_{rhs[1]}"
         elif rhs[0] == "sym":
-            r = f"{prefix}_sym_{rhs[1]}_{rhs[2]}"
+            r = f"{prefix}{_sym_alias(rhs[1], rhs[2])}"
         else:
             r = repr(rhs[1])
         parts.append(f"{prefix}{col} {'<>' if op == '!=' else op} {r}")
@@ -575,6 +592,139 @@ def _validate_running(running) -> list[tuple]:
     return out
 
 
+# Cross-symbol arithmetic in MEASURES (round 16): SQL:2016 allows
+# expressions over symbol aggregates in the MEASURES clause -- the
+# standard's flagship ticker measure LAST(UP.price) - FIRST(DOWN.price).
+# Every per-symbol (and SUBSET) aggregate is already an output column,
+# so the composition is pure OUTPUT-TIME column arithmetic: zero new
+# joins, zero new shuffles, and the NULL-on-empty-stage semantics of the
+# operands propagate through the arithmetic identically in Spark and
+# DuckDB (x OP NULL = NULL, the standard's reading for an expression
+# over an aggregate of no rows).  The expression language is restricted
+# to what is BIT-STABLE cross-engine over the integer-cents operands:
+# measure aliases, integer literals, + - *, unary minus, parentheses.
+# Division is rejected (Spark's / on BIGINT yields DOUBLE while integer
+# semantics differ across engines -- no exactness story); so are
+# functions, floats, and references to anything but a declared measure
+# alias.  The validated token stream re-joins into one text that is
+# simultaneously a Spark SQL expression and a DuckDB expression.
+
+MeasureExpr = tuple  # (alias, arithmetic-text over measure aliases)
+
+_EXPR_TOKEN_RE = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*|[0-9]+|[+\-*()])")
+
+
+def _tokenize_measure_expr(text: str) -> list[str]:
+    toks, pos = [], 0
+    text = text.rstrip()
+    while pos < len(text):
+        m = _EXPR_TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ValueError(
+                f"measure expr: illegal token at {text[pos:]!r} "
+                "(allowed: measure aliases, integer literals, + - *, "
+                "parentheses)"
+            )
+        toks.append(m.group(1))
+        pos = m.end()
+    if not toks:
+        raise ValueError("measure expr: empty expression")
+    return toks
+
+
+def _validate_measure_exprs(
+    measure_exprs, meas_aliases: list[str]
+) -> list[tuple[str, str]]:
+    """Validate (alias, text) expression measures against the declared
+    measure output aliases; returns normalized (alias, text) pairs.
+    Grammar:  expr := term (('+'|'-') term)* ;  term := factor ('*'
+    factor)* ;  factor := IDENT | INT | '-' factor | '(' expr ')'.
+    IDENTs must be declared measure aliases (stage or SUBSET measures);
+    referencing another expression measure is rejected -- compositions
+    stay flat so ONE output-time select computes them all."""
+    known = set(meas_aliases)
+    reserved = {"user_id", "t_first_us", "t_last_us", "duration_us",
+                "n_events", "start_seq", "end_seq"}
+    out: list[tuple[str, str]] = []
+    taken = set(known)
+    for item in measure_exprs or []:
+        if len(item) != 2:
+            raise ValueError(
+                f"measure expr must be (alias, text): {item!r}"
+            )
+        alias, text = item
+        if not _IDENT_RE.match(alias):
+            raise ValueError(
+                f"measure expr alias {alias!r} must match "
+                "^[A-Za-z_][A-Za-z0-9_]*$ (it names a SQL column)"
+            )
+        if (
+            alias in taken
+            or alias in reserved
+            or re.fullmatch(r"n_stage[0-9]+", alias)
+        ):
+            raise ValueError(f"measure expr alias {alias!r} collides")
+        toks = _tokenize_measure_expr(text)
+        pos = 0
+
+        def peek():
+            return toks[pos] if pos < len(toks) else None
+
+        def take():
+            nonlocal pos
+            t = peek()
+            pos += 1
+            return t
+
+        def factor():
+            t = take()
+            if t == "-":
+                factor()
+                return
+            if t == "(":
+                expr()
+                if take() != ")":
+                    raise ValueError(
+                        f"measure expr {text!r}: unbalanced parentheses"
+                    )
+                return
+            if t is None:
+                raise ValueError(f"measure expr {text!r}: truncated")
+            if t.isdigit():
+                return
+            if _IDENT_RE.match(t):
+                if t not in known:
+                    raise ValueError(
+                        f"measure expr {text!r}: {t!r} is not a declared "
+                        "measure alias (expression measures may only "
+                        "reference stage/SUBSET measure aliases)"
+                    )
+                return
+            raise ValueError(f"measure expr {text!r}: unexpected {t!r}")
+
+        def term():
+            factor()
+            while peek() == "*":
+                take()
+                factor()
+
+        def expr():
+            term()
+            while peek() in ("+", "-"):
+                take()
+                term()
+
+        expr()
+        if pos != len(toks):
+            raise ValueError(
+                f"measure expr {text!r}: trailing tokens "
+                f"{' '.join(toks[pos:])!r}"
+            )
+        out.append((alias, " ".join(toks)))
+        taken.add(alias)
+    return out
+
+
 def _norm(pattern: list[Stage]) -> list[tuple]:
     """Normalize stages to (etype, quant, parsed-pred-or-None)."""
     out = []
@@ -709,6 +859,7 @@ def cep_match(
     with_seq: bool = False,
     measures: list[Measure] | None = None,
     subsets: dict[str, list[int]] | None = None,
+    measure_exprs: list[MeasureExpr] | None = None,
 ) -> DataFrame:
     """All strictly-consecutive occurrences of `pattern` per user.
 
@@ -736,6 +887,9 @@ def cep_match(
     stage_meas, meas_plan = _desugar_subsets(measures, subsets, len(norm))
     meas = _validate_measures(stage_meas, len(norm))
     _check_rng_measures(norm, meas)
+    mex = _validate_measure_exprs(
+        measure_exprs, [item[1] for item in meas_plan]
+    )
     meas_by_stage: dict[int, list[tuple]] = {}
     for mm in meas:
         meas_by_stage.setdefault(mm[0], []).append(mm)
@@ -771,7 +925,7 @@ def cep_match(
                 F.when(F.col("event_type") == s, F.col(c)), ignorenulls=True
             )
             .over(w_anchor)
-            .alias(f"_sym_{s}_{c}")
+            .alias(_sym_alias(s, c))
             for s, c in sorted(sym)
         ]
         + [
@@ -1035,7 +1189,7 @@ def cep_match(
         else:  # "last": reversed stage order
             expr = F.coalesce(*reversed(hs)) if len(hs) > 1 else hs[0]
         meas_cols.append(expr.cast("long").alias(a))
-    return (
+    res = (
         p.filter(F.col("t_last_us") - F.col("t_first_us") <= F.lit(max_span_us))
         .select(
             "user_id",
@@ -1048,6 +1202,15 @@ def cep_match(
             *meas_cols,
         )
     )
+    if mex:
+        # expression measures: one extra narrow projection over the
+        # occurrence rows (never the stream) -- the validated text is a
+        # Spark SQL expression over the measure columns just emitted
+        res = res.select(
+            "*",
+            *[F.expr(txt).cast("long").alias(a) for a, txt in mex],
+        )
+    return res
 
 
 def cep_match_skip_past(
@@ -1108,6 +1271,7 @@ def compile_sql(
     with_seq: bool = False,
     measures: list[Measure] | None = None,
     subsets: dict[str, list[int]] | None = None,
+    measure_exprs: list[MeasureExpr] | None = None,
 ) -> str:
     """DuckDB replay of `cep_match`: expand every "?"/"*" stage into its
     empty/non-empty arms (2^k fixed arms), chain each arm's bracketing
@@ -1122,6 +1286,9 @@ def compile_sql(
     stage_meas, meas_plan = _desugar_subsets(measures, subsets, len(norm))
     meas = _validate_measures(stage_meas, len(norm))
     _check_rng_measures(norm, meas)
+    mex = _validate_measure_exprs(
+        measure_exprs, [item[1] for item in meas_plan]
+    )
     meas_by_stage: dict[int, list[tuple]] = {}
     for mm in meas:
         meas_by_stage.setdefault(mm[0], []).append(mm)
@@ -1167,7 +1334,7 @@ def compile_sql(
             f",\n         last_value(CASE WHEN event_type = '{s}' THEN {c} "
             f"END IGNORE NULLS) OVER (PARTITION BY user_id "
             f"ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            f"CURRENT ROW) AS _sym_{s}_{c}"
+            f"CURRENT ROW) AS {_sym_alias(s, c)}"
             for s, c in sorted(sym)
         )
         + "".join(
@@ -1381,10 +1548,16 @@ def compile_sql(
             + tail
         )
     body = "\nUNION ALL\n".join(arms)
+    # expression measures replay as the same arithmetic over the arm
+    # columns in the outer select (the validated text is engine-neutral)
+    mex_sel = "".join(
+        f", CAST({txt} AS BIGINT) AS {a}" for a, txt in mex
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT * FROM (\n{body}\n)\nWHERE t_last_us - t_first_us <= {max_span_us}"
+        + f"\nSELECT *{mex_sel} FROM (\n{body}\n)"
+        + f"\nWHERE t_last_us - t_first_us <= {max_span_us}"
     )
 
 

@@ -266,3 +266,54 @@ def test_fd_rollup_rejects_non_functional_bridge(spark, tmp_path):
             "country",
             lambda b: b,
         )
+
+
+def test_fd_rollup_rejects_duplicate_pair_bridge(spark, tmp_path):
+    """ADVICE r15: a DUPLICATED (fine, coarse) pair is still one distinct
+    coarse value per fine key, so a countDistinct check would pass it --
+    yet the join duplicates MV rows and double-counts.  The count(*)
+    check must refuse."""
+    rows = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "district int, country string"
+    )
+    bridge_dir = str(tmp_path / "dup_bridge.parquet")
+    rows.write.parquet(bridge_dir)
+    s2 = spark.newSession()
+    rule = cat.load_rule(s2)
+    with pytest.raises(ValueError, match="not functional"):
+        cat.register_fd_rollup(
+            rule,
+            rows,
+            rows.select(F.col("district"), F.lit(1).alias("spending")),
+            s2.read.parquet(bridge_dir),
+            "district",
+            "country",
+            lambda b: b,
+        )
+
+
+def test_fd_rollup_rejects_uncovered_mv(spark, tmp_path):
+    """ADVICE r15: a bridge missing fine keys present in the MV silently
+    UNDERCOUNTS through the inner join -- registration must refuse."""
+    bridge = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "district int, country string"
+    )
+    mv = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "district int, spending int"
+    )
+    bridge_dir = str(tmp_path / "thin_bridge.parquet")
+    mv_dir = str(tmp_path / "wide_mv.parquet")
+    bridge.write.parquet(bridge_dir)
+    mv.write.parquet(mv_dir)
+    s2 = spark.newSession()
+    rule = cat.load_rule(s2)
+    with pytest.raises(ValueError, match="does not cover"):
+        cat.register_fd_rollup(
+            rule,
+            mv,
+            s2.read.parquet(mv_dir),
+            s2.read.parquet(bridge_dir),
+            "district",
+            "country",
+            lambda b: b,
+        )

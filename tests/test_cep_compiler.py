@@ -2174,3 +2174,175 @@ def test_cep_next_stream_end_collapse(spark):
     con = _valued_duck(rows)
     sql_rows = con.execute(compile_sql(pat, 24 * H)).fetchall()
     assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, got))
+
+
+def test_cep_measure_exprs_three_way(spark):
+    """Cross-symbol arithmetic in MEASURES (round 16), three ways on a
+    seeded synthetic stream: independent model (cents aggregates over
+    consumed intervals, then Python integer arithmetic) == Spark's
+    output-time projection == compile_sql's outer-select replay.
+    Covers: subtraction across symbols (the standard's LAST(UP) -
+    FIRST(DOWN) idiom), literals with * and parens, unary minus, and
+    NULL propagation when an operand comes from an empty '?' stage."""
+    import math
+
+    rng = random.Random(1616)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = 0
+        for _ in range(400):
+            t += rng.randint(1, 1800) * 1000000
+            rows.append(
+                (u, eid, rng.choice(["a", "b", "p"]), t,
+                 round(rng.uniform(0.5, 30.0), 2))
+            )
+            eid += 1
+    span = 8 * 3600 * 1000000
+    by_user = defaultdict(list)
+    for u, e, et, t, v in rows:
+        by_user[u].append((t, e, et, v))
+    for rs in by_user.values():
+        rs.sort()
+
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, t long, value double",
+    ).selectExpr("user_id", "event_id", "event_type",
+                 "timestamp_micros(t) AS ts", "value")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT user_id, event_id, event_type,"
+        " make_timestamp(t) AS ts, value FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({u},{e},'{et}',{t},{v})" for u, e, et, t, v in rows)
+        + ") v(user_id, event_id, event_type, t, value))"
+    )
+
+    def cents(v):
+        return int(math.floor(v * 100 + 0.5))
+
+    pattern = [("a", "1"), ("b", "?"), ("p", "+")]
+    members = [lambda r, p: r[2] == "a", lambda r, p: r[2] == "b",
+               lambda r, p: r[2] == "p"]
+    measures = [(0, "first", "value", "a_c"), (1, "sum", "value", "b_c"),
+                (2, "sum", "value", "p_sum_c"),
+                (2, "last", "value", "p_last_c")]
+    exprs = [("spread_c", "p_last_c - a_c"),
+             ("with_b_c", "b_c + p_sum_c"),
+             ("scaled_c", "3 * (p_last_c - a_c) + 7"),
+             ("neg_c", "- a_c + p_last_c")]
+
+    def apply_exprs(mvals):
+        a_c, b_c, p_sum_c, p_last_c = mvals
+        def null_sub(x, y):
+            return None if x is None or y is None else x - y
+        spread = null_sub(p_last_c, a_c)
+        with_b = None if b_c is None or p_sum_c is None else b_c + p_sum_c
+        scaled = None if spread is None else 3 * spread + 7
+        neg = None if a_c is None or p_last_c is None else -a_c + p_last_c
+        return (spread, with_b, scaled, neg)
+
+    # model: occurrences + measures (same walk as the measures test)
+    def model(rs):
+        n = len(rs)
+
+        def member(i, pos):
+            return members[i](rs[pos], rs[pos - 1] if pos > 0 else None)
+
+        def go(pos, si, segs):
+            if si == len(members):
+                yield pos, segs
+                return
+            q = pattern[si][1]
+            if q in ("?", "*"):
+                yield from go(pos, si + 1, segs + [(pos, 0)])
+            if pos >= n:
+                return
+            if q in ("1", "?"):
+                if member(si, pos):
+                    yield from go(pos + 1, si + 1, segs + [(pos, 1)])
+            else:
+                r = 0
+                while pos + r < n and member(si, pos + r):
+                    r += 1
+                if r >= 1:
+                    yield from go(pos + r, si + 1, segs + [(pos, r)])
+
+        out = set()
+        for start in range(n):
+            if not member(0, start):
+                continue
+            for end, segs in go(start, 0, []):
+                t0, t1 = rs[start][0], rs[end - 1][0]
+                if t1 - t0 > span:
+                    continue
+                mvals = []
+                for idx, agg, _c, _a in measures:
+                    s0, cnt = segs[idx]
+                    vals = [cents(rs[s0 + j][3]) for j in range(cnt)]
+                    if not vals:
+                        mvals.append(None)
+                    else:
+                        mvals.append({
+                            "sum": sum(vals), "min": min(vals),
+                            "max": max(vals), "first": vals[0],
+                            "last": vals[-1],
+                        }[agg])
+                counts = [c for _, c in segs]
+                out.add((t0, t1, t1 - t0, sum(counts), *counts, *mvals,
+                         *apply_exprs(mvals)))
+        return out
+
+    expect = set()
+    for u, rs in by_user.items():
+        for m in model(rs):
+            expect.add((u, *m))
+    assert len(expect) > 5
+    # NULL propagation genuinely exercised: some spread non-null with
+    # with_b null (empty '?' stage)
+    assert any(m[-3] is None and m[-4] is not None for m in expect)
+
+    got = {
+        tuple(r)
+        for r in cep_match(
+            df, pattern, span, measures=measures, measure_exprs=exprs
+        ).collect()
+    }
+    assert got == expect
+    sql_rows = con.execute(
+        compile_sql(pattern, span, measures=measures, measure_exprs=exprs)
+    ).fetchall()
+    assert {tuple(r) for r in sql_rows} == expect
+
+
+def test_cep_measure_exprs_validation(spark):
+    from postgresql_datawarehouse_excercise_spark.catalog import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    pat = [("view", "1"), ("purchase", "+")]
+    meas = [(0, "first", "value", "v_c"), (1, "sum", "value", "p_c")]
+    ok = [("d_c", "p_c - v_c"), ("e_c", "2 * (p_c + 1) - v_c")]
+    # sanity: the ok case builds
+    cep_match(events, pat, MAX_US, measures=meas, measure_exprs=ok)
+    for bad in [
+        [("x", "p_c / v_c")],             # division rejected
+        [("x", "p_c - q_c")],             # unknown alias
+        [("x", "abs(p_c)")],              # function call (unknown ident + parens misuse)
+        [("x", "p_c - 1.5")],             # float literal
+        [("v_c", "p_c - 1")],             # collides with a measure alias
+        [("n_stage1", "p_c")],            # collides with a count column
+        [("duration_us", "p_c")],         # collides with a fixed column
+        [("x", "p_c -")],                 # truncated
+        [("x", "(p_c - v_c")],            # unbalanced parens
+        [("x", "")],                      # empty
+        [("x", "p_c; DROP TABLE t")],     # illegal tokens
+        [("x", "p_c p_c")],               # trailing tokens
+        [("a_c", "p_c"), ("b_c", "a_c + 1")],  # expr referencing an expr
+        [("a_c", "p_c"), ("a_c", "v_c")],      # duplicate expr alias
+    ]:
+        with pytest.raises(ValueError):
+            cep_match(events, pat, MAX_US, measures=meas, measure_exprs=bad)
+    # the SQL twin validates identically
+    with pytest.raises(ValueError):
+        compile_sql(pat, MAX_US, measures=meas,
+                    measure_exprs=[("x", "p_c / v_c")])
