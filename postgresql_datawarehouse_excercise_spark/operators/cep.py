@@ -108,6 +108,18 @@ construction, it does not share code with it.
 Reference: the pattern language mirrors SQL:2016 MATCH_RECOGNIZE row
 patterns (A (B|C)+ D?) restricted to strict contiguity (AFTER MATCH SKIP
 TO NEXT ROW, ALL ROWS PER MATCH collapsed to one summary row per match).
+
+MEASURES (rounds 14-16): per-symbol FINAL aggregates, SUBSET union
+symbols, RUNNING aggregates in ALL ROWS mode, and EXPRESSION measures
+(round 16) -- arithmetic over the declared measure aliases (the
+standard's LAST(UP.price) - FIRST(DOWN.price)), validated to a
+bit-stable integer fragment and computed as one output-time projection
+in both lanes (_validate_measure_exprs).  Still out of scope, each with
+an argued reason: OR over non-literal bounds (no interval representation
+for the disjointness proof); empty-able cross-symbol targets (the
+standard's NULL reference is invisible to the anchor column); measures
+on a final capped {n,m} stage (per-run aggregates cannot see a greedy
+prefix).
 """
 
 from __future__ import annotations
@@ -643,8 +655,11 @@ def _validate_measure_exprs(
     referencing another expression measure is rejected -- compositions
     stay flat so ONE output-time select computes them all."""
     known = set(meas_aliases)
+    # fixed output columns of BOTH lanes (one-row-per-match and
+    # all-rows-per-match) -- an expression alias may shadow none of them
     reserved = {"user_id", "t_first_us", "t_last_us", "duration_us",
-                "n_events", "start_seq", "end_seq"}
+                "n_events", "start_seq", "end_seq", "match_no", "seq",
+                "event_id", "event_type", "t_us", "classifier"}
     out: list[tuple[str, str]] = []
     taken = set(known)
     for item in measure_exprs or []:
@@ -1799,6 +1814,7 @@ def cep_match_rows(
     pattern: list[Stage],
     max_span_us: int,
     running: list[Running] | None = None,
+    measure_exprs: list[MeasureExpr] | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH -- SQL:2016's row-level output mode (cep_match
     is ONE ROW PER MATCH): one output row per INPUT row per occurrence
@@ -1822,9 +1838,18 @@ def cep_match_rows(
     joins back to the sequenced stream on user_id equality with the
     seq-interval predicate as a residual filter (both sides ride the
     sessionization partitioning -- no theta join, no global sort), and
-    the match_no window is user-partitioned."""
+    the match_no window is user-partitioned.
+
+    `measure_exprs` (round 16) appends RUNNING expression measures --
+    arithmetic over the running aliases, evaluated per emitted row (the
+    standard's RUNNING SUM(x) - RUNNING MIN(x) drawdown idiom): same
+    restricted bit-stable grammar and output-time projection as
+    cep_match's FINAL expression measures."""
     norm = _validate(pattern)
     run = _validate_running(running)
+    mex = _validate_measure_exprs(
+        measure_exprs, [alias for _, _, alias in run]
+    )
     m = cep_match(events, pattern, max_span_us, with_seq=True)
     wm = Window.partitionBy("user_id").orderBy("start_seq", "end_seq")
     mm = m.withColumn(
@@ -1878,7 +1903,7 @@ def cep_match_rows(
         .alias(alias)
         for agg, c, alias in run
     ]
-    return joined.select(
+    res = joined.select(
         "user_id",
         "match_no",
         F.col("seq").cast("long").alias("seq"),
@@ -1888,20 +1913,33 @@ def cep_match_rows(
         clf.cast("int").alias("classifier"),
         *run_cols,
     )
+    if mex:
+        res = res.select(
+            "*",
+            *[F.expr(txt).cast("long").alias(a) for a, txt in mex],
+        )
+    return res
 
 
 def compile_sql_rows(
     pattern: list[Stage],
     max_span_us: int,
     running: list[Running] | None = None,
+    measure_exprs: list[MeasureExpr] | None = None,
 ) -> str:
     """DuckDB replay of `cep_match_rows`: the seq-bounded occurrence set
     numbered per user, joined back to an independently sequenced stream,
     with the classifier recovered by the same prefix-sum CASE; `running`
     replays the RUNNING measures as the same per-(user, match) stream-
-    order window over integer-cents values."""
+    order window over integer-cents values; `measure_exprs` replays the
+    RUNNING expression measures as the same arithmetic in an outer
+    select (window aliases are not referencable in their own select
+    list, so the expression layer wraps)."""
     norm = _validate(pattern)
     run = _validate_running(running)
+    mex = _validate_measure_exprs(
+        measure_exprs, [alias for _, _, alias in run]
+    )
     inner = compile_sql(pattern, max_span_us, with_seq=True)
     cases = []
     acc_terms: list[str] = []
@@ -1923,7 +1961,10 @@ def compile_sql_rows(
         f" AS {alias}"
         for agg, c, alias in run
     )
-    return f"""
+    mex_sel = "".join(
+        f", CAST({txt} AS BIGINT) AS {a}" for a, txt in mex
+    )
+    base = f"""
 WITH m AS (
   SELECT * FROM (
 {inner}
@@ -1945,3 +1986,6 @@ SELECT mm.user_id, mm.match_no, CAST(e.seq AS BIGINT) AS seq,
 FROM mm JOIN ev2 e
   ON e.user_id = mm.user_id AND e.seq BETWEEN mm.start_seq AND mm.end_seq
 """
+    if not mex:
+        return base
+    return f"SELECT *{mex_sel} FROM (\n{base}\n)"

@@ -2346,3 +2346,69 @@ def test_cep_measure_exprs_validation(spark):
     with pytest.raises(ValueError):
         compile_sql(pat, MAX_US, measures=meas,
                     measure_exprs=[("x", "p_c / v_c")])
+
+
+def test_cep_running_measure_exprs_three_way(spark):
+    """RUNNING expression measures (round 16) -- arithmetic over the
+    running aliases evaluated per emitted row (the standard's RUNNING
+    SUM(x) - RUNNING MIN(x) drawdown idiom), three ways: Spark ==
+    compile_sql_rows on DuckDB == an independent cumulative fold that
+    re-derives each expression value from the raw event values."""
+    from postgresql_datawarehouse_excercise_spark.operators.cep import (
+        cep_match_rows,
+        compile_sql_rows,
+    )
+
+    rows = _valued_synthetic(seed=16)
+    span = 6 * 3600 * 1000000
+    pat = [("v", "1"), ("c", "+"), ("p", "1")]
+    running = [
+        ("sum", "value", "run_sum_c"),
+        ("min", "value", "run_min_c"),
+        ("max", "value", "run_max_c"),
+    ]
+    exprs = [
+        ("spread_c", "run_max_c - run_min_c"),
+        ("drawdown2x_c", "2 * (run_sum_c - run_min_c)"),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in cep_match_rows(
+            _valued_df(spark, rows), pat, span,
+            running=running, measure_exprs=exprs,
+        ).collect()
+    )
+    assert len(got) > 20
+    con = _valued_duck(rows)
+    sql_rows = con.execute(
+        compile_sql_rows(pat, span, running=running, measure_exprs=exprs)
+    ).fetchall()
+    assert sorted(map(tuple, sql_rows)) == got
+
+    vmap = {(u, e): v for u, e, et, t, v in rows}
+    groups = defaultdict(list)
+    for r in got:
+        groups[(r[0], r[1])].append(r)
+    for g in groups.values():
+        g.sort(key=lambda r: r[2])
+        acc, mn, mx = 0, None, None
+        for r in g:
+            c = int(vmap[(r[0], r[3])] * 100 + 0.5)
+            acc += c
+            mn = c if mn is None else min(mn, c)
+            mx = c if mx is None else max(mx, c)
+            assert (r[10], r[11]) == (mx - mn, 2 * (acc - mn))
+
+    # validation: expression aliases may not shadow the rows-lane fixed
+    # columns, and may only reference running aliases
+    for bad in [
+        [("classifier", "run_sum_c")],
+        [("match_no", "run_sum_c")],
+        [("x", "run_sum_c / 2")],
+        [("x", "nope_c + 1")],
+    ]:
+        with pytest.raises(ValueError):
+            cep_match_rows(
+                _valued_df(spark, rows), pat, span,
+                running=running, measure_exprs=bad,
+            )
