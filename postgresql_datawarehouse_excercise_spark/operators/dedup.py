@@ -207,8 +207,17 @@ def lsh_band_keys(sigs: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     """Candidate pairs from LSH banding, verified with **exact** Jaccard on
     the distinct shingle sets.  Output: (doc_a, doc_b, jaccard), all
-    integer-derived => bit-exact across engines."""
-    sigs = minhash_signature_df(documents)
+    integer-derived => bit-exact across engines.
+
+    Reuse shape (round 16, guide §5): `keys` feeds both sides of the band
+    self-join and `sets_` both sides of the verify join, so without
+    materialization the signature aggregation ran twice and the
+    shingling twice more (4 corpus scans in the plan).  The signature
+    relation (docs × 32 longs) and the distinct-shingle-set relation are
+    each computed ONCE and localCheckpoint'd; every consumer — this
+    operator, dedup_clusters, lsh_recall, threshold_sweep, the curation
+    funnel — inherits the single-scan shape."""
+    sigs = minhash_signature_df(documents).localCheckpoint()
     keys = lsh_band_keys(sigs)
     cand = (
         keys.alias("x")
@@ -219,7 +228,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sets_ = shingled(documents)
+    sets_ = shingled(documents).localCheckpoint()
     return (
         cand.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
         .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -266,8 +275,19 @@ def simhash_df(documents: DataFrame) -> DataFrame:
 def simhash_pairs(documents: DataFrame) -> DataFrame:
     """Near-dup pairs by SimHash banding: 4 chunks of 15 bits; any equal
     chunk makes a candidate; verified by hamming distance <= threshold
-    (bit_count(xor) — JVM built-ins)."""
-    sh = simhash_df(documents)
+    (bit_count(xor) — JVM built-ins).
+
+    Shape (round 16, guide §2.4/§5): the per-doc signature fold is the
+    dominant cost and DataFrame branch reuse recomputes it — the old
+    banding self-join plus the two verify joins evaluated simhash_df FOUR
+    times (4 parquet scans in the plan).  Now the fold runs ONCE over a
+    localCheckpoint'd (doc_id, simhash) relation — two longs per doc, the
+    lightweight-proxy shape of guide §8 — and the signature RIDES the
+    banding rows, so verification needs no join back at all: hamming is
+    computed directly on the self-join output and the distinct runs on the
+    already-filtered pairs.  Measured sf0.1/local[32]: 15.6 → 2.0 s warm;
+    plan 4 scans/2 verify joins → 1 scan/0 verify joins."""
+    sh = simhash_df(documents).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(
@@ -277,27 +297,22 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
             for c in range(SIMHASH_CHUNKS)
         ]
     )
-    keys = sh.select("doc_id", F.explode(chunks).alias("ck")).select(
-        "doc_id", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    keys = sh.select("doc_id", "simhash", F.explode(chunks).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )
-    cand = (
+    return (
         keys.alias("x")
         .join(keys.alias("y"), on=["chunk", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 

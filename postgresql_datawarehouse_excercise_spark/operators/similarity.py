@@ -828,6 +828,10 @@ def ann_recall(
     cells = ivf_cells(embeddings.count())
     base = _ivf_base(embeddings)
     cents, assigned = _ivf_train(base, cells)
+    # `assigned` feeds BOTH ranking arms (exact + approx); left lazy the
+    # k-means assignment GEMM ran twice (ann_recall_sweep already
+    # checkpoints for the same reason; guide §5)
+    assigned = assigned.localCheckpoint()
     q = base.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -1574,7 +1578,10 @@ def nndescent_recall(
 
     n = embeddings.count()
     n_buckets = max(1, n // ND_BUCKET)
-    qv = quantize(embeddings)
+    # the quantized corpus is referenced by every round's two distance-join
+    # sides, the seed bucketings and the exact arm (~12 references); left
+    # lazy each one re-scanned and re-quantized the corpus (guide §5)
+    qv = quantize(embeddings).localCheckpoint()
     qa = qv.select(F.col("vec_id").alias("v"), F.col("qv").alias("_qa"))
     qb = qv.select(F.col("vec_id").alias("n"), F.col("qv").alias("_qb"))
 

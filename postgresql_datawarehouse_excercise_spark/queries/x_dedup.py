@@ -1154,11 +1154,16 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
     constructed corpus (tests/test_selection_ops.py)."""
     from pyspark.sql.window import Window
 
+    # `d` is referenced five times downstream (cohort build, rep join, the
+    # two member-expansion sides, the within-cohort arm) and `repdocs` four
+    # times (grams, sentinel arm, both text sides) — left lazy each
+    # reference re-scanned the corpus and re-ran the md5/cohort shuffle
+    # (guide §5: materialize what is reused and expensive to recompute).
     d = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
         F.md5("text").alias("fp"),
-    )
+    ).localCheckpoint()
     cohorts = d.groupBy("fp").agg(F.min("doc_id").alias("rep")).alias("c")
     repdocs = (
         cohorts.join(d.alias("dd"), F.col("c.rep") == F.col("dd.doc_id"))
@@ -1168,6 +1173,7 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
             F.length(F.col("dd.text")).alias("len"),
             F.col("dd.fp").alias("fp"),
         )
+        .localCheckpoint()
     )
     grams = repdocs.select(
         "doc_id",

@@ -1323,20 +1323,31 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = base.filter(F.col("lang") == "en").select("doc_id", "text", "bucket")
     n_tokens = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).cast("long")
-    s2 = s1.filter((n_tokens >= 20) & (n_punct * 20 <= F.length("text"))).select(
-        "doc_id", "text", "bucket"
+    # Stage frames feed BOTH the next stage and the attrition counts below;
+    # left lazy, every count re-ran the whole funnel above it (the union of
+    # ten 1-row aggregates held 74 Exchanges; 38 after).  Each surviving-docs
+    # frame is checkpointed once — what a production curation pipeline does
+    # by materializing per-stage datasets (guide §5).
+    s2 = (
+        s1.filter((n_tokens >= 20) & (n_punct * 20 <= F.length("text")))
+        .select("doc_id", "text", "bucket")
+        .localCheckpoint()
     )
     fp = s2.withColumn(
         "f", F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
     )
     canon = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
-    s3 = fp.join(canon.select("doc_id"), "doc_id").select("doc_id", "text", "bucket")
+    s3 = (
+        fp.join(canon.select("doc_id"), "doc_id")
+        .select("doc_id", "text", "bucket")
+        .localCheckpoint()
+    )
     pairs = dd.minhash_lsh_pairs(s3.select("doc_id", "text"))
     strong = pairs.filter(F.col("jaccard") >= dd.DEDUP_CLUSTER_MIN_JACCARD)
     clusters = dd.dedup_clusters(strong)
     s4 = s3.join(
         clusters.filter(~F.col("keep")).select("doc_id"), "doc_id", "left_anti"
-    )
+    ).localCheckpoint()
     K = FUNNEL_DECON_GRAM
 
     def windows(df: DataFrame) -> DataFrame:

@@ -342,10 +342,15 @@ def _uni_mstep(words: DataFrame, seg: DataFrame) -> DataFrame:
     """MLE over the segmentation's piece usage; unused single chars stay at
     floor numerator 1 over the SAME denominator (improper on purpose --
     see module docstring's monotonicity argument)."""
+    # `used` feeds three consumers (m_used, the m_chars anti-join, and the
+    # total); left lazy, each consumer re-ran the ENTIRE Viterbi E-step
+    # above it (guide §5: reused + expensive to recompute = materialize).
+    # Vocabulary-sized (one row per used piece), so the checkpoint is tiny.
     used = (
         seg.select("freq", F.explode("pieces").alias("p"))
         .groupBy("p")
         .agg(F.sum("freq").alias("u"))
+        .localCheckpoint()
     )
     tot = used.agg(F.sum("u").alias("total"))
     m_used = used.crossJoin(F.broadcast(tot)).select(
@@ -378,7 +383,10 @@ def unigram_train_rounds(
     stats = None
     for r in range(1, rounds + 1):
         vocab = model.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
-        seg = _uni_segment(words, model)
+        # the round's E-step feeds three consumers (word_stats, used_stats,
+        # the M-step); checkpoint the vocabulary-sized segmentation so the
+        # Viterbi DP fold runs once per round, not three times (guide §5)
+        seg = _uni_segment(words, model).localCheckpoint()
         word_stats = seg.agg(
             F.sum(F.col("freq") * F.size("pieces")).cast("long").alias("tokens_total"),
             F.sum(F.col("freq") * F.col("wcost")).cast("long").alias("total_cost_micro"),
