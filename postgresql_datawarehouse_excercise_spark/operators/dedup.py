@@ -1118,7 +1118,8 @@ def prefix_join_pairs(
     pass over flagged cohorts."""
     from pyspark.sql import Window
 
-    sh = shingled(documents)
+    # referenced by all_hsets AND the posting explode: shingle once (guide §5)
+    sh = shingled(documents).localCheckpoint()
     # EXACT-DUPLICATE COLLAPSE (the 100x-probe OOM fix): docs with identical
     # text are interchangeable w.r.t. Jaccard against ANY third doc, so the
     # pair join runs on one representative per cohort and the full pair
@@ -1140,10 +1141,13 @@ def prefix_join_pairs(
     if collapse:
         reps = cohorts.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
         sh = sh.join(reps, "doc_id", "left_semi")
+    # skinny (doc_id, h) postings feed dfreq, sizes AND the prefix join —
+    # three references; materialize the distinct once
     post = (
         sh.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", h32(F.col("s")).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

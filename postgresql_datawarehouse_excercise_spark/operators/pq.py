@@ -170,7 +170,10 @@ def pq_train_encode(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     double per round (assign reads codebook, recompute reads assign), and
     the checkpoint is PQ_M x PQ_K rows -- trivially small."""
     q = quantize(embeddings)
-    subs = _subvectors(q)
+    # the subvector relation feeds every Lloyd round's assign + recompute
+    # AND the final encode (2*PQ_ROUNDS + 1 references); left lazy each one
+    # re-scanned and re-quantized the corpus (guide §5)
+    subs = _subvectors(q).localCheckpoint()
     cb = _init_codebooks(q)
     for _ in range(PQ_ROUNDS):
         a = _assign_gemm(subs, cb)
@@ -188,7 +191,9 @@ def pq_train_encode_split(train: DataFrame, full: DataFrame) -> tuple[DataFrame,
     codebooks -- the FAISS add / add-without-retrain lifecycle.  With
     train == full this is exactly pq_train_encode."""
     qt = quantize(train)
-    tsubs = _subvectors(qt)
+    # same reuse shape as pq_train_encode: one materialization, 2*PQ_ROUNDS
+    # references from the Lloyd loop
+    tsubs = _subvectors(qt).localCheckpoint()
     cb = _init_codebooks(qt)
     for _ in range(PQ_ROUNDS):
         a = _assign_gemm(tsubs, cb)

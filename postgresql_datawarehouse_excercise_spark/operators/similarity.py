@@ -1619,10 +1619,14 @@ def nndescent_recall(
     g0 = topk(with_d2(seedp.distinct())).localCheckpoint()
     g = g0
     for _ in range(rounds):
+        # the undirected edge set feeds BOTH sides of the 2-hop self-join
+        # plus the candidate union; checkpoint so the union+distinct shuffle
+        # runs once per round, not three times (N x 2k skinny rows)
         und = (
             g.select("v", "n")
             .union(g.select(F.col("n").alias("v"), F.col("v").alias("n")))
             .distinct()
+            .localCheckpoint()
         )
         ua, ub = und.alias("ua"), und.alias("ub")
         twohop = (

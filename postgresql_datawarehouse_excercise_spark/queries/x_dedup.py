@@ -387,7 +387,11 @@ def _pagerank_direct(t_docs: DataFrame) -> DataFrame:
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read by every iteration's message join plus the final report
+    # (PR_ITERS + 1 references); checkpoint the skinny (src, deg) relation
+    # so each reference reads stored blocks instead of re-aggregating the
+    # edge list (the contracted path already does this)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     nodes = t_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
@@ -1175,17 +1179,31 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
         )
         .localCheckpoint()
     )
-    grams = repdocs.select(
-        "doc_id",
-        "len",
-        F.explode(
-            F.expr(
-                f"array_distinct(CASE WHEN length(text) >= {ED_Q} THEN"
-                f" transform(sequence(1, length(text) - {ED_Q - 1}),"
-                f" i -> substring(text, i, {ED_Q}))"
-                " ELSE array() END)"
-            )
-        ).alias("g"),
+    # Candidate-index grams are ENGINE-INTERNAL: candidates are verified by
+    # exact levenshtein below, and the prefix-filter completeness theorem
+    # (two strings within distance d share one of the q*d+1 rarest grams
+    # under ANY globally consistent ordering) survives hashing — collisions
+    # only merge df counts consistently and add candidates the verify
+    # rejects.  So the index shuffles 8-byte xxhash64 longs instead of
+    # 10-char strings (guide §2.3: narrower types), and the gram relation
+    # is checkpointed once instead of exploding twice (dfreq + pref).
+    # The final output is unchanged: both engines emit exactly the pairs
+    # within distance d, each from its own complete candidate set.
+    grams = (
+        repdocs.select(
+            "doc_id",
+            "len",
+            F.explode(
+                F.expr(
+                    f"array_distinct(CASE WHEN length(text) >= {ED_Q} THEN"
+                    f" transform(sequence(1, length(text) - {ED_Q - 1}),"
+                    f" i -> substring(text, i, {ED_Q}))"
+                    " ELSE array() END)"
+                )
+            ).alias("gs"),
+        )
+        .select("doc_id", "len", F.xxhash64("gs").alias("g"))
+        .localCheckpoint()
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
@@ -1222,7 +1240,9 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "len",
-            F.concat(F.lit("#S"), F.col("b").cast("string")).alias("g"),
+            # same 8-byte key space as the content grams; a sentinel/content
+            # hash collision only adds a candidate the verify rejects
+            F.xxhash64(F.concat(F.lit("#S"), F.col("b").cast("string"))).alias("g"),
         )
     )
     idx = pref.unionByName(sent)
