@@ -35,7 +35,33 @@ _SENTINELS = ("q1_time_dim", "q2_avg_transaction")
 # against DuckDB, but the driver's own gate should confirm before their next
 # natural rotation): fronted right after any known-red entries.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # round 16: the six pred-less CEP entries ride the round-15
+    # round 16 OPTIMIZATION pass (OPTIMIZATION_r16.md): entries whose
+    # operator internals changed -- reused subtrees materialized
+    # (localCheckpoint inside the timed path), simhash banding
+    # restructured to carry the signature, the edit-join q-gram index
+    # re-keyed to xxhash64 longs, approx_distinct re-aggregated over
+    # pre-deduped rows.  All value-identical by construction and locally
+    # re-verified green vs DuckDB at sf0.01; fronted so the driver's own
+    # gate confirms the changed paths first.
+    "x_dedup_simhash_pairs",
+    "x_dedup_minhash_lsh_pairs",
+    "x_dedup_clusters",
+    "x_dedup_lsh_recall",
+    "x_dedup_threshold_sweep",
+    "x_dedup_edit_join",
+    "x_dedup_prefix_join",
+    "x_dedup_pagerank",
+    "x_text_unigram_lm",
+    "x_text_unigram_encode",
+    "x_pipeline_curation_funnel",
+    "x_pipeline_canonical_docs",
+    "x_sql_approx_distinct",
+    "x_sim_ann_recall",
+    "x_sim_nndescent",
+    "x_sim_ann_pq",
+    "x_sim_ann_ivfpq",
+    "x_stream_ann_index",
+    # round 16 build: the six pred-less CEP entries ride the round-15
     # second-wave dispatch refactor with only LOCAL preflight on the
     # record (VERDICT r15 item 2 asks the driver to confirm) -- fronted
     # so the driver's own gate closes that loop
@@ -46,12 +72,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     "x_events_cep_permute",
     "x_events_cep_skip_to_first",
     "x_events_cep_skip_to_last",
-    # round 16: the cross-symbol anchor columns were renamed to the
+    # round 16 build: the cross-symbol anchor columns were renamed to the
     # length-prefixed _sym_<len>_<type>_<col> form (ADVICE r15
     # collision fix) -- value-identical, but the column plumbing under
     # this entry changed in both compilers
     "x_events_cep_cross_define",
-    # round 16: register_fd_rollup's bridge verification hardened
+    # round 16 build: register_fd_rollup's bridge verification hardened
     # (count(*) per fine key + MV coverage check, ADVICE r15) -- the
     # registration path under this entry changed
     "x_mv_catalyst_rewrite_fd",
