@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .clustering import SCALE, _dist2, quantize
 
@@ -169,11 +170,19 @@ def pq_train_encode(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     Each round's codebook is localCheckpoint'd: the lineage would otherwise
     double per round (assign reads codebook, recompute reads assign), and
     the checkpoint is PQ_M x PQ_K rows -- trivially small."""
-    q = quantize(embeddings)
-    # the subvector relation feeds every Lloyd round's assign + recompute
-    # AND the final encode (2*PQ_ROUNDS + 1 references); left lazy each one
-    # re-scanned and re-quantized the corpus (guide §5)
-    subs = _subvectors(q).localCheckpoint()
+    # The N-row QUANTIZED relation is materialized once and every Lloyd
+    # round + the final encode (2*PQ_ROUNDS + 1 references) derive the
+    # subvector explode from it lazily -- a narrow per-row slice, no
+    # shuffle, so each reference costs one in-memory pass instead of a
+    # corpus re-scan + re-quantize (guide §5).  Round 16 materialized the
+    # N x PQ_M EXPLODED subvector relation instead: 8x the rows, measured
+    # 2.7-5.2x slower cold on two hosts, and an eviction hazard at scale.
+    # MEMORY_AND_DISK so blocks spill instead of evict; localCheckpoint is
+    # the local-mode stand-in for a reliable per-stage materialization
+    # (per-invocation lifetime -- a session-scoped persist would be reused
+    # across bench iterations, which the no-caching-across-runs rule bans).
+    q = quantize(embeddings).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    subs = _subvectors(q)
     cb = _init_codebooks(q)
     for _ in range(PQ_ROUNDS):
         a = _assign_gemm(subs, cb)
@@ -190,10 +199,10 @@ def pq_train_encode_split(train: DataFrame, full: DataFrame) -> tuple[DataFrame,
     round), then EVERY vector of `full` encodes against the trained
     codebooks -- the FAISS add / add-without-retrain lifecycle.  With
     train == full this is exactly pq_train_encode."""
-    qt = quantize(train)
-    # same reuse shape as pq_train_encode: one materialization, 2*PQ_ROUNDS
-    # references from the Lloyd loop
-    tsubs = _subvectors(qt).localCheckpoint()
+    # same reuse shape as pq_train_encode: one N-row materialization, the
+    # subvector explode derived lazily per reference (see pq_train_encode)
+    qt = quantize(train).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    tsubs = _subvectors(qt)
     cb = _init_codebooks(qt)
     for _ in range(PQ_ROUNDS):
         a = _assign_gemm(tsubs, cb)
