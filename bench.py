@@ -101,6 +101,21 @@ def main() -> None:
     for tname in catalog.TABLE_NAMES:
         warm.table(tname).write.format("noop").mode("overwrite").save()
     spark.range(10_000).toPandas()
+    # Host fingerprint (stderr only; VERDICT r16 item 9): three fixed
+    # microbenches -- codegen, shuffle, Python/Arrow boundary -- so
+    # round-over-round driver numbers can be normalized for host drift
+    # (r16 measured identical code 1.5-2x slower across rounds; r17 saw
+    # 6-50 s swings on the same entry within one session).
+    for label, fp_fn in (
+        ("codegen_1e8", lambda: spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()),
+        ("shuffle_1e7", lambda: spark.range(10_000_000)
+            .groupBy((F.col("id") % 1000).alias("k")).count()
+            .write.format("noop").mode("overwrite").save()),
+        ("python_arrow_1e6", lambda: spark.range(1_000_000).toPandas()),
+    ):
+        t0 = time.perf_counter()
+        fp_fn()
+        print(f"host_fingerprint {label} = {time.perf_counter() - t0:.3f} s", file=sys.stderr)
     # Compile-warm the 15 MV build plans at sf0.001 into a throwaway dir:
     # whole-stage-codegen + JIT of 15 distinct plans otherwise lands on the
     # first timed entry (measured ~17 s of a 24 s sf0.1 cold build; the warm

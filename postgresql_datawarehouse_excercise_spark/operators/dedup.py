@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import fround, ratio, sql_ratio
 
@@ -217,7 +218,13 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     each computed ONCE and localCheckpoint'd; every consumer — this
     operator, dedup_clusters, lsh_recall, threshold_sweep, the curation
     funnel — inherits the single-scan shape."""
-    sigs = minhash_signature_df(documents).localCheckpoint()
+    # MEMORY_AND_DISK: corpus-sized materializations spill instead of
+    # evict; localCheckpoint is the local-mode stand-in for a reliable
+    # per-stage materialization (a session-scoped persist would be reused
+    # across bench iterations -- the no-caching-across-runs rule)
+    sigs = minhash_signature_df(documents).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     keys = lsh_band_keys(sigs)
     cand = (
         keys.alias("x")
@@ -228,7 +235,9 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sets_ = shingled(documents).localCheckpoint()
+    sets_ = shingled(documents).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     return (
         cand.join(sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
         .join(sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
@@ -1118,8 +1127,12 @@ def prefix_join_pairs(
     pass over flagged cohorts."""
     from pyspark.sql import Window
 
-    # referenced by all_hsets AND the posting explode: shingle once (guide §5)
-    sh = shingled(documents).localCheckpoint()
+    # referenced by all_hsets AND the posting explode: shingle once
+    # (guide §5); MEMORY_AND_DISK so the corpus-sized block spills, never
+    # evicts (localCheckpoint = local-mode stand-in, see minhash_lsh_pairs)
+    sh = shingled(documents).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     # EXACT-DUPLICATE COLLAPSE (the 100x-probe OOM fix): docs with identical
     # text are interchangeable w.r.t. Jaccard against ANY third doc, so the
     # pair join runs on one representative per cohort and the full pair
@@ -1147,7 +1160,7 @@ def prefix_join_pairs(
         sh.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", h32(F.col("s")).alias("h"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -1622,6 +1622,11 @@ def nndescent_recall(
         # the undirected edge set feeds BOTH sides of the 2-hop self-join
         # plus the candidate union; checkpoint so the union+distinct shuffle
         # runs once per round, not three times (N x 2k skinny rows)
+        # (Per-round blocks are N x 2k skinny rows -- bounded like the
+        # k-means centroids.  localCheckpoint here is the local-mode
+        # stand-in for a reliable per-round materialization; a production
+        # run would persist each round to reliable storage and drop the
+        # previous round's blocks once the new round materializes.)
         und = (
             g.select("v", "n")
             .union(g.select(F.col("n").alias("v"), F.col("v").alias("n")))

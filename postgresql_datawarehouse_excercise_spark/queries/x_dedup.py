@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import catalog
 from ..functions import fround, ratio, sql_ratio
@@ -238,12 +239,18 @@ def substring_spans(documents: DataFrame, K: int = SPAN_TOKENS) -> DataFrame:
         F.size(tk).cast("long").alias("n_tokens"),
         tk.alias("tk"),
     ).filter(F.col("n_tokens") >= K)
+    # The window hash is ENGINE-INTERNAL (the output carries doc-level span
+    # counts, never h): a window is duplicated iff >= 2 distinct docs share
+    # its hash, which any collision-free hash decides identically -- so the
+    # index shuffles 8-byte xxhash64 longs instead of 32-char md5 hex
+    # strings (guide §2.3 narrower shuffle types, the edit_join treatment;
+    # the oracle's md5 replays the same duplicate set).
     wins = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), (F.col("n_tokens") - K).cast("int")),
-                lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), p + 1, K))),
+                lambda p: F.xxhash64(F.concat_ws(" ", F.slice(F.col("tk"), p + 1, K))),
             )
         ).alias("pos", "h"),
     )
@@ -1163,11 +1170,15 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
     # times (grams, sentinel arm, both text sides) — left lazy each
     # reference re-scanned the corpus and re-ran the md5/cohort shuffle
     # (guide §5: materialize what is reused and expensive to recompute).
+    # (MEMORY_AND_DISK on every corpus-sized checkpoint below: blocks
+    # spill instead of evict; localCheckpoint = the local-mode stand-in for
+    # a reliable per-stage materialization -- a session-scoped persist would
+    # be reused across bench iterations, which the no-caching rule bans.)
     d = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text"),
         F.md5("text").alias("fp"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     cohorts = d.groupBy("fp").agg(F.min("doc_id").alias("rep")).alias("c")
     repdocs = (
         cohorts.join(d.alias("dd"), F.col("c.rep") == F.col("dd.doc_id"))
@@ -1177,7 +1188,7 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
             F.length(F.col("dd.text")).alias("len"),
             F.col("dd.fp").alias("fp"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     # Candidate-index grams are ENGINE-INTERNAL: candidates are verified by
     # exact levenshtein below, and the prefix-filter completeness theorem
@@ -1189,6 +1200,10 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
     # is checkpointed once instead of exploding twice (dfreq + pref).
     # The final output is unchanged: both engines emit exactly the pairs
     # within distance d, each from its own complete candidate set.
+    # array_distinct runs on the HASHED longs (not the strings), so a
+    # within-doc 64-bit collision cannot double-count dfreq or burn one of
+    # the ED_PREFIX slots -- the prefix-filter completeness bound stays
+    # airtight under ANY collision (ADVICE r16); per-row op, no extra shuffle
     grams = (
         repdocs.select(
             "doc_id",
@@ -1197,13 +1212,12 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
                 F.expr(
                     f"array_distinct(CASE WHEN length(text) >= {ED_Q} THEN"
                     f" transform(sequence(1, length(text) - {ED_Q - 1}),"
-                    f" i -> substring(text, i, {ED_Q}))"
+                    f" i -> xxhash64(substring(text, i, {ED_Q})))"
                     " ELSE array() END)"
                 )
-            ).alias("gs"),
+            ).alias("g"),
         )
-        .select("doc_id", "len", F.xxhash64("gs").alias("g"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
@@ -1285,7 +1299,7 @@ def edit_join_pairs(spark: SparkSession, documents: DataFrame) -> DataFrame:
         cand.join(da, "ra")
         .join(db, "rb")
         .repartition(spark.sparkContext.defaultParallelism, "ra", "rb")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     rpairs = (
         withtexts.select(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import catalog
 from ..functions import dec, fround, money, sql_dec, sql_money
@@ -1328,10 +1329,13 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ten 1-row aggregates held 74 Exchanges; 38 after).  Each surviving-docs
     # frame is checkpointed once — what a production curation pipeline does
     # by materializing per-stage datasets (guide §5).
+    # (MEMORY_AND_DISK on the stage frames: corpus-sized blocks spill
+    # instead of evict; localCheckpoint = local-mode stand-in for the
+    # per-stage dataset a production pipeline writes to reliable storage.)
     s2 = (
         s1.filter((n_tokens >= 20) & (n_punct * 20 <= F.length("text")))
         .select("doc_id", "text", "bucket")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     fp = s2.withColumn(
         "f", F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
@@ -1340,20 +1344,24 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = (
         fp.join(canon.select("doc_id"), "doc_id")
         .select("doc_id", "text", "bucket")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     pairs = dd.minhash_lsh_pairs(s3.select("doc_id", "text"))
     strong = pairs.filter(F.col("jaccard") >= dd.DEDUP_CLUSTER_MIN_JACCARD)
     clusters = dd.dedup_clusters(strong)
     s4 = s3.join(
         clusters.filter(~F.col("keep")).select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     K = FUNNEL_DECON_GRAM
 
     def windows(df: DataFrame) -> DataFrame:
         # overlapping K-token window hashes (the substring_spans idiom:
         # tokens materialized by a projection, windows via slice under
-        # transform); docs shorter than K emit none in both engines
+        # transform); docs shorter than K emit none in both engines.
+        # The hash is engine-internal (contamination = sharing ANY window
+        # with the eval split, decided identically by any collision-free
+        # hash; the output carries only attrition counts), so the probe
+        # shuffles xxhash64 longs instead of md5 hex strings (guide §2.3).
         toked = df.select("doc_id", dd.tokens(F.col("text")).alias("t")).filter(
             F.size("t") >= K
         )
@@ -1362,7 +1370,7 @@ def x_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), (F.size("t") - K).cast("int")),
-                    lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("t"), p + 1, K))),
+                    lambda p: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), p + 1, K))),
                 )
             ).alias("h"),
         )

@@ -361,6 +361,10 @@ def x_sql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bit-identical estimate: one distinct shuffle of skinny rows, then a
     # tiny agg where COUNT(*) == the exact distinct count (guide §2.3:
     # aggregate before you shuffle the heavy buffers).
+    # PRECONDITION (ADVICE r16): COUNT(*) over distinct rows == COUNT(DISTINCT
+    # o_custkey) only because TPC-H o_custkey is NOT NULL -- countDistinct
+    # ignores NULL keys while distinct()+COUNT(*) would count a NULL row.
+    # Copying this pattern to a nullable column needs .filter(col.isNotNull()).
     return (
         t.orders.select("o_orderpriority", "o_custkey")
         .distinct()

@@ -385,7 +385,11 @@ def unigram_train_rounds(
         vocab = model.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
         # the round's E-step feeds three consumers (word_stats, used_stats,
         # the M-step); checkpoint the vocabulary-sized segmentation so the
-        # Viterbi DP fold runs once per round, not three times (guide §5)
+        # Viterbi DP fold runs once per round, not three times (guide §5).
+        # (Vocabulary-sized blocks, one per round: bounded.  localCheckpoint
+        # is the local-mode stand-in for a reliable per-round
+        # materialization; a production trainer would persist each round
+        # reliably and unpersist the previous round once the next lands.)
         seg = _uni_segment(words, model).localCheckpoint()
         word_stats = seg.agg(
             F.sum(F.col("freq") * F.size("pieces")).cast("long").alias("tokens_total"),
